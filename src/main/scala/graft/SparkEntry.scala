@@ -1,13 +1,178 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Percentages
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every query (FIXTURES.md §4):
+  *   - deterministic: fixed `today` parameters, no wall clock, no rand();
+  *   - canonical ORDER BY over the full output key in both the Spark query
+  *     and its DuckDB oracle;
+  *   - doubles rounded to a fixed scale at the output edge (r4/r2 below);
+  *   - dates emitted as 'yyyy-MM-dd' strings, ints as BIGINT, so Spark
+  *     parquet output and DuckDB result hash identically;
+  *   - every computed column aliased to the same lowercase name on both
+  *     sides.
+  */
 object SparkEntry {
+
+  /** Round a small-magnitude double (ratios, percentages) for hash parity. */
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Round a money-magnitude sum: FP accumulation order across partitions can
+    * drift ~1e-4 on 1e9-scale sums, so 2 decimals is the safe scale.
+    */
+  private def r2(c: Column): Column = round(c, 2)
+
+  private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Percentages.percentages(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Queries. Keys are SURVEY.md §2 operator IDs (oNN_*) for reference
+  // parity, xNN_* for the large-scale-pipeline extensions, fNN_* for the
+  // forecaster, sNN_* for streaming-equivalent batch semantics.
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O2/O3/O10: projected scans of the two fact views with the year filter.
+    "o03_scan_historical" -> ((s, dir) =>
+      Tables
+        .historicalData(s, dir)
+        .select(fmtDate(col("ds")).as("ds"), col("branch"), col("move_type"), r4(col("cnt")).as("cnt"))
+        .orderBy("ds", "branch", "move_type")),
+    "o02_scan_forecasting" -> ((s, dir) =>
+      Tables
+        .forecastingData(s, dir)
+        .select(fmtDate(col("ds")).as("ds"), col("branch"), r4(col("cnt")).as("cnt"))
+        .orderBy("ds", "branch")),
+
+    // O28: 4-key grouped sum (precompute_percentages.py:134).
+    "o28_grouped_sum4" -> ((s, dir) =>
+      Percentages
+        .moveGrouped(Tables.historicalData(s, dir))
+        .select(col("branch"), col("move_type"), col("month"), col("day"), r4(col("move_cnt")).as("move_cnt"))
+        .orderBy("branch", "move_type", "month", "day")),
+
+    // O29: 3-key grouped sum (precompute_percentages.py:135).
+    "o29_grouped_sum3" -> ((s, dir) =>
+      Percentages
+        .totalGrouped(Tables.forecastingData(s, dir))
+        .select(col("branch"), col("month"), col("day"), r4(col("total_cnt")).as("total_cnt"))
+        .orderBy("branch", "month", "day")),
+
+    // O30: training prep — daily totals keyed (ds, branch)
+    // (pretrain_models.py:13).
+    "o30_training_prep" -> ((s, dir) =>
+      Tables
+        .forecastingData(s, dir)
+        .select(fmtDate(col("ds")).as("ds"), col("branch"), r4(col("cnt")).as("y"))
+        .orderBy("ds", "branch")),
+
+    // O22: the flagship precompute ratio join.
+    "o22_percentages" -> ((s, dir) =>
+      Percentages
+        .percentages(s, dir)
+        .select(
+          col("branch"),
+          col("move_type"),
+          col("month"),
+          col("day"),
+          r4(col("move_cnt")).as("move_cnt"),
+          r4(col("total_cnt")).as("total_cnt"),
+          r4(col("avg_percentage")).as("avg_percentage"))
+        .orderBy("branch", "move_type", "month", "day")),
+
+    // O31: monthly average of percentages (main.py:102-106).
+    "o31_monthly_avg" -> ((s, dir) =>
+      Percentages
+        .monthlyAvg(Percentages.percentages(s, dir))
+        .select(col("branch"), col("move_type"), col("month"), r4(col("month_avg")).as("month_avg"))
+        .orderBy("branch", "move_type", "month")),
+
+    // O33/O34: DISTINCT move types, sorted (main.py:205,
+    // precompute_percentages.py:155-156).
+    "o33_distinct_move_types" -> ((s, dir) =>
+      Tables.historicalData(s, dir).select(col("move_type")).distinct().orderBy("move_type")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "o03_scan_historical" ->
+      s"""${Tables.FactCtes}
+         |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, move_type, round(cnt, 4) AS cnt
+         |FROM historical_data
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "o02_scan_forecasting" ->
+      s"""${Tables.FactCtes}
+         |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS cnt
+         |FROM forecasting_data
+         |ORDER BY 1, 2""".stripMargin,
+    "o28_grouped_sum4" ->
+      s"""${Tables.FactCtes}
+         |SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month, EXTRACT(DAY FROM ds) AS day,
+         |       round(SUM(cnt), 4) AS move_cnt
+         |FROM historical_data
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "o29_grouped_sum3" ->
+      s"""${Tables.FactCtes}
+         |SELECT branch, EXTRACT(MONTH FROM ds) AS month, EXTRACT(DAY FROM ds) AS day,
+         |       round(SUM(cnt), 4) AS total_cnt
+         |FROM forecasting_data
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "o30_training_prep" ->
+      s"""${Tables.FactCtes}
+         |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS y
+         |FROM forecasting_data
+         |ORDER BY 1, 2""".stripMargin,
+    "o22_percentages" ->
+      s"""${Tables.FactCtes},
+         |mg AS (
+         |  SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month,
+         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS move_cnt
+         |  FROM historical_data GROUP BY 1, 2, 3, 4),
+         |tg AS (
+         |  SELECT branch, EXTRACT(MONTH FROM ds) AS month,
+         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS total_cnt
+         |  FROM forecasting_data GROUP BY 1, 2, 3)
+         |SELECT mg.branch, mg.move_type, mg.month, mg.day,
+         |       round(mg.move_cnt, 4) AS move_cnt,
+         |       round(tg.total_cnt, 4) AS total_cnt,
+         |       round(100.0 * mg.move_cnt / tg.total_cnt, 4) AS avg_percentage
+         |FROM mg JOIN tg ON mg.branch = tg.branch AND mg.month = tg.month AND mg.day = tg.day
+         |WHERE tg.total_cnt > 0
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "o31_monthly_avg" ->
+      s"""${Tables.FactCtes},
+         |mg AS (
+         |  SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month,
+         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS move_cnt
+         |  FROM historical_data GROUP BY 1, 2, 3, 4),
+         |tg AS (
+         |  SELECT branch, EXTRACT(MONTH FROM ds) AS month,
+         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS total_cnt
+         |  FROM forecasting_data GROUP BY 1, 2, 3),
+         |pct AS (
+         |  SELECT mg.branch, mg.move_type, mg.month, mg.day,
+         |         100.0 * mg.move_cnt / tg.total_cnt AS avg_percentage
+         |  FROM mg JOIN tg ON mg.branch = tg.branch AND mg.month = tg.month AND mg.day = tg.day
+         |  WHERE tg.total_cnt > 0)
+         |SELECT branch, move_type, month, round(AVG(avg_percentage), 4) AS month_avg
+         |FROM pct
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "o33_distinct_move_types" ->
+      s"""${Tables.FactCtes}
+         |SELECT DISTINCT move_type FROM historical_data ORDER BY 1""".stripMargin,
+  )
 }
