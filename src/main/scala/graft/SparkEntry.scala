@@ -30,6 +30,12 @@ object SparkEntry {
 
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** Fixture train cutoff for o30/forecaster queries — the reference's own
+    * cutoff is 2023-12-31 (pretrain_models.py:20) but the driver testdata
+    * spans Jan 2024 only, so the fixture uses a cutoff inside that span.
+    */
+  val FixtureTrainCutoff = "2024-01-20"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Percentages.percentages(spark, "/root/testdata/sf0.001")
@@ -67,11 +73,16 @@ object SparkEntry {
         .select(col("branch"), col("month"), col("day"), r4(col("total_cnt")).as("total_cnt"))
         .orderBy("branch", "month", "day")),
 
-    // O30: training prep — daily totals keyed (ds, branch)
-    // (pretrain_models.py:13).
+    // O30: training prep — daily totals keyed (ds, branch) from the
+    // UNFILTERED table (pretrain_models.py:9,13) with the train cutoff
+    // applied (pretrain_models.py:20: ds <= '2023-12-31'). The engine
+    // default cutoff is the reference's; the fixture instantiates
+    // 2024-01-20 because the testdata postdates the reference's cutoff
+    // (events span Jan 2024 only) — the cutoff must actually bite.
     "o30_training_prep" -> ((s, dir) =>
       Tables
-        .forecastingData(s, dir)
+        .forecastingDataAll(s, dir)
+        .filter(col("ds") <= lit(FixtureTrainCutoff))
         .select(fmtDate(col("ds")).as("ds"), col("branch"), r4(col("cnt")).as("y"))
         .orderBy("ds", "branch")),
 
@@ -102,6 +113,29 @@ object SparkEntry {
       Tables.historicalData(s, dir).select(col("move_type")).distinct().orderBy("move_type")),
   )
 
+  /** Shared oracle CTE chain computing the DENSE percentages table (mirrors
+    * Percentages.percentagesSingleScan: zero-percentage rows kept, Feb 29
+    * excluded, total_cnt > 0 only). Appended after Tables.FactCtes.
+    */
+  val DensePctCtes: String =
+    """mg AS (
+      |  SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month,
+      |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS move_cnt
+      |  FROM historical_data GROUP BY 1, 2, 3, 4),
+      |tg AS (
+      |  SELECT branch, month, day, SUM(move_cnt) AS total_cnt
+      |  FROM mg GROUP BY 1, 2, 3),
+      |mts AS (SELECT DISTINCT move_type FROM historical_data),
+      |pct AS (
+      |  SELECT tg.branch, mts.move_type, tg.month, tg.day,
+      |         COALESCE(mg.move_cnt, 0) AS move_cnt,
+      |         tg.total_cnt,
+      |         100.0 * COALESCE(mg.move_cnt, 0) / tg.total_cnt AS avg_percentage
+      |  FROM tg CROSS JOIN mts
+      |  LEFT JOIN mg ON mg.branch = tg.branch AND mg.move_type = mts.move_type
+      |              AND mg.month = tg.month AND mg.day = tg.day
+      |  WHERE tg.total_cnt > 0 AND NOT (tg.month = 2 AND tg.day = 29))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -131,42 +165,23 @@ object SparkEntry {
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
     "o30_training_prep" ->
-      s"""${Tables.FactCtes}
+      s"""${Tables.FactAllCtes}
          |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS y
-         |FROM forecasting_data
+         |FROM forecasting_data_all
+         |WHERE ds <= DATE '$FixtureTrainCutoff'
          |ORDER BY 1, 2""".stripMargin,
     "o22_percentages" ->
       s"""${Tables.FactCtes},
-         |mg AS (
-         |  SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month,
-         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS move_cnt
-         |  FROM historical_data GROUP BY 1, 2, 3, 4),
-         |tg AS (
-         |  SELECT branch, EXTRACT(MONTH FROM ds) AS month,
-         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS total_cnt
-         |  FROM forecasting_data GROUP BY 1, 2, 3)
-         |SELECT mg.branch, mg.move_type, mg.month, mg.day,
-         |       round(mg.move_cnt, 4) AS move_cnt,
-         |       round(tg.total_cnt, 4) AS total_cnt,
-         |       round(100.0 * mg.move_cnt / tg.total_cnt, 4) AS avg_percentage
-         |FROM mg JOIN tg ON mg.branch = tg.branch AND mg.month = tg.month AND mg.day = tg.day
-         |WHERE tg.total_cnt > 0
+         |$DensePctCtes
+         |SELECT branch, move_type, month, day,
+         |       round(move_cnt, 4) AS move_cnt,
+         |       round(total_cnt, 4) AS total_cnt,
+         |       round(avg_percentage, 4) AS avg_percentage
+         |FROM pct
          |ORDER BY 1, 2, 3, 4""".stripMargin,
     "o31_monthly_avg" ->
       s"""${Tables.FactCtes},
-         |mg AS (
-         |  SELECT branch, move_type, EXTRACT(MONTH FROM ds) AS month,
-         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS move_cnt
-         |  FROM historical_data GROUP BY 1, 2, 3, 4),
-         |tg AS (
-         |  SELECT branch, EXTRACT(MONTH FROM ds) AS month,
-         |         EXTRACT(DAY FROM ds) AS day, SUM(cnt) AS total_cnt
-         |  FROM forecasting_data GROUP BY 1, 2, 3),
-         |pct AS (
-         |  SELECT mg.branch, mg.move_type, mg.month, mg.day,
-         |         100.0 * mg.move_cnt / tg.total_cnt AS avg_percentage
-         |  FROM mg JOIN tg ON mg.branch = tg.branch AND mg.month = tg.month AND mg.day = tg.day
-         |  WHERE tg.total_cnt > 0)
+         |$DensePctCtes
          |SELECT branch, move_type, month, round(AVG(avg_percentage), 4) AS month_avg
          |FROM pct
          |GROUP BY 1, 2, 3

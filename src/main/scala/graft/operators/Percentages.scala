@@ -13,24 +13,33 @@ import graft.sources.Tables
   *     (precompute_percentages.py:96-103)
   *   - month/day derivation (precompute_percentages.py:120-129)
   *   - two grouped sums (O28/O29, precompute_percentages.py:132-139)
-  *   - then a quadruple nested loop of point lookups computing, per
-  *     (branch, move_type, month, day), `move_count / total_count * 100`
-  *     (precompute_percentages.py:178-239), upserted in batches of 1000.
+  *   - then a quadruple nested loop over the FULL domain
+  *     branches x move_types x month(1-12) x day(1-31)
+  *     (precompute_percentages.py:178-239): for every combination whose
+  *     (month, day) is a valid date in non-leap 2021
+  *     (precompute_percentages.py:190-193 — so Feb 29 is NEVER emitted)
+  *     and whose total_count > 0, it inserts
+  *     `100 * move_count / total_count`, where a missing
+  *     (branch, move_type, month, day) group contributes move_count = 0
+  *     (an empty pandas mask sums to 0) — i.e. ZERO-percentage rows ARE
+  *     emitted whenever the branch had volume but not that move type.
   *
-  * Spark restatement (SURVEY.md §2.3 O22): the whole loop IS one equi-join.
-  * Two partial+final hash aggregations and one shuffle-hash/sort-merge join —
-  * 2 shuffles total instead of 110x|T|x12x31 point lookups. Rows with
-  * total_cnt == 0 are dropped, matching the reference's skip
-  * (precompute_percentages.py:209-215); invalid (month, day) combinations
-  * (Feb 30, ...) can never arise because keys derive from real dates (O16 —
-  * precompute_percentages.py:190-193 becomes a no-op by construction).
+  * Spark restatement (SURVEY.md §2.3 O22): the loop IS one join — but a
+  * dense one. The dense key domain is
+  *   (total-grouped keys with total_cnt > 0, minus Feb 29)
+  *     CROSS JOIN (distinct move types),
+  * left-joined to the 4-key aggregate with `coalesce(move_cnt, 0)`.
   *
-  * Scale posture: both aggregations shuffle on subsets of the same key family
-  * (branch, [move_type,] month, day); the join keys (branch, month, day) have
-  * bounded cardinality (110 x 366 ~ 40k) so the join side built from
-  * forecasting_data is tiny after aggregation — Catalyst/AQE broadcasts it at
-  * any input scale, making the whole pipeline ONE real shuffle over the fact
-  * data at 100 TB.
+  * Scale posture: the only shuffle over fact-scale data is the O28
+  * aggregation; everything downstream operates on bounded aggregates
+  * (|branches| x 366 x |move types| ~ 40k x T rows). The cross join is a
+  * broadcast nested loop against a handful of move types, and the final
+  * left join runs between two bounded aggregates (AQE broadcasts the
+  * smaller). In `percentagesSingleScan` the total-grouped side and the
+  * move-type dimension both derive from the SAME O28 aggregate, so the
+  * physical plan scans the fact table ONCE (Spark's ReuseExchange picks up
+  * the identical aggregate exchange) — at 100 TB this halves I/O vs the
+  * naive two-scan formulation.
   */
 object Percentages {
 
@@ -53,30 +62,73 @@ object Percentages {
         dayofmonth(col("ds")).cast("long").as("day"))
       .agg(sum(col("cnt")).as("total_cnt"))
 
-  /** O22: the ratio join. Output key: (branch, move_type, month, day);
-    * avg_percentage = 100 * move_cnt / total_cnt, total_cnt > 0 only.
+  /** O16: the reference validates (month, day) against non-leap 2021
+    * (precompute_percentages.py:191), so day 29 of February never appears in
+    * the output even when leap-year data exists for it. Feb 30/31, Apr 31,
+    * ... can never arise here because keys derive from real dates; Feb 29
+    * CAN (2020/2024 data) and must be dropped explicitly.
     */
-  def percentages(historical: DataFrame, forecasting: DataFrame): DataFrame = {
-    val mg = moveGrouped(historical)
-    val tg = totalGrouped(forecasting)
-    mg.join(tg, Seq("branch", "month", "day"), "inner")
-      .filter(col("total_cnt") > 0)
+  private def validMonthDay(monthCol: String, dayCol: String) =
+    !(col(monthCol) === 2 && col(dayCol) === 29)
+
+  /** O22 core: dense ratio join from pre-aggregated inputs.
+    *
+    * @param mg  4-key aggregate (branch, move_type, month, day, move_cnt)
+    * @param tg  3-key aggregate (branch, month, day, total_cnt)
+    * @param mts single-column `move_type` dimension (distinct)
+    */
+  private def denseRatio(mg: DataFrame, tg: DataFrame, mts: DataFrame): DataFrame =
+    tg.filter(col("total_cnt") > 0)
+      .filter(validMonthDay("month", "day"))
+      .crossJoin(broadcast(mts))
+      .join(mg, Seq("branch", "move_type", "month", "day"), "left")
       .select(
         col("branch"),
         col("move_type"),
         col("month"),
         col("day"),
-        col("move_cnt"),
+        coalesce(col("move_cnt"), lit(0.0)).as("move_cnt"),
         col("total_cnt"),
-        (lit(100.0) * col("move_cnt") / col("total_cnt")).as("avg_percentage"))
+        (lit(100.0) * coalesce(col("move_cnt"), lit(0.0)) / col("total_cnt"))
+          .as("avg_percentage"))
+
+  /** O22 with independent fact tables (the general engine API: in the
+    * reference, `forecasting_data` is a separate table that need not equal
+    * the move-type rollup of `historical_data`).
+    * The move-type and branch domains both come from `historical_data`
+    * (precompute_percentages.py:155-156).
+    */
+  def percentages(historical: DataFrame, forecasting: DataFrame): DataFrame = {
+    val mg  = moveGrouped(historical)
+    val tg  = totalGrouped(forecasting)
+      // branch domain = branches present in historical_data
+      .join(historical.select("branch").distinct(), Seq("branch"), "left_semi")
+    val mts = historical.select("move_type").distinct()
+    denseRatio(mg, tg, mts)
   }
 
-  /** Convenience: the full pipeline from a testdata dir. */
+  /** O22 over the fixture mapping, single-fact-scan plan: under
+    * FIXTURES.md §3 `forecasting_data` IS the move-type rollup of
+    * `historical_data`, so the total side and the move-type dimension are
+    * both derived from the O28 aggregate — one scan, one fact-scale
+    * shuffle, ReuseExchange collapses the three uses of `mg`.
+    */
+  def percentagesSingleScan(historical: DataFrame): DataFrame = {
+    val mg  = moveGrouped(historical)
+    val tg  = mg.groupBy(col("branch"), col("month"), col("day"))
+      .agg(sum(col("move_cnt")).as("total_cnt"))
+    val mts = mg.select("move_type").distinct()
+    denseRatio(mg, tg, mts)
+  }
+
+  /** Convenience: the full pipeline from a testdata dir (fixture path). */
   def percentages(spark: SparkSession, dir: String): DataFrame =
-    percentages(Tables.historicalData(spark, dir), Tables.forecastingData(spark, dir))
+    percentagesSingleScan(Tables.historicalData(spark, dir))
 
   /** O31: the monthly average the serving fallback uses
     * (main.py:102-106) — materialized once instead of per-request SQL.
+    * Averages over the DENSE percentage rows (zeros included), exactly as
+    * Postgres AVG would over the reference's densely-upserted table.
     */
   def monthlyAvg(pct: DataFrame): DataFrame =
     pct
@@ -94,4 +146,15 @@ object Percentages {
     */
   def writePercentages(pct: DataFrame, outPath: String): Unit =
     pct.write.mode("overwrite").partitionBy("month").parquet(outPath)
+
+  /** O5 read side: serving reads the materialized table; `month` pruning
+    * applies when callers filter on it.
+    */
+  def readPercentages(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      // restore column order and the partition column's type (directory
+      // encoding infers int; the logical schema is long)
+      .select(
+        col("branch"), col("move_type"), col("month").cast("long"),
+        col("day"), col("move_cnt"), col("total_cnt"), col("avg_percentage"))
 }

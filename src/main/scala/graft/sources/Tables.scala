@@ -83,6 +83,28 @@ object Tables {
       .groupBy(col("ds"), col("branch"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** `historical_data` analog WITHOUT the 2019-2024 year predicate — the
+    * reference training pipeline reads the raw table with no year filter
+    * (pretrain_models.py:9) and applies only the train cutoff downstream
+    * (pretrain_models.py:20). Keep this reader for the training path; the
+    * filtered view above stays for the precompute path.
+    */
+  def historicalDataAll(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        to_date(col("ts")).as("ds"),
+        concat(lit("B"), pmod(col("user_id"), lit(BranchCount.toLong)).cast("string")).as("branch"),
+        col("event_type").as("move_type"),
+        lit(1.0).as("cnt"))
+
+  /** Unfiltered `forecasting_data` analog (training path; see
+    * historicalDataAll).
+    */
+  def forecastingDataAll(spark: SparkSession, dir: String): DataFrame =
+    historicalDataAll(spark, dir)
+      .groupBy(col("ds"), col("branch"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Oracle-side SQL for the same two views, as DuckDB CTE bodies. Kept here
     * so the Spark transform and the DuckDB oracle can never drift apart.
     */
@@ -101,4 +123,17 @@ object Tables {
   val FactCtes: String =
     s"""WITH historical_data AS ($HistoricalDataSql),
        |forecasting_data AS ($ForecastingDataSql)""".stripMargin
+
+  /** Oracle CTEs for the UNFILTERED (training-path) views. */
+  val HistoricalDataAllSql: String =
+    s"""SELECT CAST(ts AS DATE) AS ds,
+       |       'B' || CAST(user_id % $BranchCount AS VARCHAR) AS branch,
+       |       event_type AS move_type,
+       |       1.0 AS cnt
+       |FROM events""".stripMargin
+
+  val FactAllCtes: String =
+    s"""WITH historical_data_all AS ($HistoricalDataAllSql),
+       |forecasting_data_all AS (
+       |  SELECT ds, branch, SUM(cnt) AS cnt FROM historical_data_all GROUP BY ds, branch)""".stripMargin
 }

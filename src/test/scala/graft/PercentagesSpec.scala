@@ -25,9 +25,9 @@ class PercentagesSpec extends AnyFunSuite {
     assert(sums.count() === 0)
   }
 
-  test("percentages: values within (0, 100] and total_cnt > 0") {
+  test("percentages: values within [0, 100] and total_cnt > 0") {
     val pct = Percentages.percentages(spark, sf).cache()
-    assert(pct.filter(col("avg_percentage") <= 0 || col("avg_percentage") > 100.0001).count() === 0)
+    assert(pct.filter(col("avg_percentage") < 0 || col("avg_percentage") > 100.0001).count() === 0)
     assert(pct.filter(col("total_cnt") <= 0).count() === 0)
     pct.unpersist()
   }
@@ -38,12 +38,43 @@ class PercentagesSpec extends AnyFunSuite {
     assert(dups.count() === 0)
   }
 
-  test("moveGrouped row count bounds the join output (SURVEY §5 property)") {
+  test("percentages: dense domain = (valid total keys) x |move types|, zeros included") {
+    val hist = graft.sources.Tables.historicalData(spark, sf)
+    val pct = Percentages.percentagesSingleScan(hist).cache()
+    val mg = Percentages.moveGrouped(hist)
+    val tgKeys = mg.groupBy("branch", "month", "day").agg(sum("move_cnt").as("t"))
+      .filter(col("t") > 0)
+      .filter(!(col("month") === 2 && col("day") === 29))
+      .count()
+    val nMts = hist.select("move_type").distinct().count()
+    assert(pct.count() === tgKeys * nMts)
+    // the reference emits avg_percentage = 0 whenever the branch had volume
+    // but not that move type on that (month, day) — dense rows must exist
+    // (precompute_percentages.py:196-211); sparse days at sf0.001 guarantee some
+    assert(pct.filter(col("avg_percentage") === 0.0).count() > 0)
+    pct.unpersist()
+  }
+
+  test("percentages: never emits Feb 29 (reference validates against non-leap 2021)") {
+    val pct = Percentages.percentages(spark, sf)
+    assert(pct.filter(col("month") === 2 && col("day") === 29).count() === 0)
+  }
+
+  test("percentages(hist, fc) general form matches single-scan form on fixture") {
     val hist = graft.sources.Tables.historicalData(spark, sf)
     val fc = graft.sources.Tables.forecastingData(spark, sf)
-    val mg = Percentages.moveGrouped(hist).count()
-    val joined = Percentages.percentages(hist, fc).count()
-    assert(joined <= mg)
+    val a = Percentages.percentages(hist, fc)
+    val b = Percentages.percentagesSingleScan(hist)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("O5 round-trip: write partitioned by month, read back identical") {
+    val pct = Percentages.percentages(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_pct").toString
+    Percentages.writePercentages(pct, out)
+    val back = Percentages.readPercentages(spark, out)
+    assert(back.columns.toSeq === pct.columns.toSeq)
+    assert(back.exceptAll(pct).count() === 0 && pct.exceptAll(back).count() === 0)
   }
 
   test("monthlyAvg: one row per (branch, move_type, month)") {

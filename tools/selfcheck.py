@@ -53,7 +53,9 @@ def compare(name, spark_df, oracle_df):
                 bad = 0
                 for a, b in zip(sv.astype(float), ov.astype(float)):
                     an, bn = isinstance(a, float) and math.isnan(a), isinstance(b, float) and math.isnan(b)
-                    if an != bn or (not an and a != b):
+                    # small absolute tolerance: Spark round() vs DuckDB round()
+                    # can differ in the last ulp on ties at the rounding scale
+                    if an != bn or (not an and abs(a - b) > 1e-9):
                         bad += 1
                 if bad:
                     problems.append(f"col {c}: {bad} numeric mismatches (first: spark={sv[0]!r} oracle={ov[0]!r})")
