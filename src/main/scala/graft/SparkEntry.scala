@@ -46,7 +46,10 @@ object SparkEntry {
   // forecaster, sNN_* for streaming-equivalent batch semantics.
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ServingQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O2/O3/O10: projected scans of the two fact views with the year filter.
     "o03_scan_historical" -> ((s, dir) =>
       Tables
@@ -139,7 +142,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ServingQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "o03_scan_historical" ->
       s"""${Tables.FactCtes}
          |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, move_type, round(cnt, 4) AS cnt
