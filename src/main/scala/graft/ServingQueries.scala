@@ -5,6 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.forecast.SeasonalModel
 import graft.operators.{Forecast, Percentages, Trends}
 import graft.sources.Tables
 
@@ -24,6 +25,12 @@ object ServingQueries {
   val InputDate: LocalDate = LocalDate.parse("2024-01-31")
   val MoveType = "click"
   val (winStart, winEnd) = Forecast.windowClamp(InputDate, Today)
+
+  /** Model spec sized for the fixture's one-month span (engine default
+    * Spec() mirrors the reference's Prophet config; see SeasonalModel).
+    */
+  val FixtureModelSpec: SeasonalModel.Spec =
+    SeasonalModel.Spec(yearlyOrder = 2, weeklyOrder = 2, nChangepoints = 3, ridgeLambda = 1.0)
 
   val TrendsToday: LocalDate = LocalDate.parse("2024-01-10")
   val TrendsInput: LocalDate = LocalDate.parse("2024-01-15")
@@ -178,6 +185,42 @@ object ServingQueries {
     // (precompute_percentages.py:45-47).
     "o35_count" -> ((s, dir) =>
       Percentages.percentages(s, dir).agg(count(lit(1)).as("n_rows"))),
+
+    // §2.9 (f-queries, rows-only: a fitted model is not ANSI-SQL-expressible;
+    // covered by SeasonalModelSpec property tests instead — FIXTURES.md §4).
+    // Fixture spec is sized to the one-month data span: small Fourier order,
+    // few changepoints; the engine default Spec() mirrors Prophet's config.
+    "f01_forecast" -> ((s, dir) => {
+      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
+      val spec = FixtureModelSpec
+      val models = SeasonalModel.fit(daily, spec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+      val days = Forecast.explodeWindow(
+        models.select("branch"), d(winStart), d(winEnd))
+      SeasonalModel.predict(models, days, spec)
+        .select(
+          col("branch"), fmtDate(col("ds")).as("ds"),
+          r4(col("yhat")).as("yhat"), r4(col("yhat_upper")).as("yhat_upper"))
+        .orderBy("branch", "ds")
+    }),
+
+    // O27 + full serving with the REAL model: the assembly functions are
+    // model-agnostic — swap baselineUpper for SeasonalModel.predict and the
+    // same pipeline serves (model dispatch = the coefficient-table join).
+    "f02_forecast_serving" -> ((s, dir) => {
+      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
+      val spec = FixtureModelSpec
+      val models = SeasonalModel.fit(daily, spec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+      val days = Forecast.explodeWindow(models.select("branch"), d(winStart), d(winEnd))
+      val perDay = SeasonalModel.predict(models, days, spec).select("branch", "ds", "yhat_upper")
+      val pct = Percentages.percentages(s, dir)
+      Forecast.dailyForecast(perDay, pct, Some(MoveType), InputDate, Today)
+        .select(
+          col("branch"), fmtDate(col("ds")).as("ds"),
+          col("branch_forecast"), col("predicted_moves"),
+          r4(col("hist_avg")).as("hist_avg"),
+          col("comment_class"), col("comment"))
+        .orderBy("branch", "ds")
+    }),
 
     // O32: /historical_trends/ — six per-year queries as one (main.py:363-393).
     "o32_trends" -> ((s, dir) =>
