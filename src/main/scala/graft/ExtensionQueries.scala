@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Extension query surface: the large-scale training-data-pipeline
+  * operators (dedup, text analysis) over the `documents` table.
+  * x-prefixed keys; SQL-expressible ones carry DuckDB oracles, hash-family
+  * internals (MinHash/SimHash signatures use xxhash64) are rows-only +
+  * property-tested in DedupSpec.
+  */
+object ExtensionQueries {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Stopword list rendered for SQL IN (...). */
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy, keep smallest doc_id (shuffle key is the
+    // fixed-width content hash — scale-safe for MB-size docs).
+    "x01_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Token statistics (pure projection, no shuffle).
+    "x02_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+          r4(col("avg_token_len")).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // Heuristic quality score.
+    "x03_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), r4(col("quality_score")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Marker-token language ID.
+    "x04_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Normalized sha-256 fingerprint.
+    "x05_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Distinct 3-gram shingle counts (the MinHash substrate, oracle-checked).
+    "x07_shingle_stats" -> ((s, dir) =>
+      TextOps.shingleStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // MinHash signature layer (rows-only: xxhash64 is engine-internal).
+    // Banded-LSH pair generation + planted-near-dup behavior is covered by
+    // DedupSpec property tests.
+    "x06_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(TextOps.shingles(Tables.documents(s, dir)))
+        .select(
+          col("doc_id"),
+          element_at(col("sig"), 1).as("sig0"),
+          element_at(col("sig"), 2).as("sig1"),
+          size(col("sig")).as("sig_len"))
+        .orderBy("doc_id")),
+
+    // SimHash signatures (rows-only, same reason).
+    "x08_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x01_exact_dedup" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    "x02_token_stats" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |       round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 4)
+        |         AS avg_token_len
+        |FROM t ORDER BY 1""".stripMargin,
+    "x03_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |       round(round(
+         |         least(len(toks) / 50.0, 1.0) * 0.4 +
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.4 +
+         |         (1.0 - CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE)
+         |            / len(toks)) * 0.2, 6), 4) AS quality_score
+         |FROM t ORDER BY 1""".stripMargin,
+    "x04_lang_id" -> {
+      val counts = TextOps.LangMarkers
+        .map { case (lang, words) =>
+          s"len(list_filter(toks, x -> x IN ${inList(words)})) AS c_$lang"
+        }
+        .mkString(",\n       ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN c_$l = best AND best > 0 THEN '$l'")
+        .mkString("\n            ")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |       $counts
+         |FROM t),
+         |b AS (SELECT *, $best AS best FROM c)
+         |SELECT doc_id,
+         |       CASE $cases
+         |            ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY 1""".stripMargin
+    },
+    "x05_fingerprint" ->
+      """SELECT doc_id,
+        |       sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY 1""".stripMargin,
+    "x07_shingle_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(toks) - 2),
+        |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_shingles
+        |FROM g ORDER BY 1""".stripMargin,
+  )
+}

@@ -47,7 +47,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ ServingQueries.queries
+    coreQueries ++ ServingQueries.queries ++ ExtensionQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O2/O3/O10: projected scans of the two fact views with the year filter.
@@ -143,7 +143,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ ServingQueries.oracleSql
+    coreOracleSql ++ ServingQueries.oracleSql ++ ExtensionQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "o03_scan_historical" ->

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (normalize + hash), MinHash-LSH banded near-dup, and SimHash.
+  *
+  * 100 TB posture: every path is shuffle-parallel with bounded keys —
+  * exact dedup shuffles on a 256-bit hash (uniform), MinHash candidates
+  * come from a BANDED bucket join (never an all-pairs product), and
+  * signatures are fixed-width arrays (H longs per doc). The only self-join
+  * runs on (band_id, band_hash) buckets whose expected size is tiny under
+  * uniform hashing; a pathological hot bucket is AQE-skew-join territory,
+  * not a plan change.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup: hash-groupBy, keep the smallest doc_id per content key.
+  // -------------------------------------------------------------------
+
+  /** One row per distinct content: (doc_id kept, dup_count). Grouping key
+    * is sha2(text) so the shuffle key is fixed-width even for MB-size
+    * documents.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** The surviving rows (smallest doc_id per content key) with all columns. */
+  def dropExactDuplicates(docs: DataFrame): DataFrame =
+    docs.join(exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+
+  // -------------------------------------------------------------------
+  // MinHash signatures + banded LSH (Broder 1997 / Leskovec-Rajaraman-
+  // Ullman ch.3, public knowledge).
+  // -------------------------------------------------------------------
+
+  /** Large Mersenne prime for the universal-hash family. */
+  private val P = 2147483647L
+
+  /** Deterministic (a_i, b_i) parameters — fixed seeds, reproducible runs. */
+  private def hashParams(h: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    (0 until h).map(_ => (1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures from exploded (doc_id, shingle) rows: ONE grouped
+    * aggregation computes all H minima — sig is array<long> of length H.
+    */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 32): DataFrame = {
+    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(base * a + b, lit(P))).as(s"h$i")
+    }
+    shingleRows
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs: docs agreeing on ALL rows of at least one
+    * band. bands * rowsPerBand must equal the signature length.
+    * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          // xxhash64 hashes the array column directly (no string round-trip)
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(
+      col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(
+      col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / size(col("sig_a")))
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Near-duplicate pairs above a Jaccard threshold, end to end:
+    * shingle -> minhash -> banded candidates -> threshold.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(TextOps.shingles(docs), numHashes)
+    candidatePairs(sigs, bands, numHashes / bands)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for given pairs (verification-grade; join on the
+    * exploded shingle sets, never materializing full sets on the driver).
+    */
+  def exactJaccard(pairs: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val counts = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = shingleRows.toDF("doc_a", "shingle")
+    val shB = shingleRows.toDF("doc_b", "shingle")
+    val inter = pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "shingle")) // intersection of the two shingle sets
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash (Charikar 2002): 64-bit signature; near-dups have small
+  // Hamming distance.
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/-1 by token-hash bit,
+    * sign gives the signature bit. One explode + one grouped aggregation
+    * with 64 conditional sums — no UDF, no driver loop.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokenRows = docs.select(
+      col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = tokenRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

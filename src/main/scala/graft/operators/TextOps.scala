@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (brief extension surface; substrate: the `documents` table —
+  * FIXTURES.md §2). Everything here is per-row column math — embarrassingly
+  * parallel, no shuffle, whole-stage-codegen-friendly, and ANSI-SQL
+  * expressible so every operator carries a DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the shared primitive. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** A small closed-class stopword list (public knowledge; used for quality
+    * scoring and language ID). Deliberately tiny and fixed: the operator is
+    * the point, the list is a parameter in real deployments.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "in", "to", "is")
+
+  /** Language marker tokens (n-gram-heuristic stand-in: closed-class words
+    * are the strongest single-token language signals). CJK uses literal
+    * characters, not ranges, so the same predicate runs in any SQL engine.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "du"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Per-document token statistics: counts, distinct counts, average token
+    * length. One projection, no shuffle.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).cast("double") /
+        size(toks)).as("avg_token_len"))
+  }
+
+  /** Heuristic quality score in [0, 1]: length saturation, lexical
+    * diversity, and non-stopword density — the standard cheap pre-filter
+    * shape for LLM corpus curation (cf. C4/Gopher-style rules).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      round(
+        least(nTok / 50.0, lit(1.0)) * 0.4 +
+          diversity * 0.4 +
+          (lit(1.0) - stopRatio) * 0.2,
+        6).as("quality_score"))
+  }
+
+  /** Marker-token language ID with a fixed precedence order on ties and
+    * 'und' (undetermined) when no marker hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val counts = LangMarkers.map { case (lang, words) => lang -> countIn(toks, words) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lang).otherwise(acc)
+    }
+    // foldRight gives earlier entries precedence: en > de > es > fr > zh
+    docs.select(col("doc_id"), pick.as("lang_pred"))
+  }
+
+  /** Document fingerprint: sha-256 over whitespace-normalized, lowercased
+    * text — the canonical normalize-then-hash dedup key.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256).as("fingerprint"))
+
+  /** Token 3-gram shingles, exploded to one row per (doc_id, shingle) —
+    * the substrate for MinHash/Jaccard (Dedup). Distinct within doc.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    // guard: sequence(1, 0) would generate a DESCENDING range in Spark,
+    // so short documents get an explicit empty shingle set
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Per-doc distinct shingle count (oracle-checkable view of the shingle
+    * layer).
+    */
+  def shingleStats(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n).groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextOps}
+
+/** Property tests for the dedup family: planted near-duplicates must be
+  * found, unrelated docs must not collide, and the banded-LSH candidate
+  * count must stay far below all-pairs.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 40 random-word docs + one planted near-dup pair (ids 1000/1001: 50
+    * tokens, one substituted) + one exact dup pair (ids 2000/2001).
+    */
+  def corpus(): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def doc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc(50)))
+    val near = doc(50)
+    val nearToks = near.split(" ")
+    val nearMod = (nearToks.take(25) ++ Array("CHANGED") ++ nearToks.drop(26)).mkString(" ")
+    val exact = doc(50)
+    (base ++ Seq((1000L, near), (1001L, nearMod), (2000L, exact), (2001L, exact)))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses planted exact duplicates and keeps everything else") {
+    val docs = corpus()
+    val deduped = Dedup.exactDedup(docs).cache()
+    assert(deduped.count() === docs.count() - 1) // one collapsed pair
+    val pair = deduped.filter(col("doc_id") === 2000L).head()
+    assert(pair.getAs[Long]("dup_count") === 2L)
+    assert(deduped.filter(col("doc_id") === 2001L).count() === 0) // min id kept
+    deduped.unpersist()
+  }
+
+  test("minhash LSH finds the planted near-dup pair with high estimated jaccard") {
+    val pairs = Dedup.nearDupPairs(corpus(), threshold = 0.5).cache()
+    val hit = pairs.filter(col("doc_a") === 1000L && col("doc_b") === 1001L)
+    assert(hit.count() === 1, "planted near-dup not found")
+    assert(hit.head().getAs[Double]("est_jaccard") >= 0.5)
+    // the exact-dup pair is also a (trivial) near-dup
+    assert(pairs.filter(col("doc_a") === 2000L && col("doc_b") === 2001L).count() === 1)
+    pairs.unpersist()
+  }
+
+  test("candidate-pair count is far below all-pairs") {
+    val docs = corpus()
+    val sigs = Dedup.minhashSignatures(TextOps.shingles(docs))
+    val n = docs.count()
+    val candidates = Dedup.candidatePairs(sigs).count()
+    assert(candidates < n * (n - 1) / 2 / 10, s"$candidates candidates for n=$n — LSH not pruning")
+  }
+
+  test("minhash estimate tracks exact jaccard on the planted pair") {
+    val docs = corpus()
+    val sh = TextOps.shingles(docs)
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.3)
+    val joined = Dedup.exactJaccard(pairs, sh)
+      .join(pairs, Seq("doc_a", "doc_b"))
+      .withColumn("err", abs(col("jaccard") - col("est_jaccard")))
+    // 32 hash functions => standard error ~ sqrt(J(1-J)/32) ~ 0.09
+    assert(joined.filter(col("err") > 0.3).count() === 0)
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated docs are far") {
+    val sigs = Dedup.simhash(corpus()).cache()
+    def sig(id: Long): Long =
+      sigs.filter(col("doc_id") === id).head().getAs[Long]("simhash")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1000L), sig(1001L)) <= 6, "near-dup pair too far in simhash space")
+    assert(ham(sig(2000L), sig(2001L)) === 0, "exact dup must have identical simhash")
+    val farCount = (0L until 10L)
+      .map(i => ham(sig(1000L), sig(i)))
+      .count(_ <= 10)
+    assert(farCount === 0, "unrelated docs too close in simhash space")
+    sigs.unpersist()
+  }
+
+  test("shingles: short documents yield no shingles, no descending-sequence bug") {
+    val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextOps.shingles(tiny).collect()
+    assert(!sh.exists(_.getLong(0) == 1L))
+    assert(sh.count(_.getLong(0) == 2L) === 2) // "a b c", "b c d"
+  }
+}
