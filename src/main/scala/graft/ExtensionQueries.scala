@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Extension query surface: the large-scale training-data-pipeline
@@ -67,6 +67,40 @@ object ExtensionQueries {
     // SimHash signatures (rows-only, same reason).
     "x08_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Exact brute-force cosine top-k: probe set (vec_id < 10) broadcast
+    // against the corpus — the ANN correctness baseline.
+    "x09_topk_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(probes, emb, 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-k (rows-only: hyperplane hashing is
+    // engine-internal; recall vs the exact baseline is property-tested).
+    "x10_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.annTopK(probes, emb, 5, tables = 4, bits = 8)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding near-dup pairs, blocked on the label column (the standard
+    // cheap-blocking-key pattern: pair count is sum of block sizes squared,
+    // not corpus squared).
+    "x11_neardup_pairs" -> ((s, dir) =>
+      Similarity.blockedThresholdPairs(
+        Tables.embeddings(s, dir).select("label", "vec_id", "embedding"),
+        "label", 0.45)
+        .select(
+          col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
+          r4(col("sim")).as("sim"))
+        .orderBy("label", "vec_a", "vec_b")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +158,35 @@ object ExtensionQueries {
         |      FROM t WHERE len(toks) >= 3)
         |SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_shingles
         |FROM g ORDER BY 1""".stripMargin,
+    "x09_topk_cosine" ->
+      s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id,
+         |         ${cosSql("p.q_emb", "e.embedding")} AS sim
+         |  FROM p CROSS JOIN embeddings e WHERE p.q_id <> e.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) AS sim
+         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+    "x11_neardup_pairs" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, vec_a, vec_b, round(sim, 4) AS sim
+         |FROM scored WHERE sim >= 0.45
+         |ORDER BY 1, 2, 3""".stripMargin,
   )
+
+  /** Double-precision sequential dot product in DuckDB SQL — elements cast
+    * to double BEFORE multiplying, summed in list order, matching
+    * Similarity.dot's fold exactly so both engines produce the same bits.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 }

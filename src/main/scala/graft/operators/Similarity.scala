@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings.embedding`,
+  * array<float> — FIXTURES.md §2).
+  *
+  * Two paths, per the brief:
+  *   - exact brute-force cosine top-k — the correctness baseline. The probe
+  *     set broadcasts against the corpus, so the "cross join" is a broadcast
+  *     nested loop over |probes| x |corpus| with NO shuffle of the corpus;
+  *     right for few-query/any-corpus-size workloads.
+  *   - random-hyperplane LSH bucketing — the scale path: corpus is bucketed
+  *     once (pure column math, no shuffle), queries probe only their own
+  *     buckets across T tables, and only candidates get exact scoring.
+  *
+  * All dot products cast elements to double BEFORE multiplying and fold
+  * sequentially (functions.aggregate), so Spark and the DuckDB oracle
+  * compute bit-identical sums.
+  */
+object Similarity {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each probe vector.
+    *
+    * @param probes (q_id, q_emb) — small; broadcast
+    * @param corpus (vec_id, embedding)
+    * @return (q_id, rank, vec_id, sim) — rank 1..k by cosine desc; ties
+    *         broken on (round(sim, 6), vec_id) so ordering is deterministic
+    *         across engines
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim_r", round(col("sim"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Exact all-pairs above a cosine threshold (vec_a < vec_b). Quadratic
+    * within the pairing domain — use [[blockedThresholdPairs]] with a
+    * blocking key, or the LSH path, at scale.
+    */
+  def thresholdPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** Threshold pairs restricted to a blocking key (equi-join instead of a
+    * cross join): the standard scale pattern when a cheap partition key
+    * (label, language, cluster id) bounds where near-dups can live —
+    * pair count drops from n^2 to sum of block sizes squared.
+    */
+  def blockedThresholdPairs(emb: DataFrame, blockKey: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(blockKey), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col(blockKey), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq(blockKey))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col(blockKey), col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH (Charikar 2002): sign-bit buckets, T tables.
+  // -------------------------------------------------------------------
+
+  /** Deterministic Gaussian hyperplanes: T tables x nBits planes x dim. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 11L): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+
+  /** Packed sign-bit bucket id for one table — pure column math, shuffle-free. */
+  def bucketCol(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(emb, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Corpus bucketed across T tables: (vec_id, embedding, table_id, bucket). */
+  def bucketize(emb: DataFrame, planes: Seq[Seq[Array[Double]]]): DataFrame = {
+    val buckets = array(planes.map(t => bucketCol(col("embedding"), t)): _*)
+    emb.select(col("*"), posexplode(buckets).as(Seq("table_id", "bucket")))
+  }
+
+  /** Approximate top-k: probes meet the corpus only inside shared
+    * (table_id, bucket) cells; candidates are deduped then scored exactly.
+    * Bucket-join cardinality ~ |corpus| x T / 2^bits per probe — tune bits
+    * to corpus size; skewed cells are AQE skew-join territory.
+    */
+  def annTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      tables: Int = 4,
+      bits: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val corpusB = bucketize(corpus, planes).select("table_id", "bucket", "vec_id", "embedding")
+    val probesB = bucketize(
+      probes.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), planes)
+      .select(
+        col("table_id"), col("bucket"),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val candidates = probesB
+      .join(corpusB, Seq("table_id", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding")
+      .distinct() // same pair can collide in several tables
+    val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    candidates
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+}

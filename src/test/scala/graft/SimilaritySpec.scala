@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Property tests for similarity search: planted near-neighbor recovery,
+  * LSH recall vs the exact baseline, candidate pruning.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val Dim = 32
+
+  /** 60 random unit-ish vectors; ids < 20 get a planted near-twin at
+    * id + 1000 (small perturbation => cosine ~0.99).
+    */
+  def corpus(): DataFrame = {
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val twins = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ twins).toDF("vec_id", "embedding")
+  }
+
+  def probes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  test("brute-force top-k: the planted twin is rank 1 for every probe") {
+    val emb = corpus()
+    val top = Similarity.bruteForceTopK(probes(emb), emb, 3).cache()
+    val rank1 = top.filter(col("rank") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { q =>
+      assert(rank1(q) === q + 1000L, s"probe $q: expected twin ${q + 1000}, got ${rank1(q)}")
+    }
+    // ranks strictly ordered by similarity within each probe
+    val bad = top.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).values
+      .count { rows =>
+        val sorted = rows.sortBy(_._2).toSeq
+        sorted.sliding(2).exists {
+          case Seq(a, b) => a._4 + 1e-9 < b._4
+          case _ => false
+        }
+      }
+    assert(bad === 0, "similarity not monotone in rank")
+    top.unpersist()
+  }
+
+  test("LSH ANN recalls the planted twins") {
+    val emb = corpus()
+    val ann = Similarity.annTopK(probes(emb), emb, 3, tables = 4, bits = 8, dim = Dim)
+    val hits = ann.filter(col("vec_id") === col("q_id") + 1000L).count()
+    assert(hits >= 16, s"LSH recall too low: $hits/20 twins found")
+  }
+
+  test("LSH buckets prune the candidate space") {
+    val emb = corpus()
+    val planes = Similarity.hyperplanes(4, 8, Dim)
+    val corpusB = Similarity.bucketize(emb, planes)
+    val probesB = Similarity.bucketize(
+      probes(emb).select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), planes)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("q_id"))
+    val candidates = probesB.join(corpusB, Seq("table_id", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct().count()
+    val allPairs = 20L * (emb.count() - 1)
+    assert(candidates < allPairs / 2, s"$candidates candidates vs $allPairs all-pairs — not pruning")
+  }
+
+  test("threshold pairs find exactly the planted twins at 0.9") {
+    val emb = corpus().withColumn("label", lit(0))
+    val pairs = Similarity.blockedThresholdPairs(emb, "label", 0.9)
+    val found = pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { q =>
+      assert(found.contains((q, q + 1000L)), s"twin pair ($q, ${q + 1000}) missed")
+    }
+    // random unrelated pairs at dim=32 essentially never reach 0.9
+    assert(pairs.count() === 20)
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    val emb = corpus().limit(5).cache()
+    val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    emb.unpersist()
+  }
+}
