@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Media, Similarity, TextOps}
 import graft.sources.Tables
+import graft.streaming.Ingest
 
 /** Extension query surface: the large-scale training-data-pipeline
   * operators (dedup, text analysis) over the `documents` table.
@@ -101,6 +102,28 @@ object ExtensionQueries {
           col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
           r4(col("sim")).as("sim"))
         .orderBy("label", "vec_a", "vec_b")),
+
+    // Streaming ingest, batch-verified (§2.7): the SAME dailyCounts
+    // transform runs incrementally under a watermark — IngestSpec drives
+    // that path with MemoryStream; this entry verifies the aggregation
+    // semantics against the oracle.
+    "s01_daily_counts" -> ((s, dir) =>
+      Ingest.dailyCounts(Ingest.eventsToMoves(Tables.events(s, dir)))
+        .select(
+          date_format(col("ds"), "yyyy-MM-dd").as("ds"), col("branch"),
+          r4(col("cnt")).as("cnt"))
+        .orderBy("ds", "branch")),
+
+    // Multimodal payload metadata over a binary column (documents' text
+    // bytes stand in for media payloads; decode itself is stubbed — see
+    // Media.decodeStub and MediaSpec).
+    "x12_media_meta" -> ((s, dir) =>
+      Media.mediaMeta(
+        Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          lit("text").as("kind"),
+          col("text").cast("binary").as("bytes")))
+        .orderBy("media_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +193,17 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) AS sim
          |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+    "s01_daily_counts" ->
+      s"""${Tables.FactAllCtes}
+         |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS cnt
+         |FROM forecasting_data_all
+         |ORDER BY 1, 2""".stripMargin,
+    "x12_media_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+        |       sha256(text) AS content_sha,
+        |       upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
+        |FROM documents ORDER BY 1""".stripMargin,
     "x11_neardup_pairs" ->
       s"""WITH scored AS (
          |  SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,

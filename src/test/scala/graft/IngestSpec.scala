@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Ingest
+
+/** Structured-Streaming smoke tests: the shared dailyCounts transform run
+  * incrementally must agree with its batch run, and the 1-day watermark
+  * must drop sufficiently-late events.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  val sample = Seq(
+    (ts("2024-01-10 08:00:00"), 1L, "click"),
+    (ts("2024-01-10 09:30:00"), 111L, "view"), // 111 % 110 = 1 — same branch
+    (ts("2024-01-10 23:59:59"), 2L, "click"),
+    (ts("2024-01-11 00:00:01"), 2L, "error"),
+    (ts("2024-01-12 12:00:00"), 3L, "click"))
+
+  test("streaming dailyCounts equals the batch run on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Ingest.dailyCounts(Ingest.eventsToMoves(streamDf))
+      .writeStream.format("memory").queryName("s_daily").outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_daily")
+        .select(col("ds").cast("string"), col("branch"), col("cnt"))
+      val batch = Ingest.dailyCounts(
+        Ingest.eventsToMoves(sample.toDF("ts", "user_id", "event_type")))
+        .select(col("ds").cast("string"), col("branch"), col("cnt"))
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // branch collision check: user 1 and 111 both land in B1 on the 10th
+      val b1 = streamed.filter(col("ds") === "2024-01-10" && col("branch") === "B1").head()
+      assert(b1.getAs[Double]("cnt") === 2.0)
+    } finally q.stop()
+  }
+
+  test("events later than the 1-day watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Ingest.dailyCounts(Ingest.eventsToMoves(streamDf))
+      .writeStream.format("memory").queryName("s_late").outputMode("update").start()
+    try {
+      mem.addData((ts("2024-01-10 12:00:00"), 1L, "click"))
+      q.processAllAvailable() // watermark advances to 2024-01-09 12:00
+      mem.addData(
+        (ts("2024-01-02 00:00:00"), 5L, "click"), // far beyond the watermark
+        (ts("2024-01-11 08:00:00"), 6L, "view"))
+      q.processAllAvailable()
+      val days = spark.table("s_late").select(col("ds").cast("string")).as[String].collect().toSet
+      assert(days.contains("2024-01-10"))
+      assert(days.contains("2024-01-11"))
+      assert(!days.contains("2024-01-02"), "late event beyond watermark must be dropped")
+    } finally q.stop()
+  }
+}
