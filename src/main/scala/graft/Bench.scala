@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (JVM JIT, codegen, parquet footer cache) with one
+    // tiny untimed job so the alphabetically-first query doesn't absorb
+    // startup cost and distort per-query numbers.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // A failed query must never read as a fast success: record an explicit
     // error marker, surface it on stderr, and exit nonzero at the end.
     var failed = List.empty[String]

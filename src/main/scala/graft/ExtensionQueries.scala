@@ -57,7 +57,7 @@ object ExtensionQueries {
     // Banded-LSH pair generation + planted-near-dup behavior is covered by
     // DedupSpec property tests.
     "x06_minhash_sigs" -> ((s, dir) =>
-      Dedup.minhashSignatures(TextOps.shingles(Tables.documents(s, dir)))
+      Dedup.minhashSignaturesRowwise(Tables.documents(s, dir))
         .select(
           col("doc_id"),
           element_at(col("sig"), 1).as("sig0"),

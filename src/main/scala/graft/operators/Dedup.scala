@@ -52,11 +52,95 @@ object Dedup {
     * aggregation computes all H minima — sig is array<long> of length H.
     */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 32): DataFrame = {
-    val base = pmod(xxhash64(col("shingle")), lit(P))
+    // hash each shingle ONCE (projected column), then run the H min-
+    // aggregates over cheap affine transforms of it — without this the H
+    // aggregate expressions each re-evaluate the string hash per row
+    val withBase = shingleRows.select(
+      col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
     val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(base * a + b, lit(P))).as(s"h$i")
+      min(pmod(col("h") * a + b, lit(P))).as(s"h$i")
     }
-    shingleRows
+    withBase
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Polynomial mixing constant for combining token hashes into gram
+    * hashes (odd, large — multiplication wraps mod 2^64, deterministic).
+    */
+  private val GramMix = 1000003L
+
+  /** Distinct n-gram hashes per document WITHOUT materializing shingle
+    * strings: hash each token once (xxhash64), then combine n consecutive
+    * token hashes polynomially. Building 1.5M shingle strings via concat
+    * costs ~10x more than the whole signature computation — this keeps the
+    * entire gram pipeline in long-space.
+    */
+  /** Gram hashes from an ALREADY-MATERIALIZED token-hash array column.
+    * `th` must be a bound attribute, not an inline expression: every
+    * element_at in the lambda references it, and expression-tree
+    * duplication would otherwise re-evaluate the whole token-hash
+    * transform per element — a quadratic blowup (observed 10x+ at bench
+    * scale). Keeping it an attribute makes each reference an O(1) array
+    * read; CollapseProject deliberately refuses to inline a non-cheap
+    * alias referenced more than once, so the two-projection shape is
+    * stable under optimization.
+    */
+  def gramHashesFromTokenHashes(th: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column =
+    array_distinct(
+      when(
+        size(th) >= n,
+        transform(
+          sequence(lit(1), size(th) - (n - 1)),
+          i =>
+            (0 until n)
+              .map(j => element_at(th, i + j))
+              .reduceLeft((acc, h) => pmod(acc * GramMix + h, lit(P)))))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** (doc_id, hs) with hs = distinct gram hashes; the token-hash array is
+    * materialized in its own projection first (see
+    * [[gramHashesFromTokenHashes]]). Token hashes are bounded to [0, P) so
+    * each polynomial step stays under 2^51 — no long overflow under ANSI.
+    */
+  def gramHashFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      // short-doc filter FIRST, on raw text: a post-projection filter
+      // would be pushed down with the gram expression inlined and go
+      // quadratic (see TextOps.shingleFrame)
+      .filter(size(TextOps.tokens(col("text"))) >= n)
+      .select(
+        col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => pmod(xxhash64(t), lit(P))).as("th"))
+      .select(col("doc_id"), gramHashesFromTokenHashes(col("th"), n).as("hs"))
+
+  /** Row-wise MinHash over [[gramHashArray]]: one projection, NO string
+    * shingles, NO explode, NO shuffle; the H minima come from the native
+    * fused-loop expression (graft.functions.MinHashSigExpr) inside
+    * whole-stage codegen. Same estimator quality as the string-shingle
+    * family (any strong hash family over the same gram set is a valid
+    * MinHash); DedupSpec checks agreement with the exploded formulation of
+    * the same family.
+    */
+  def minhashSignaturesRowwise(docs: DataFrame, numHashes: Int = 32, n: Int = 3): DataFrame = {
+    val params = hashParams(numHashes)
+    gramHashFrame(docs, n) // already excludes docs shorter than n tokens
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashSigExpr
+          .minhashSig(col("hs"), params.map(_._1), params.map(_._2), P)
+          .as("sig"))
+  }
+
+  /** Exploded-path signatures from pre-hashed gram rows (doc_id, h) — the
+    * streaming/incremental formulation of the same family.
+    */
+  def minhashSignaturesFromHashes(hashRows: DataFrame, numHashes: Int = 32): DataFrame = {
+    val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"h$i")
+    }
+    hashRows
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -103,7 +187,7 @@ object Dedup {
       threshold: Double = 0.7,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(TextOps.shingles(docs), numHashes)
+    val sigs = minhashSignaturesRowwise(docs, numHashes)
     candidatePairs(sigs, bands, numHashes / bands)
       .filter(col("est_jaccard") >= threshold)
   }

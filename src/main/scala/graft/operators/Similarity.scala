@@ -41,10 +41,14 @@ object Similarity {
     *         across engines
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(probes))
+    // norms hoisted to one evaluation per vector (identical doubles to the
+    // per-pair form — same expression, so oracle parity is unaffected)
+    val corpusN = corpus.withColumn("nrm_c", norm(col("embedding")))
+    val probesN = probes.withColumn("nrm_q", norm(col("q_emb")))
+    val scored = corpusN
+      .crossJoin(broadcast(probesN))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("nrm_q") * col("nrm_c")))
       .withColumn("sim_r", round(col("sim"), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("vec_id"))
     scored
@@ -73,11 +77,17 @@ object Similarity {
     * pair count drops from n^2 to sum of block sizes squared.
     */
   def blockedThresholdPairs(emb: DataFrame, blockKey: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(blockKey), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col(blockKey), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // norm per vector, not per pair: |pairs| >> |vectors| inside any block
+    val withNorm = emb.withColumn("nrm", norm(col("embedding")))
+    val a = withNorm.select(
+      col(blockKey), col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = withNorm.select(
+      col(blockKey), col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, Seq(blockKey))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col(blockKey), col("vec_a"), col("vec_b"), col("sim"))
   }
@@ -134,7 +144,9 @@ object Similarity {
       .distinct() // same pair can collide in several tables
     val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
     candidates
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("nrm_q", norm(col("q_emb")))
+      .withColumn("nrm_c", norm(col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))

@@ -91,22 +91,44 @@ object TextOps {
   /** Token 3-gram shingles, exploded to one row per (doc_id, shingle) —
     * the substrate for MinHash/Jaccard (Dedup). Distinct within doc.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = tokens(col("text"))
-    // guard: sequence(1, 0) would generate a DESCENDING range in Spark,
-    // so short documents get an explicit empty shingle set
-    val grams = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
-  }
+  /** Distinct token n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. `toks` must be a bound attribute: the lambda references
+    * it once per element_at, and an inline expression tree would be
+    * re-evaluated per reference (quadratic in document length — see
+    * Dedup.gramHashesFromTokenHashes for the same pattern). Guard: Spark's
+    * sequence(1, 0) generates a DESCENDING range, so short documents get
+    * an explicit empty shingle set.
+    */
+  def shingleArrayFromTokens(toks: Column, n: Int = 3): Column =
+    array_distinct(
+      when(
+        size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>")))
+
+  /** (doc_id, shingle_arr) with the token array materialized first. The
+    * short-doc filter runs UP FRONT on the raw text — a filter placed
+    * after the gram projection would be pushed below it by
+    * PushDownPredicate with the whole gram expression inlined, and the
+    * lambda-internal token references would then re-split the text per
+    * array element (quadratic; observed 25x at bench scale).
+    */
+  private def shingleFrame(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingleArrayFromTokens(col("toks"), n).as("shingle_arr"))
+
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleFrame(docs, n).select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
 
   /** Per-doc distinct shingle count (oracle-checkable view of the shingle
-    * layer).
+    * layer). Computed as a per-row projection — no explode, no shuffle;
+    * docs shorter than n tokens are excluded (same domain as [[shingles]]).
     */
   def shingleStats(docs: DataFrame, n: Int = 3): DataFrame =
-    shingles(docs, n).groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    shingleFrame(docs, n)
+      .select(col("doc_id"), size(col("shingle_arr")).cast("long").as("n_shingles"))
 }

@@ -83,6 +83,14 @@ class DedupSpec extends AnyFunSuite {
     sigs.unpersist()
   }
 
+  test("row-wise minhash signatures are identical to the exploded-path signatures") {
+    val docs = corpus()
+    val exploded = Dedup.minhashSignaturesFromHashes(
+      Dedup.gramHashFrame(docs).select(col("doc_id"), explode(col("hs")).as("h")))
+    val rowwise = Dedup.minhashSignaturesRowwise(docs)
+    assert(exploded.exceptAll(rowwise).count() === 0 && rowwise.exceptAll(exploded).count() === 0)
+  }
+
   test("shingles: short documents yield no shingles, no descending-sequence bug") {
     val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = TextOps.shingles(tiny).collect()
