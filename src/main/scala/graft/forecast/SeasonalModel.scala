@@ -234,7 +234,12 @@ object SeasonalModel {
     val spark = daily.sparkSession
     import spark.implicits._
 
-    val training = daily.filter(col("ds") <= lit(java.sql.Date.valueOf(cutoff)))
+    // materialize the (bounded: one row per branch-day) training frame —
+    // it is consumed three times (time scale, normal equations, residual
+    // pass) and would otherwise re-derive from the fact scan each time
+    val training = daily
+      .filter(col("ds") <= lit(java.sql.Date.valueOf(cutoff)))
+      .localCheckpoint()
     val ts = timeScale(training)
     val rows: Dataset[FitRow] = training
       .select(
@@ -249,6 +254,9 @@ object SeasonalModel {
       .toDF("branch", "fit")
       .filter(size(col("fit.coef")) > 0) // < MinRows branches are skipped
       .select(col("branch"), col("fit.coef").as("coef"), col("fit.n").as("n"))
+      // bounded (one row per branch); consumed by the residual pass AND the
+      // final join — materialize so the normal-equations shuffle runs once
+      .localCheckpoint()
 
     // second bounded pass: per-branch residual quantile on the log scale
     val resid = training
@@ -263,6 +271,18 @@ object SeasonalModel {
       .withColumn("t_start", lit(java.sql.Date.valueOf(ts.start)))
       .withColumn("t_days", lit(ts.days))
   }
+
+  /** O4, restated: the model STORE is a parquet table keyed by branch —
+    * no filename parsing (main.py:169-182), no pickles; `branch` is a
+    * column and loading is a scan. Round-trips the full model state
+    * (coefficients, residual quantile, time scale).
+    */
+  def writeModels(models: DataFrame, path: String): Unit =
+    models.write.mode("overwrite").parquet(path)
+
+  def readModels(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select("branch", "coef", "n", "resid_q", "t_start", "t_days")
 
   /** Inference: pure column math over a broadcast of the model table.
     *

@@ -110,11 +110,19 @@ object Percentages {
   /** O22 over the fixture mapping, single-fact-scan plan: under
     * FIXTURES.md §3 `forecasting_data` IS the move-type rollup of
     * `historical_data`, so the total side and the move-type dimension are
-    * both derived from the O28 aggregate — one scan, one fact-scale
-    * shuffle, ReuseExchange collapses the three uses of `mg`.
+    * both derived from the O28 aggregate.
+    *
+    * The aggregate is materialized EAGERLY (localCheckpoint): it is
+    * BOUNDED at any input scale (<= |branches| x 366 x |move types| rows),
+    * and without materialization Catalyst's column pruning specializes
+    * each of its three uses into non-identical subtrees that ReuseExchange
+    * cannot collapse — the physical plan then scans the fact table three
+    * times (audited: 3 scans lazy vs 1 scan materialized). This mirrors
+    * the reference's own design: precompute materializes precisely so
+    * downstream never re-derives (precompute_percentages.py:44-52).
     */
   def percentagesSingleScan(historical: DataFrame): DataFrame = {
-    val mg  = moveGrouped(historical)
+    val mg  = moveGrouped(historical).localCheckpoint()
     val tg  = mg.groupBy(col("branch"), col("month"), col("day"))
       .agg(sum(col("move_cnt")).as("total_cnt"))
     val mts = mg.select("move_type").distinct()

@@ -91,6 +91,20 @@ class SeasonalModelSpec extends AnyFunSuite {
     assert(branches === Set("pair", "many"))
   }
 
+  test("model store round-trips through parquet (O4: branch is a column, not a filename)") {
+    val models = SeasonalModel.fit(synthetic(), spec, cutoff)
+    val out = java.nio.file.Files.createTempDirectory("graft_models").toString
+    SeasonalModel.writeModels(models, out)
+    val back = SeasonalModel.readModels(spark, out)
+    assert(back.columns.toSeq === models.columns.toSeq)
+    assert(back.exceptAll(models).count() === 0 && models.exceptAll(back).count() === 0)
+    // predictions from the reloaded store are identical
+    val days = synthetic().select("branch", "ds").limit(50)
+    val a = SeasonalModel.predict(models, days, spec)
+    val b = SeasonalModel.predict(back, days, spec)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("fit is deterministic across runs") {
     val data = synthetic()
     val a = SeasonalModel.fit(data, spec, cutoff)
