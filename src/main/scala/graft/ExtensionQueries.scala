@@ -103,6 +103,29 @@ object ExtensionQueries {
           r4(col("sim")).as("sim"))
         .orderBy("label", "vec_a", "vec_b")),
 
+    // Token counting both ways the brief names (whitespace + BPE-ish regex).
+    "x13_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // IVF approximate top-k (rows-only: centroid sampling is engine-
+    // internal; recall vs exact is property-tested in SimilaritySpec).
+    "x14_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(probes, emb, 5, c = 16, nprobe = 4)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed embedding near-dup pairs (rows-only; the exact blocked
+    // variant x11 is the oracle-verified baseline).
+    "x15_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.4)
+        .select(col("vec_a"), col("vec_b"), r4(col("sim")).as("sim"))
+        .orderBy("vec_a", "vec_b")),
+
     // Streaming ingest, batch-verified (§2.7): the SAME dailyCounts
     // transform runs incrementally under a watermark — IngestSpec drives
     // that path with MemoryStream; this entry verifies the aggregation
@@ -193,6 +216,13 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) AS sim
          |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+    "x13_token_counts" -> {
+      val pat = "'" + TextOps.BpePattern.replace("'", "''") + "'"
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, $pat)) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY 1""".stripMargin
+    },
     "s01_daily_counts" ->
       s"""${Tables.FactAllCtes}
          |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS cnt

@@ -40,13 +40,18 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Large Mersenne prime for the universal-hash family. */
-  private val P = 2147483647L
+  val MinHashPrime = 2147483647L
+  private val P = MinHashPrime
 
-  /** Deterministic (a_i, b_i) parameters — fixed seeds, reproducible runs. */
-  private def hashParams(h: Int): Seq[(Long, Long)] = {
+  /** Deterministic (a_i, b_i) parameters — fixed seeds, reproducible runs.
+    * Public so the SQL surface (GraftExtensions `minhash_sig`) uses the
+    * SAME family and signatures stay comparable across APIs.
+    */
+  def defaultHashParams(h: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     (0 until h).map(_ => (1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
+  private def hashParams(h: Int): Seq[(Long, Long)] = defaultHashParams(h)
 
   /** MinHash signatures from exploded (doc_id, shingle) rows: ONE grouped
     * aggregation computes all H minima — sig is array<long> of length H.

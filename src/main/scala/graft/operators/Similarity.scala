@@ -118,6 +118,92 @@ object Similarity {
     emb.select(col("*"), posexplode(buckets).as(Seq("table_id", "bucket")))
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) coarse quantization — the other scale path the
+  // brief names. Centroids are a deterministic hash-ordered sample of the
+  // corpus (a k-means refinement drops in without changing the layout);
+  // each vector lives in exactly one cell, queries probe the nprobe
+  // nearest cells.
+  // -------------------------------------------------------------------
+
+  /** Deterministic centroid sample: the c corpus vectors with smallest
+    * xxhash64(vec_id) — stable across runs, uniform over the corpus.
+    */
+  def ivfCentroids(corpus: DataFrame, c: Int): DataFrame =
+    corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(c)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+  /** Assign every vector to its nearest centroid (cosine): broadcast
+    * nested loop over |corpus| x c, then a per-vector argmax — one shuffle
+    * on vec_id at scale, cells come out hash-partitioned by centroid.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id").as("cell"), col("vec_id"), col("embedding"))
+  }
+
+  /** IVF approximate top-k: probes are scored only against the vectors in
+    * their nprobe nearest cells. Recall/latency trades on (c, nprobe);
+    * candidates per probe ~ nprobe x |corpus| / c.
+    */
+  def ivfTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      c: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, c).localCheckpoint() // bounded: c rows
+    val cells = ivfAssign(corpus, centroids)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val probeCells = probes
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("centroid_id").as("cell"), col("q_id"), col("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    probeCells
+      .join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding")
+      .distinct() // a pair may meet in several probed cells
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs via LSH buckets (the scale path for
+    * threshold pairing when no cheap blocking key exists): only vectors
+    * sharing a (table, bucket) cell are paired and exactly scored.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 4,
+      bits: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val bucketed = bucketize(emb, planes).select("table_id", "bucket", "vec_id", "embedding")
+    val a = bucketed.toDF("table_id", "bucket", "vec_a", "emb_a")
+    val b = bucketed.toDF("table_id", "bucket", "vec_b", "emb_b")
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "emb_a", "emb_b")
+      .distinct()
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
   /** Approximate top-k: probes meet the corpus only inside shared
     * (table_id, bucket) cells; candidates are deduped then scored exactly.
     * Bucket-join cardinality ~ |corpus| x T / 2^bits per probe — tune bits

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is pathological
+  * (SURVEY §7.6 / brief: "salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join handling (on by default in GraftSession) splits
+  * oversized SORT-MERGE partitions at runtime and is the FIRST line of
+  * defense. Salting is the explicit fallback for cases AQE cannot touch —
+  * e.g. a broadcast-ineligible hash join against a dimension where one key
+  * holds half the fact rows: the fact side gets a salt in [0, buckets),
+  * the dimension side is exploded x buckets, and the join key becomes
+  * (key, salt) — the hot key's rows spread across `buckets` tasks.
+  */
+object Skew {
+
+  /** Salted equi-join: semantically identical to
+    * `big.join(small, keys, joinType)` for inner/left joins, with the big
+    * side's hot keys spread over `buckets` partitions.
+    *
+    * The salt is `rand(seed)`-derived: per-row, uniform, and independent of
+    * the key (salting by any key-derived value would defeat the purpose).
+    * Join RESULTS are deterministic regardless of salt values; only the
+    * physical row placement varies.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      joinType: String = "inner",
+      seed: Long = 7L): DataFrame = {
+    require(buckets > 1, "salting needs more than one bucket")
+    require(
+      Seq("inner", "left", "left_outer").contains(joinType.toLowerCase),
+      s"salted join supports inner/left joins, got $joinType")
+    val saltedBig = big.withColumn("__salt", (rand(seed) * buckets).cast("int"))
+    val explodedSmall = small.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
+    saltedBig
+      .join(explodedSmall, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+}

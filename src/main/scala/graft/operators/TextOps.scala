@@ -48,6 +48,25 @@ object TextOps {
         size(toks)).as("avg_token_len"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern (public knowledge): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+    * Both Java regex (Spark) and RE2 (DuckDB oracle) interpret this
+    * alternation identically.
+    */
+  val BpePattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Token counting, both ways the brief names: whitespace words and a
+    * BPE-ish regex segmentation (the cheap proxy for "how many LLM tokens
+    * is this corpus" used in data budgeting).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Heuristic quality score in [0, 1]: length saturation, lexical
     * diversity, and non-stopword density — the standard cheap pre-filter
     * shape for LLM corpus curation (cf. C4/Gopher-style rules).

@@ -36,6 +36,42 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** O1 general form: parameterized JDBC scan (the reference's
+    * `pd.read_sql_query` with a fresh connection per call, main.py:56-66,
+    * restated with connection pooling, predicate pushdown, and
+    * range-partitioned parallel reads). Not exercisable in this harness —
+    * no database ships in the container; the fixture path reads parquet —
+    * but this is the reader a production deployment points at the
+    * reference's PostgreSQL.
+    *
+    * @param partitionColumn numeric/date column for parallel range reads;
+    *        with bounds and numPartitions, Spark issues one bounded query
+    *        per partition instead of a single-threaded full scan
+    */
+  def jdbcTable(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("pushDownPredicate", "true")
+      .option("pushDownAggregate", "true")
+    val withPartitioning = partitionColumn match {
+      case Some((col0, lo, hi, n)) =>
+        base
+          .option("partitionColumn", col0)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", n.toString)
+      case None => base
+    }
+    props.foldLeft(withPartitioning) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
   /** `events` ships as parquet TIMESTAMP(NANOS), which Spark 4 only reads as
     * LongType (spark.sql.legacy.parquet.nanosAsLong). Normalize to a real
     * TimestampType column with integer `div` (a double division would lose

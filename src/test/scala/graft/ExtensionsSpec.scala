@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Skew}
+
+/** Tests for the SQL-surface function registration and the skew-salting
+  * utility.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("minhash_sig is callable from SQL and matches the DataFrame path") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    Dedup.gramHashFrame(docs).createOrReplaceTempView("gram_hashes")
+    val sqlSigs = spark.sql("SELECT doc_id, minhash_sig(hs) AS sig FROM gram_hashes")
+    val dfSigs = Dedup.minhashSignaturesRowwise(docs)
+    assert(sqlSigs.exceptAll(dfSigs).count() === 0 && dfSigs.exceptAll(sqlSigs).count() === 0)
+    // explicit numHashes arg
+    val h8 = spark.sql("SELECT size(minhash_sig(hs, 8)) AS n FROM gram_hashes")
+      .as[Int].collect().toSet
+    assert(h8 === Set(8))
+  }
+
+  test("saltedJoin equals the plain join on skewed data (inner and left)") {
+    // skew: 90% of fact rows share one key
+    val fact = spark.range(0, 2000)
+      .select(
+        when(col("id") % 10 === 0, col("id") % 5).otherwise(lit(99L)).as("k"),
+        col("id").as("v"))
+    val dim = Seq((0L, "a"), (1L, "b"), (99L, "hot"), (123L, "orphan")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+      val salted = Skew.saltedJoin(fact, dim, Seq("k"), buckets = 8, joinType = jt)
+      assert(salted.columns.toSeq === plain.columns.toSeq)
+      assert(
+        salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0,
+        s"salted $jt join diverges from plain join")
+    }
+  }
+
+  test("saltedJoin rejects join types where replication would corrupt results") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), 4, joinType = "right")
+    }
+  }
+}

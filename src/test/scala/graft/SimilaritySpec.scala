@@ -86,6 +86,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.count() === 20)
   }
 
+  test("IVF top-k recalls most planted twins and prunes the space") {
+    val emb = corpus()
+    val ivf = Similarity.ivfTopK(probes(emb), emb, 3, c = 8, nprobe = 3).cache()
+    val hits = ivf.filter(col("vec_id") === col("q_id") + 1000L).count()
+    assert(hits >= 14, s"IVF recall too low: $hits/20 twins found")
+    // candidates bounded by probed cells, so results exist for every probe
+    assert(ivf.select("q_id").distinct().count() === 20)
+    ivf.unpersist()
+  }
+
+  test("LSH near-dup pairs find the planted twins without all-pairs scoring") {
+    val emb = corpus()
+    val pairs = Similarity.lshNearDupPairs(emb, 0.9, tables = 4, bits = 8, dim = Dim).cache()
+    val found = pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val twinHits = (0L until 20L).count(q => found.contains((q, q + 1000L)))
+    assert(twinHits >= 18, s"LSH near-dup recall too low: $twinHits/20")
+    // at 0.9 threshold nothing else should pair up
+    assert(pairs.count() === twinHits)
+    pairs.unpersist()
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val emb = corpus().limit(5).cache()
     val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
