@@ -43,6 +43,37 @@ object Ingest {
       .select(to_date(col("w.start")).as("ds"), col("branch"), col("cnt"))
   }
 
+  /** The ingest SINK: stream daily counts into the partitioned parquet
+    * fact table the batch pipelines read. foreachBatch gives exactly-once
+    * per micro-batch via the checkpoint; each batch OVERWRITES only the
+    * day partitions it touches (dynamic partition overwrite), so a late
+    * re-emit within the watermark replaces that day's row instead of
+    * duplicating it — the streaming analog of the reference's upsert
+    * (precompute_percentages.py:218-233).
+    */
+  def streamDailyCountsToTable(
+      moves: org.apache.spark.sql.DataFrame,
+      tablePath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dailyCounts(moves).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ds")
+          .parquet(tablePath)
+      }
+      .start()
+
+  /** Read side of the streamed table, in the forecasting_data shape. */
+  def readDailyCountsTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    spark.read.parquet(tablePath)
+      .select(col("ds").cast("date").as("ds"), col("branch"), col("cnt"))
+
   /** Per-(branch, move_type) daily counts — the `historical_data` shape. */
   def dailyCountsByType(moves: DataFrame): DataFrame = {
     val src = if (moves.isStreaming) moves.withWatermark("ts", "1 day") else moves

@@ -48,6 +48,31 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed daily counts land in a partitioned table the batch side reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Ingest.streamDailyCountsToTable(
+      Ingest.eventsToMoves(mem.toDF().toDF("ts", "user_id", "event_type")),
+      tableDir, ckptDir)
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val table = Ingest.readDailyCountsTable(spark, tableDir)
+      val batch = Ingest.dailyCounts(
+        Ingest.eventsToMoves(sample.toDF("ts", "user_id", "event_type")))
+      assert(table.exceptAll(batch).count() === 0 && batch.exceptAll(table).count() === 0)
+      // second micro-batch updates the 12th's count in place (no dup rows)
+      mem.addData((ts("2024-01-12 13:00:00"), 3L, "view"))
+      q.processAllAvailable()
+      val day12 = Ingest.readDailyCountsTable(spark, tableDir)
+        .filter(col("ds") === "2024-01-12" && col("branch") === "B3")
+      assert(day12.count() === 1)
+      assert(day12.head().getAs[Double]("cnt") === 2.0)
+    } finally q.stop()
+  }
+
   test("events later than the 1-day watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
