@@ -148,6 +148,22 @@ object ServingQueries {
         .orderBy("branch", "ds")
     }),
 
+    // O12-O14 via the no-move-type path: percentage pinned at 100%, the
+    // fixed comment class, predicted == branch forecast (main.py:239,
+    // :243, :283).
+    "o12_forecast_no_move_type" -> ((s, dir) => {
+      val pct = Percentages.percentages(s, dir)
+      val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
+      Forecast.dailyForecast(model, pct, None, InputDate, Today)
+        .select(
+          col("branch"), fmtDate(col("ds")).as("ds"),
+          col("branch_forecast"),
+          r4(col("input_pct")).as("input_pct"),
+          col("predicted_moves"),
+          col("comment_class"))
+        .orderBy("branch", "ds")
+    }),
+
     // O36/O37/O41/O42: per-branch summary (main.py:290-319).
     "o36_forecast_summary" -> ((s, dir) => {
       val pct = Percentages.percentages(s, dir)
@@ -390,6 +406,21 @@ object ServingQueries {
          |            ELSE 'weaker' END AS comment_class,
          |       (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
          |FROM daily ORDER BY 1, 2""".stripMargin,
+    "o12_forecast_no_move_type" ->
+      s"""${Tables.FactCtes},
+         |$windowDaysCte,
+         |model AS (
+         |  SELECT branch,
+         |         AVG(cnt) + ${Forecast.Z80} * COALESCE(stddev_samp(cnt), 0) AS yhat_upper
+         |  FROM forecasting_data GROUP BY 1)
+         |SELECT model.branch, strftime(wdays.ds, '%Y-%m-%d') AS ds,
+         |       CAST(round_even(greatest(yhat_upper, 0), 0) AS BIGINT) AS branch_forecast,
+         |       round(100.0, 4) AS input_pct,
+         |       CAST(round_even(100.0 / 100.0 * CAST(round_even(greatest(yhat_upper, 0), 0) AS BIGINT), 0) AS BIGINT)
+         |         AS predicted_moves,
+         |       'no_move_type' AS comment_class
+         |FROM model CROSS JOIN wdays
+         |ORDER BY 1, 2""".stripMargin,
     "o36_forecast_summary" ->
       s"""${Tables.FactCtes},
          |${SparkEntry.DensePctCtes},

@@ -170,7 +170,10 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("centroid_id").as("cell"), col("q_id"), col("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
-    probeCells
+    // probe side is |probes| x nprobe rows — broadcast it so the corpus-
+    // sized cell table never shuffles (plan audit caught Spark defaulting
+    // to a sort-merge join here)
+    broadcast(probeCells)
       .join(cells, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "q_emb", "vec_id", "embedding")
