@@ -215,9 +215,12 @@ object SeasonalModel {
     def outputEncoder: Encoder[FitResult] = Encoders.product[FitResult]
   }
 
-  /** Array dot product as a built-in higher-order-function expression. */
+  /** Array dot product — fused native expression (see
+    * graft.functions.DotProductExpr); identical fold order to the
+    * zip_with/aggregate formulation.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dotProduct(a, b)
 
   /** Fit one model per branch.
     *

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the fused native
+    * expression (graft.functions.DotProductExpr): one codegen'd loop with
+    * the same products and summation order as the
+    * `aggregate(zip_with(...))` formulation, so results (and DuckDB oracle
+    * parity) are unchanged while skipping the interpreted-lambda dispatch
+    * and intermediate array per row.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -107,6 +107,31 @@ class SimilaritySpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("native dot product matches the higher-order-function formulation bitwise") {
+    val emb = corpus().limit(20)
+    val pairs = emb.toDF("ia", "ea").crossJoin(emb.toDF("ib", "eb"))
+    val hof = aggregate(
+      zip_with(
+        transform(col("ea"), x => x.cast("double")),
+        transform(col("eb"), x => x.cast("double")),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = pairs
+      .select(Similarity.dot(col("ea"), col("eb")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")) // bitwise: no tolerance
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("native dot product nulls on length mismatch or null elements") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    val out = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val emb = corpus().limit(5).cache()
     val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
