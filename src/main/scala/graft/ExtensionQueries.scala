@@ -126,6 +126,14 @@ object ExtensionQueries {
         .select(col("vec_a"), col("vec_b"), r4(col("sim")).as("sim"))
         .orderBy("vec_a", "vec_b")),
 
+    // Winnowing (rolling-hash) fingerprints (rows-only: long-space gram
+    // hashes are engine-internal; overlap behavior property-tested).
+    "x16_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")),
+
     // Streaming ingest, batch-verified (§2.7): the SAME dailyCounts
     // transform runs incrementally under a watermark — IngestSpec drives
     // that path with MemoryStream; this entry verifies the aggregation

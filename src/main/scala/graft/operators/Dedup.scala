@@ -221,6 +221,44 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+  // algorithm): the minimum gram hash in each sliding window of w grams.
+  // Guarantees any match of length >= w + n - 1 tokens shares at least one
+  // fingerprint, with a bounded fingerprint density — the standard
+  // rolling-hash document-fingerprint scheme.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, fp) — distinct winnowed fingerprints per document. Pure
+    * projection + explode over the long-space gram hashes; docs shorter
+    * than n + w - 1 tokens produce no fingerprints.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame =
+    gramHashFrame(docs, n)
+      .filter(size(col("hs")) >= window)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(1), size(col("hs")) - (window - 1)),
+              i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
+
+  /** Fingerprint-overlap near-dup candidates: docs sharing >= minShared
+    * winnowed fingerprints. Inverted-index join on fp — shuffle-parallel,
+    * candidate count bounded by fingerprint collisions, never all-pairs.
+    */
+  def fingerprintCandidates(docs: DataFrame, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val a = fps.toDF("doc_a", "fp")
+    val b = fps.toDF("doc_b", "fp")
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  // -------------------------------------------------------------------
   // SimHash (Charikar 2002): 64-bit signature; near-dups have small
   // Hamming distance.
   // -------------------------------------------------------------------

@@ -91,6 +91,21 @@ class DedupSpec extends AnyFunSuite {
     assert(exploded.exceptAll(rowwise).count() === 0 && rowwise.exceptAll(exploded).count() === 0)
   }
 
+  test("winnowing: near-dups share most fingerprints, unrelated docs almost none") {
+    val docs = corpus()
+    val candidates = Dedup.fingerprintCandidates(docs, minShared = 2).cache()
+    val planted = candidates.filter(col("doc_a") === 1000L && col("doc_b") === 1001L)
+    assert(planted.count() === 1, "planted near-dup pair shares too few fingerprints")
+    // exact dups share ALL fingerprints
+    val exactPair = candidates.filter(col("doc_a") === 2000L && col("doc_b") === 2001L).head()
+    val fps2000 = Dedup.winnowFingerprints(docs).filter(col("doc_id") === 2000L).count()
+    assert(exactPair.getAs[Long]("shared_fps") === fps2000)
+    // candidate set stays sparse (inverted index, not all-pairs)
+    val n = docs.count()
+    assert(candidates.count() < n * (n - 1) / 2 / 5)
+    candidates.unpersist()
+  }
+
   test("shingles: short documents yield no shingles, no descending-sequence bug") {
     val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = TextOps.shingles(tiny).collect()

@@ -143,6 +143,19 @@ class ForecastSpec extends AnyFunSuite {
     daily.unpersist()
   }
 
+  test("comments are formatted phrases carrying move type and both percentages (O43)") {
+    val pct = Percentages.percentages(spark, sf)
+    val model = Forecast.baselineUpper(Tables.forecastingData(spark, sf))
+    val daily = Forecast.dailyForecast(
+      model, pct, Some("click"), ServingQueries.InputDate, ServingQueries.Today).cache()
+    // every comment mentions the move type and two one-decimal percentages
+    assert(daily.filter(!col("comment").contains("click")).count() === 0)
+    assert(daily.filter(!col("comment").rlike("\\d+\\.\\d%.*\\d+\\.\\d%")).count() === 0)
+    // phrase bank is actually exercised across its 3 entries
+    assert(daily.select("comment").distinct().count() > 3)
+    daily.unpersist()
+  }
+
   test("dailyForecast counts are non-negative and window has <= 7 days") {
     val pct = Percentages.percentages(spark, sf)
     val model = Forecast.baselineUpper(Tables.forecastingData(spark, sf))
