@@ -36,9 +36,14 @@ object SparkEntry {
     */
   val FixtureTrainCutoff = "2024-01-20"
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship is the /forecast/ serving lifecycle
+    * (main.py:187-338) — one per-day forecast row per branch for the
+    * fixture window, through the full clamp → model → fallback-join →
+    * scale → classify assembly.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Percentages.percentages(spark, "/root/testdata/sf0.001")
+    ServingQueries.queries("o42_forecast_daily")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------------
   // Queries. Keys are SURVEY.md §2 operator IDs (oNN_*) for reference
