@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Forecast, Percentages, TextOps}
+
+/** Robustness: every pipeline must degrade cleanly on empty inputs — no
+  * exceptions, correct empty/default outputs (the reference aborts with
+  * sys.exit on empty frames, precompute_percentages.py:111-117; the engine
+  * returns empty results and lets callers decide).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def emptyHist = Seq.empty[(java.sql.Date, String, String, Double)]
+    .toDF("ds", "branch", "move_type", "cnt")
+
+  def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("percentages of an empty fact table is empty, not an error") {
+    assert(Percentages.percentagesSingleScan(emptyHist).count() === 0)
+    assert(Percentages.monthlyAvg(Percentages.percentagesSingleScan(emptyHist)).count() === 0)
+  }
+
+  test("fallback chain over an empty percentages table yields the 1.0 default") {
+    val pct = Percentages.percentagesSingleScan(emptyHist)
+    val req = Seq(("B1", "click", 1L, 15L)).toDF("branch", "move_type", "month", "day")
+    val out = Forecast.fallbackPct(req, pct).head()
+    assert(out.getAs[Double]("effective_pct") === 1.0)
+    assert(out.getAs[String]("fallback_level") === "default")
+  }
+
+  test("dedup and text pipelines handle empty corpora") {
+    assert(Dedup.exactDedup(emptyDocs).count() === 0)
+    assert(Dedup.minhashSignaturesRowwise(emptyDocs).count() === 0)
+    assert(Dedup.simhash(emptyDocs).count() === 0)
+    assert(Dedup.winnowFingerprints(emptyDocs).count() === 0)
+    assert(TextOps.tokenStats(emptyDocs).count() === 0)
+    assert(TextOps.langId(emptyDocs).count() === 0)
+  }
+
+  test("summarize of an empty daily frame is empty") {
+    val daily = Seq.empty[(String, String, Long, Long, Double, Double)]
+      .toDF("branch", "ds", "branch_forecast", "predicted_moves", "input_pct", "hist_avg")
+    assert(Forecast.summarize(daily, Some("click")).count() === 0)
+  }
+}
