@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.sources.Tables
 
@@ -73,6 +74,65 @@ object Ingest {
       tablePath: String): DataFrame =
     spark.read.parquet(tablePath)
       .select(col("ds").cast("date").as("ds"), col("branch"), col("cnt"))
+
+  // -------------------------------------------------------------------
+  // Custom state: gap-based sessionization via flatMapGroupsWithState —
+  // the KeyValueGroupedDataset custom-state surface the brief names. Used
+  // here to segment a user's move-booking events into visits (a burst of
+  // events with < gap between them); sessions close when the event-time
+  // watermark passes the gap.
+  // -------------------------------------------------------------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp, n_events: Int)
+
+  /** Streaming sessionization: per-user event bursts separated by >= gap
+    * become distinct sessions, emitted when the watermark passes
+    * last-event + gap (EventTimeTimeout — state is bounded by active
+    * users, reclaimed on close). Input needs columns (user_id, ts);
+    * `events` must carry a watermark when streaming.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          def toSession(s: SessionState): Session =
+            Session(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and emit the session
+            val out = state.getOption.map(toSession).iterator
+            state.remove()
+            out
+          } else {
+            // fold sorted events into the open session, emitting any
+            // session closed by an in-batch gap
+            val sorted = evs.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= toSession(s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
 
   /** Per-(branch, move_type) daily counts — the `historical_data` shape. */
   def dailyCountsByType(moves: DataFrame): DataFrame = {

@@ -73,6 +73,39 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: gap splits bursts into sessions, closed by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val evs = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[Ingest.SessionEvent]
+    val q = Ingest.sessionize(evs, gapMs = 30 * 60 * 1000L) // 30-min gap
+      .writeStream.format("memory").queryName("s_sessions").outputMode("append").start()
+    try {
+      // user 1: burst of 3, then (>30min later) burst of 2; user 2: single
+      mem.addData(
+        (ts("2024-01-10 08:00:00"), 1L),
+        (ts("2024-01-10 08:05:00"), 1L),
+        (ts("2024-01-10 08:10:00"), 1L),
+        (ts("2024-01-10 09:00:00"), 1L),
+        (ts("2024-01-10 09:02:00"), 1L),
+        (ts("2024-01-10 08:30:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark far past every open session
+      mem.addData((ts("2024-01-11 00:00:00"), 99L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-12 00:00:00"), 99L))
+      q.processAllAvailable()
+      val sessions = spark.table("s_sessions")
+        .select(col("user_id"), col("start").cast("string"), col("n_events"))
+        .as[(Long, String, Int)].collect().toSet
+      assert(sessions.contains((1L, "2024-01-10 08:00:00", 3)), s"got $sessions")
+      assert(sessions.contains((1L, "2024-01-10 09:00:00", 2)), s"got $sessions")
+      assert(sessions.contains((2L, "2024-01-10 08:30:00", 1)), s"got $sessions")
+    } finally q.stop()
+  }
+
   test("events later than the 1-day watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
