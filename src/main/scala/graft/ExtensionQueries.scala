@@ -126,6 +126,34 @@ object ExtensionQueries {
         .select(col("vec_a"), col("vec_b"), r4(col("sim")).as("sim"))
         .orderBy("vec_a", "vec_b")),
 
+    // Aggregation generality beyond the reference (SURVEY §2.4 note):
+    // rollup subtotals over the fact hierarchy.
+    "x17_rollup_totals" -> ((s, dir) =>
+      Tables.historicalData(s, dir)
+        .rollup(col("branch"), col("move_type"))
+        .agg(sum(col("cnt")).as("total"))
+        .select(
+          coalesce(col("branch"), lit("ALL")).as("branch"),
+          coalesce(col("move_type"), lit("ALL")).as("move_type"),
+          r4(col("total")).as("total"))
+        .orderBy("branch", "move_type")),
+
+    // Window-function generality (SURVEY §2.5 note): centered 7-day
+    // rolling statistics per branch — the windowed restatement of the
+    // serving layer's "7-day window" as an analytic function.
+    "x18_rolling_7day" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("branch")).orderBy(col("ds")).rowsBetween(-3, 3)
+      Tables.forecastingData(s, dir)
+        .select(
+          date_format(col("ds"), "yyyy-MM-dd").as("ds"),
+          col("branch"),
+          r4(avg(col("cnt")).over(w)).as("rolling_avg"),
+          r4(max(col("cnt")).over(w)).as("rolling_max"),
+          count(lit(1)).over(w).as("rolling_n"))
+        .orderBy("branch", "ds")
+    }),
+
     // Winnowing (rolling-hash) fingerprints (rows-only: long-space gram
     // hashes are engine-internal; overlap behavior property-tested).
     "x16_winnow_fingerprints" -> ((s, dir) =>
@@ -224,6 +252,23 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) AS sim
          |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+    "x17_rollup_totals" ->
+      s"""${Tables.FactCtes}
+         |SELECT COALESCE(branch, 'ALL') AS branch,
+         |       COALESCE(move_type, 'ALL') AS move_type,
+         |       round(SUM(cnt), 4) AS total
+         |FROM historical_data
+         |GROUP BY ROLLUP (branch, move_type)
+         |ORDER BY 1, 2""".stripMargin,
+    "x18_rolling_7day" ->
+      s"""${Tables.FactCtes}
+         |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch,
+         |       round(AVG(cnt) OVER w, 4) AS rolling_avg,
+         |       round(MAX(cnt) OVER w, 4) AS rolling_max,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n
+         |FROM forecasting_data
+         |WINDOW w AS (PARTITION BY branch ORDER BY ds ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |ORDER BY 2, 1""".stripMargin,
     "x13_token_counts" -> {
       val pat = "'" + TextOps.BpePattern.replace("'", "''") + "'"
       s"""SELECT doc_id,
