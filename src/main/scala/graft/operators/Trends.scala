@@ -2,7 +2,7 @@ package graft.operators
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -53,5 +53,43 @@ object Trends {
         date_format(col("ds"), "MM-dd").as("date"),
         col("total_moves"))
       .orderBy("year", "date")
+  }
+
+  /** O46 for trends: the nested TrendsResult document (main.py:395-403).
+    * Fidelity quirk preserved: the reference appends an entry for EVERY
+    * year in the range, with an empty data array when the year has no rows
+    * (main.py:364-393 — the per-year loop always appends) — so the
+    * year spine is generated and left-joined, not derived from the data.
+    */
+  def toJsonResult(
+      spark: SparkSession,
+      trendRows: DataFrame,
+      branch: String,
+      moveType: Option[String],
+      start: java.time.LocalDate,
+      end: java.time.LocalDate,
+      yearLo: Int = Tables.YearLo,
+      yearHi: Int = Tables.YearHi): DataFrame = {
+    import spark.implicits._
+    val perYear = trendRows
+      .groupBy(col("year"))
+      .agg(sort_array(collect_list(struct(col("date"), col("total_moves").as("moves"))))
+        .as("data"))
+    val spine = (yearLo.toLong to yearHi.toLong).toDF("year")
+    val years = spine
+      .join(perYear, Seq("year"), "left")
+      .select(col("year"), coalesce(col("data"), array()).as("data"))
+      // sort_array (by the struct's leading year field) — collect_list
+      // gives no ordering guarantee even after orderBy
+      .agg(sort_array(collect_list(struct(col("year"), col("data"))))
+        .as("historical_trends"))
+    years.select(
+      to_json(struct(
+        lit(branch).as("branch"),
+        lit(moveType.orNull).as("move_type"),
+        col("historical_trends"),
+        struct(
+          lit(start.toString).as("start_date"),
+          lit(end.toString).as("end_date")).as("window"))).as("result_json"))
   }
 }

@@ -178,6 +178,21 @@ class ForecastSpec extends AnyFunSuite {
     assert(s.getAs[Double]("period_avg") === 50.0)
   }
 
+  test("trends JSON includes an entry for every year, empty years as empty arrays") {
+    import graft.operators.Trends
+    val rows = Trends.trends(
+      Tables.historicalData(spark, sf), ServingQueries.TrendsBranch, None,
+      ServingQueries.trStart, ServingQueries.trEnd)
+    val js = Trends.toJsonResult(
+      spark, rows, ServingQueries.TrendsBranch, None,
+      ServingQueries.trStart, ServingQueries.trEnd).head().getString(0)
+    // all six years 2019-2024 present (main.py:364-393 appends every year)
+    (2019 to 2024).foreach(y => assert(js.contains(s""""year":$y"""), s"year $y missing: $js"))
+    // data lives only in 2024 (testdata spans Jan 2024)
+    assert(js.contains(""""year":2019,"data":[]"""))
+    assert(js.contains(""""year":2024,"data":[{"""))
+  }
+
   test("toJsonResults emits one valid JSON document per branch") {
     val pct = Percentages.percentages(spark, sf)
     val model = Forecast.baselineUpper(Tables.forecastingData(spark, sf))
