@@ -120,6 +120,13 @@ object Percentages {
     * times (audited: 3 scans lazy vs 1 scan materialized). This mirrors
     * the reference's own design: precompute materializes precisely so
     * downstream never re-derives (precompute_percentages.py:44-52).
+    *
+    * Caveat for cluster deployments: localCheckpoint blocks are NOT
+    * fault-tolerant (an executor loss kills the lineage-truncated RDD).
+    * The production materialization point is the PERSISTED table —
+    * writePercentages then readPercentages — which is also this engine's
+    * serving architecture; the in-memory checkpoint is the right tool for
+    * self-contained single-job queries like the verification harness.
     */
   def percentagesSingleScan(historical: DataFrame): DataFrame = {
     val mg  = moveGrouped(historical).localCheckpoint()
