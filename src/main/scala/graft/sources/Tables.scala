@@ -103,13 +103,36 @@ object Tables {
     * Columns: ds DATE, branch STRING, move_type STRING, cnt DOUBLE.
     */
   def historicalData(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .filter(year(col("ts")).between(YearLo, YearHi))
+    eventsInYears(spark, dir, YearLo, YearHi)
       .select(
         to_date(col("ts")).as("ds"),
         concat(lit("B"), pmod(col("user_id"), lit(BranchCount.toLong)).cast("string")).as("branch"),
         col("event_type").as("move_type"),
         lit(1.0).as("cnt"))
+
+  /** Year-windowed events with a PUSHABLE pre-filter: `year(ts) BETWEEN`
+    * is a function of the column and never reaches the parquet scan, but
+    * the equivalent epoch range on the RAW nanos long column does (UTC
+    * session, so year boundaries are exact epoch instants) — at 100 TB
+    * this is the difference between row-group min/max pruning and a full
+    * scan. The semantic year filter stays on top for engines/readers where
+    * `ts` is already a timestamp (then Spark pushes the timestamp range
+    * itself after optimization).
+    */
+  def eventsInYears(spark: SparkSession, dir: String, yearLo: Int, yearHi: Int): DataFrame = {
+    val raw = table(spark, dir, "events")
+    val pre = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val loNanos = java.time.LocalDate.of(yearLo, 1, 1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+        val hiNanos = java.time.LocalDate.of(yearHi + 1, 1, 1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+        raw.filter(col("ts") >= loNanos && col("ts") < hiNanos)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    pre.filter(year(col("ts")).between(yearLo, yearHi))
+  }
 
   /** `forecasting_data` analog: daily totals per branch (O30-shaped grouped
     * sum; FIXTURES.md §3). Columns: ds DATE, branch STRING, cnt DOUBLE.

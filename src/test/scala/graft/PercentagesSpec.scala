@@ -77,6 +77,27 @@ class PercentagesSpec extends AnyFunSuite {
     assert(back.exceptAll(pct).count() === 0 && pct.exceptAll(back).count() === 0)
   }
 
+  test("year window pushes an epoch range into the parquet scan") {
+    val df = graft.sources.Tables.historicalData(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"no pushed ts range in scan:\n${plan.take(1200)}")
+  }
+
+  test("persisted percentages prune month partitions on read") {
+    val pct = Percentages.percentages(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_pct_prune").toString
+    Percentages.writePercentages(pct, out)
+    val pruned = Percentages.readPercentages(spark, out).filter(col("month") === 1L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition filters in plan")
+    assert(
+      plan.contains("month#") || plan.contains("(month"),
+      s"month not in partition filters:\n${plan.take(1200)}")
+    assert(pruned.count() > 0)
+  }
+
   test("monthlyAvg: one row per (branch, move_type, month)") {
     val ma = Percentages.monthlyAvg(Percentages.percentages(spark, sf))
     assert(ma.count() === ma.select("branch", "move_type", "month").distinct().count())
