@@ -19,25 +19,36 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // A failed query must never read as a fast success: record an explicit
     // error marker, surface it on stderr, and exit nonzero at the end.
+    // Each query runs TWICE and the WARM (second) time is the headline:
+    // the cold run absorbs per-query JIT/codegen compilation (measured up
+    // to ~4s of pure JIT on the widest plans), which otherwise buries real
+    // regressions inside startup variance. Cold times ship in a sidecar.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val cold = once()
+        val warm = once()
+        name -> (warm, cold)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          name -> (-1.0, -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$colds,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

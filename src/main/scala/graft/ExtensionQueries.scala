@@ -17,6 +17,13 @@ object ExtensionQueries {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** r4 for columns that can round to NEGATIVE zero (cosine similarities,
+    * differences): DuckDB round preserves the sign bit of -0.0 while Spark
+    * normalizes it, which breaks the driver's bit-exact hash. `+ 0.0`
+    * canonicalizes on both engines (mirrored in the oracle SQL).
+    */
+  private def r4z(c: Column): Column = round(c, 4) + lit(0.0)
+
   /** Stopword list rendered for SQL IN (...). */
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -76,7 +83,7 @@ object ExtensionQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.bruteForceTopK(probes, emb, 5)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -87,7 +94,7 @@ object ExtensionQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.annTopK(probes, emb, 5, tables = 4, bits = 8)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -100,7 +107,7 @@ object ExtensionQueries {
         "label", 0.45)
         .select(
           col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
-          r4(col("sim")).as("sim"))
+          r4z(col("sim")).as("sim"))
         .orderBy("label", "vec_a", "vec_b")),
 
     // Token counting both ways the brief names (whitespace + BPE-ish regex).
@@ -114,7 +121,7 @@ object ExtensionQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.ivfTopK(probes, emb, 5, c = 16, nprobe = 4)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("sim")).as("sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -123,7 +130,7 @@ object ExtensionQueries {
     "x15_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(
         Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.4)
-        .select(col("vec_a"), col("vec_b"), r4(col("sim")).as("sim"))
+        .select(col("vec_a"), col("vec_b"), r4z(col("sim")).as("sim"))
         .orderBy("vec_a", "vec_b")),
 
     // Aggregation generality beyond the reference (SURVEY §2.4 note):
@@ -250,7 +257,7 @@ object ExtensionQueries {
          |  SELECT q_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
          |  FROM scored)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) AS sim
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
          |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
     "x17_rollup_totals" ->
       s"""${Tables.FactCtes}
@@ -292,7 +299,7 @@ object ExtensionQueries {
          |  SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         ${cosSql("a.embedding", "b.embedding")} AS sim
          |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT label, vec_a, vec_b, round(sim, 4) AS sim
+         |SELECT label, vec_a, vec_b, round(sim, 4) + 0.0 AS sim
          |FROM scored WHERE sim >= 0.45
          |ORDER BY 1, 2, 3""".stripMargin,
   )

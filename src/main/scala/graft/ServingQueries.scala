@@ -51,6 +51,15 @@ object ServingQueries {
   val MoveTypeProbes = Seq("click", "error", "purchase", "Local", "view")
 
   private def r4(c: Column): Column = round(c, 4)
+
+  /** r4 for columns that can round to NEGATIVE zero (differences of
+    * doubles): Spark's round normalizes -0.0 to +0.0 (BigDecimal path)
+    * while DuckDB's keeps the sign bit, so a true value of ~-1e-17 hashes
+    * differently across engines. Adding +0.0 is the IEEE-754 idiom that
+    * canonicalizes -0.0 to +0.0 and is a bit-exact no-op for every other
+    * value; the oracle SQL applies the same `+ 0.0` on its side.
+    */
+  private def r4z(c: Column): Column = round(c, 4) + lit(0.0)
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def d(ld: LocalDate): Column = lit(java.sql.Date.valueOf(ld))
 
@@ -142,7 +151,7 @@ object ServingQueries {
           col("predicted_moves"),
           r4(col("hist_avg")).as("hist_avg"),
           r4(col("implied_pct")).as("implied_pct"),
-          r4(col("pct_diff")).as("pct_diff"),
+          r4z(col("pct_diff")).as("pct_diff"),
           col("comment_class"),
           col("phrase_id"))
         .orderBy("branch", "ds")
@@ -178,7 +187,7 @@ object ServingQueries {
           col("average_daily_moves"),
           r4(col("current_pct")).as("current_pct"),
           r4(col("period_avg")).as("period_avg"),
-          r4(col("period_diff")).as("period_diff"),
+          r4z(col("period_diff")).as("period_diff"),
           col("summary_class"))
         .orderBy("branch")
     }),
@@ -400,7 +409,7 @@ object ServingQueries {
          |       round(input_pct, 4) AS input_pct, predicted_moves,
          |       round(hist_avg, 4) AS hist_avg,
          |       round(implied_pct, 4) AS implied_pct,
-         |       round(implied_pct - hist_avg, 4) AS pct_diff,
+         |       round(implied_pct - hist_avg, 4) + 0.0 AS pct_diff,
          |       CASE WHEN abs(round(implied_pct - hist_avg, 6)) <= 5 THEN 'consistent'
          |            WHEN round(implied_pct - hist_avg, 6) > 5 THEN 'stronger'
          |            ELSE 'weaker' END AS comment_class,
@@ -441,7 +450,7 @@ object ServingQueries {
          |       round(COALESCE(hist_period_avg, input_pct), 4) AS period_avg,
          |       round(CASE WHEN total_branch_forecast > 0
          |                  THEN total_predicted_moves / total_branch_forecast * 100.0
-         |                  ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 4) AS period_diff,
+         |                  ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 4) + 0.0 AS period_diff,
          |       CASE WHEN abs(round(CASE WHEN total_branch_forecast > 0
          |                                THEN total_predicted_moves / total_branch_forecast * 100.0
          |                                ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 6)) <= 5

@@ -231,17 +231,27 @@ object Dedup {
   /** (doc_id, fp) — distinct winnowed fingerprints per document. Pure
     * projection + explode over the long-space gram hashes; docs shorter
     * than n + w - 1 tokens produce no fingerprints.
+    *
+    * The short-doc guard lives INSIDE the projection (when/otherwise over
+    * an empty array; explode of an empty array emits nothing) — a
+    * `.filter(size(col("hs")) >= window)` here would be pushed by
+    * PushDownPredicate below gramHashFrame's projections with the whole
+    * tokenize+gram expression inlined, re-evaluating it per array element
+    * (the quadratic trap documented at gramHashesFromTokenHashes; measured
+    * 22x on this exact query before the guard moved in-projection).
     */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame =
     gramHashFrame(docs, n)
-      .filter(size(col("hs")) >= window)
       .select(
         col("doc_id"),
         explode(
-          array_distinct(
-            transform(
-              sequence(lit(1), size(col("hs")) - (window - 1)),
-              i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
+          when(
+            size(col("hs")) >= window,
+            array_distinct(
+              transform(
+                sequence(lit(1), size(col("hs")) - (window - 1)),
+                i => array_min(slice(col("hs"), i, lit(window))))))
+            .otherwise(array().cast("array<bigint>"))).as("fp"))
 
   /** Fingerprint-overlap near-dup candidates: docs sharing >= minShared
     * winnowed fingerprints. Inverted-index join on fp — shuffle-parallel,

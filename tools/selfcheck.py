@@ -11,6 +11,7 @@ Not part of the engine — builder-side verification tooling only.
 import json
 import math
 import os
+import struct
 import sys
 
 import duckdb
@@ -50,15 +51,22 @@ def compare(name, spark_df, oracle_df):
         try:
             import pandas.api.types as pt
             if pt.is_numeric_dtype(sv) and pt.is_numeric_dtype(ov):
+                # BIT-EXACT, like the driver's hash gate: any tolerance here
+                # is strictly weaker than the driver and can mask real
+                # divergence (round 2 shipped a -0.0 vs +0.0 failure that
+                # |a-b| <= 1e-9 called equal). NaN==NaN allowed; -0.0 != +0.0.
                 bad = 0
+                first = None
                 for a, b in zip(sv.astype(float), ov.astype(float)):
-                    an, bn = isinstance(a, float) and math.isnan(a), isinstance(b, float) and math.isnan(b)
-                    # small absolute tolerance: Spark round() vs DuckDB round()
-                    # can differ in the last ulp on ties at the rounding scale
-                    if an != bn or (not an and abs(a - b) > 1e-9):
+                    an, bn = math.isnan(a), math.isnan(b)
+                    if an and bn:
+                        continue
+                    if an != bn or struct.pack("<d", a) != struct.pack("<d", b):
                         bad += 1
+                        if first is None:
+                            first = (a, b)
                 if bad:
-                    problems.append(f"col {c}: {bad} numeric mismatches (first: spark={sv[0]!r} oracle={ov[0]!r})")
+                    problems.append(f"col {c}: {bad} numeric mismatches (first: spark={first[0]!r} oracle={first[1]!r})")
             else:
                 neq = (sv.astype(str) != ov.astype(str))
                 if neq.any():
