@@ -173,6 +173,18 @@ object ServingQueries {
         .orderBy("branch", "ds")
     }),
 
+    // O43/O44: the comment TEXT itself — phrase-bank selection by
+    // (comment_class, phrase_id) plus the %.1f interpolation of both
+    // percentages (main.py:269-288). Closes the last serving column that
+    // was verified only by unit tests.
+    "o43_comments" -> ((s, dir) => {
+      val pct = Percentages.percentages(s, dir)
+      val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
+      Forecast.dailyForecast(model, pct, Some(MoveType), InputDate, Today)
+        .select(col("branch"), fmtDate(col("ds")).as("ds"), col("comment"))
+        .orderBy("branch", "ds")
+    }),
+
     // O36/O37/O41/O42: per-branch summary (main.py:290-319).
     "o36_forecast_summary" -> ((s, dir) => {
       val pct = Percentages.percentages(s, dir)
@@ -415,6 +427,32 @@ object ServingQueries {
          |            ELSE 'weaker' END AS comment_class,
          |       (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
          |FROM daily ORDER BY 1, 2""".stripMargin,
+    // The engine formats bround(x, 1) with Java %.1f (a pass-through once
+    // the value is an exact 1-decimal double); DuckDB's printf rounds the
+    // RAW exact binary value ties-to-even — the same composition, so both
+    // engines produce identical text (see Forecast.dailyForecast).
+    "o43_comments" -> {
+      val cases = (for {
+        (cls, phrases) <- Forecast.DailyPhrases.toSeq
+        (p, i) <- phrases.zipWithIndex
+      } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
+        s"THEN printf('$p', '$MoveType', hist_avg, implied_pct)")
+        .mkString("\n         |            ")
+      s"""${Tables.FactCtes},
+         |${SparkEntry.DensePctCtes},
+         |$dailyCtes,
+         |lab AS (
+         |  SELECT branch, ds, hist_avg, implied_pct,
+         |         CASE WHEN abs(round(implied_pct - hist_avg, 6)) <= 5 THEN 'consistent'
+         |              WHEN round(implied_pct - hist_avg, 6) > 5 THEN 'stronger'
+         |              ELSE 'weaker' END AS comment_class,
+         |         (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
+         |  FROM daily)
+         |SELECT branch, strftime(ds, '%Y-%m-%d') AS ds,
+         |       CASE $cases
+         |            END AS comment
+         |FROM lab ORDER BY 1, 2""".stripMargin
+    },
     "o12_forecast_no_move_type" ->
       s"""${Tables.FactCtes},
          |$windowDaysCte,

@@ -191,7 +191,7 @@ object Forecast {
   // O43: phrase banks (capability-equivalent restatement of the reference's
   // banks at main.py:129-163 — 3 phrases per class, same placeholders).
   // -------------------------------------------------------------------
-  private val dailyPhrases: Map[String, Seq[String]] = Map(
+  val DailyPhrases: Map[String, Seq[String]] = Map(
     "consistent" -> Seq(
       "Demand for %s moves tracks the historical pattern (historical avg %.1f%%, current %.1f%%).",
       "%s move demand matches past trends (historical avg %.1f%%, current %.1f%%).",
@@ -281,10 +281,16 @@ object Forecast {
           .withColumn("comment_class", classifyDiff(col("pct_diff")))
           .withColumn("phrase_id", phraseId(col("branch"), col("ds")))
           .withColumn("comment", {
-            // format each bank's phrases, then select by (class, phrase_id)
+            // format each bank's phrases, then select by (class, phrase_id).
+            // %.1f parity: Java's Formatter rounds the SHORTEST decimal repr
+            // half-up (12.35 -> "12.4") while Python's f"{x:.1f}" rounds the
+            // exact binary value ties-to-even (-> "12.3"). Pre-rounding with
+            // bround(x, 1) (exact-binary half-even == Python's rule) makes
+            // the Java formatter a pass-through, so the text matches the
+            // reference (main.py:270-279) and a DuckDB printf oracle.
             def bank(k: String): Column = element_at(
-              array(dailyPhrases(k).map(p =>
-                format_string(p, lit(mt), col("hist_avg"), col("implied_pct"))): _*),
+              array(DailyPhrases(k).map(p =>
+                format_string(p, lit(mt), bround(col("hist_avg"), 1), bround(col("implied_pct"), 1))): _*),
               (col("phrase_id") + 1).cast("int"))
             when(col("comment_class") === "consistent", bank("consistent"))
               .when(col("comment_class") === "stronger", bank("stronger"))

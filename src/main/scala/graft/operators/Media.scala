@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata (brief extension surface). No media codecs exist in this
-  * environment, so the DECODE step is a clearly-marked deterministic stub —
-  * the Spark-side plumbing (schema, binary columns, partition-parallel
-  * batch processing, feature-vector shape) is real and tested, and a
-  * production deployment swaps `decodeStub` for a codec call with the same
-  * signature.
+  * metadata (brief extension surface). Uncompressed formats need no codec
+  * library, so BMP (24-bit BI_RGB) and WAV (16-bit PCM) are decoded for
+  * real with plain byte math; only COMPRESSED codecs (JPEG/MP3/H.264...)
+  * fall back to a clearly-marked deterministic stub — the Spark-side
+  * plumbing (schema, binary columns, partition-parallel batch processing,
+  * feature-vector shape) is identical either way, and a production
+  * deployment adds codec branches to `decode` with the same signature.
   *
   * Scale posture: everything is per-row/per-partition — no shuffle. Decode
   * runs via mapPartitions so per-partition setup (codec init in real life)
@@ -44,28 +45,167 @@ object Media {
       sha2(col("bytes"), 256).as("content_sha"),
       hex(substring(col("bytes"), 1, 4)).as("magic_hex"))
 
-  /** DECODE STUB — stands in for image/audio/video decoding (no codec libs
-    * in this container). Computes a deterministic 16-bin byte histogram,
-    * L1-normalized: a real per-payload feature with the exact shape (fixed-
-    * width Array[Double]) a decoder + feature extractor would produce.
-    * Replace the body (only) with e.g. JPEG decode + pooled activations.
+  // -------------------------------------------------------------------
+  // Real decoders for uncompressed formats (plain byte math, no codec lib).
+  // -------------------------------------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Decode an uncompressed 24-bit BI_RGB Windows BMP: (width, height,
+    * row-major top-down packed 0xRRGGBB pixels). Handles the format's two
+    * traps — rows are stored bottom-up (top-down when height is negative)
+    * and padded to 4-byte boundaries. Returns None for anything that is
+    * not a well-formed 24bpp uncompressed BMP (wrong magic, other bit
+    * depths, RLE compression, truncated pixel array).
     */
-  def decodeStub(df: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val off = i32le(b, 10)
+    val hdrSize = i32le(b, 14)
+    val w = i32le(b, 18)
+    val hRaw = i32le(b, 22)
+    val bpp = u16le(b, 28)
+    val comp = i32le(b, 30)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = off + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3 // stored B, G, R
+        px(y * w + x) = (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Decode a RIFF/WAVE file holding 16-bit integer PCM: (sampleRate,
+    * channels, interleaved samples). Walks the chunk list (chunks are not
+    * guaranteed to be just fmt+data — LIST/fact chunks appear in the wild)
+    * and returns None for non-PCM encodings or other bit depths.
+    */
+  def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var fmtOk = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = i32le(b, pos + 4)
+      val dataStart = pos + 8
+      if (size < 0 || dataStart + size > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = u16le(b, dataStart)
+          channels = u16le(b, dataStart + 2)
+          rate = i32le(b, dataStart + 4)
+          val bits = u16le(b, dataStart + 14)
+          fmtOk = audioFormat == 1 && bits == 16 && channels > 0
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (u8(b, dataStart + 2 * i) | (b(dataStart + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+        case _ => // skip LIST/fact/cue chunks
+      }
+      pos = dataStart + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtOk && samples != null) Some((rate, channels, samples)) else None
+  }
+
+  /** 16-bin L1-normalized luminance histogram over decoded pixels (BT.601
+    * integer luma, binned by high nibble).
+    */
+  private def lumaHistogram(px: Array[Int]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+      hist(luma >> 4) += 1.0
+      i += 1
+    }
+    val n = math.max(1.0, px.length.toDouble)
+    hist.map(_ / n)
+  }
+
+  /** 16-bin L1-normalized amplitude histogram over PCM samples (full
+    * 16-bit range split into 16 equal buckets).
+    */
+  private def amplitudeHistogram(samples: Array[Short]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < samples.length) {
+      hist((samples(i) + 32768) >> 12) += 1.0
+      i += 1
+    }
+    val n = math.max(1.0, samples.length.toDouble)
+    hist.map(_ / n)
+  }
+
+  /** Raw-byte nibble histogram — the STUB path for compressed codecs
+    * (JPEG/MP3/H.264 decode needs libraries this container lacks): a
+    * deterministic per-payload feature with the exact shape a real decoder
+    * + extractor would produce.
+    */
+  private def nibbleHistogram(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1.0
+      i += 1
+    }
+    val n = math.max(1.0, bytes.length.toDouble)
+    hist.map(_ / n)
+  }
+
+  /** Decode + feature-extract: REAL decode for uncompressed payloads (BMP
+    * pixels -> luminance histogram; WAV PCM samples -> amplitude
+    * histogram), deterministic stub histogram for compressed codecs. All
+    * three paths emit the same fixed-width L1-normalized Array[Double], so
+    * downstream consumers (similarity search, dedup on features) are
+    * agnostic to which decoder ran.
+    */
+  def decode(df: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     df.mapPartitions { rows =>
-      // per-partition init would open the codec once here
+      // per-partition init would open heavier codecs once here
       rows.map { r =>
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < r.bytes.length) {
-          hist((r.bytes(i) & 0xff) >> 4) += 1.0
-          i += 1
+        val feature = decodeBmpPixels(r.bytes) match {
+          case Some((_, _, px)) => lumaHistogram(px)
+          case None =>
+            decodeWavPcm(r.bytes) match {
+              case Some((_, _, samples)) => amplitudeHistogram(samples)
+              case None => nibbleHistogram(r.bytes)
+            }
         }
-        val n = math.max(1.0, r.bytes.length.toDouble)
-        MediaFeatures(r.media_id, r.kind, hist.map(_ / n))
+        MediaFeatures(r.media_id, r.kind, feature)
       }
     }
   }
+
+  /** Former name of [[decode]], kept so round-2 call sites keep working;
+    * the BMP/WAV paths are no longer stubs.
+    */
+  def decodeStub(df: Dataset[MediaRow]): Dataset[MediaFeatures] = decode(df)
 
   /** Deterministic frame-sample offsets for video rows: n evenly-spaced
     * timestamps within [0, duration) — pure column math; the frame EXTRACT

@@ -39,10 +39,11 @@ object Tables {
   /** O1 general form: parameterized JDBC scan (the reference's
     * `pd.read_sql_query` with a fresh connection per call, main.py:56-66,
     * restated with connection pooling, predicate pushdown, and
-    * range-partitioned parallel reads). Not exercisable in this harness —
-    * no database ships in the container; the fixture path reads parquet —
-    * but this is the reader a production deployment points at the
-    * reference's PostgreSQL.
+    * range-partitioned parallel reads). Exercised in-harness against
+    * embedded Apache Derby (which ships in Spark's jar directory) by
+    * JdbcSpec: plain round-trip, 4-way range-partitioned read, and
+    * pushed-filter verification. A production deployment points this at
+    * the reference's PostgreSQL.
     *
     * @param partitionColumn numeric/date column for parallel range reads;
     *        with bounds and numPartitions, Spark issues one bounded query

@@ -41,6 +41,103 @@ class MediaSpec extends AnyFunSuite {
     assert(again === feats.view.mapValues(_.feature.toSeq).toMap)
   }
 
+  // ---------------------------------------------------------------------
+  // Real decoders (BMP 24bpp / WAV PCM16) — golden-value tests against
+  // files assembled byte-by-byte per the public format specs.
+  // ---------------------------------------------------------------------
+
+  /** Minimal 24bpp BI_RGB BMP encoder: pixels are row-major TOP-DOWN
+    * 0xRRGGBB; written bottom-up with 4-byte row padding, as the format
+    * requires — so the decoder's row-flip and padding logic is exercised.
+    */
+  def bmpBytes(w: Int, h: Int, px: Seq[Int]): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def put16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte; put32(2, size); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h); put16(26, 1); put16(28, 24); put32(30, 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      val base = 54 + (h - 1 - y) * rowBytes + x * 3 // bottom-up
+      b(base) = (p & 0xff).toByte          // B
+      b(base + 1) = ((p >> 8) & 0xff).toByte // G
+      b(base + 2) = ((p >> 16) & 0xff).toByte // R
+    }
+    b
+  }
+
+  /** Minimal 16-bit PCM WAV encoder with a LIST chunk before data, so the
+    * decoder's chunk walk is exercised.
+    */
+  def wavBytes(rate: Int, channels: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val listSize = 4 // "INFO"
+    val size = 12 + (8 + 16) + (8 + listSize) + (8 + dataSize)
+    val b = new Array[Byte](size)
+    def putS(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, i)
+    def put16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    putS(0, "RIFF"); put32(4, size - 8); putS(8, "WAVE")
+    putS(12, "fmt "); put32(16, 16)
+    put16(20, 1); put16(22, channels); put32(24, rate)
+    put32(28, rate * channels * 2); put16(32, channels * 2); put16(34, 16)
+    putS(36, "LIST"); put32(40, listSize); putS(44, "INFO")
+    putS(48, "data"); put32(52, dataSize)
+    samples.zipWithIndex.foreach { case (s, i) => put16(56 + 2 * i, s & 0xffff) }
+    b
+  }
+
+  test("decodeBmpPixels: 4x4 golden pixels round-trip, bottom-up + padding") {
+    // 3 wide (9 pixel bytes -> padded to 12) x 2 tall checks padding; then 4x4 golden
+    val small = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0x405060, 0x708090)
+    val Some((w2, h2, px2)) = Media.decodeBmpPixels(bmpBytes(3, 2, small))
+    assert((w2, h2) === (3, 2))
+    assert(px2.toSeq === small)
+
+    val golden = (0 until 16).map(i => (i * 17 << 16) | (255 - i * 17 << 8) | (i * 8))
+    val Some((w, h, px)) = Media.decodeBmpPixels(bmpBytes(4, 4, golden))
+    assert((w, h) === (4, 4))
+    assert(px.toSeq === golden)
+  }
+
+  test("decodeBmpPixels: rejects malformed and unsupported payloads") {
+    assert(Media.decodeBmpPixels(Array[Byte](0x42, 0x4d, 1, 2)) === None) // truncated
+    assert(Media.decodeBmpPixels(wavBytes(8000, 1, Seq(1, 2))) === None) // not a BMP
+    val bad = bmpBytes(2, 2, Seq(0, 0, 0, 0)); bad(28) = 8 // 8bpp unsupported
+    assert(Media.decodeBmpPixels(bad) === None)
+  }
+
+  test("decodeWavPcm: golden samples round-trip, chunk walk skips LIST") {
+    val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 42)
+    val Some((rate, ch, out)) = Media.decodeWavPcm(wavBytes(16000, 1, samples))
+    assert(rate === 16000)
+    assert(ch === 1)
+    assert(out.toSeq === samples)
+    assert(Media.decodeWavPcm(bmpBytes(2, 2, Seq(0, 0, 0, 0))) === None)
+  }
+
+  test("decode: dispatches real BMP/WAV decoders, stub only for unknown formats") {
+    val white = bmpBytes(4, 4, Seq.fill(16)(0xffffff)) // luma 255 -> bin 15
+    val loud = wavBytes(8000, 1, Seq.fill[Short](8)(32767)) // top amplitude bin
+    val mediaRows = Seq(
+      MediaRow(10L, "image", white, "image/bmp", 4, 4, 0L),
+      MediaRow(11L, "audio", loud, "audio/wav", 0, 0, 1L),
+      MediaRow(12L, "video", Array[Byte](0, 0, 0, 0x18, 0x66, 0x74, 0x79, 0x70), "video/mp4", 0, 0, 1L))
+    val feats = Media.decode(mediaRows.toDS()).collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats(10L)(15) === 1.0) // all-white image: all pixels in the top luma bin
+    assert(feats(10L).sum === 1.0)
+    assert(feats(11L)(15) === 1.0) // max-amplitude samples: top amplitude bin
+    assert(feats(12L).sum > 0.99) // stub histogram path still L1-normalized
+  }
+
   test("frameSampleOffsets: evenly spaced within duration, video only") {
     val out = Media.frameSampleOffsets(rows.toDF(), 4).collect()
     assert(out.length === 1) // only the video row
