@@ -154,9 +154,10 @@ object Percentages {
     * `month` (the reference's own PK prefix suggests the access pattern:
     * serving always probes one (month, day) slice — partition pruning replaces
     * the reference's composite index, precompute_percentages.py:73-74).
-    * Overwrite-recompute replaces the reference's ON CONFLICT upsert
-    * (precompute_percentages.py:218-233); the checkpoint/resume machinery
-    * (O6, precompute_percentages.py:82-91) is subsumed by deterministic
+    * Full overwrite-recompute is the default write mode; the reference's
+    * ON CONFLICT upsert (precompute_percentages.py:218-233) is available
+    * as [[upsertPercentages]]; the checkpoint/resume machinery (O6,
+    * precompute_percentages.py:82-91) is subsumed by deterministic
     * recompute + Spark stage retry.
     */
   def writePercentages(pct: DataFrame, outPath: String): Unit =
@@ -172,4 +173,38 @@ object Percentages {
       .select(
         col("branch"), col("move_type"), col("month").cast("long"),
         col("day"), col("move_cnt"), col("total_cnt"), col("avg_percentage"))
+
+  private val PctKey = Seq("branch", "move_type", "month", "day")
+  private val PctCols =
+    Seq("branch", "move_type", "month", "day", "move_cnt", "total_cnt", "avg_percentage")
+
+  /** O5/O6 incremental write mode: the reference's
+    * `ON CONFLICT (branch, move_type, month, day) DO UPDATE` upsert
+    * (precompute_percentages.py:218-233), restated as a partition-scoped
+    * MERGE over the persisted table. An update row supersedes the stored
+    * row with its key; stored rows without a matching update survive.
+    *
+    * Scale posture: only the month partitions PRESENT in `updates` are
+    * read or rewritten (dynamic partition overwrite — a daily run touches
+    * 1-2 of the 12 partitions); the touched-month row set is bounded
+    * (<= |branches| x 31 x |move types| per month) so the anti-join
+    * broadcasts and the pre-write localCheckpoint is cheap. The checkpoint
+    * is REQUIRED, not an optimization: the merged frame reads the same
+    * parquet path the write overwrites, so lineage must be cut before the
+    * commit deletes the old files.
+    */
+  def upsertPercentages(spark: SparkSession, updates: DataFrame, path: String): Unit = {
+    val months = updates.select("month").distinct().collect().map(_.getLong(0)) // <= 12 values
+    val kept = readPercentages(spark, path)
+      .filter(col("month").isin(months: _*))
+      .join(updates.select(PctKey.map(col): _*), PctKey, "left_anti")
+    val merged = kept.select(PctCols.map(col): _*)
+      .unionByName(updates.select(PctCols.map(col): _*))
+      .localCheckpoint()
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month")
+      .parquet(path)
+  }
 }

@@ -98,6 +98,44 @@ class PercentagesSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("upsert: update rows supersede, siblings and untouched partitions survive") {
+    val pct = Percentages.percentages(spark, sf).cache()
+    val out = java.nio.file.Files.createTempDirectory("graft_pct_upsert").toString
+    Percentages.writePercentages(pct, out)
+
+    // build updates inside ONE month: bump one existing row's percentage
+    // and insert a brand-new key in the same month
+    val janKey = pct.filter(col("month") === 1L).orderBy("branch", "move_type", "day").limit(1)
+    val bumped = janKey.withColumn("avg_percentage", col("avg_percentage") + 7.0)
+    val fresh = janKey.select(
+      lit("BX_NEW").as("branch"), col("move_type"), col("month"), col("day"),
+      lit(3.0).as("move_cnt"), lit(6.0).as("total_cnt"), lit(50.0).as("avg_percentage"))
+    val updates = bumped.unionByName(fresh)
+    Percentages.upsertPercentages(spark, updates, out)
+
+    val back = Percentages.readPercentages(spark, out).cache()
+    // superseded row carries the new value
+    val k = janKey.select("branch", "move_type", "month", "day").head()
+    val got = back.filter(
+      col("branch") === k.getString(0) && col("move_type") === k.getString(1) &&
+        col("month") === k.getLong(2) && col("day") === k.getLong(3))
+    assert(got.count() === 1)
+    assert(math.abs(got.head().getAs[Double]("avg_percentage") -
+      (janKey.head().getAs[Double]("avg_percentage") + 7.0)) < 1e-12)
+    // inserted key present
+    assert(back.filter(col("branch") === "BX_NEW").count() === 1)
+    // everything else is bit-identical to the original table
+    val untouched = back.filter(col("branch") =!= "BX_NEW")
+      .join(updates.select("branch", "move_type", "month", "day"),
+        Seq("branch", "move_type", "month", "day"), "left_anti")
+    val expected = pct.join(updates.select("branch", "move_type", "month", "day"),
+      Seq("branch", "move_type", "month", "day"), "left_anti")
+    assert(untouched.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(untouched).count() === 0)
+    // total row count: original + 1 insert
+    assert(back.count() === pct.count() + 1)
+  }
+
   test("monthlyAvg: one row per (branch, move_type, month)") {
     val ma = Percentages.monthlyAvg(Percentages.percentages(spark, sf))
     assert(ma.count() === ma.select("branch", "move_type", "month").distinct().count())
