@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Media, Similarity, TextOps}
+import graft.operators.{Dedup, Media, Similarity, Splits, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -133,6 +133,19 @@ object ExtensionQueries {
         .select(col("vec_a"), col("vec_b"), r4z(col("sim")).as("sim"))
         .orderBy("vec_a", "vec_b")),
 
+    // Dedup clustering: connected components over the oracle-verified
+    // blocked near-dup pairs — every vector's canonical (minimum) reachable
+    // id. DuckDB verifies via a recursive CTE walk over the same pairs.
+    "x19_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Similarity.blockedThresholdPairs(
+          Tables.embeddings(s, dir).select("label", "vec_id", "embedding"),
+          "label", 0.45)
+          .select(col("vec_a"), col("vec_b")),
+        srcCol = "vec_a", dstCol = "vec_b")
+        .select(col("node").as("vec_id"), col("component"))
+        .orderBy("vec_id")),
+
     // Aggregation generality beyond the reference (SURVEY §2.4 note):
     // rollup subtotals over the fact hierarchy.
     "x17_rollup_totals" -> ((s, dir) =>
@@ -168,6 +181,17 @@ object ExtensionQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"))
         .orderBy("doc_id")),
+
+    // Deterministic train/val/test split (rows-only: the xxhash64 fold
+    // assignment is engine-internal; determinism, partitioning-independence
+    // and fraction accuracy are property-tested in SplitsSpec).
+    "x20_train_split" -> ((s, dir) =>
+      Splits.splitByHash(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("fold")),
 
     // Streaming ingest, batch-verified (§2.7): the SAME dailyCounts
     // transform runs incrementally under a watermark — IngestSpec drives
@@ -294,6 +318,20 @@ object ExtensionQueries {
         |       sha256(text) AS content_sha,
         |       upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents ORDER BY 1""".stripMargin,
+    "x19_dedup_clusters" ->
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT vec_a, vec_b FROM scored WHERE sim >= 0.45),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |          UNION SELECT vec_b, vec_a FROM pairs),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node)
+         |SELECT node AS vec_id, MIN(label) AS component
+         |FROM walk GROUP BY node ORDER BY 1""".stripMargin,
     "x11_neardup_pairs" ->
       s"""WITH scored AS (
          |  SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,

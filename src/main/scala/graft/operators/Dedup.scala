@@ -269,6 +269,82 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Connected components: the clustering step a dedup pipeline runs AFTER
+  // near-dup pair generation — every document in a component duplicates
+  // the component's canonical (minimum-id) member, so "drop near-dups"
+  // becomes "keep one row per component".
+  // -------------------------------------------------------------------
+
+  /** (node, component) for every node appearing in `pairs`, where
+    * component = the minimum node id reachable through the pair graph.
+    *
+    * Min-label propagation: each iteration every node adopts the minimum
+    * label in its closed neighborhood; converges in O(graph diameter)
+    * iterations. Near-dup graphs are dense cliques with tiny diameter
+    * (transitive duplicates share fingerprints), so 2-4 iterations is
+    * typical; `maxIter` caps adversarial chain graphs, and the method
+    * throws rather than return wrong labels if the cap is hit (callers
+    * with pathological graphs should raise it — each extra iteration is
+    * one bounded join, and the alternating-star algorithm of Kiveris et
+    * al. 2014 is the published O(log n) upgrade if diameter ever matters).
+    *
+    * Scale posture: per iteration ONE shuffle join of labels against the
+    * edge list (already bounded: pairs are threshold-filtered candidates,
+    * not the corpus), plus a grouped min. Labels are localCheckpoint'ed
+    * every iteration — iterative lineage otherwise re-executes all prior
+    * rounds at every action and overwhelms the planner.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "doc_a",
+      dstCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val edges = fwd
+      .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint() // reused every iteration; bounded by 2|pairs|
+    var labels = edges
+      .select(col("u").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels
+        .unionByName(viaNeighbor)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations " +
+      "(graph diameter exceeds the cap — raise maxIter)")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** One surviving row per near-dup component plus all never-paired rows:
+    * the end-to-end "drop near-duplicates" convenience over
+    * [[connectedComponents]].
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
   // SimHash (Charikar 2002): 64-bit signature; near-dups have small
   // Hamming distance.
   // -------------------------------------------------------------------

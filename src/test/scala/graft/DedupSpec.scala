@@ -112,4 +112,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!sh.exists(_.getLong(0) == 1L))
     assert(sh.count(_.getLong(0) == 2L) === 2) // "a b c", "b c d"
   }
+
+  test("connected components: two cliques and a chain resolve to min-id labels") {
+    import spark.implicits._
+    // clique {1,2,3}, chain 10-11-12-13-14 (diameter 4, exercises iteration),
+    // isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: refuses to return wrong labels past maxIter") {
+    import spark.implicits._
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    // and with enough iterations the same chain is one component
+    val ok = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(ok.toSeq === Seq(0L))
+  }
+
+  test("dropNearDuplicates keeps one row per component plus unpaired rows") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // {1,2,4} -> keep 1; {5,6} -> keep 5; 3 unpaired -> kept
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+  }
 }

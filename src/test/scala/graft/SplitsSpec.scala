@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Splits
+
+class SplitsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = (1L to 5000L).toDF("doc_id")
+
+  test("every row gets exactly one fold; fractions track the weights") {
+    val out = Splits
+      .splitByHash(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .cache()
+    assert(out.filter(col("fold").isNull).count() === 0)
+    val byFold = out.groupBy("fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet === Set("train", "val", "test"))
+    assert(byFold.values.sum === 5000L)
+    // hash uniformity at n=5000: expect within a few percent of the weights
+    assert(math.abs(byFold("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(byFold("val") / 5000.0 - 0.1) < 0.03)
+    assert(math.abs(byFold("test") / 5000.0 - 0.1) < 0.03)
+  }
+
+  test("assignment is deterministic and partitioning-independent") {
+    val folds = Seq("a" -> 0.5, "b" -> 0.5)
+    val once = Splits.splitByHash(docs, "doc_id", folds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val repartitioned = Splits.splitByHash(docs.repartition(17), "doc_id", folds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once === repartitioned)
+  }
+
+  test("same key lands in the same fold across different tables") {
+    val folds = Seq("train" -> 0.9, "test" -> 0.1)
+    val a = Splits.splitByHash(docs, "doc_id", folds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val other = (1L to 5000L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val b = Splits.splitByHash(other, "doc_id", folds)
+      .select("doc_id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("different seeds shuffle the assignment") {
+    val folds = Seq("a" -> 0.5, "b" -> 0.5)
+    val s1 = Splits.splitByHash(docs, "doc_id", folds, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Splits.splitByHash(docs, "doc_id", folds, seed = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 !== s2)
+  }
+
+  test("weights that do not sum to 1 normalize") {
+    val out = Splits.splitByHash(docs, "doc_id", Seq("x" -> 3.0, "y" -> 1.0)).cache()
+    val byFold = out.groupBy("fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byFold("x") / 5000.0 - 0.75) < 0.03)
+  }
+}
