@@ -182,6 +182,13 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"))
         .orderBy("doc_id")),
 
+    // TF-IDF top terms per document (smoothed idf; rank ties broken on
+    // rounded score then token so engine ln() ulp drift cannot flip ranks).
+    "x21_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), col("rank"), col("token"), r4(col("score")).as("score"))
+        .orderBy("doc_id", "rank")),
+
     // Deterministic train/val/test split (rows-only: the xxhash64 fold
     // assignment is engine-internal; determinism, partitioning-independence
     // and fraction accuracy are property-tested in SplitsSpec).
@@ -318,6 +325,22 @@ object ExtensionQueries {
         |       sha256(text) AS content_sha,
         |       upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents ORDER BY 1""".stripMargin,
+    "x21_tfidf_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.dfreq + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, round(score, 4) AS score
+        |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
     "x19_dedup_clusters" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,33 +1,79 @@
 package graft
 
-/** Physical-plan audit over the whole query surface: counts parquet scans,
-  * join strategies, and cartesian products per query and fails (nonzero
-  * exit) if a plan regresses into a cartesian product or an unexpected
-  * sort-merge join. Output is the source of PLANS.md.
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{ElementAt, HigherOrderFunction}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Physical-plan audit over the whole query surface. Counts parquet scans,
+  * join strategies, cartesian products, and Filters whose condition embeds
+  * a higher-order array function, per query; fails (nonzero exit) on plan
+  * regressions. Output is the source of PLANS.md.
+  *
+  * Tree-based, not string-based: the audit walks the EXECUTED SparkPlan
+  * (descending into finalized AQE stages) so that a cached subtree
+  * (InMemoryTableScan prints its build plan, inflating any textual "Scan
+  * parquet" count) or a renamed operator cannot skew the numbers, and the
+  * HOF rule inspects real Catalyst expression nodes instead of matching
+  * printed names.
+  *
+  * The HOF-in-Filter rule exists because PushDownPredicate inlines a
+  * projection's array expression into a pushed filter, re-evaluating the
+  * whole upstream transform per array element — the trap that produced
+  * 22x regressions twice (TextOps round 1, Dedup.winnowFingerprints
+  * round 2). Guard inside the projection with when/otherwise instead.
   *
   * Usage: sbt "runMain graft.PlanAudit [sfDir]"
   */
 object PlanAudit {
 
-  /** Lambda-bearing higher-order functions whose appearance inside a Filter
-    * condition signals the pushed-filter-inlines-a-projection trap: the
-    * optimizer duplicates the aliased array expression into the filter, and
-    * each per-element reference re-evaluates the whole upstream transform.
-    */
-  private val HofMarkers =
-    Seq("transform(", "aggregate(", "element_at(", "zip_with(", "array_min(", "array_max(")
+  final case class Counts(scans: Int, bcastJoins: Int, smj: Int, cartesian: Int, hofFilters: Int)
 
-  /** Count Filter operators (plain or inside whole-stage codegen, e.g.
-    * "*(2) Filter (...)") whose printed condition mentions a higher-order
-    * array function. Plan text puts each operator on one line, so a
-    * line-level scan attributes expressions to the right operator.
+  /** All plan nodes reachable from `p`, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec and QueryStageExec are leaf-like nodes hiding
+    * their real subplans) but NOT into ReusedExchange (that subtree is
+    * counted once at its original site) and not into cached-relation build
+    * plans (steady-state I/O is what the audit measures).
     */
-  private val FilterLine = """^[\s:+|-]*(\*\(\d+\)\s*)?Filter [(\s]""".r
-
-  def hofInFilterCount(plan: String): Int =
-    plan.linesIterator.count { line =>
-      FilterLine.findFirstIn(line).isDefined && HofMarkers.exists(line.contains)
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Nil
+      case other => other.children
     }
+    p +: below.flatMap(walk)
+  }
+
+  /** True when a Filter condition embeds a lambda higher-order function or
+    * element_at — per-element re-evaluation of an inlined array expression.
+    */
+  private def hofFilter(f: FilterExec): Boolean =
+    f.condition.exists {
+      case _: HigherOrderFunction => true
+      case _: ElementAt => true
+      case _ => false
+    }
+
+  /** Audit an already-executed plan tree. */
+  def audit(plan: SparkPlan): Counts = {
+    val nodes = walk(plan)
+    Counts(
+      scans = nodes.count(_.isInstanceOf[FileSourceScanExec]),
+      bcastJoins = nodes.count(n =>
+        n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
+      cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),
+      hofFilters = nodes.collect { case f: FilterExec if hofFilter(f) => f }.size)
+  }
+
+  /** Execute the query (finalizing AQE) and audit the executed plan. */
+  def auditExecuted(df: DataFrame): Counts = {
+    df.count()
+    audit(df.queryExecution.executedPlan)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -36,19 +82,11 @@ object PlanAudit {
     println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter |")
     println("|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, dir)
-      df.count() // finalize AQE so the audited plan is the executed one
-      val plan = df.queryExecution.executedPlan.toString
-      def n(p: String) = p.r.findAllIn(plan).length
-      val scans = n("Scan parquet")
-      val bcast = n("BroadcastHashJoin|BroadcastNestedLoop")
-      val smj = n("SortMergeJoin")
-      val cart = n("CartesianProduct")
-      val hofFilters = hofInFilterCount(plan)
-      println(s"| $name | $scans | $bcast | $smj | $cart | $hofFilters |")
-      if (cart > 0) bad ::= s"$name: cartesian product"
-      if (smj > 0) bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
-      if (hofFilters > 0)
+      val c = auditExecuted(fn(spark, dir))
+      println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} |")
+      if (c.cartesian > 0) bad ::= s"$name: cartesian product"
+      if (c.smj > 0) bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
+      if (c.hofFilters > 0)
         bad ::= s"$name: higher-order function inside a Filter condition " +
           "(pushed-down filter re-evaluates an inlined array expression per element — " +
           "guard inside the projection with when/otherwise instead; " +

@@ -107,6 +107,48 @@ object TextOps {
       col("doc_id"),
       sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256).as("fingerprint"))
 
+  /** TF-IDF top-k terms per document — the classic relevance/keyword
+    * extraction over a corpus. Smoothed sklearn-style idf:
+    * `ln((N + 1) / (df + 1)) + 1` (never zero, never negative), score =
+    * tf * idf. Ranking ties break on `round(score, 6)` then token, so
+    * last-ulp ln() differences between engines can never flip a rank.
+    *
+    * Scale posture: tf shuffles ONCE on (doc_id, token) and is persisted
+    * (memory-spilling-to-disk) because two consumers need it — the score
+    * join and the document-frequency rollup — and column pruning would
+    * otherwise specialize each use into non-identical subtrees that
+    * ReuseExchange cannot collapse, re-tokenizing the corpus per use (the
+    * same multi-use trap Percentages solves with localCheckpoint; tf is
+    * corpus-scale, so the spillable cache replaces the bounded
+    * checkpoint — a production pipeline materializes tf as a table).
+    * Document frequency aggregates to vocabulary size and joins back on
+    * token (AQE broadcasts it when the vocabulary is small); the corpus
+    * size joins as a broadcast scalar — no driver-side count. The final
+    * top-k is a window over doc_id — the same key tf already shuffled on.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)) + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(round(col("score"), 6).desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "token", "score")
+  }
+
   /** Token 3-gram shingles, exploded to one row per (doc_id, shingle) —
     * the substrate for MinHash/Jaccard (Dedup). Distinct within doc.
     */

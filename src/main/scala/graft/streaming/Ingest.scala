@@ -134,6 +134,26 @@ object Ingest {
         })
   }
 
+  /** At-least-once → effectively-once ingest bridge: drop re-delivered
+    * events by id. Streaming inputs use dropDuplicatesWithinWatermark —
+    * dedup state is keyed by the id columns and RECLAIMED as the event-time
+    * watermark advances, so state is bounded by the delivery-delay horizon
+    * (the watermark), not the stream's lifetime; a plain streaming
+    * dropDuplicates would grow state forever. Batch inputs run the
+    * identical-semantics dropDuplicates.
+    *
+    * @param tsCol event-time column carrying the watermark
+    * @param delay how late a redelivery can arrive and still be deduped
+    */
+  def dedupEvents(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Per-(branch, move_type) daily counts — the `historical_data` shape. */
   def dailyCountsByType(moves: DataFrame): DataFrame = {
     val src = if (moves.isStreaming) moves.withWatermark("ts", "1 day") else moves

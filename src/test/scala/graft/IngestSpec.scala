@@ -73,6 +73,30 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = Ingest.dedupEvents(streamDf, Seq("event_id"))
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-10 08:00:00"), "a"), (2L, ts("2024-01-10 08:00:10"), "b"))
+      q.processAllAvailable()
+      // redelivery of id 1 in a later micro-batch, still inside the watermark
+      mem.addData((1L, ts("2024-01-10 08:00:20"), "a-dup"), (3L, ts("2024-01-10 08:01:00"), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("s_dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+      // batch path: identical semantics via plain dropDuplicates
+      val batch = Ingest.dedupEvents(
+        Seq((1L, ts("2024-01-10 08:00:00"), "a"), (1L, ts("2024-01-10 08:00:20"), "a-dup"))
+          .toDF("event_id", "ts", "payload"),
+        Seq("event_id"))
+      assert(batch.count() === 1)
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits bursts into sessions, closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]

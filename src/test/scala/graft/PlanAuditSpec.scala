@@ -1,44 +1,56 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The HOF-in-Filter audit rule must catch the pushed-filter-inlines-a-
-  * projection trap that twice produced 22x regressions (TextOps round 1,
-  * Dedup.winnowFingerprints round 2) — and must NOT flag higher-order
-  * functions that live in Project/Generate nodes, where they belong.
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The audit must flag the real optimizer behavior that produced two 22x
+  * regressions: PushDownPredicate pushing a post-projection filter below a
+  * derived-array projection, inlining the whole array expression into the
+  * filter condition (re-evaluated per element). Tests drive actual plans
+  * through Catalyst on parquet-backed data — a LocalRelation would be
+  * constant-folded away and never exercise the pushdown.
   */
 class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
 
-  // Condensed from the actual executed plan of the round-2 regression:
-  // PushDownPredicate pushed `size(hs) >= 4` below the projections and
-  // inlined the whole gram expression into the filter condition.
-  private val badPlan =
-    """*(2) Generate explode(fps#103), [doc_id#0L], false, [fp#90L]
-      |+- *(2) Project [doc_id#0L, array_distinct(transform(sequence(1, ...))) AS fps#103]
-      |   +- *(1) Filter (size(array_distinct(transform(sequence(1, (size(transform(split(text#1, \s+, -1), lambdafunction(...)), true) - 2)), lambdafunction(pmod(element_at(transform(split(text#1, ...), ...), ...)))), true) >= 4)
-      |      +- *(1) ColumnarToRow
-      |         +- FileScan parquet [doc_id#0L,text#1]""".stripMargin
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
 
-  // The fixed shape: the filter is gone, the guard lives inside the
-  // projection, and the only Filter left tests a plain attribute.
-  private val goodPlan =
-    """*(2) Generate explode(fps#103), [doc_id#0L], false, [fp#90L]
-      |+- *(2) Project [doc_id#0L, CASE WHEN (size(hs#77, true) >= 4) THEN array_distinct(transform(sequence(1, (size(hs#77, true) - 3)), lambdafunction(array_min(slice(hs#77, lambda i#104, 4)), lambda i#104, false))) ELSE [] END AS fps#103]
-      |   +- Project [doc_id#0L, array_distinct(transform(th#76, ...)) AS hs#77]
-      |      +- *(1) Filter (size(split(text#1, \s+, -1), true) >= 3)
-      |         +- FileScan parquet [doc_id#0L,text#1]""".stripMargin
-
-  test("flags a Filter whose condition inlines higher-order functions") {
-    assert(PlanAudit.hofInFilterCount(badPlan) === 1)
+  test("flags the pushed-filter-inlines-HOF shape (the round-2 x16 bug, reconstructed)") {
+    // winnowFingerprints' round-2 shape: derived-array projection, THEN a
+    // size filter — PushDownPredicate inlines the transform into the filter
+    val bad = docs
+      .select(
+        col("doc_id"),
+        transform(split(col("text"), "\\s+"), t => xxhash64(t)).as("hs"))
+      .filter(size(col("hs")) >= 4)
+    val c = PlanAudit.auditExecuted(bad)
+    assert(c.hofFilters >= 1, s"expected the inlined-HOF filter flagged, got $c")
   }
 
-  test("does not flag HOFs inside Project/Generate, or plain-attribute Filters") {
-    assert(PlanAudit.hofInFilterCount(goodPlan) === 0)
+  test("does not flag the fixed in-projection guard (current winnowFingerprints)") {
+    val c = PlanAudit.auditExecuted(Dedup.winnowFingerprints(docs))
+    assert(c.hofFilters === 0, s"clean shape wrongly flagged: $c")
+    assert(c.scans === 1)
   }
 
-  test("matches Filter under both codegen and plain operator prefixes") {
-    val plain = "+- Filter (element_at(transform(xs#1, x -> x), 1) > 0)"
-    val codegen = ":  +- *(3) Filter (aggregate(zip_with(a#1, b#2, ...), 0.0, ...) > 1)"
-    assert(PlanAudit.hofInFilterCount(plain + "\n" + codegen) === 2)
+  test("does not flag plain-attribute or non-HOF filters") {
+    val plain = docs.filter(length(col("text")) > 10 && size(split(col("text"), "\\s+")) >= 3)
+    val c = PlanAudit.auditExecuted(plain)
+    assert(c.hofFilters === 0)
+    assert(c.scans === 1)
+  }
+
+  test("counts broadcast joins and scans through finalized AQE plans") {
+    val small = docs.select(col("doc_id")).limit(10)
+    val joined = docs.join(broadcast(small), Seq("doc_id"))
+    val c = PlanAudit.auditExecuted(joined)
+    assert(c.bcastJoins === 1, s"expected one broadcast join, got $c")
+    assert(c.scans === 2)
+    assert(c.cartesian === 0 && c.smj === 0)
   }
 }
