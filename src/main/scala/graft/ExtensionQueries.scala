@@ -182,6 +182,14 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"))
         .orderBy("doc_id")),
 
+    // Benchmark-contamination check: shingle overlap against a banned set
+    // (here: the first 50 docs stand in for an eval benchmark).
+    "x22_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.contamination(docs, docs.filter(col("doc_id") < 50), minShared = 2)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document (smoothed idf; rank ties broken on
     // rounded score then token so engine ln() ulp drift cannot flip ranks).
     "x21_tfidf_topterms" -> ((s, dir) =>
@@ -325,6 +333,21 @@ object ExtensionQueries {
         |       sha256(text) AS content_sha,
         |       upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents ORDER BY 1""".stripMargin,
+    "x22_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM t WHERE len(toks) >= 3),
+        |ds AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        |ban AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 50),
+        |sh AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ds JOIN ban USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(sh.n, 0) AS n_shared_shingles,
+        |       COALESCE(sh.n, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
     "x21_tfidf_topterms" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),

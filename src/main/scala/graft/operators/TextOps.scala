@@ -182,8 +182,17 @@ object TextOps {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingleArrayFromTokens(col("toks"), n).as("shingle_arr"))
 
+  /** explode_outer, not explode: a non-outer Generate gets an inferred
+    * `size(arr) > 0` filter (InferFiltersFromGenerate) which downstream
+    * alias substitution pushes to the scan with the WHOLE shingle
+    * expression inlined — tokenize+gram evaluated twice per row (third
+    * sighting of the pushed-filter trap; PlanAudit's HOF rule caught it in
+    * x22). shingleFrame's upfront token-count filter guarantees non-empty
+    * arrays, so outer explode is semantically identical and dodges the
+    * inference.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleFrame(docs, n).select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+    shingleFrame(docs, n).select(col("doc_id"), explode_outer(col("shingle_arr")).as("shingle"))
 
   /** Per-doc distinct shingle count (oracle-checkable view of the shingle
     * layer). Computed as a per-row projection — no explode, no shuffle;
@@ -192,4 +201,68 @@ object TextOps {
   def shingleStats(docs: DataFrame, n: Int = 3): DataFrame =
     shingleFrame(docs, n)
       .select(col("doc_id"), size(col("shingle_arr")).cast("long").as("n_shingles"))
+
+  // -------------------------------------------------------------------
+  // PII scrubbing: the redaction pass every training-data pipeline runs
+  // before release. Regexes use only syntax shared by Java regex (Spark)
+  // and RE2 (DuckDB/production scanners) — no backreferences, no
+  // lookaround — so the same patterns run anywhere.
+  // -------------------------------------------------------------------
+
+  val UrlRe = "https?://\\S+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Per-document PII hit counts — the audit/reporting side of scrubbing. */
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  /** Redact URLs, then emails, then phone numbers (order matters: a URL
+    * can embed an @ that the email pattern would half-match). Pure
+    * projection — codegen'd regexp_replace, no shuffle.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlRe, "[URL]"),
+          EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("clean"))
+
+  // -------------------------------------------------------------------
+  // Benchmark-contamination check: flag documents sharing n-gram shingles
+  // with a banned corpus (eval sets, test benchmarks) — the standard
+  // n-gram-overlap decontamination pass (cf. GPT-2/GPT-3 appendix
+  // methodology, public knowledge).
+  // -------------------------------------------------------------------
+
+  /** Per-document count of distinct shingles shared with ANY banned doc,
+    * plus the `contaminated` flag (>= minShared). Every input doc gets a
+    * row (0 for docs too short to shingle).
+    *
+    * Scale posture: one shuffle on the shingle string for the semi join
+    * (AQE broadcasts the banned set when it is small — the common case:
+    * benchmarks are tiny next to a training corpus); the grouped count
+    * shuffles on doc_id. No all-pairs product anywhere.
+    */
+  def contamination(docs: DataFrame, banned: DataFrame, minShared: Int = 2): DataFrame = {
+    val docSh = shingles(docs) // distinct within doc already
+    val banSh = shingles(banned).select("shingle").distinct()
+    val shared = docSh
+      .join(banSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    docs
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_shared_shingles"), lit(0L)) >= minShared).as("contaminated"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Golden-value tests for the PII scrub pass on planted payloads (the
+  * driver testdata is synthetic word soup with no PII, so redaction gets
+  * its real verification here; x22 verifies the regex dialect parity
+  * contamination path against DuckDB on real data).
+  */
+class PiiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val planted = Seq(
+    (1L, "contact alice.smith+x@example.co.uk or visit https://example.com/a?b=c today"),
+    (2L, "call +1 (555) 123-4567 now"),
+    (3L, "no pii here at all"),
+    (4L, "two mails a@b.io c@d.org and http://x.y/z"))
+    .toDF("doc_id", "text")
+
+  test("piiStats counts urls, emails, phones") {
+    val m = TextOps.piiStats(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) === ((1L, 1L, 0L)))
+    assert(m(2L) === ((0L, 0L, 1L)))
+    assert(m(3L) === ((0L, 0L, 0L)))
+    assert(m(4L) === ((1L, 2L, 0L)))
+  }
+
+  test("redactPii replaces each class with its placeholder, leaves clean text alone") {
+    val m = TextOps.redactPii(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "contact [EMAIL] or visit [URL] today")
+    assert(m(2L) === "call [PHONE] now")
+    assert(m(3L) === "no pii here at all")
+    assert(m(4L) === "two mails [EMAIL] [EMAIL] and [URL]")
+  }
+
+  test("contamination flags docs sharing shingles with the banned set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // banned
+      (2L, "the quick brown fox sleeps"), // shares 2 shingles with banned
+      (3L, "quick brown cat naps quietly"), // shares 0 complete 3-grams
+      (4L, "ab cd")) // too short to shingle
+      .toDF("doc_id", "text")
+    val out = TextOps.contamination(docs, docs.filter($"doc_id" === 1L), minShared = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2) // banned doc is trivially contaminated with itself
+    assert(out(2L) === ((2L, true))) // "the quick brown", "quick brown fox"
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false)))
+  }
+}
