@@ -219,6 +219,20 @@ object ExtensionQueries {
           r4(col("cnt")).as("cnt"))
         .orderBy("ds", "branch")),
 
+    // Batch sessionization (§2.7 custom state, oracle-verified): the
+    // gaps-and-islands restatement of the streaming sessionize operator;
+    // IngestSpec separately pins streaming agreement with this semantics.
+    "s02_sessions" -> ((s, dir) =>
+      Ingest.sessionizeBatch(
+        Tables.events(s, dir).select(col("user_id"), col("ts")), 30 * 60 * 1000L)
+        .select(
+          col("user_id"),
+          col("session_seq"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("start"),
+          date_format(col("end"), "yyyy-MM-dd HH:mm:ss").as("end"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")),
+
     // Multimodal payload metadata over a binary column (documents' text
     // bytes stand in for media payloads; decode itself is stubbed — see
     // Media.decodeStub and MediaSpec).
@@ -327,6 +341,26 @@ object ExtensionQueries {
          |SELECT strftime(ds, '%Y-%m-%d') AS ds, branch, round(cnt, 4) AS cnt
          |FROM forecasting_data_all
          |ORDER BY 1, 2""".stripMargin,
+    // Gap comparison in epoch MILLIS on both engines: Spark truncates the
+    // nanos timestamp to millis (unix_millis), so the oracle must compare
+    // at the same resolution or a gap inside [30min, 30min+1ms) could
+    // split sessions differently.
+    "s02_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM w)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end",
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x12_media_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,

@@ -154,6 +154,37 @@ object Ingest {
       events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** Batch sessionization — the gaps-and-islands restatement of
+    * [[sessionize]]: a new session starts where the gap from the previous
+    * event reaches `gapMs`; the session id is the running count of starts.
+    * Declarative window functions, so Catalyst plans it as two window
+    * passes over ONE shuffle on user_id and DuckDB can verify it with the
+    * identical SQL — which also pins the streaming path, since
+    * IngestSpec asserts streaming sessionize output matches this batch
+    * operator on the same events (the last-open-session difference aside:
+    * streaming emits a session only when the watermark passes its gap).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val withStart = events
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "is_start",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= gapMs)).cast("long"))
+      .withColumn("session_seq", sum(col("is_start")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    withStart
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("start"),
+        max(col("ts")).as("end"),
+        count(lit(1)).cast("long").as("n_events"))
+      .select("user_id", "session_seq", "start", "end", "n_events")
+  }
+
   /** Per-(branch, move_type) daily counts — the `historical_data` shape. */
   def dailyCountsByType(moves: DataFrame): DataFrame = {
     val src = if (moves.isStreaming) moves.withWatermark("ts", "1 day") else moves

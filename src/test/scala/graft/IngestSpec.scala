@@ -130,6 +130,44 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch sessionization agrees with the streaming operator on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val sample = Seq(
+      (ts("2024-01-10 08:00:00"), 1L),
+      (ts("2024-01-10 08:05:00"), 1L),
+      (ts("2024-01-10 08:10:00"), 1L),
+      (ts("2024-01-10 09:00:00"), 1L),
+      (ts("2024-01-10 09:02:00"), 1L),
+      (ts("2024-01-10 08:30:00"), 2L),
+      (ts("2024-01-10 10:30:00"), 2L))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val evs = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[Ingest.SessionEvent]
+    val q = Ingest.sessionize(evs, gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("s_sess_agree").outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-12 00:00:00"), 99L)) // flush: close all real sessions
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-14 00:00:00"), 99L))
+      q.processAllAvailable()
+      val streamed = spark.table("s_sess_agree")
+        .filter(col("user_id") =!= 99L)
+        .select(col("user_id"), col("start").cast("string"),
+          col("end").cast("string"), col("n_events").cast("long"))
+        .as[(Long, String, String, Long)].collect().toSet
+      val batch = Ingest.sessionizeBatch(sample.toDF("ts", "user_id"), 30 * 60 * 1000L)
+        .select(col("user_id"), col("start").cast("string"),
+          col("end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(streamed === batch, s"streaming $streamed vs batch $batch")
+      assert(batch.size === 4) // user1: 2 sessions; user2: 2 single-event sessions
+    } finally q.stop()
+  }
+
   test("events later than the 1-day watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
