@@ -182,6 +182,17 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"))
         .orderBy("doc_id")),
 
+    // Corpus token-count distribution (exact percentiles for the oracle;
+    // the approx_percentile sketch variant is the documented 100 TB path,
+    // error-bounded against this in TextOpsSpec).
+    "x23_token_distribution" -> ((s, dir) =>
+      TextOps.tokenDistribution(Tables.documents(s, dir))
+        .select(
+          col("n_docs"), col("min_tokens"),
+          r4(col("p25")).as("p25"), r4(col("p50")).as("p50"),
+          r4(col("p75")).as("p75"), r4(col("p95")).as("p95"),
+          col("max_tokens"), col("mean_tokens"))),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -367,6 +378,17 @@ object ExtensionQueries {
         |       sha256(text) AS content_sha,
         |       upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents ORDER BY 1""".stripMargin,
+    "x23_token_distribution" ->
+      """WITH l AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(n) AS BIGINT) AS min_tokens,
+        |       round(quantile_cont(n, 0.25), 4) AS p25,
+        |       round(quantile_cont(n, 0.5), 4) AS p50,
+        |       round(quantile_cont(n, 0.75), 4) AS p75,
+        |       round(quantile_cont(n, 0.95), 4) AS p95,
+        |       CAST(MAX(n) AS BIGINT) AS max_tokens,
+        |       round(AVG(n), 4) AS mean_tokens
+        |FROM l""".stripMargin,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,

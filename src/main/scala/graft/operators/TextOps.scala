@@ -203,6 +203,38 @@ object TextOps {
       .select(col("doc_id"), size(col("shingle_arr")).cast("long").as("n_shingles"))
 
   // -------------------------------------------------------------------
+  // Corpus distribution statistics: the length/token histograms every
+  // data-curation report starts from.
+  // -------------------------------------------------------------------
+
+  /** Exact token-count distribution (min/quartiles/p95/max) over the
+    * corpus — one row. EXACT `percentile` is the oracle-verifiable
+    * reference semantics; it sorts each group on a single reducer, so at
+    * 100 TB call [[tokenDistributionApprox]] instead (mergeable
+    * Greenwald-Khanna sketch, map-side combinable — TextOpsSpec bounds its
+    * error against this exact form).
+    */
+  def tokenDistribution(docs: DataFrame): DataFrame =
+    distributionOf(tokenStats(docs), exact = true)
+
+  /** Sketch-based distribution — the 100 TB path (approx_percentile). */
+  def tokenDistributionApprox(docs: DataFrame): DataFrame =
+    distributionOf(tokenStats(docs), exact = false)
+
+  private def distributionOf(stats: DataFrame, exact: Boolean): DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    stats.agg(
+      count(lit(1)).as("n_docs"),
+      min(col("n_tokens")).as("min_tokens"),
+      expr(s"$fn(n_tokens, 0.25)").as("p25"),
+      expr(s"$fn(n_tokens, 0.5)").as("p50"),
+      expr(s"$fn(n_tokens, 0.75)").as("p75"),
+      expr(s"$fn(n_tokens, 0.95)").as("p95"),
+      max(col("n_tokens")).as("max_tokens"),
+      round(avg(col("n_tokens")), 4).as("mean_tokens"))
+  }
+
+  // -------------------------------------------------------------------
   // PII scrubbing: the redaction pass every training-data pipeline runs
   // before release. Regexes use only syntax shared by Java regex (Spark)
   // and RE2 (DuckDB/production scanners) — no backreferences, no
