@@ -42,6 +42,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.langId(emptyDocs).count() === 0)
   }
 
+  test("round-3 operators handle empty inputs") {
+    import graft.operators.Splits
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+    assert(Dedup.dropNearDuplicates(emptyDocs, emptyPairs).count() === 0)
+    assert(TextOps.tfidfTopTerms(emptyDocs).count() === 0)
+    assert(TextOps.contamination(emptyDocs, emptyDocs).count() === 0)
+    assert(TextOps.piiStats(emptyDocs).count() === 0)
+    assert(Splits.splitByHash(emptyDocs, "doc_id", Seq("a" -> 1.0)).count() === 0)
+    // distribution of an empty corpus: one row of nulls/zero, not a crash
+    val dist = TextOps.tokenDistribution(emptyDocs).head()
+    assert(dist.getAs[Long]("n_docs") === 0L)
+  }
+
   test("summarize of an empty daily frame is empty") {
     val daily = Seq.empty[(String, String, Long, Long, Double, Double)]
       .toDF("branch", "ds", "branch_forecast", "predicted_moves", "input_pct", "hist_avg")
