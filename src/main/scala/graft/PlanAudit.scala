@@ -25,6 +25,15 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * 22x regressions twice (TextOps round 1, Dedup.winnowFingerprints
   * round 2). Guard inside the projection with when/otherwise instead.
   *
+  * Known blind spot: an operator that executes work EAGERLY during query
+  * construction (connectedComponents' per-iteration localCheckpoint loop,
+  * any persist-then-act pattern) surfaces only its post-materialization
+  * plan here — the loop's internal joins are not audited. Those operators
+  * carry their own plan discipline in code (bounded checkpointed frames)
+  * and their internal shapes are covered by operator specs, but a
+  * regression inside such a loop would NOT fail this gate; treat a 0-scan
+  * row in PLANS.md as "audited from the materialization point onward".
+  *
   * Usage: sbt "runMain graft.PlanAudit [sfDir]"
   */
 object PlanAudit {

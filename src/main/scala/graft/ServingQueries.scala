@@ -427,16 +427,20 @@ object ServingQueries {
          |            ELSE 'weaker' END AS comment_class,
          |       (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
          |FROM daily ORDER BY 1, 2""".stripMargin,
-    // The engine formats bround(x, 1) with Java %.1f (a pass-through once
-    // the value is an exact 1-decimal double); DuckDB's printf rounds the
-    // RAW exact binary value ties-to-even — the same composition, so both
-    // engines produce identical text (see Forecast.dailyForecast).
+    // BOTH engines pre-round to 1 decimal with the SAME rounding function
+    // before formatting: Spark bround and DuckDB round_even both round the
+    // SHORTEST decimal repr half-even (probed on every tie class: 12.35 ->
+    // 12.4, 12.25 -> 12.2, 0.05 -> 0.0, 2.675 -> 2.7), so %.1f of the
+    // rounded value is a pass-through on both sides. Formatting the RAW
+    // value would NOT be safe: printf rounds the exact binary value
+    // (12.35 -> "12.3") while Java's Formatter rounds the shortest repr
+    // half-up (12.35 -> "12.4") — see Forecast.dailyForecast.
     "o43_comments" -> {
       val cases = (for {
         (cls, phrases) <- Forecast.DailyPhrases.toSeq
         (p, i) <- phrases.zipWithIndex
       } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
-        s"THEN printf('$p', '$MoveType', hist_avg, implied_pct)")
+        s"THEN printf('$p', '$MoveType', round_even(hist_avg, 1), round_even(implied_pct, 1))")
         .mkString("\n         |            ")
       s"""${Tables.FactCtes},
          |${SparkEntry.DensePctCtes},

@@ -282,12 +282,18 @@ object Forecast {
           .withColumn("phrase_id", phraseId(col("branch"), col("ds")))
           .withColumn("comment", {
             // format each bank's phrases, then select by (class, phrase_id).
-            // %.1f parity: Java's Formatter rounds the SHORTEST decimal repr
-            // half-up (12.35 -> "12.4") while Python's f"{x:.1f}" rounds the
-            // exact binary value ties-to-even (-> "12.3"). Pre-rounding with
-            // bround(x, 1) (exact-binary half-even == Python's rule) makes
-            // the Java formatter a pass-through, so the text matches the
-            // reference (main.py:270-279) and a DuckDB printf oracle.
+            // %.1f parity: the three formatters disagree on ties — Java's
+            // Formatter rounds the SHORTEST decimal repr half-up (12.35 ->
+            // "12.4"), CPython f"{x:.1f}" rounds the exact binary value
+            // half-even (-> "12.3"), and Spark bround / DuckDB round_even
+            // both round the shortest repr half-even (-> 12.4). Pre-rounding
+            // with bround(x, 1) makes Java's formatter a pass-through and
+            // gives text DuckDB reproduces exactly via
+            // printf('%.1f', round_even(x, 1)) — deterministic and
+            // cross-engine stable. Documented fidelity deviation: on an
+            // exact shortest-repr .x5 tie the digit is half-even on the
+            // printed repr, where CPython (main.py:270-279) is half-even on
+            // the binary value; every non-tie value formats identically.
             def bank(k: String): Column = element_at(
               array(DailyPhrases(k).map(p =>
                 format_string(p, lit(mt), bround(col("hist_avg"), 1), bround(col("implied_pct"), 1))): _*),

@@ -69,16 +69,21 @@ object Media {
     val hRaw = i32le(b, 22)
     val bpp = u16le(b, 28)
     val comp = i32le(b, 30)
-    if (hdrSize < 40 || w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
+    // width math in LONG: a hostile header with w near Int.MaxValue wraps
+    // `w * 3 + 3` negative in 32-bit, defeating the size check below and
+    // crashing on allocation instead of returning None
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowBytes * h > b.length) return None
+    // reachable only when the payload really holds w*h*3 bytes, so w*h
+    // fits an Int here; the guard above bounds it by b.length
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
-      val base = off + srcRow * rowBytes
+      val base = off + srcRow * rowBytes.toInt
       var x = 0
       while (x < w) {
         val i = base + x * 3 // stored B, G, R
@@ -108,7 +113,9 @@ object Media {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = i32le(b, pos + 4)
       val dataStart = pos + 8
-      if (size < 0 || dataStart + size > b.length) return None
+      // LONG comparison: a declared size near Int.MaxValue wraps
+      // `dataStart + size` negative in 32-bit and bypasses this guard
+      if (size < 0 || dataStart.toLong + size > b.length) return None
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = u16le(b, dataStart)

@@ -113,25 +113,30 @@ object TextOps {
     * tf * idf. Ranking ties break on `round(score, 6)` then token, so
     * last-ulp ln() differences between engines can never flip a rank.
     *
-    * Scale posture: tf shuffles ONCE on (doc_id, token) and is persisted
-    * (memory-spilling-to-disk) because two consumers need it — the score
-    * join and the document-frequency rollup — and column pruning would
-    * otherwise specialize each use into non-identical subtrees that
-    * ReuseExchange cannot collapse, re-tokenizing the corpus per use (the
-    * same multi-use trap Percentages solves with localCheckpoint; tf is
-    * corpus-scale, so the spillable cache replaces the bounded
-    * checkpoint — a production pipeline materializes tf as a table).
-    * Document frequency aggregates to vocabulary size and joins back on
-    * token (AQE broadcasts it when the vocabulary is small); the corpus
-    * size joins as a broadcast scalar — no driver-side count. The final
-    * top-k is a window over doc_id — the same key tf already shuffled on.
+    * Scale posture: tf shuffles ONCE on (doc_id, token) and is
+    * materialized (localCheckpoint, spilling blocks) because two consumers
+    * need it — the score join and the document-frequency rollup — and
+    * column pruning would otherwise specialize each use into
+    * non-identical subtrees that ReuseExchange cannot collapse,
+    * re-tokenizing the corpus per use (the same multi-use trap
+    * Percentages documents). localCheckpoint over persist() deliberately:
+    * a cache entry leaks in the CacheManager until an explicit unpersist
+    * (which a function returning a lazy frame has no safe point to call),
+    * while checkpoint blocks are reclaimed by the ContextCleaner when the
+    * frame becomes unreferenced. tf is corpus-scale, so a production
+    * pipeline materializes it as a table instead (same fault-tolerance
+    * caveat as Percentages.percentagesSingleScan). Document frequency
+    * aggregates to vocabulary size and joins back on token (AQE
+    * broadcasts it when the vocabulary is small); the corpus size joins
+    * as a broadcast scalar — no driver-side count. The final top-k is a
+    * window over doc_id — the same key tf already shuffled on.
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

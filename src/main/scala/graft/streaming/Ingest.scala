@@ -139,8 +139,16 @@ object Ingest {
     * dedup state is keyed by the id columns and RECLAIMED as the event-time
     * watermark advances, so state is bounded by the delivery-delay horizon
     * (the watermark), not the stream's lifetime; a plain streaming
-    * dropDuplicates would grow state forever. Batch inputs run the
-    * identical-semantics dropDuplicates.
+    * dropDuplicates would grow state forever.
+    *
+    * Batch inputs run dropDuplicates over the whole input. The CONTRACT
+    * both paths share is one-row-per-id; they are NOT otherwise
+    * interchangeable: when redeliveries carry differing payloads the
+    * streaming path keeps the first arrival while batch keeps an
+    * arbitrary row, and a redelivery later than `delay` is deduped by
+    * batch (unbounded horizon) but re-emitted by streaming. True
+    * duplicates — the at-least-once case this exists for — are identical
+    * rows, where both paths agree exactly.
     *
     * @param tsCol event-time column carrying the watermark
     * @param delay how late a redelivery can arrive and still be deduped

@@ -120,6 +120,25 @@ class ForecastSpec extends AnyFunSuite {
     assert(got(2.4999) === 2L && got(2.5001) === 3L)
   }
 
+  test("comment %.1f pre-rounding: bround rounds the shortest repr half-even (o43 parity pin)") {
+    // Spark bround(x, 1) and DuckDB round_even(x, 1) share these exact
+    // semantics (probed on every tie class) — the o43 oracle formats
+    // round_even(x, 1) on its side, so THIS behavior is the cross-engine
+    // contract; a silent change here would break the o43 hash gate.
+    // Documented CPython deviation: f"{12.35:.1f}" is "12.3" (exact
+    // binary half-even); this engine deterministically emits 12.4.
+    val got = Seq(12.35, 12.25, 0.05, 0.15, 2.675, 99.95)
+      .toDF("x")
+      .select(col("x"), format_string("%.1f", bround(col("x"), 1)).as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(got(12.35) === "12.4")
+    assert(got(12.25) === "12.2")
+    assert(got(0.05) === "0.0")
+    assert(got(0.15) === "0.2")
+    assert(got(2.675) === "2.7")
+    assert(got(99.95) === "100.0")
+  }
+
   // -------------------- validation quirks (main.py:200-209) ----------------
 
   test("invalid move type degrades to null (=> 100%), not an error") {

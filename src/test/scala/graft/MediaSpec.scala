@@ -115,6 +115,28 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeBmpPixels(bad) === None)
   }
 
+  test("hostile headers with overflowing sizes return None, never crash") {
+    // BMP declaring w=715827883: w*3+3 wraps negative in 32-bit math
+    val bmp = bmpBytes(2, 2, Seq(0, 0, 0, 0))
+    def put32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    val wideBmp = bmp.clone(); put32(wideBmp, 18, 715827883)
+    assert(Media.decodeBmpPixels(wideBmp) === None)
+    val hugeBmp = bmp.clone(); put32(hugeBmp, 18, Int.MaxValue); put32(hugeBmp, 22, 1)
+    assert(Media.decodeBmpPixels(hugeBmp) === None)
+    val minHBmp = bmp.clone(); put32(minHBmp, 22, Int.MinValue) // abs() would overflow
+    assert(Media.decodeBmpPixels(minHBmp) === None)
+    // WAV declaring a chunk size near Int.MaxValue: dataStart+size wraps
+    val wav = wavBytes(8000, 1, Seq[Short](1, 2, 3))
+    put32(wav, 40, 0x7ffffff0) // LIST chunk size
+    assert(Media.decodeWavPcm(wav) === None)
+    val wavData = wavBytes(8000, 1, Seq[Short](1, 2, 3))
+    put32(wavData, 52, 0x7ffffff0) // data chunk size
+    assert(Media.decodeWavPcm(wavData) === None)
+  }
+
   test("decodeWavPcm: golden samples round-trip, chunk walk skips LIST") {
     val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 42)
     val Some((rate, ch, out)) = Media.decodeWavPcm(wavBytes(16000, 1, samples))
