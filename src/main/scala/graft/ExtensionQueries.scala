@@ -15,14 +15,14 @@ import graft.streaming.Ingest
   */
 object ExtensionQueries {
 
-  private def r4(c: Column): Column = round(c, 4)
+  private def r4(c: Column): Column = graft.operators.CrossRound.r(c, 4)
 
   /** r4 for columns that can round to NEGATIVE zero (cosine similarities,
     * differences): DuckDB round preserves the sign bit of -0.0 while Spark
     * normalizes it, which breaks the driver's bit-exact hash. `+ 0.0`
     * canonicalizes on both engines (mirrored in the oracle SQL).
     */
-  private def r4z(c: Column): Column = round(c, 4) + lit(0.0)
+  private def r4z(c: Column): Column = graft.operators.CrossRound.r(c, 4) + lit(0.0)
 
   /** Stopword list rendered for SQL IN (...). */
   private def inList(words: Seq[String]): String =

@@ -50,7 +50,7 @@ object ServingQueries {
   val BranchProbes = Seq("B0", "B42", "B109", "B110", "Bangalore")
   val MoveTypeProbes = Seq("click", "error", "purchase", "Local", "view")
 
-  private def r4(c: Column): Column = round(c, 4)
+  private def r4(c: Column): Column = graft.operators.CrossRound.r(c, 4)
 
   /** r4 for columns that can round to NEGATIVE zero (differences of
     * doubles): Spark's round normalizes -0.0 to +0.0 (BigDecimal path)
@@ -59,7 +59,7 @@ object ServingQueries {
     * canonicalizes -0.0 to +0.0 and is a bit-exact no-op for every other
     * value; the oracle SQL applies the same `+ 0.0` on its side.
     */
-  private def r4z(c: Column): Column = round(c, 4) + lit(0.0)
+  private def r4z(c: Column): Column = graft.operators.CrossRound.r(c, 4) + lit(0.0)
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def d(ld: LocalDate): Column = lit(java.sql.Date.valueOf(ld))
 

@@ -20,13 +20,15 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Round a small-magnitude double (ratios, percentages) for hash parity. */
-  private def r4(c: Column): Column = round(c, 4)
+  /** Round a small-magnitude double (ratios, percentages) for hash parity
+    * (cross-engine-safe multiply form — see operators.CrossRound).
+    */
+  private def r4(c: Column): Column = graft.operators.CrossRound.r(c, 4)
 
   /** Round a money-magnitude sum: FP accumulation order across partitions can
     * drift ~1e-4 on 1e9-scale sums, so 2 decimals is the safe scale.
     */
-  private def r2(c: Column): Column = round(c, 2)
+  private def r2(c: Column): Column = graft.operators.CrossRound.r(c, 2)
 
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 

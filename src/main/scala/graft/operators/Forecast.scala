@@ -176,7 +176,7 @@ object Forecast {
     * can't flip a boundary case).
     */
   def classifyDiff(diff: Column): Column = {
-    val d = round(diff, 6)
+    val d = CrossRound.r(diff, 6)
     when(abs(d) <= 5.0, "consistent").when(d > 5.0, "stronger").otherwise("weaker")
   }
 

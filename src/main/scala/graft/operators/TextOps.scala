@@ -78,7 +78,7 @@ object TextOps {
     val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
     docs.select(
       col("doc_id"),
-      round(
+      CrossRound.r(
         least(nTok / 50.0, lit(1.0)) * 0.4 +
           diversity * 0.4 +
           (lit(1.0) - stopRatio) * 0.2,
@@ -236,7 +236,7 @@ object TextOps {
       expr(s"$fn(n_tokens, 0.75)").as("p75"),
       expr(s"$fn(n_tokens, 0.95)").as("p95"),
       max(col("n_tokens")).as("max_tokens"),
-      round(avg(col("n_tokens")), 4).as("mean_tokens"))
+      CrossRound.r(avg(col("n_tokens")), 4).as("mean_tokens"))
   }
 
   // -------------------------------------------------------------------
