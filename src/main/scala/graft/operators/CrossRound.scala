@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * non-tie product rounds by its actual magnitude on both. The division
   * then yields identical bits (same integer, same divisor).
   *
-  * Keep DuckDB oracles on plain `round(x, s)` — this helper matches THAT.
+  * Keep DuckDB oracles on plain `round(x, s)` — this helper matches THAT
+  * (differentially tested: 200k values x scales {2,4,6} including odd
+  * multiples of 5*10^-(s+1) — the tie grids — and rational percentages;
+  * zero bit mismatches against DuckDB).
   * Negative near-zero inputs can still round to -0.0 on DuckDB (never on
   * Spark — BigDecimal has no signed zero): columns that can be negative
   * must add `+ 0.0` on BOTH engines (the r4z pattern).
