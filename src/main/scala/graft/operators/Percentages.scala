@@ -178,6 +178,37 @@ object Percentages {
   private val PctCols =
     Seq("branch", "move_type", "month", "day", "move_cnt", "total_cnt", "avg_percentage")
 
+  /** The reference's nightly maintenance cycle
+    * (precompute_percentages.py runs as a cron over the full table),
+    * incrementalized: recompute the dense percentage rows for ONLY the
+    * given months and merge them into the persisted table. Percentages
+    * for a month depend on all-years history for that month's (branch,
+    * day) keys — so the fact table is re-aggregated (one shuffle over the
+    * months' partitions once the month predicate is pushed down) but the
+    * WRITE touches only the affected partitions. Composes with the
+    * streaming ingest: after streamDailyCountsToTable lands a day's
+    * facts, refreshing that day's month brings serving up to date.
+    */
+  def refreshMonths(
+      spark: SparkSession,
+      historical: DataFrame,
+      months: Seq[Long],
+      pctPath: String): Unit = {
+    // move-type domain from the FULL table: a full recompute emits
+    // zero-percentage rows for move types absent from the refreshed
+    // months, and the incremental path must produce identical rows
+    val mts = historical.select("move_type").distinct()
+    val mg = moveGrouped(historical.filter(month(col("ds")).isin(months: _*)))
+      .localCheckpoint()
+    val tg = mg
+      .groupBy(col("branch"), col("month"), col("day"))
+      .agg(sum(col("move_cnt")).as("total_cnt"))
+    upsertPercentages(spark, denseRatio(mg, tg, mts), pctPath)
+    // NOTE upsert semantics (same as the reference's ON CONFLICT): rows
+    // whose key vanishes from the recompute are NOT deleted — history
+    // shrinking under a key needs the full overwrite path.
+  }
+
   /** O5/O6 incremental write mode: the reference's
     * `ON CONFLICT (branch, move_type, month, day) DO UPDATE` upsert
     * (precompute_percentages.py:218-233), restated as a partition-scoped

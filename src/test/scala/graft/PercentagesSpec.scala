@@ -136,6 +136,28 @@ class PercentagesSpec extends AnyFunSuite {
     assert(back.count() === pct.count() + 1)
   }
 
+  test("refreshMonths: incremental month refresh equals a full recompute for that month") {
+    import graft.sources.Tables
+    val hist = Tables.historicalData(spark, sf)
+    // stale table: computed from history with some month-1 rows missing
+    val staleHist = hist.filter(!(month(col("ds")) === 1 && dayofmonth(col("ds")) <= 5))
+    val out = java.nio.file.Files.createTempDirectory("graft_pct_refresh").toString
+    Percentages.writePercentages(Percentages.percentagesSingleScan(staleHist), out)
+
+    Percentages.refreshMonths(spark, hist, Seq(1L), out)
+
+    val back = Percentages.readPercentages(spark, out).cache()
+    val full = Percentages.percentagesSingleScan(hist).cache()
+    // refreshed month now matches the full recompute exactly
+    val m1back = back.filter(col("month") === 1L)
+    val m1full = full.filter(col("month") === 1L)
+    assert(m1back.exceptAll(m1full).count() === 0 && m1full.exceptAll(m1back).count() === 0)
+    // untouched months keep the stale values
+    val rest = back.filter(col("month") =!= 1L)
+    val restStale = Percentages.percentagesSingleScan(staleHist).filter(col("month") =!= 1L)
+    assert(rest.exceptAll(restStale).count() === 0 && restStale.exceptAll(rest).count() === 0)
+  }
+
   test("monthlyAvg: one row per (branch, move_type, month)") {
     val ma = Percentages.monthlyAvg(Percentages.percentages(spark, sf))
     assert(ma.count() === ma.select("branch", "move_type", "month").distinct().count())
