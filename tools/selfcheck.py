@@ -3,9 +3,17 @@
 against the same parquet testdata and compare with the Spark output that
 graft.Verify dumped. Usage:
 
-    python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/selfcheck.py <sfDir> <verifyOutDir> [<verifyOutDir2> ...]
 
-Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.
+Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first — once per
+parallelism config. With MORE THAN ONE out dir the checker also compares
+every Spark output against the first one BIT-EXACT (all queries,
+including rows-only ones that have no oracle): a distributed engine's
+results must be invariant to the partition count, and a single-config
+gate is strictly weaker than a driver running at a different width
+(round 3 shipped o43 red exactly this way — green at local[4], red at
+the driver's local[32] on a partition-order float tie). Use
+tools/sweep.sh to produce the 4- and 32-partition outputs and run this.
 Not part of the engine — builder-side verification tooling only.
 """
 import json
@@ -36,14 +44,28 @@ def norm(df):
     return df
 
 
-def compare(name, spark_df, oracle_df):
+def values_equal(a, b):
+    """Bit-exact scalar compare mirroring the driver's hash: NaN==NaN,
+    -0.0 != +0.0, floats by their IEEE-754 bits."""
+    if isinstance(a, float) and isinstance(b, float):
+        an, bn = math.isnan(a), math.isnan(b)
+        if an and bn:
+            return True
+        if an != bn:
+            return False
+        return struct.pack("<d", a) == struct.pack("<d", b)
+    return repr(a) == repr(b)
+
+
+def compare(name, spark_df, oracle_df, other_label="oracle"):
     problems = []
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
     if sc != oc:
-        problems.append(f"columns differ: spark={sc} oracle={oc}")
+        problems.append(f"columns differ: spark={sc} {other_label}={oc}")
         return problems
     if len(spark_df) != len(oracle_df):
-        problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
+        problems.append(
+            f"row count differs: spark={len(spark_df)} {other_label}={len(oracle_df)}")
         return problems
     s, o = norm(spark_df), norm(oracle_df)
     for c in s.columns:
@@ -66,31 +88,52 @@ def compare(name, spark_df, oracle_df):
                         if first is None:
                             first = (a, b)
                 if bad:
-                    problems.append(f"col {c}: {bad} numeric mismatches (first: spark={first[0]!r} oracle={first[1]!r})")
+                    problems.append(
+                        f"col {c}: {bad} numeric mismatches "
+                        f"(first: spark={first[0]!r} {other_label}={first[1]!r})")
             else:
                 neq = (sv.astype(str) != ov.astype(str))
                 if neq.any():
                     i = neq.idxmax()
-                    problems.append(f"col {c}: {int(neq.sum())} mismatches (row {i}: spark={sv[i]!r} oracle={ov[i]!r})")
+                    problems.append(
+                        f"col {c}: {int(neq.sum())} mismatches "
+                        f"(row {i}: spark={sv[i]!r} {other_label}={ov[i]!r})")
         except Exception as e:
             problems.append(f"col {c}: compare error {e}")
     return problems
 
 
+def sort_rows(df):
+    """Deterministic row order for spark-vs-spark compare: sort by the repr
+    of every column (repr of a float keeps full precision; arrays/structs
+    become their string form). Queries are fully ORDER BY'd already, so
+    this only defends rows-only outputs without a total order."""
+    if len(df) == 0 or len(df.columns) == 0:
+        return df.reset_index(drop=True)
+    keys = [tuple(repr(v) for v in row) for row in df.itertuples(index=False)]
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    return df.iloc[order].reset_index(drop=True)
+
+
+def read_spark(d):
+    return duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    sf_dir, out_dirs = sys.argv[1], sys.argv[2:]
+    base_dir = out_dirs[0]
+    with open(os.path.join(base_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = connect(sf_dir)
     spark_results = {}
-    for name in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, name)
+    for name in sorted(os.listdir(base_dir)):
+        d = os.path.join(base_dir, name)
         if os.path.isdir(d):
             spark_results[name] = d
     n_pass = n_fail = n_noracle = 0
     for name, d in spark_results.items():
-        spark_df = duckdb.connect().execute(
-            f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        spark_df = read_spark(d)
         if name not in oracles:
             n_noracle += 1
             print(f"[rows-only] {name}: {len(spark_df)} rows (no oracle)")
@@ -116,8 +159,33 @@ def main():
     for name in sorted(missing):
         n_fail += 1
         print(f"[FAIL] {name}: oracle present but no spark output")
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
-    sys.exit(1 if n_fail else 0)
+
+    # Parallelism-invariance sweep: every extra out dir must match the
+    # first one bit-exactly on EVERY query (oracle-checked or not).
+    n_sweep_fail = 0
+    for other in out_dirs[1:]:
+        label = os.path.basename(other.rstrip("/")) or other
+        for name, d in spark_results.items():
+            od = os.path.join(other, name)
+            if not os.path.isdir(od):
+                n_sweep_fail += 1
+                print(f"[SWEEP FAIL] {name}: missing in {other}")
+                continue
+            a, b = sort_rows(read_spark(d)), sort_rows(read_spark(od))
+            problems = compare(name, a, b, other_label=label)
+            if problems:
+                n_sweep_fail += 1
+                print(f"[SWEEP FAIL] {name}: outputs differ across partition configs:")
+                for p in problems:
+                    print(f"   {p}")
+    if out_dirs[1:]:
+        n_q = len(spark_results)
+        print(f"sweep: {len(out_dirs)} configs x {n_q} queries, "
+              f"{n_sweep_fail} divergent")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only, "
+          f"{n_sweep_fail} sweep-fail")
+    sys.exit(1 if (n_fail or n_sweep_fail) else 0)
 
 
 if __name__ == "__main__":
