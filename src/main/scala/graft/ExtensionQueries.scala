@@ -387,7 +387,7 @@ object ExtensionQueries {
         |       round(quantile_cont(n, 0.75), 4) AS p75,
         |       round(quantile_cont(n, 0.95), 4) AS p95,
         |       CAST(MAX(n) AS BIGINT) AS max_tokens,
-        |       round(AVG(n), 4) AS mean_tokens
+        |       round(round(AVG(n), 8), 4) AS mean_tokens
         |FROM l""".stripMargin,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),

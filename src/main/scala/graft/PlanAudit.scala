@@ -78,9 +78,16 @@ object PlanAudit {
       hofFilters = nodes.collect { case f: FilterExec if hofFilter(f) => f }.size)
   }
 
-  /** Execute the query (finalizing AQE) and audit the executed plan. */
+  /** Execute the query (finalizing AQE) and audit the executed plan.
+    *
+    * Executes df's OWN QueryExecution via toRdd — df.count() would spawn a
+    * separate QueryExecution (groupBy().count()), leaving this one's
+    * AdaptiveSparkPlanExec un-executed so the walk would see only the
+    * static pre-execution plan and miss runtime AQE changes (join
+    * demotions, runtime exchange reuse).
+    */
   def auditExecuted(df: DataFrame): Counts = {
-    df.count()
+    df.queryExecution.toRdd.count()
     audit(df.queryExecution.executedPlan)
   }
 

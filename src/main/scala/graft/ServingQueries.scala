@@ -60,6 +60,14 @@ object ServingQueries {
     * value; the oracle SQL applies the same `+ 0.0` on its side.
     */
   private def r4z(c: Column): Column = graft.operators.CrossRound.r(c, 4) + lit(0.0)
+
+  /** r4 for AGGREGATE-fed doubles (monthly-AVG fallbacks, period
+    * averages): pre-rounds 4 extra decimals so partition-order summation
+    * drift cannot land on a 4 dp tie (CrossRound.ra convention; oracle
+    * mirror `round(round(x, 8), 4)`).
+    */
+  private def r4a(c: Column): Column = graft.operators.CrossRound.ra(c, 4)
+  private def r4az(c: Column): Column = graft.operators.CrossRound.ra(c, 4) + lit(0.0)
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def d(ld: LocalDate): Column = lit(java.sql.Date.valueOf(ld))
 
@@ -132,8 +140,8 @@ object ServingQueries {
         .select(
           col("branch"), fmtDate(col("ds")).as("ds"),
           r4(col("day_pct")).as("day_pct"),
-          r4(col("month_pct")).as("month_pct"),
-          r4(col("effective_pct")).as("effective_pct"),
+          r4a(col("month_pct")).as("month_pct"),
+          r4a(col("effective_pct")).as("effective_pct"),
           col("fallback_level"))
         .orderBy("branch", "ds")
     }),
@@ -147,11 +155,11 @@ object ServingQueries {
         .select(
           col("branch"), fmtDate(col("ds")).as("ds"),
           col("branch_forecast"),
-          r4(col("input_pct")).as("input_pct"),
+          r4a(col("input_pct")).as("input_pct"),
           col("predicted_moves"),
-          r4(col("hist_avg")).as("hist_avg"),
+          r4a(col("hist_avg")).as("hist_avg"),
           r4(col("implied_pct")).as("implied_pct"),
-          r4z(col("pct_diff")).as("pct_diff"),
+          r4az(col("pct_diff")).as("pct_diff"),
           col("comment_class"),
           col("phrase_id"))
         .orderBy("branch", "ds")
@@ -197,9 +205,9 @@ object ServingQueries {
           col("total_branch_forecast"),
           col("n_days"),
           col("average_daily_moves"),
-          r4(col("current_pct")).as("current_pct"),
-          r4(col("period_avg")).as("period_avg"),
-          r4z(col("period_diff")).as("period_diff"),
+          r4a(col("current_pct")).as("current_pct"),
+          r4a(col("period_avg")).as("period_avg"),
+          r4az(col("period_diff")).as("period_diff"),
           col("summary_class"))
         .orderBy("branch")
     }),
@@ -236,7 +244,7 @@ object ServingQueries {
       SeasonalModel.predict(models, days, spec)
         .select(
           col("branch"), fmtDate(col("ds")).as("ds"),
-          r4(col("yhat")).as("yhat"), r4(col("yhat_upper")).as("yhat_upper"))
+          r4a(col("yhat")).as("yhat"), r4a(col("yhat_upper")).as("yhat_upper"))
         .orderBy("branch", "ds")
     }),
 
@@ -254,7 +262,7 @@ object ServingQueries {
         .select(
           col("branch"), fmtDate(col("ds")).as("ds"),
           col("branch_forecast"), col("predicted_moves"),
-          r4(col("hist_avg")).as("hist_avg"),
+          r4a(col("hist_avg")).as("hist_avg"),
           col("comment_class"), col("comment"))
         .orderBy("branch", "ds")
     }),
@@ -315,7 +323,7 @@ object ServingQueries {
        |  FROM forecasting_data GROUP BY 1),
        |base AS (
        |  SELECT model.branch, wdays.ds,
-       |         CAST(round_even(greatest(yhat_upper, 0), 0) AS BIGINT) AS branch_forecast
+       |         CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT) AS branch_forecast
        |  FROM model CROSS JOIN wdays),
        |inputpct AS (
        |  SELECT b.branch, COALESCE(p.avg_percentage, m.month_pct, 1.0) AS input_pct
@@ -326,7 +334,7 @@ object ServingQueries {
        |                     AND m.month = ${InputDate.getMonthValue}),
        |scaled AS (
        |  SELECT base.branch, base.ds, base.branch_forecast, i.input_pct,
-       |         CAST(round_even(i.input_pct / 100.0 * base.branch_forecast, 0) AS BIGINT) AS predicted_moves
+       |         CAST(round_even(round(i.input_pct / 100.0 * base.branch_forecast, 6), 0) AS BIGINT) AS predicted_moves
        |  FROM base JOIN inputpct i ON i.branch = base.branch),
        |daily AS (
        |  SELECT scaled.*,
@@ -402,8 +410,8 @@ object ServingQueries {
          |  FROM (SELECT DISTINCT branch FROM pct) b CROSS JOIN wdays)
          |SELECT req.branch, strftime(req.ds, '%Y-%m-%d') AS ds,
          |       round(p.avg_percentage, 4) AS day_pct,
-         |       round(m.month_pct, 4) AS month_pct,
-         |       round(COALESCE(p.avg_percentage, m.month_pct, 1.0), 4) AS effective_pct,
+         |       round(round(m.month_pct, 8), 4) AS month_pct,
+         |       round(round(COALESCE(p.avg_percentage, m.month_pct, 1.0), 8), 4) AS effective_pct,
          |       CASE WHEN p.avg_percentage IS NOT NULL THEN 'day'
          |            WHEN m.month_pct IS NOT NULL THEN 'month'
          |            ELSE 'default' END AS fallback_level
@@ -418,10 +426,10 @@ object ServingQueries {
          |${SparkEntry.DensePctCtes},
          |$dailyCtes
          |SELECT branch, strftime(ds, '%Y-%m-%d') AS ds, branch_forecast,
-         |       round(input_pct, 4) AS input_pct, predicted_moves,
-         |       round(hist_avg, 4) AS hist_avg,
+         |       round(round(input_pct, 8), 4) AS input_pct, predicted_moves,
+         |       round(round(hist_avg, 8), 4) AS hist_avg,
          |       round(implied_pct, 4) AS implied_pct,
-         |       round(implied_pct - hist_avg, 4) + 0.0 AS pct_diff,
+         |       round(round(implied_pct - hist_avg, 8), 4) + 0.0 AS pct_diff,
          |       CASE WHEN abs(round(implied_pct - hist_avg, 6)) <= 5 THEN 'consistent'
          |            WHEN round(implied_pct - hist_avg, 6) > 5 THEN 'stronger'
          |            ELSE 'weaker' END AS comment_class,
@@ -440,7 +448,7 @@ object ServingQueries {
         (cls, phrases) <- Forecast.DailyPhrases.toSeq
         (p, i) <- phrases.zipWithIndex
       } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
-        s"THEN printf('$p', '$MoveType', round_even(hist_avg, 1), round_even(implied_pct, 1))")
+        s"THEN printf('$p', '$MoveType', round_even(round(hist_avg, 6), 1), round_even(round(implied_pct, 6), 1))")
         .mkString("\n         |            ")
       s"""${Tables.FactCtes},
          |${SparkEntry.DensePctCtes},
@@ -465,9 +473,9 @@ object ServingQueries {
          |         AVG(cnt) + ${Forecast.Z80} * COALESCE(stddev_samp(cnt), 0) AS yhat_upper
          |  FROM forecasting_data GROUP BY 1)
          |SELECT model.branch, strftime(wdays.ds, '%Y-%m-%d') AS ds,
-         |       CAST(round_even(greatest(yhat_upper, 0), 0) AS BIGINT) AS branch_forecast,
+         |       CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT) AS branch_forecast,
          |       round(100.0, 4) AS input_pct,
-         |       CAST(round_even(100.0 / 100.0 * CAST(round_even(greatest(yhat_upper, 0), 0) AS BIGINT), 0) AS BIGINT)
+         |       CAST(round_even(round(100.0 / 100.0 * CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT), 6), 0) AS BIGINT)
          |         AS predicted_moves,
          |       'no_move_type' AS comment_class
          |FROM model CROSS JOIN wdays
@@ -486,13 +494,13 @@ object ServingQueries {
          |  FROM daily GROUP BY 1)
          |SELECT branch, total_predicted_moves, total_branch_forecast, n_days,
          |       CAST(round_even(total_predicted_moves / n_days, 0) AS BIGINT) AS average_daily_moves,
-         |       round(CASE WHEN total_branch_forecast > 0
-         |                  THEN total_predicted_moves / total_branch_forecast * 100.0
-         |                  ELSE 0.0 END, 4) AS current_pct,
-         |       round(COALESCE(hist_period_avg, input_pct), 4) AS period_avg,
-         |       round(CASE WHEN total_branch_forecast > 0
-         |                  THEN total_predicted_moves / total_branch_forecast * 100.0
-         |                  ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 4) + 0.0 AS period_diff,
+         |       round(round(CASE WHEN total_branch_forecast > 0
+         |                        THEN total_predicted_moves / total_branch_forecast * 100.0
+         |                        ELSE 0.0 END, 8), 4) AS current_pct,
+         |       round(round(COALESCE(hist_period_avg, input_pct), 8), 4) AS period_avg,
+         |       round(round(CASE WHEN total_branch_forecast > 0
+         |                        THEN total_predicted_moves / total_branch_forecast * 100.0
+         |                        ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 8), 4) + 0.0 AS period_diff,
          |       CASE WHEN abs(round(CASE WHEN total_branch_forecast > 0
          |                                THEN total_predicted_moves / total_branch_forecast * 100.0
          |                                ELSE 0.0 END - COALESCE(hist_period_avg, input_pct), 6)) <= 5

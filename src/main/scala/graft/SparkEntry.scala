@@ -30,6 +30,11 @@ object SparkEntry {
     */
   private def r2(c: Column): Column = graft.operators.CrossRound.r(c, 2)
 
+  /** r4 for AGGREGATE-fed doubles — see CrossRound.ra (oracle mirror:
+    * `round(round(x, 8), 4)`).
+    */
+  private def r4a(c: Column): Column = graft.operators.CrossRound.ra(c, 4)
+
   private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
   /** Fixture train cutoff for o30/forecaster queries — the reference's own
@@ -114,7 +119,7 @@ object SparkEntry {
     "o31_monthly_avg" -> ((s, dir) =>
       Percentages
         .monthlyAvg(Percentages.percentages(s, dir))
-        .select(col("branch"), col("move_type"), col("month"), r4(col("month_avg")).as("month_avg"))
+        .select(col("branch"), col("move_type"), col("month"), r4a(col("month_avg")).as("month_avg"))
         .orderBy("branch", "move_type", "month")),
 
     // O33/O34: DISTINCT move types, sorted (main.py:205,
@@ -195,7 +200,7 @@ object SparkEntry {
     "o31_monthly_avg" ->
       s"""${Tables.FactCtes},
          |$DensePctCtes
-         |SELECT branch, move_type, month, round(AVG(avg_percentage), 4) AS month_avg
+         |SELECT branch, move_type, month, round(round(AVG(avg_percentage), 8), 4) AS month_avg
          |FROM pct
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,

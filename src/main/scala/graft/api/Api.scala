@@ -65,8 +65,11 @@ object Api {
     val daily = Forecast.dailyForecast(model, pct, effMoveType, inputDate, today)
       .filter(col("branch") === input.branch)
     val summary = Forecast.summarize(daily, effMoveType)
-      .withColumn("current_pct", round(col("current_pct"), 6))
-      .withColumn("period_avg", round(col("period_avg"), 6))
+      // CrossRound so the API reports the same digits as the oracle-gated
+      // query surface (o36) — and partition-order-stably (period_avg is an
+      // AVG over doubles)
+      .withColumn("current_pct", graft.operators.CrossRound.ra(col("current_pct"), 6))
+      .withColumn("period_avg", graft.operators.CrossRound.ra(col("period_avg"), 6))
     (
       daily
         .select("branch", "ds", "branch_forecast", "predicted_moves", "comment_class", "comment")

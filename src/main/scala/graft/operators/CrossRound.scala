@@ -28,10 +28,47 @@ import org.apache.spark.sql.functions._
   * Negative near-zero inputs can still round to -0.0 on DuckDB (never on
   * Spark — BigDecimal has no signed zero): columns that can be negative
   * must add `+ 0.0` on BOTH engines (the r4z pattern).
+  *
+  * == The tie-sensitive-aggregate convention ==
+  *
+  * Every tie-sensitive rounding of an AGGREGATED double must PRE-ROUND at
+  * a scale >= final + 4 (mirrored on the oracle side). This is the rule
+  * that unifies the three distinct cross-engine rounding traps this
+  * project has hit:
+  *
+  *   1. signed zero (round 2, o42): a rounded difference whose true value
+  *      is ~-1e-17 — Spark normalizes -0.0, DuckDB keeps it. Guard: `+ 0.0`
+  *      on both engines after the round.
+  *   2. shortest-repr vs binary rounding (round 3, found by review): Spark
+  *      round/bround round the printed repr, DuckDB rounds the binary
+  *      value. Guard: [[r]] (multiply form) on the Spark side.
+  *   3. partition-order drift (round 3, o43, caught by the driver): the two
+  *      engines — and the SAME engine at different partition counts — sum
+  *      a float aggregate in different orders, so a value whose true
+  *      magnitude sits exactly ON a rounding tie (21.25 at scale 1)
+  *      arrives as 21.25 +/- 1 ulp and rounds to DIFFERENT digits per run.
+  *      Guard: [[ra]] — pre-round 4 extra decimals to collapse the +/-ulp
+  *      noise onto one double on every engine and at every parallelism,
+  *      then round to the output scale. The pre-round scale must be coarse
+  *      enough that accumulated drift (~1e-12 relative) stays far from its
+  *      OWN ties, and fine enough not to perturb the output scale — +4
+  *      digits satisfies both by ~7 orders of magnitude.
+  *
+  * Deterministic per-row values (ratios of exact integer sums, scalar
+  * math) cannot drift and may use [[r]] directly; anything downstream of
+  * AVG/STDDEV over doubles — or of a sum that can exceed 2^53 at target
+  * scale — goes through [[ra]] (or formats through `bround(r(x, 6), 1)`
+  * for printed text, mirrored as `round_even(round(x, 6), 1)`).
   */
 object CrossRound {
   def r(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
     round(c * f) / f
   }
+
+  /** Aggregate-safe output rounding: collapse partition-order drift at
+    * `scale + 4`, then round to `scale`. Oracle mirror:
+    * `round(round(x, scale + 4), scale)`.
+    */
+  def ra(c: Column, scale: Int): Column = r(r(c, scale + 4), scale)
 }

@@ -164,8 +164,21 @@ object Forecast {
   /** Python `int(round(x))` = round-half-even, exactly (`bround`). */
   def pyRound(c: Column): Column = bround(c).cast("long")
 
-  /** O14: clip(lower=0).round().astype(int) (main.py:236). */
-  def clipRoundCount(c: Column): Column = pyRound(greatest(c, lit(0.0)))
+  /** [[pyRound]] for AGGREGATE-fed doubles (model outputs, percentage
+    * fallbacks): pre-round at 6 dp so partition-order drift of +/-1 ulp
+    * around an exact .5 tie cannot flip the integer across runs or
+    * engines (the CrossRound.ra convention at output scale 0). Oracle
+    * mirror: `round_even(round(x, 6), 0)`. Fidelity deviation vs Python:
+    * only inputs within 5e-7 of a .5 boundary can round differently —
+    * the same accepted class as classifyDiff's 6 dp guard.
+    */
+  def pyRoundAgg(c: Column): Column = bround(CrossRound.r(c, 6)).cast("long")
+
+  /** O14: clip(lower=0).round().astype(int) (main.py:236). Drift-guarded:
+    * yhat_upper descends from stddev_samp/least-squares aggregates, whose
+    * accumulation order is partition-dependent.
+    */
+  def clipRoundCount(c: Column): Column = pyRoundAgg(greatest(c, lit(0.0)))
 
   /** O41: `x / y * 100 if y > 0 else 0` (main.py:266, :295). */
   def safeSharePct(x: Column, y: Column): Column =
@@ -249,7 +262,7 @@ object Forecast {
       case None =>
         counted
           .withColumn("input_pct", lit(NoMoveTypePct))
-          .withColumn("predicted_moves", pyRound(col("input_pct") / 100.0 * col("branch_forecast")))
+          .withColumn("predicted_moves", pyRoundAgg(col("input_pct") / 100.0 * col("branch_forecast")))
           .withColumn("hist_avg", lit(null).cast("double"))
           .withColumn("implied_pct", safeSharePct(col("predicted_moves"), col("branch_forecast")))
           .withColumn("pct_diff", lit(null).cast("double"))
@@ -268,7 +281,7 @@ object Forecast {
           .withColumnRenamed("effective_pct", "input_pct")
           .drop("day_pct", "month_pct", "fallback_level", "month", "day")
         val scaled = withInputPct
-          .withColumn("predicted_moves", pyRound(col("input_pct") / 100.0 * col("branch_forecast")))
+          .withColumn("predicted_moves", pyRoundAgg(col("input_pct") / 100.0 * col("branch_forecast")))
         val dayReq = scaled
           .withColumn("month", month(col("ds")).cast("long"))
           .withColumn("day", dayofmonth(col("ds")).cast("long"))
@@ -294,9 +307,19 @@ object Forecast {
             // exact shortest-repr .x5 tie the digit is half-even on the
             // printed repr, where CPython (main.py:270-279) is half-even on
             // the binary value; every non-tie value formats identically.
+            //
+            // The CrossRound.r(x, 6) INSIDE the bround is the partition-
+            // order guard (round-3 red row): hist_avg can fall back to a
+            // monthly AVG whose true value sits exactly ON a scale-1 tie
+            // (21.25 for (B94, 2024-01-31)); summed in a different order —
+            // 4 vs 32 partitions — it arrives 1 ulp high and bround flips
+            // "21.2" to "21.3". Collapsing at 6 dp first lands every
+            // ordering on the same double; the oracle mirrors with
+            // round_even(round(x, 6), 1).
+            def fmt1(c: Column): Column = bround(CrossRound.r(c, 6), 1)
             def bank(k: String): Column = element_at(
               array(DailyPhrases(k).map(p =>
-                format_string(p, lit(mt), bround(col("hist_avg"), 1), bround(col("implied_pct"), 1))): _*),
+                format_string(p, lit(mt), fmt1(col("hist_avg")), fmt1(col("implied_pct")))): _*),
               (col("phrase_id") + 1).cast("int"))
             when(col("comment_class") === "consistent", bank("consistent"))
               .when(col("comment_class") === "stronger", bank("stronger"))

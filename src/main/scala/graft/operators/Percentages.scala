@@ -226,12 +226,24 @@ object Percentages {
     */
   def upsertPercentages(spark: SparkSession, updates: DataFrame, path: String): Unit = {
     val months = updates.select("month").distinct().collect().map(_.getLong(0)) // <= 12 values
-    val kept = readPercentages(spark, path)
-      .filter(col("month").isin(months: _*))
-      .join(updates.select(PctKey.map(col): _*), PctKey, "left_anti")
-    val merged = kept.select(PctCols.map(col): _*)
-      .unionByName(updates.select(PctCols.map(col): _*))
-      .localCheckpoint()
+    // First run against a never-written path degrades to a plain write —
+    // the reference's ON CONFLICT upsert works on an empty table too
+    // (precompute_percentages.py:218-233).
+    val existing =
+      try Some(readPercentages(spark, path))
+      catch { case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") => None }
+    val merged = existing match {
+      case Some(stored) =>
+        stored
+          .filter(col("month").isin(months: _*))
+          .join(updates.select(PctKey.map(col): _*), PctKey, "left_anti")
+          .select(PctCols.map(col): _*)
+          .unionByName(updates.select(PctCols.map(col): _*))
+          // REQUIRED lineage cut: the merged frame reads the same parquet
+          // path the write below overwrites
+          .localCheckpoint()
+      case None => updates.select(PctCols.map(col): _*)
+    }
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

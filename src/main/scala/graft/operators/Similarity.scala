@@ -53,7 +53,9 @@ object Similarity {
       .crossJoin(broadcast(probesN))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("nrm_q") * col("nrm_c")))
-      .withColumn("sim_r", round(col("sim"), 6))
+      // CrossRound.r so the rank bucketing matches the oracle's multiply-
+      // based round(sim, 6) on repr-tie values (the 12.34565 class)
+      .withColumn("sim_r", CrossRound.r(col("sim"), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -173,7 +175,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("centroid_id").as("cell"), col("q_id"), col("q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     // probe side is |probes| x nprobe rows — broadcast it so the corpus-
     // sized cell table never shuffles (plan audit caught Spark defaulting
     // to a sort-merge join here)
@@ -235,7 +238,8 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "q_emb", "vec_id", "embedding")
       .distinct() // same pair can collide in several tables
-    val w = Window.partitionBy(col("q_id")).orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     candidates
       .withColumn("nrm_q", norm(col("q_emb")))
       .withColumn("nrm_c", norm(col("embedding")))

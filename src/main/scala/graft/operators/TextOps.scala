@@ -147,7 +147,10 @@ object TextOps {
         col("tf") * (log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)) + 1.0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
-      .orderBy(round(col("score"), 6).desc, col("token"))
+      // CrossRound.r, not plain round: the rank bucketing must match the
+      // DuckDB oracle's multiply-based round(score, 6) on repr-tie values
+      // (the 12.34565 class), or top-k membership can flip across engines
+      .orderBy(CrossRound.r(col("score"), 6).desc, col("token"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
@@ -236,7 +239,10 @@ object TextOps {
       expr(s"$fn(n_tokens, 0.75)").as("p75"),
       expr(s"$fn(n_tokens, 0.95)").as("p95"),
       max(col("n_tokens")).as("max_tokens"),
-      CrossRound.r(avg(col("n_tokens")), 4).as("mean_tokens"))
+      // ra: the mean is an aggregate — exact while integer token counts
+      // sum below 2^53, but at 100 TB the sum leaves the exact range and
+      // accumulation order starts to matter
+      CrossRound.ra(avg(col("n_tokens")), 4).as("mean_tokens"))
   }
 
   // -------------------------------------------------------------------

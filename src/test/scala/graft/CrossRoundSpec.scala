@@ -34,4 +34,44 @@ class CrossRoundSpec extends AnyFunSuite {
     val r = Seq(-1e-17).toDF("x").select(CrossRound.r(col("x"), 4)).head().getDouble(0)
     assert(java.lang.Double.doubleToRawLongBits(r) === 0L)
   }
+
+  test("bround(r(x, 6), 1) collapses partition-order drift on the 21.25 tie (o43 witness)") {
+    // the round-3 red row: (B94, 2024-01-31)'s monthly-average hist_avg is
+    // exactly 21.25 at 4 shuffle partitions but 21.25 + 1 ulp at 32 — the
+    // unguarded bround(x, 1) then formats "21.2" vs "21.3". The 6 dp
+    // pre-round must land every ordering on the same digit.
+    val exact = 21.25
+    val up = java.lang.Math.nextUp(exact)
+    val down = java.lang.Math.nextDown(exact)
+    val got = Seq(exact, up, down).toDF("x")
+      .select(format_string("%.1f", bround(CrossRound.r(col("x"), 6), 1)).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    // DuckDB: printf('%.1f', round_even(round(x, 6), 1)) = '21.2' for all
+    // three (probed); half-even on the .25 tie rounds DOWN to the even digit
+    assert(got === Seq("21.2", "21.2", "21.2"))
+    // and the unguarded form is genuinely unstable across the same inputs —
+    // the regression this guard exists for
+    val raw = Seq(exact, up).toDF("x")
+      .select(format_string("%.1f", bround(col("x"), 1)).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(raw === Seq("21.2", "21.3"))
+  }
+
+  test("ra(x, 4) equals the oracle composition round(round(x, 8), 4) and absorbs ulp drift") {
+    val ties = Seq(21.25, 3.14155, 0.00005, 12.34565, 7.0 / 3.0, 100.0 / 7.0)
+    val probes = ties.flatMap(v => Seq(v, java.lang.Math.nextUp(v), java.lang.Math.nextDown(v)))
+    val rows = probes.toDF("x")
+      .select(col("x"), CrossRound.ra(col("x"), 4).as("ra"), CrossRound.r(col("x"), 4).as("r"))
+      .collect()
+    // drift absorption: x, nextUp(x), nextDown(x) must all round identically
+    // (plain r does NOT have this property — r(nextDown(0.00005), 4) is 0.0
+    // while r(0.00005, 4) is 0.0001; that instability is what ra removes)
+    rows.grouped(3).foreach { g =>
+      assert(g.map(_.getDouble(1)).distinct.size === 1,
+        s"ra not drift-stable around ${g.head.getDouble(0)}")
+    }
+    // on the exact (unperturbed) values ra agrees with plain r — none of
+    // them sits on an 8 dp tie, so the pre-round is value-preserving there
+    rows.grouped(3).map(_.head).foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
+  }
 }

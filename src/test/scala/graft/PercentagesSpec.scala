@@ -136,6 +136,17 @@ class PercentagesSpec extends AnyFunSuite {
     assert(back.count() === pct.count() + 1)
   }
 
+  test("upsert: first run against a never-written path degrades to a plain write") {
+    val pct = Percentages.percentages(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_pct_first").toString + "/pct"
+    // no writePercentages first — the path does not exist yet (the
+    // reference's ON CONFLICT upsert works on an empty table)
+    Percentages.upsertPercentages(spark, pct, out)
+    val back = Percentages.readPercentages(spark, out)
+    assert(back.count() === pct.count())
+    assert(back.exceptAll(pct).count() === 0 && pct.exceptAll(back).count() === 0)
+  }
+
   test("refreshMonths: incremental month refresh equals a full recompute for that month") {
     import graft.sources.Tables
     val hist = Tables.historicalData(spark, sf)
