@@ -250,4 +250,36 @@ object Percentages {
       .partitionBy("month")
       .parquet(path)
   }
+
+  /** Reader-safe variant of [[upsertPercentages]]: same merge semantics,
+    * but committed as an immutable snapshot with an atomic pointer swap
+    * ([[graft.sources.VersionedTable]]) instead of overwriting partitions
+    * in place — concurrent readers always see a complete table, matching
+    * the transactional guarantee of the reference's Postgres ON CONFLICT
+    * upsert (precompute_percentages.py:218-233).
+    *
+    * Tradeoff vs the in-place path: each commit writes the FULL table —
+    * free here because the percentages table is bounded
+    * (|branches| x 366 x |move types| at any input scale) — in exchange
+    * for snapshot isolation, time travel over retained versions, and no
+    * lineage hazard (the new version's directory is disjoint from the one
+    * it reads, so no localCheckpoint is needed).
+    */
+  def upsertPercentagesSnapshot(
+      spark: SparkSession,
+      updates: DataFrame,
+      table: graft.sources.VersionedTable): Long = {
+    val merged = table.latestVersion() match {
+      case Some(v) =>
+        table.readVersion(spark, v)
+          // restore the partition column's logical type (directory
+          // encoding infers int; the schema is long) and column order
+          .withColumn("month", col("month").cast("long"))
+          .select(PctCols.map(col): _*)
+          .join(updates.select(PctKey.map(col): _*), PctKey, "left_anti")
+          .unionByName(updates.select(PctCols.map(col): _*))
+      case None => updates.select(PctCols.map(col): _*)
+    }
+    table.commit(merged, partitionBy = Seq("month"))
+  }
 }

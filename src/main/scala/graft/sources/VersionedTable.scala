@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated parquet table: immutable version directories plus an
+  * atomically-swapped pointer file — the same commit protocol Iceberg/Delta
+  * build on (write new files, then publish with one atomic metadata swap),
+  * restated on plain parquet for this dependency-closed environment.
+  *
+  * Why it exists: `Percentages.upsertPercentages` overwrites partitions in
+  * place, which is correct single-writer but NOT safe against concurrent
+  * readers — a reader that lists files mid-commit sees a half-deleted
+  * partition. The reference's Postgres upsert
+  * (precompute_percentages.py:218-233) is transactional; this is the
+  * engine's equivalent reader-safe write path.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _latest          <- text file holding the published version number
+  *     v=3/...parquet   <- immutable snapshot directories
+  *     v=4/...parquet
+  * }}}
+  *
+  * Protocol:
+  *   - `commit(df)`: write the full snapshot to `v=(latest+1)` (invisible
+  *     to readers — nobody points at it yet), then publish by writing the
+  *     pointer to a temp file and atomically renaming it over `_latest`.
+  *     A reader either sees the old pointer (old snapshot, still fully on
+  *     disk) or the new one (new snapshot, fully written before publish) —
+  *     never a torn state. A crash before the rename leaves an orphan
+  *     directory and an untouched table.
+  *   - `read`: resolve `_latest`, read that one directory. In-flight
+  *     queries keep reading the snapshot they resolved even if a commit
+  *     lands mid-query, because published directories are never mutated.
+  *   - `vacuum(keep)`: drop all but the newest `keep` snapshots — run it
+  *     only after in-flight readers of older snapshots have drained (the
+  *     same contract as Delta's VACUUM retention window).
+  *
+  * Concurrency contract: single writer (matching the reference's one cron
+  * job), any number of readers. Scale caveat: `Files.move` is atomic on
+  * POSIX and HDFS; object stores without atomic rename (S3) need the
+  * pointer swap delegated to a catalog/metastore CAS — the protocol is
+  * unchanged, only the final swap primitive moves.
+  */
+final class VersionedTable(val root: String) {
+
+  private def rootPath: Path = Paths.get(root)
+  private def pointer: Path = rootPath.resolve("_latest")
+  private def versionDir(v: Long): Path = rootPath.resolve(s"v=$v")
+
+  /** Published version, or None for a never-committed table. */
+  def latestVersion(): Option[Long] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  /** All snapshot versions present on disk (published or orphaned). */
+  def versions(): Seq[Long] =
+    if (!Files.exists(rootPath)) Nil
+    else {
+      val s = Files.list(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+          .toSeq.sorted
+      } finally s.close()
+    }
+
+  /** Write `df` as the next snapshot and atomically publish it. Returns the
+    * published version. `partitionBy` columns keep partition pruning inside
+    * the snapshot directory.
+    */
+  def commit(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val next = latestVersion().getOrElse(-1L) + 1L
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(versionDir(next).toString)
+    // publish: temp file + atomic rename — the one-instruction commit
+    val tmp = rootPath.resolve(s"_latest.tmp.$next")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the published snapshot (errors on a never-committed table, like
+    * reading a missing path).
+    */
+  def read(spark: SparkSession): DataFrame = readVersion(spark, latestVersion()
+    .getOrElse(throw new IllegalStateException(s"no published version under $root")))
+
+  /** Read one pinned snapshot — time travel over retained versions. */
+  def readVersion(spark: SparkSession, v: Long): DataFrame =
+    spark.read.parquet(versionDir(v).toString)
+
+  /** Drop all but the newest `keep` snapshots (never the published one).
+    * Callers own the retention contract: only vacuum past the oldest
+    * snapshot an in-flight reader may still hold.
+    */
+  def vacuum(keep: Int = 2): Unit = {
+    val published = latestVersion().toSeq
+    val drop = versions().sorted.reverse.drop(math.max(keep, 1)).filterNot(published.contains)
+    drop.foreach { v =>
+      val dir = versionDir(v)
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(dir)
+      try all.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally all.close()
+    }
+  }
+}
+
+object VersionedTable {
+  def apply(root: String): VersionedTable = new VersionedTable(root)
+}

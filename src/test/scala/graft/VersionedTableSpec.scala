@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Percentages
+import graft.sources.VersionedTable
+
+/** The snapshot-commit protocol: immutable version dirs + atomic pointer
+  * swap. Readers must never observe a torn table; the snapshot upsert must
+  * produce exactly the rows of the in-place upsert.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def freshTable(): VersionedTable =
+    VersionedTable(java.nio.file.Files.createTempDirectory("graft_vt").toString + "/t")
+
+  test("commit publishes atomically; a pre-commit reader frame still serves the old snapshot") {
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(v0 === 0L && t.latestVersion().contains(0L))
+
+    // a reader resolves the snapshot BEFORE the next commit...
+    val pinned = t.read(spark)
+    assert(pinned.count() === 2)
+
+    val v1 = t.commit(Seq((1L, "a2"), (3L, "c")).toDF("id", "s"))
+    assert(v1 === 1L && t.latestVersion().contains(1L))
+
+    // ...and keeps reading consistent OLD data mid/post-commit, because
+    // published directories are never mutated
+    assert(pinned.count() === 2)
+    assert(pinned.filter(col("s") === "a").count() === 1)
+    // a new reader sees the new snapshot
+    assert(t.read(spark).filter(col("s") === "a2").count() === 1)
+    // time travel over the retained version
+    assert(t.readVersion(spark, 0L).filter(col("s") === "a").count() === 1)
+  }
+
+  test("snapshot upsert row-matches the in-place upsert") {
+    val pct = Percentages.percentages(spark, sf).cache()
+    // same update set as PercentagesSpec's in-place test: bump one row,
+    // insert one new key
+    val janKey = pct.filter(col("month") === 1L).orderBy("branch", "move_type", "day").limit(1)
+    val updates = janKey.withColumn("avg_percentage", col("avg_percentage") + 7.0)
+      .unionByName(janKey.select(
+        lit("BX_NEW").as("branch"), col("move_type"), col("month"), col("day"),
+        lit(3.0).as("move_cnt"), lit(6.0).as("total_cnt"), lit(50.0).as("avg_percentage")))
+
+    val inPlace = java.nio.file.Files.createTempDirectory("graft_vt_ip").toString
+    Percentages.writePercentages(pct, inPlace)
+    Percentages.upsertPercentages(spark, updates, inPlace)
+    val expected = Percentages.readPercentages(spark, inPlace)
+
+    val t = freshTable()
+    Percentages.upsertPercentagesSnapshot(spark, pct, t)     // first run = plain write
+    Percentages.upsertPercentagesSnapshot(spark, updates, t) // merge commit
+    val got = t.read(spark)
+      .withColumn("month", col("month").cast("long"))
+      .select(expected.columns.map(col): _*)
+
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+  }
+
+  test("vacuum drops old snapshots but never the published one") {
+    val t = freshTable()
+    import spark.implicits._
+    (0 to 3).foreach(i => t.commit(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    assert(t.versions() === Seq(0L, 1L, 2L, 3L))
+    t.vacuum(keep = 2)
+    assert(t.versions() === Seq(2L, 3L))
+    assert(t.latestVersion().contains(3L))
+    assert(t.read(spark).filter(col("s") === "v3").count() === 1)
+  }
+}
