@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata (brief extension surface). Uncompressed formats need no codec
-  * library, so BMP (24-bit BI_RGB) and WAV (16-bit PCM) are decoded for
-  * real with plain byte math; only COMPRESSED codecs (JPEG/MP3/H.264...)
-  * fall back to a clearly-marked deterministic stub — the Spark-side
-  * plumbing (schema, binary columns, partition-parallel batch processing,
+  * metadata (brief extension surface). BMP (24-bit BI_RGB) and WAV
+  * (16-bit PCM) are decoded with plain byte math; PNG (8-bit
+  * gray/RGB/RGBA, non-interlaced) is decoded for real too — its DEFLATE
+  * stream needs only the JDK's Inflater, no external codec. Only codecs
+  * that genuinely require external libraries (JPEG/MP3/H.264...) fall
+  * back to a clearly-marked deterministic stub — the Spark-side plumbing
+  * (schema, binary columns, partition-parallel batch processing,
   * feature-vector shape) is identical either way, and a production
   * deployment adds codec branches to `decode` with the same signature.
   *
@@ -138,6 +140,123 @@ object Media {
     if (fmtOk && samples != null) Some((rate, channels, samples)) else None
   }
 
+  private def i32be(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** Decoder allocation cap for the inflated scanline buffer (256 MB): a
+    * hostile IHDR can declare dimensions whose raw size OOMs before the
+    * DEFLATE stream is even read — past the cap we return None instead of
+    * allocating.
+    */
+  private val MaxRawBytes: Long = 1L << 28
+
+  private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decode an 8-bit-depth non-interlaced PNG (color types 0 gray, 2 RGB,
+    * 4 gray+alpha, 6 RGBA — the overwhelming majority of real PNGs):
+    * (width, height, row-major top-down packed 0xRRGGBB pixels; alpha
+    * dropped, gray replicated). Real decode end to end: chunk walk, IDAT
+    * concatenation, JDK-Inflater DEFLATE decompression, and per-scanline
+    * unfiltering (None/Sub/Up/Average/Paeth). Returns None for palette or
+    * 16-bit or Adam7-interlaced images, truncated streams, and hostile
+    * headers (long-math size guards, allocation cap).
+    */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i))) return None
+    var pos = 8
+    var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var idat = Array.emptyByteArray
+    var sawEnd = false
+    while (pos + 8 <= b.length && !sawEnd) {
+      val len = i32be(b, pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val dataStart = pos + 8
+      // LONG math: a declared length near Int.MaxValue wraps the bound
+      // check in 32-bit arithmetic
+      if (len < 0 || dataStart.toLong + len + 4 > b.length) return None
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = i32be(b, dataStart)
+          h = i32be(b, dataStart + 4)
+          val bitDepth = u8(b, dataStart + 8)
+          colorType = u8(b, dataStart + 9)
+          val interlace = u8(b, dataStart + 12)
+          bpp = colorType match {
+            case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => -1
+          }
+          if (w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
+            u8(b, dataStart + 10) != 0 || u8(b, dataStart + 11) != 0 || interlace != 0)
+            return None
+        case "IDAT" => idat = idat ++ b.slice(dataStart, dataStart + len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunks (tEXt, pHYs, gAMA, ...) skipped
+      }
+      pos = dataStart + len + 4 // skip CRC
+    }
+    if (w == 0 || idat.isEmpty) return None
+    val stride = 1L + w.toLong * bpp // <= ~2^33, cannot overflow a long
+    // divide-form bound: `stride * h` itself can overflow LONG for hostile
+    // 2^31-scale dimensions, silently passing a product-form check
+    if (h > MaxRawBytes / stride) return None
+    val rawSize = stride * h
+    val raw = new Array[Byte](rawSize.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+
+    // unfilter scanlines in place over prev/cur row byte windows
+    val rowLen = w * bpp
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = y * stride.toInt
+      val filter = u8(raw, base)
+      val cur = base + 1
+      val prev = cur - stride.toInt
+      var i = 0
+      while (i < rowLen) {
+        val a = if (i >= bpp) u8(raw, cur + i - bpp) else 0 // left
+        val up = if (y > 0) u8(raw, prev + i) else 0 // above
+        val c = if (y > 0 && i >= bpp) u8(raw, prev + i - bpp) else 0 // up-left
+        val recon = filter match {
+          case 0 => u8(raw, cur + i)
+          case 1 => u8(raw, cur + i) + a
+          case 2 => u8(raw, cur + i) + up
+          case 3 => u8(raw, cur + i) + ((a + up) / 2)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            u8(raw, cur + i) + pred
+          case _ => return None
+        }
+        raw(cur + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val s = cur + x * bpp
+        px(y * w + x) = colorType match {
+          case 0 | 4 => val g = u8(raw, s); (g << 16) | (g << 8) | g
+          case _ => (u8(raw, s) << 16) | (u8(raw, s + 1) << 8) | u8(raw, s + 2)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
   /** 16-bin L1-normalized luminance histogram over decoded pixels (BT.601
     * integer luma, binned by high nibble).
     */
@@ -168,10 +287,11 @@ object Media {
     hist.map(_ / n)
   }
 
-  /** Raw-byte nibble histogram — the STUB path for compressed codecs
-    * (JPEG/MP3/H.264 decode needs libraries this container lacks): a
-    * deterministic per-payload feature with the exact shape a real decoder
-    * + extractor would produce.
+  /** Raw-byte nibble histogram — the STUB path for codecs that genuinely
+    * need external libraries this container lacks (JPEG/MP3/H.264; PNG is
+    * decoded for real via the JDK Inflater): a deterministic per-payload
+    * feature with the exact shape a real decoder + extractor would
+    * produce.
     */
   private def nibbleHistogram(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -184,10 +304,10 @@ object Media {
     hist.map(_ / n)
   }
 
-  /** Decode + feature-extract: REAL decode for uncompressed payloads (BMP
-    * pixels -> luminance histogram; WAV PCM samples -> amplitude
-    * histogram), deterministic stub histogram for compressed codecs. All
-    * three paths emit the same fixed-width L1-normalized Array[Double], so
+  /** Decode + feature-extract: REAL decode for BMP and PNG (pixels ->
+    * luminance histogram) and WAV (PCM samples -> amplitude histogram),
+    * deterministic stub histogram only for library-requiring codecs. All
+    * paths emit the same fixed-width L1-normalized Array[Double], so
     * downstream consumers (similarity search, dedup on features) are
     * agnostic to which decoder ran.
     */
@@ -196,14 +316,11 @@ object Media {
     df.mapPartitions { rows =>
       // per-partition init would open heavier codecs once here
       rows.map { r =>
-        val feature = decodeBmpPixels(r.bytes) match {
-          case Some((_, _, px)) => lumaHistogram(px)
-          case None =>
-            decodeWavPcm(r.bytes) match {
-              case Some((_, _, samples)) => amplitudeHistogram(samples)
-              case None => nibbleHistogram(r.bytes)
-            }
-        }
+        val feature = decodeBmpPixels(r.bytes)
+          .orElse(decodePngPixels(r.bytes))
+          .map { case (_, _, px) => lumaHistogram(px) }
+          .orElse(decodeWavPcm(r.bytes).map { case (_, _, s) => amplitudeHistogram(s) })
+          .getOrElse(nibbleHistogram(r.bytes))
         MediaFeatures(r.media_id, r.kind, feature)
       }
     }

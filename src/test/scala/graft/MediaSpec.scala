@@ -137,6 +137,125 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeWavPcm(wavData) === None)
   }
 
+  // ---------------------------------------------------------------------
+  // PNG decoder — golden pixels through a byte-assembled encoder that
+  // exercises every scanline filter (None/Sub/Up/Average/Paeth), the
+  // chunk walk (ancillary chunks, split IDAT), DEFLATE, and the color
+  // types the decoder supports.
+  // ---------------------------------------------------------------------
+
+  /** Minimal PNG encoder: 8-bit depth, chosen color type, one chosen
+    * filter byte per scanline (the filter transform is applied here so the
+    * decoder must invert it), deflated into IDAT chunks of `idatSplit`
+    * bytes, with an ancillary tEXt chunk before the image data.
+    */
+  def pngBytes(
+      w: Int, h: Int, colorType: Int, pxBytes: Seq[Seq[Int]],
+      filters: Seq[Int], idatSplit: Int = Int.MaxValue): Array[Byte] = {
+    val bpp = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val raw = new java.io.ByteArrayOutputStream()
+    val prevRow = new Array[Int](w * bpp)
+    for (y <- 0 until h) {
+      val cur = pxBytes(y)
+      require(cur.length == w * bpp)
+      val f = filters(y)
+      raw.write(f)
+      for (i <- 0 until w * bpp) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val up = if (y > 0) prevRow(i) else 0
+        val c = if (y > 0 && i >= bpp) pxBytes(y - 1)(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw.write((cur(i) - pred) & 0xff)
+      }
+      cur.copyToArray(prevRow)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def be32b(v: Int) = ihdr.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+    be32b(w); be32b(h); ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("tEXt", "Comment golden".getBytes("US-ASCII")) // ancillary, must be skipped
+    zipped.toByteArray.grouped(idatSplit).foreach(part => chunk("IDAT", part))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("decodePngPixels: RGB golden pixels through every filter type, split IDAT") {
+    // 3x5 RGB image: each row uses a different filter (0..4)
+    val px = (0 until 15).map(i => ((i * 16) % 256 << 16) | ((255 - i * 10) << 8) | (i * 7) % 256)
+    val rows = (0 until 5).map(y => (0 until 3).flatMap { x =>
+      val p = px(y * 3 + x); Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    })
+    val bytes = pngBytes(3, 5, 2, rows, filters = Seq(0, 1, 2, 3, 4), idatSplit = 7)
+    val Some((w, h, got)) = Media.decodePngPixels(bytes)
+    assert((w, h) === (3, 5))
+    assert(got.toSeq === px)
+  }
+
+  test("decodePngPixels: RGBA drops alpha, grayscale replicates") {
+    val rgba = Seq(Seq(10, 20, 30, 255, 200, 100, 50, 0)) // 2x1 RGBA
+    val Some((_, _, pxA)) = Media.decodePngPixels(pngBytes(2, 1, 6, rgba, Seq(1)))
+    assert(pxA.toSeq === Seq(0x0a141e, 0xc86432))
+    val gray = Seq(Seq(0, 128), Seq(255, 7)) // 2x2 gray, Up-filtered second row
+    val Some((_, _, pxG)) = Media.decodePngPixels(pngBytes(2, 2, 0, gray, Seq(0, 2)))
+    assert(pxG.toSeq === Seq(0x000000, 0x808080, 0xffffff, 0x070707))
+  }
+
+  test("decodePngPixels: rejects unsupported, truncated, and hostile payloads") {
+    val ok = pngBytes(2, 2, 2, Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12)), Seq(0, 0))
+    assert(Media.decodePngPixels(ok).isDefined)
+    // palette color type
+    val pal = ok.clone(); pal(8 + 8 + 9) = 3
+    assert(Media.decodePngPixels(pal) === None)
+    // interlaced
+    val adam7 = ok.clone(); adam7(8 + 8 + 12) = 1
+    assert(Media.decodePngPixels(adam7) === None)
+    // truncated DEFLATE stream
+    assert(Media.decodePngPixels(ok.dropRight(20)) === None)
+    // hostile dimensions: raw size would exceed the allocation cap
+    def be32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >> 24).toByte; b(i + 1) = (v >> 16).toByte
+      b(i + 2) = (v >> 8).toByte; b(i + 3) = v.toByte
+    }
+    val huge = ok.clone(); be32(huge, 16, 0x7fffffff); be32(huge, 20, 0x7fffffff)
+    assert(Media.decodePngPixels(huge) === None)
+    // not a PNG at all
+    assert(Media.decodePngPixels(bmpBytes(2, 2, Seq(0, 0, 0, 0))) === None)
+  }
+
+  test("decode: PNG payloads take the real pixel path") {
+    // all-white 2x2 RGB PNG -> every pixel in the top luma bin
+    val white = pngBytes(2, 2, 2, Seq.fill(2)(Seq.fill(6)(255)), Seq(0, 0))
+    val feats = Media.decode(Seq(
+      MediaRow(20L, "image", white, "image/png", 2, 2, 0L)).toDS()).collect()
+    assert(feats.head.feature(15) === 1.0)
+  }
+
   test("decodeWavPcm: golden samples round-trip, chunk walk skips LIST") {
     val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 42)
     val Some((rate, ch, out)) = Media.decodeWavPcm(wavBytes(16000, 1, samples))
