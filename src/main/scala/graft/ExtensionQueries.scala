@@ -193,6 +193,15 @@ object ExtensionQueries {
           r4(col("p75")).as("p75"), r4(col("p95")).as("p95"),
           col("max_tokens"), col("mean_tokens"))),
 
+    // Exact n-gram Jaccard near-dups via the df-capped inverted index —
+    // the deterministic, oracle-checkable complement of the MinHash path
+    // (x06/x11/x15 cover the hashed variants).
+    "x24_jaccard_neardups" -> ((s, dir) =>
+      Dedup.jaccardNearDups(
+        Tables.documents(s, dir), threshold = 0.5, minShared = 2, maxShingleDf = 100)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -389,6 +398,31 @@ object ExtensionQueries {
         |       CAST(MAX(n) AS BIGINT) AS max_tokens,
         |       round(round(AVG(n), 8), 4) AS mean_tokens
         |FROM l""".stripMargin,
+    "x24_jaccard_neardups" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |idx AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 100),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN n na ON na.doc_id = i.doc_a
+        |JOIN n nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,

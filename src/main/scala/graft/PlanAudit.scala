@@ -91,6 +91,17 @@ object PlanAudit {
     audit(df.queryExecution.executedPlan)
   }
 
+  /** Sort-merge joins that are CORRECT, not regressions: every other query
+    * joins fact-scale data against a BOUNDED side (percentages, model
+    * coefficients, probe sets), where broadcast is the only right answer —
+    * but x24's inverted-index self-join and shingle-intersection join pair
+    * a corpus-scale table with ITSELF. No side is bounded at 100 TB, so a
+    * shuffle join is the correct plan and forcing broadcast at fixture
+    * scale would audit-pass a plan that cannot run at target scale. Any
+    * count above the allowance still fails the gate.
+    */
+  private val AllowedSmj: Map[String, Int] = Map("x24_jaccard_neardups" -> 2)
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.getOrCreate(s"local[8]")
@@ -101,7 +112,8 @@ object PlanAudit {
       val c = auditExecuted(fn(spark, dir))
       println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} |")
       if (c.cartesian > 0) bad ::= s"$name: cartesian product"
-      if (c.smj > 0) bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
+      if (c.smj > AllowedSmj.getOrElse(name, 0))
+        bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
       if (c.hofFilters > 0)
         bad ::= s"$name: higher-order function inside a Filter condition " +
           "(pushed-down filter re-evaluates an inlined array expression per element — " +

@@ -197,6 +197,69 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs via an INVERTED INDEX —
+    * the deterministic complement of the MinHash estimate path
+    * ([[nearDupPairs]]): no hashing, no estimation error, fully
+    * oracle-checkable, at the cost of touching every co-occurring pair.
+    *
+    * Shape: explode distinct shingles, drop shingles whose document
+    * frequency exceeds `maxShingleDf` from the INDEX (boilerplate n-grams
+    * are what make posting lists — and the self-join within them —
+    * quadratic; the cap bounds every bucket, the standard inverted-index
+    * defense), self-join on shingle for candidate pairs sharing >=
+    * `minShared` indexed shingles. The EXACT intersection then costs no
+    * second corpus expansion: |A n B| decomposes exactly into
+    * rare-shared (already counted by the candidate join) + hot-shared
+    * (computed only over the df-capped-out shingles, a set that is small
+    * by construction), so the cap prunes candidates without ever biasing
+    * a reported similarity.
+    *
+    * Scale posture: one shuffle on shingle for the index self-join
+    * (bucket sizes bounded by the df cap), one on the pair key for the
+    * counts; the shingle frame is materialized once for its consumers
+    * (index, hot postings, set sizes) — same multi-use/pruning rationale
+    * and production table-materialization caveat as tfidf's tf frame.
+    * Recall contract: a true near-dup pair is missed only if it shares
+    * fewer than `minShared` shingles rarer than the cap — for
+    * boilerplate-heavy corpora raise the cap or pre-strip templates.
+    */
+  def jaccardNearDups(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      n: Int = 3): DataFrame = {
+    val sh = TextOps.shingles(docs, n).localCheckpoint()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val idx = sh.join(dfreq.filter(col("df") <= maxShingleDf).select("shingle"), Seq("shingle"))
+    val cands = idx.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(idx.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minShared)
+    // intersection over the capped-out (hot) shingles only — exact
+    // complement of the candidate join's rare-shared count
+    val hotSh = sh.join(dfreq.filter(col("df") > maxShingleDf).select("shingle"), Seq("shingle"))
+    val hotInter = cands.select("doc_a", "doc_b")
+      .join(hotSh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(hotSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_hot_shared"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands
+      .join(hotInter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_hot_shared"))
+      .withColumn("n_inter", col("n_rare_shared") + col("n_hot_shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard for given pairs (verification-grade; join on the
     * exploded shingle sets, never materializing full sets on the driver).
     */

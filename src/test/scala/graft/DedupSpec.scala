@@ -50,6 +50,25 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("jaccardNearDups: inverted index finds planted pairs exactly, df cap prunes boilerplate") {
+    val pairs = Dedup.jaccardNearDups(corpus(), threshold = 0.5, maxShingleDf = 100).cache()
+    // the exact-dup pair scores exactly 1.0; the near-dup pair is high
+    val exact = pairs.filter(col("doc_a") === 2000L && col("doc_b") === 2001L)
+    assert(exact.count() === 1 && exact.head().getAs[Double]("jaccard") === 1.0)
+    val near = pairs.filter(col("doc_a") === 1000L && col("doc_b") === 1001L)
+    assert(near.count() === 1 && near.head().getAs[Double]("jaccard") >= 0.5)
+    pairs.unpersist()
+
+    // a shingle above the df cap is excluded from candidate generation:
+    // docs that ONLY share boilerplate produce no pair
+    val boiler = "the same header line appears everywhere"
+    val docs = (0L until 10L).map(i => (i, s"$boiler unique$i tail$i mark$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardNearDups(docs, threshold = 0.01, maxShingleDf = 5).count() === 0)
+    // with a cap above their df the same docs DO pair (recall contract)
+    assert(Dedup.jaccardNearDups(docs, threshold = 0.3, maxShingleDf = 100).count() > 0)
+  }
+
   test("candidate-pair count is far below all-pairs") {
     val docs = corpus()
     val sigs = Dedup.minhashSignatures(TextOps.shingles(docs))
