@@ -38,6 +38,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.minhashSignaturesRowwise(emptyDocs).count() === 0)
     assert(Dedup.simhash(emptyDocs).count() === 0)
     assert(Dedup.winnowFingerprints(emptyDocs).count() === 0)
+    assert(Dedup.jaccardNearDups(emptyDocs).count() === 0)
     assert(TextOps.tokenStats(emptyDocs).count() === 0)
     assert(TextOps.langId(emptyDocs).count() === 0)
   }
