@@ -141,6 +141,40 @@ object Similarity {
       .limit(c)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
+  /** Lloyd refinement of the hash-sampled centroids — the standard IVF
+    * training step (the sample is the init, k-means tightens it). Each
+    * iteration assigns every vector to its nearest centroid (the same
+    * broadcast argmax as [[ivfAssign]]) and recomputes each non-empty
+    * cell's centroid as its mean vector; empty cells keep their previous
+    * centroid so c never shrinks. Per-iteration state is BOUNDED
+    * (c x dim values, localCheckpoint'ed like connectedComponents' loop);
+    * the corpus is scanned once per iteration — at 100 TB train on a
+    * sampled subset and do one final full assignment, the standard
+    * recipe. Deterministic end to end: hash-ordered init, argmax ties
+    * break on centroid_id, and the mean aggregation's double drift is
+    * collapsed by the cast back to float (1e-7 granularity vs 1e-12
+    * noise).
+    */
+  def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int = 3): DataFrame = {
+    var centroids = ivfCentroids(corpus, c).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(
+          col("cell").as("centroid_id"),
+          transform(col("pm"), x => x.getField("m")).cast("array<float>").as("refined"))
+      centroids = centroids
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("refined"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** Assign every vector to its nearest centroid (cosine): broadcast
     * nested loop over |corpus| x c, then a per-vector argmax — one shuffle
     * on vec_id at scale, cells come out hash-partitioned by centroid.
@@ -158,15 +192,20 @@ object Similarity {
 
   /** IVF approximate top-k: probes are scored only against the vectors in
     * their nprobe nearest cells. Recall/latency trades on (c, nprobe);
-    * candidates per probe ~ nprobe x |corpus| / c.
+    * candidates per probe ~ nprobe x |corpus| / c. `refineIters` > 0 runs
+    * [[kmeansCentroids]] Lloyd steps over the sampled init — tighter cells
+    * for the same (c, nprobe) budget.
     */
   def ivfTopK(
       probes: DataFrame,
       corpus: DataFrame,
       k: Int,
       c: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, c).localCheckpoint() // bounded: c rows
+      nprobe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
+    val centroids = // bounded: c rows
+      if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
+      else ivfCentroids(corpus, c).localCheckpoint()
     val cells = ivfAssign(corpus, centroids)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
     val probeCells = probes

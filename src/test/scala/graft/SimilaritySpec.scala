@@ -96,6 +96,33 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("kmeans refinement: deterministic, shape-preserving, tightens cells") {
+    val emb = corpus()
+    val sampled = Similarity.ivfCentroids(emb, 6).localCheckpoint()
+    val refined = Similarity.kmeansCentroids(emb, 6, iters = 3)
+    // shape: c centroids survive (empty cells keep their previous vector)
+    assert(refined.count() === 6)
+    refined.collect().foreach(r => assert(r.getSeq[Float](1).length === Dim))
+    // deterministic: a second run yields bit-identical centroids
+    val again = Similarity.kmeansCentroids(emb, 6, iters = 3)
+    assert(refined.orderBy("centroid_id").collect().map(_.toString).toSeq ===
+      again.orderBy("centroid_id").collect().map(_.toString).toSeq)
+    // tightens cells: mean best-centroid cosine strictly improves over the
+    // raw hash sample on this clusterable corpus
+    def meanBest(cents: DataFrame): Double =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("csim", Similarity.cosine(col("embedding"), col("centroid")))
+        .groupBy("vec_id").agg(max(col("csim")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    val before = meanBest(sampled)
+    val after = meanBest(refined)
+    assert(after > before, s"refinement did not tighten cells: $before -> $after")
+    // and recall through the full IVF path does not degrade
+    val hits = Similarity.ivfTopK(probes(emb), emb, 3, c = 8, nprobe = 3, refineIters = 2)
+      .filter(col("vec_id") === col("q_id") + 1000L).count()
+    assert(hits >= 14, s"refined-IVF recall too low: $hits/20 twins found")
+  }
+
   test("LSH near-dup pairs find the planted twins without all-pairs scoring") {
     val emb = corpus()
     val pairs = Similarity.lshNearDupPairs(emb, 0.9, tables = 4, bits = 8, dim = Dim).cache()
