@@ -165,7 +165,9 @@ object Media {
     if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i))) return None
     var pos = 8
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
-    var idat = Array.emptyByteArray
+    // stream accumulation, not Array ++: a hostile PNG split into 1-byte
+    // IDAT chunks would make repeated array concatenation quadratic
+    val idatBuf = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (pos + 8 <= b.length && !sawEnd) {
       val len = i32be(b, pos)
@@ -188,12 +190,13 @@ object Media {
           if (w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
             u8(b, dataStart + 10) != 0 || u8(b, dataStart + 11) != 0 || interlace != 0)
             return None
-        case "IDAT" => idat = idat ++ b.slice(dataStart, dataStart + len)
+        case "IDAT" => idatBuf.write(b, dataStart, len)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunks (tEXt, pHYs, gAMA, ...) skipped
       }
       pos = dataStart + len + 4 // skip CRC
     }
+    val idat = idatBuf.toByteArray
     if (w == 0 || idat.isEmpty) return None
     val stride = 1L + w.toLong * bpp // <= ~2^33, cannot overflow a long
     // divide-form bound: `stride * h` itself can overflow LONG for hostile
@@ -207,7 +210,11 @@ object Media {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 without finishing means no progress is possible: a
+        // truncated stream (needsInput) OR a preset-dictionary zlib header
+        // (needsDictionary — never valid in PNG and otherwise an infinite
+        // loop: inflate would return 0 forever)
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

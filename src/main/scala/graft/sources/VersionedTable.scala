@@ -32,7 +32,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     A reader either sees the old pointer (old snapshot, still fully on
   *     disk) or the new one (new snapshot, fully written before publish) —
   *     never a torn state. A crash before the rename leaves an orphan
-  *     directory and an untouched table.
+  *     directory and an untouched table; the next commit numbers PAST the
+  *     orphan (version = max over directories on disk, not the pointer)
+  *     and vacuum eventually reclaims it.
   *   - `read`: resolve `_latest`, read that one directory. In-flight
   *     queries keep reading the snapshot they resolved even if a commit
   *     lands mid-query, because published directories are never mutated.
@@ -77,7 +79,11 @@ final class VersionedTable(val root: String) {
     * the snapshot directory.
     */
   def commit(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val next = latestVersion().getOrElse(-1L) + 1L
+    // next version from ALL directories on disk, not just the published
+    // pointer: a crash between write and publish leaves an orphan v=N dir,
+    // and computing next from the pointer alone would collide with it on
+    // every subsequent commit (errorifexists) — bricking the table
+    val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(next).toString)

@@ -246,6 +246,13 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodePngPixels(huge) === None)
     // not a PNG at all
     assert(Media.decodePngPixels(bmpBytes(2, 2, Seq(0, 0, 0, 0))) === None)
+    // preset-dictionary zlib header (0x78BB: valid checksum, FDICT set —
+    // never legal in PNG): inflate() yields no progress forever, so the
+    // decoder must fail fast instead of spinning
+    val fdict = ok.clone()
+    val idatData = 8 + (8 + 13 + 4) + (8 + 14 + 4) + 8 // sig+IHDR+tEXt+IDAT hdr
+    fdict(idatData) = 0x78.toByte; fdict(idatData + 1) = 0xBB.toByte
+    assert(Media.decodePngPixels(fdict) === None)
   }
 
   test("decode: PNG payloads take the real pixel path") {

@@ -67,6 +67,20 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
   }
 
+  test("an orphan directory from a crashed commit never blocks later commits") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s")) // published v=0
+    // simulate a crash AFTER the parquet write, BEFORE the pointer swap:
+    // v=1 exists on disk but the pointer still says 0
+    Seq((9L, "orphan")).toDF("id", "s").write.parquet(t.root + "/v=1")
+    assert(t.latestVersion().contains(0L))
+    // the next commit must number past the orphan, not collide with it
+    val v = t.commit(Seq((2L, "b")).toDF("id", "s"))
+    assert(v === 2L && t.latestVersion().contains(2L))
+    assert(t.read(spark).filter(col("s") === "b").count() === 1)
+  }
+
   test("vacuum drops old snapshots but never the published one") {
     val t = freshTable()
     import spark.implicits._

@@ -44,19 +44,6 @@ def norm(df):
     return df
 
 
-def values_equal(a, b):
-    """Bit-exact scalar compare mirroring the driver's hash: NaN==NaN,
-    -0.0 != +0.0, floats by their IEEE-754 bits."""
-    if isinstance(a, float) and isinstance(b, float):
-        an, bn = math.isnan(a), math.isnan(b)
-        if an and bn:
-            return True
-        if an != bn:
-            return False
-        return struct.pack("<d", a) == struct.pack("<d", b)
-    return repr(a) == repr(b)
-
-
 def compare(name, spark_df, oracle_df, other_label="oracle"):
     problems = []
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
@@ -161,15 +148,29 @@ def main():
         print(f"[FAIL] {name}: oracle present but no spark output")
 
     # Parallelism-invariance sweep: every extra out dir must match the
-    # first one bit-exactly on EVERY query (oracle-checked or not).
+    # first one bit-exactly on EVERY query (oracle-checked or not). The
+    # query universe is the UNION across all out dirs plus the oracle
+    # keys — iterating only the base dir would let a query that crashed
+    # at the base config (graft.Verify catches per-query errors and
+    # continues) vanish from the gate entirely.
     n_sweep_fail = 0
+    universe = set(spark_results) | set(oracles)
+    for other in out_dirs[1:]:
+        for name in sorted(os.listdir(other)):
+            if os.path.isdir(os.path.join(other, name)):
+                universe.add(name)
+    for name in sorted(universe - set(spark_results)):
+        if name not in oracles:  # oracle-backed ones already failed above
+            n_fail += 1
+            print(f"[FAIL] {name}: missing from base dir {base_dir}")
     for other in out_dirs[1:]:
         label = os.path.basename(other.rstrip("/")) or other
-        for name, d in spark_results.items():
-            od = os.path.join(other, name)
-            if not os.path.isdir(od):
+        for name in sorted(universe):
+            d, od = os.path.join(base_dir, name), os.path.join(other, name)
+            if not os.path.isdir(od) or not os.path.isdir(d):
                 n_sweep_fail += 1
-                print(f"[SWEEP FAIL] {name}: missing in {other}")
+                missing_in = other if not os.path.isdir(od) else base_dir
+                print(f"[SWEEP FAIL] {name}: missing in {missing_in}")
                 continue
             a, b = sort_rows(read_spark(d)), sort_rows(read_spark(od))
             problems = compare(name, a, b, other_label=label)
@@ -179,8 +180,7 @@ def main():
                 for p in problems:
                     print(f"   {p}")
     if out_dirs[1:]:
-        n_q = len(spark_results)
-        print(f"sweep: {len(out_dirs)} configs x {n_q} queries, "
+        print(f"sweep: {len(out_dirs)} configs x {len(universe)} queries, "
               f"{n_sweep_fail} divergent")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only, "
