@@ -193,6 +193,17 @@ object ExtensionQueries {
           r4(col("p75")).as("p75"), r4(col("p95")).as("p95"),
           col("max_tokens"), col("mean_tokens"))),
 
+    // Within-doc repetition stats (Gopher-rule family): duplicate-line
+    // fraction + modal-bigram mass — the templated/looping-document
+    // detector the other quality heuristics miss.
+    "x25_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir))
+        .select(
+          col("doc_id"), col("n_lines"),
+          r4(col("dup_line_frac")).as("dup_line_frac"),
+          r4(col("top_bigram_frac")).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
     // Exact n-gram Jaccard near-dups via the df-capped inverted index —
     // the deterministic, oracle-checkable complement of the MinHash path
     // (x06/x11/x15 cover the hashed variants).
@@ -398,6 +409,23 @@ object ExtensionQueries {
         |       CAST(MAX(n) AS BIGINT) AS max_tokens,
         |       round(round(AVG(n), 8), 4) AS mean_tokens
         |FROM l""".stripMargin,
+    "x25_repetition" ->
+      """WITH l AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM documents),
+        |ls AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |              1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac
+        |       FROM l),
+        |t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |      FROM t WHERE len(toks) >= 2),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM c GROUP BY 1)
+        |SELECT ls.doc_id, ls.n_lines,
+        |       round(ls.dup_line_frac, 4) AS dup_line_frac,
+        |       round(COALESCE(tp.top_bigram_frac, 0.0), 4) AS top_bigram_frac
+        |FROM ls LEFT JOIN tp ON tp.doc_id = ls.doc_id
+        |ORDER BY 1""".stripMargin,
     "x24_jaccard_neardups" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),

@@ -67,6 +67,39 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Within-document repetition statistics — the Gopher-rule repetition
+    * family (duplicate-line fraction, most-frequent-n-gram mass): heavily
+    * templated or looping documents are the classic low-quality class
+    * that length/stopword heuristics miss. Per doc:
+    *   - `dup_line_frac`: 1 - distinct/total over newline-split lines
+    *     (pure projection);
+    *   - `top_bigram_frac`: occurrences of the modal token bigram / total
+    *     bigrams — computed by explode + two bounded groupBys keyed on
+    *     doc_id (shuffle-parallel; a per-row HOF mode would be quadratic
+    *     in document length).
+    * Docs with < 2 tokens have no bigrams: top_bigram_frac = 0.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val lineStats = docs.select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+        .as("dup_line_frac"))
+    val grams = shingles(docs.select(col("doc_id"), col("text")), n = n, distinct = false)
+    val top = grams
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
+      .select(
+        col("doc_id"),
+        (col("top_c").cast("double") / col("total_c")).as("top_bigram_frac"))
+    lineStats
+      .join(top, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+  }
+
   /** Heuristic quality score in [0, 1]: length saturation, lexical
     * diversity, and non-stopword density — the standard cheap pre-filter
     * shape for LLM corpus curation (cf. C4/Gopher-style rules).
@@ -168,14 +201,15 @@ object TextOps {
     * sequence(1, 0) generates a DESCENDING range, so short documents get
     * an explicit empty shingle set.
     */
-  def shingleArrayFromTokens(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(
-        size(toks) >= n,
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array().cast("array<string>")))
+  def shingleArrayFromTokens(toks: Column, n: Int = 3, distinct: Boolean = true): Column = {
+    val all = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    if (distinct) array_distinct(all) else all
+  }
 
   /** (doc_id, shingle_arr) with the token array materialized first. The
     * short-doc filter runs UP FRONT on the raw text — a filter placed
@@ -184,11 +218,11 @@ object TextOps {
     * lambda-internal token references would then re-split the text per
     * array element (quadratic; observed 25x at bench scale).
     */
-  private def shingleFrame(docs: DataFrame, n: Int): DataFrame =
+  private def shingleFrame(docs: DataFrame, n: Int, distinct: Boolean = true): DataFrame =
     docs
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingleArrayFromTokens(col("toks"), n).as("shingle_arr"))
+      .select(col("doc_id"), shingleArrayFromTokens(col("toks"), n, distinct).as("shingle_arr"))
 
   /** explode_outer, not explode: a non-outer Generate gets an inferred
     * `size(arr) > 0` filter (InferFiltersFromGenerate) which downstream
@@ -199,8 +233,9 @@ object TextOps {
     * arrays, so outer explode is semantically identical and dodges the
     * inference.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleFrame(docs, n).select(col("doc_id"), explode_outer(col("shingle_arr")).as("shingle"))
+  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame =
+    shingleFrame(docs, n, distinct)
+      .select(col("doc_id"), explode_outer(col("shingle_arr")).as("shingle"))
 
   /** Per-doc distinct shingle count (oracle-checkable view of the shingle
     * layer). Computed as a per-row projection — no explode, no shuffle;

@@ -11,6 +11,31 @@ class TextOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("repetitionStats: golden fractions for looping, clean, and tiny documents") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, 2 distinct -> dup_line_frac 0.5; bigrams of "spam ham
+      // spam ham spam ham spam ham": 7 total, "spam ham" x4 -> 4/7
+      (1L, "spam ham spam ham\nx\nspam ham spam ham\nx"),
+      // all-distinct prose: no dup lines, every bigram unique -> 1/6
+      (2L, "seven distinct words in one clean line"),
+      // one token: no bigrams -> 0.0; one line -> 0.0
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") === 4L)
+    assert(got(1L).getAs[Double]("dup_line_frac") === 0.5)
+    // "spam ham spam ham\nx\nspam..." whitespace-tokenizes across newlines:
+    // tokens = spam ham spam ham x spam ham spam ham x (10) -> 9 bigrams,
+    // modal "spam ham" appears 4 times
+    assert(math.abs(got(1L).getAs[Double]("top_bigram_frac") - 4.0 / 9.0) < 1e-12)
+    assert(got(2L).getAs[Double]("dup_line_frac") === 0.0)
+    assert(math.abs(got(2L).getAs[Double]("top_bigram_frac") - 1.0 / 6.0) < 1e-12)
+    assert(got(3L).getAs[Double]("top_bigram_frac") === 0.0)
+    assert(got(3L).getAs[Double]("dup_line_frac") === 0.0)
+  }
+
   test("approx token distribution tracks the exact one within 5% (the 100 TB path)") {
     val docs = Tables.documents(spark, sf)
     val exact = TextOps.tokenDistribution(docs).head()
