@@ -193,6 +193,12 @@ object ExtensionQueries {
           r4(col("p75")).as("p75"), r4(col("p95")).as("p95"),
           col("max_tokens"), col("mean_tokens"))),
 
+    // Sliding-window chunking (pretraining prep): 40-token windows, 8
+    // overlapping — every token covered, ids stable by construction.
+    "x26_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir), chunkTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // Within-doc repetition stats (Gopher-rule family): duplicate-line
     // fraction + modal-bigram mass — the templated/looping-document
     // detector the other quality heuristics miss.
@@ -409,6 +415,19 @@ object ExtensionQueries {
         |       CAST(MAX(n) AS BIGINT) AS max_tokens,
         |       round(round(AVG(n), 8), 4) AS mean_tokens
         |FROM l""".stripMargin,
+    "x26_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |         unnest(list_filter(generate_series(1, len(toks), 32),
+        |                            s -> s = 1 OR s + 8 <= len(toks))) AS start
+        |      FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id,
+        |       CAST((start - 1) // 32 AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(toks, start, least(start + 39, len(toks)))) AS BIGINT)
+        |         AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, start, least(start + 39, len(toks))), ' ')
+        |         AS chunk_text
+        |FROM s ORDER BY 1, 2""".stripMargin,
     "x25_repetition" ->
       """WITH l AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM documents),
         |ls AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,

@@ -67,6 +67,42 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Sliding-window document chunking — the standard pretraining prep
+    * step: fixed-size token windows advancing by `chunkTokens - overlap`,
+    * the final window shortened to the document end. A window whose fresh
+    * (non-overlap) region would start past the end is not emitted — every
+    * token appears in some chunk and no chunk is a suffix of its
+    * predecessor. `chunk_id` is derived arithmetically from the window
+    * start ((start-1)/stride), so ids are stable without any ordering
+    * dependency. Pure projection + explode over a bound token array (the
+    * HOF-inlining discipline of [[shingleArrayFromTokens]]); no shuffle.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap, "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    docs
+      .filter(size(tokens(col("text"))) >= 1)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        filter(
+          sequence(lit(1), size(col("toks")), lit(stride)),
+          s => (s === 1) || (s + overlap <= size(col("toks")))).as("starts"))
+      // explode_outer: starts is never empty (n >= 1 guarantees start 1),
+      // and a non-outer explode would get an inferred size(starts) > 0
+      // filter with the whole starts expression inlined (the pushed-filter
+      // trap, fourth potential sighting)
+      .select(col("doc_id"), col("toks"), explode_outer(col("starts")).as("start"))
+      .select(
+        col("doc_id"),
+        floor((col("start") - 1) / lit(stride)).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(chunkTokens)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Within-document repetition statistics — the Gopher-rule repetition
     * family (duplicate-line fraction, most-frequent-n-gram mass): heavily
     * templated or looping documents are the classic low-quality class

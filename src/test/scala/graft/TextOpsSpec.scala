@@ -11,6 +11,34 @@ class TextOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("chunkDocs: full coverage, stable ids, no suffix chunks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "short doc"), // 2 tokens -> one chunk
+      (3L, (1 to 4).map(i => s"u$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc 1, stride 3: starts 1,4,7 (10 dropped: its fresh region starts
+    // past the end) -> three 4-token chunks covering t1..t10
+    assert(chunks.keys.count(_._1 == 1L) === 3)
+    assert(chunks((1L, 0L)).getAs[String]("chunk_text") === "t1 t2 t3 t4")
+    assert(chunks((1L, 1L)).getAs[String]("chunk_text") === "t4 t5 t6 t7")
+    assert(chunks((1L, 2L)).getAs[String]("chunk_text") === "t7 t8 t9 t10")
+    // doc 2: single short chunk
+    assert(chunks((2L, 0L)).getAs[String]("chunk_text") === "short doc")
+    assert(chunks((2L, 0L)).getAs[Long]("n_chunk_tokens") === 2L)
+    // doc 3: exactly one full window, no degenerate second chunk
+    assert(chunks.keys.count(_._1 == 3L) === 1)
+    // coverage: concatenating fresh regions reconstructs every token
+    val all = (0L to 2L).flatMap { cid =>
+      val txt = chunks((1L, cid)).getAs[String]("chunk_text").split(" ")
+      if (cid == 0) txt else txt.drop(1) // drop the 1-token overlap
+    }
+    assert(all === (1 to 10).map(i => s"t$i"))
+  }
+
   test("repetitionStats: golden fractions for looping, clean, and tiny documents") {
     import spark.implicits._
     val docs = Seq(
