@@ -193,6 +193,11 @@ object ExtensionQueries {
           r4(col("p75")).as("p75"), r4(col("p95")).as("p95"),
           col("max_tokens"), col("mean_tokens"))),
 
+    // Per-source data-mix report (corpus governance): volume, mean
+    // quality, corpus share — one scan, one shuffle on source.
+    "x27_source_mix" -> ((s, dir) =>
+      TextOps.sourceMix(Tables.documents(s, dir)).orderBy("source")),
+
     // Sliding-window chunking (pretraining prep): 40-token windows, 8
     // overlapping — every token covered, ids stable by construction.
     "x26_chunks" -> ((s, dir) =>
@@ -415,6 +420,24 @@ object ExtensionQueries {
         |       CAST(MAX(n) AS BIGINT) AS max_tokens,
         |       round(round(AVG(n), 8), 4) AS mean_tokens
         |FROM l""".stripMargin,
+    "x27_source_mix" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+         |q AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        round(
+         |          least(len(toks) / 50.0, 1.0) * 0.4 +
+         |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.4 +
+         |          (1.0 - CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE)
+         |             / len(toks)) * 0.2, 6) AS quality
+         |      FROM t),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |             AVG(quality) AS mean_quality
+         |      FROM q GROUP BY 1),
+         |tot AS (SELECT SUM(n_docs) AS corpus_docs FROM a)
+         |SELECT source, n_docs, total_tokens,
+         |       round(round(mean_quality, 8), 4) AS mean_quality,
+         |       round(CAST(n_docs AS DOUBLE) / corpus_docs * 100.0, 4) AS corpus_share_pct
+         |FROM a CROSS JOIN tot ORDER BY 1""".stripMargin,
     "x26_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

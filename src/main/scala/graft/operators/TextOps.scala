@@ -140,18 +140,56 @@ object TextOps {
     * diversity, and non-stopword density — the standard cheap pre-filter
     * shape for LLM corpus curation (cf. C4/Gopher-style rules).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** The quality expression over a token-array column (shared by
+    * [[qualityScore]] and [[sourceMix]]); rounded at 6 dp per row so the
+    * score is a stable cross-engine value before any aggregation.
+    */
+  private def qualityCol(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
-    docs.select(
-      col("doc_id"),
-      CrossRound.r(
-        least(nTok / 50.0, lit(1.0)) * 0.4 +
-          diversity * 0.4 +
-          (lit(1.0) - stopRatio) * 0.2,
-        6).as("quality_score"))
+    CrossRound.r(
+      least(nTok / 50.0, lit(1.0)) * 0.4 +
+        diversity * 0.4 +
+        (lit(1.0) - stopRatio) * 0.2,
+      6)
+  }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(tokens(col("text"))).as("quality_score"))
+
+  /** Per-source data-mix governance report — the table every corpus
+    * curation review starts from: document and token volume, mean quality,
+    * and each source's share of the corpus. ONE fact scan, one shuffle on
+    * `source`; the corpus total comes from re-aggregating the bounded
+    * per-source frame (|sources| rows) and broadcasting it back, never a
+    * second corpus pass. `mean_quality` is an AVG over doubles, so the
+    * output rounds through the CrossRound.ra drift guard.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      qualityCol(tokens(col("text"))).as("quality_score"))
+    val bySource = perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        avg(col("quality_score")).as("mean_quality"))
+      // BOUNDED (|sources| rows) and consumed twice (share denominator +
+      // output): without materialization, pruning specializes the two uses
+      // into non-identical aggregates and the corpus is scanned twice
+      // (audited: 2 scans lazy, 1 materialized — the Percentages trap)
+      .localCheckpoint()
+    val total = bySource.agg(sum(col("n_docs")).as("corpus_docs"))
+    bySource
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        CrossRound.ra(col("mean_quality"), 4).as("mean_quality"),
+        CrossRound.r(col("n_docs").cast("double") / col("corpus_docs") * 100.0, 4)
+          .as("corpus_share_pct"))
   }
 
   /** Marker-token language ID with a fixed precedence order on ties and
