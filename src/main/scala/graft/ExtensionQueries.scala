@@ -28,6 +28,16 @@ object ExtensionQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The quality formula in DuckDB SQL over a token-list column — the ONE
+    * oracle-side source for x03 and x27 (Scala side: TextOps.qualityCol),
+    * so a formula tweak cannot update one oracle and silently miss the
+    * other.
+    */
+  private def qualitySql(toks: String): String =
+    s"least(len($toks) / 50.0, 1.0) * 0.4 + " +
+      s"CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.4 + " +
+      s"(1.0 - CAST(len(list_filter($toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE) / len($toks)) * 0.2"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, keep smallest doc_id (shuffle key is the
     // fixed-width content hash — scale-safe for MB-size docs).
@@ -303,11 +313,7 @@ object ExtensionQueries {
     "x03_quality_score" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents)
          |SELECT doc_id,
-         |       round(round(
-         |         least(len(toks) / 50.0, 1.0) * 0.4 +
-         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.4 +
-         |         (1.0 - CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE)
-         |            / len(toks)) * 0.2, 6), 4) AS quality_score
+         |       round(round(${qualitySql("toks")}, 6), 4) AS quality_score
          |FROM t ORDER BY 1""".stripMargin,
     "x04_lang_id" -> {
       val counts = TextOps.LangMarkers
@@ -423,11 +429,7 @@ object ExtensionQueries {
     "x27_source_mix" ->
       s"""WITH t AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
          |q AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |        round(
-         |          least(len(toks) / 50.0, 1.0) * 0.4 +
-         |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.4 +
-         |          (1.0 - CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE)
-         |             / len(toks)) * 0.2, 6) AS quality
+         |        round(${qualitySql("toks")}, 6) AS quality
          |      FROM t),
          |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -437,7 +439,7 @@ object ExtensionQueries {
          |SELECT source, n_docs, total_tokens,
          |       round(round(mean_quality, 8), 4) AS mean_quality,
          |       round(CAST(n_docs AS DOUBLE) / corpus_docs * 100.0, 4) AS corpus_share_pct
-         |FROM a CROSS JOIN tot ORDER BY 1""".stripMargin,
+         |FROM a CROSS JOIN tot ORDER BY 1 NULLS FIRST""".stripMargin,
     "x26_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

@@ -114,15 +114,18 @@ object TextOps {
     *     doc_id (shuffle-parallel; a per-row HOF mode would be quadratic
     *     in document length).
     * Docs with < 2 tokens have no bigrams: top_bigram_frac = 0.
+    * Bigrams are fixed (not a parameter): the output column name and the
+    * x25 oracle are bigram-specific, so a generic n would silently
+    * mislabel results.
     */
-  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+  def repetitionStats(docs: DataFrame): DataFrame = {
     val lines = split(col("text"), "\n")
     val lineStats = docs.select(
       col("doc_id"),
       size(lines).cast("long").as("n_lines"),
       (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
         .as("dup_line_frac"))
-    val grams = shingles(docs.select(col("doc_id"), col("text")), n = n, distinct = false)
+    val grams = shingles(docs.select(col("doc_id"), col("text")), n = 2, distinct = false)
     val top = grams
       .groupBy(col("doc_id"), col("shingle"))
       .agg(count(lit(1)).as("c"))

@@ -159,18 +159,20 @@ def main():
         for name in sorted(os.listdir(other)):
             if os.path.isdir(os.path.join(other, name)):
                 universe.add(name)
-    for name in sorted(universe - set(spark_results)):
+    base_missing = universe - set(spark_results)
+    for name in sorted(base_missing):
         if name not in oracles:  # oracle-backed ones already failed above
             n_fail += 1
             print(f"[FAIL] {name}: missing from base dir {base_dir}")
     for other in out_dirs[1:]:
         label = os.path.basename(other.rstrip("/")) or other
-        for name in sorted(universe):
+        # base-missing names were flagged once above — re-reporting them
+        # per extra dir would count one defect N times
+        for name in sorted(universe - base_missing):
             d, od = os.path.join(base_dir, name), os.path.join(other, name)
-            if not os.path.isdir(od) or not os.path.isdir(d):
+            if not os.path.isdir(od):
                 n_sweep_fail += 1
-                missing_in = other if not os.path.isdir(od) else base_dir
-                print(f"[SWEEP FAIL] {name}: missing in {missing_in}")
+                print(f"[SWEEP FAIL] {name}: missing in {other}")
                 continue
             a, b = sort_rows(read_spark(d)), sort_rows(read_spark(od))
             problems = compare(name, a, b, other_label=label)
