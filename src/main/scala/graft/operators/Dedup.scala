@@ -214,11 +214,18 @@ object Dedup {
     * by construction), so the cap prunes candidates without ever biasing
     * a reported similarity.
     *
-    * Scale posture: one shuffle on shingle for the index self-join
-    * (bucket sizes bounded by the df cap), one on the pair key for the
-    * counts; the shingle frame is materialized once for its consumers
-    * (index, hot postings, set sizes) — same multi-use/pruning rationale
-    * and production table-materialization caveat as tfidf's tf frame.
+    * Scale posture: ONE shuffle on shingle total — document frequency is
+    * a `count over (partition by shingle)` window annotated onto each
+    * shingle row before the frame is materialized, so the index and the
+    * hot-postings set are FILTERS of the materialized frame (round 4 spent
+    * two extra joins re-attaching dfreq), and the index self-join reuses
+    * the window's hash-partitioning (checkpoint preserves the physical
+    * partitioning, so the join adds no exchange). One more shuffle on the
+    * pair key for the counts. Set sizes are one cheap aggregate over the
+    * materialized rows. With a `materialize` sink the frame instead
+    * persists as a [[graft.sources.VersionedTable]] snapshot — the
+    * 100 TB fault-tolerant path (the parquet round-trip drops the
+    * partitioning, which the self-join re-establishes with one exchange).
     * Recall contract: a true near-dup pair is missed only if it shares
     * fewer than `minShared` shingles rarer than the cap — for
     * boilerplate-heavy corpora raise the cap or pre-strip templates.
@@ -228,10 +235,13 @@ object Dedup {
       threshold: Double = 0.5,
       minShared: Int = 2,
       maxShingleDf: Int = 100,
-      n: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(docs, n).localCheckpoint()
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val idx = sh.join(dfreq.filter(col("df") <= maxShingleDf).select("shingle"), Seq("shingle"))
+      n: Int = 3,
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val sh = graft.sources.VersionedTable.materialize(
+      TextOps.shingles(docs, n).withColumn("df", count(lit(1)).over(byShingle)),
+      materialize)
+    val idx = sh.filter(col("df") <= maxShingleDf).select("shingle", "doc_id")
     val cands = idx.select(col("shingle"), col("doc_id").as("doc_a"))
       .join(idx.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -240,13 +250,13 @@ object Dedup {
       .filter(col("n_rare_shared") >= minShared)
     // intersection over the capped-out (hot) shingles only — exact
     // complement of the candidate join's rare-shared count
-    val hotSh = sh.join(dfreq.filter(col("df") > maxShingleDf).select("shingle"), Seq("shingle"))
+    val hotSh = sh.filter(col("df") > maxShingleDf)
     val hotInter = cands.select("doc_a", "doc_b")
       .join(hotSh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(hotSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_hot_shared"))
-    // set sizes by aggregating the CHECKPOINTED frame — re-deriving them
+    // set sizes by aggregating the MATERIALIZED frame — re-deriving them
     // as a projection from raw text re-tokenizes the corpus and measured
     // 2x slower than this one cheap aggregation over materialized rows
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

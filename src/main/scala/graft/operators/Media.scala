@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * metadata (brief extension surface). BMP (24-bit BI_RGB) and WAV
   * (16-bit PCM) are decoded with plain byte math; PNG (8-bit
   * gray/RGB/RGBA, non-interlaced) is decoded for real too — its DEFLATE
-  * stream needs only the JDK's Inflater, no external codec. Only codecs
-  * that genuinely require external libraries (JPEG/MP3/H.264...) fall
-  * back to a clearly-marked deterministic stub — the Spark-side plumbing
-  * (schema, binary columns, partition-parallel batch processing,
-  * feature-vector shape) is identical either way, and a production
-  * deployment adds codec branches to `decode` with the same signature.
+  * stream needs only the JDK's Inflater. JPEG/GIF/TIFF (and any PNG
+  * variant the hand decoder declines, e.g. palette or interlaced) decode
+  * through the JDK's own ImageIO registry (`java.desktop` module — still
+  * no external library). Only codecs genuinely absent from the JDK
+  * (MP3/H.264...) fall back to a clearly-marked deterministic stub — the
+  * Spark-side plumbing (schema, binary columns, partition-parallel batch
+  * processing, feature-vector shape) is identical either way, and a
+  * production deployment adds codec branches to `decode` with the same
+  * signature.
   *
   * Scale posture: everything is per-row/per-partition — no shuffle. Decode
   * runs via mapPartitions so per-partition setup (codec init in real life)
@@ -165,6 +168,7 @@ object Media {
     if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i))) return None
     var pos = 8
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var ihdrSeen = false
     // stream accumulation, not Array ++: a hostile PNG split into 1-byte
     // IDAT chunks would make repeated array concatenation quadratic
     val idatBuf = new java.io.ByteArrayOutputStream()
@@ -176,9 +180,17 @@ object Media {
       // LONG math: a declared length near Int.MaxValue wraps the bound
       // check in 32-bit arithmetic
       if (len < 0 || dataStart.toLong + len + 4 > b.length) return None
+      // per-chunk CRC over type+data: corrupted or crafted chunks fail
+      // here instead of decoding to garbage pixels
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue.toInt != i32be(b, dataStart + len)) return None
       typ match {
         case "IHDR" =>
-          if (len < 13) return None
+          // a second IHDR after IDAT would silently redefine the geometry
+          // the accumulated IDAT bytes are interpreted with
+          if (ihdrSeen || len < 13) return None
+          ihdrSeen = true
           w = i32be(b, dataStart)
           h = i32be(b, dataStart + 4)
           val bitDepth = u8(b, dataStart + 8)
@@ -190,7 +202,9 @@ object Media {
           if (w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
             u8(b, dataStart + 10) != 0 || u8(b, dataStart + 11) != 0 || interlace != 0)
             return None
-        case "IDAT" => idatBuf.write(b, dataStart, len)
+        case "IDAT" =>
+          if (!ihdrSeen) return None // IDAT before IHDR: no geometry to decode against
+          idatBuf.write(b, dataStart, len)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunks (tEXt, pHYs, gAMA, ...) skipped
       }
@@ -294,11 +308,49 @@ object Media {
     hist.map(_ / n)
   }
 
-  /** Raw-byte nibble histogram — the STUB path for codecs that genuinely
-    * need external libraries this container lacks (JPEG/MP3/H.264; PNG is
-    * decoded for real via the JDK Inflater): a deterministic per-payload
-    * feature with the exact shape a real decoder + extractor would
-    * produce.
+  /** Decode a compressed raster image via the JDK's own ImageIO registry
+    * (JPEG, GIF, TIFF, WBMP — all in OpenJDK's `java.desktop` module, no
+    * external library; also catches PNG variants the hand decoder
+    * declines, e.g. palette or Adam7-interlaced). Dimensions are read
+    * from the header FIRST and checked against the allocation cap before
+    * any pixel decode, so a hostile header cannot force a giant
+    * allocation. Pixels come back row-major top-down packed 0xRRGGBB
+    * (alpha dropped), matching the hand-written BMP/PNG decoders.
+    * Returns None for truncated, malformed, or unregistered payloads.
+    */
+  def decodeImageIOPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    // MemoryCacheImageInputStream: pure in-memory, no executor temp files
+    // (the default createImageInputStream spills to a disk cache)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        // 4 bytes/pixel under the same cap the PNG path enforces
+        if (w <= 0 || h <= 0 || w.toLong > (MaxRawBytes / 4) / h) return None
+        val img = reader.read(0)
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+        Some((w, h, px))
+      } finally reader.dispose()
+    } catch {
+      // ImageIO readers throw IOException/IIOException/RuntimeException
+      // variants on truncated or crafted payloads — all mean "undecodable"
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
+  /** Raw-byte nibble histogram — the STUB path for codecs genuinely
+    * absent from the JDK (MP3/H.264; PNG decodes via the Inflater,
+    * JPEG/GIF/TIFF via ImageIO): a deterministic per-payload feature
+    * with the exact shape a real decoder + extractor would produce.
     */
   private def nibbleHistogram(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -311,12 +363,14 @@ object Media {
     hist.map(_ / n)
   }
 
-  /** Decode + feature-extract: REAL decode for BMP and PNG (pixels ->
-    * luminance histogram) and WAV (PCM samples -> amplitude histogram),
-    * deterministic stub histogram only for library-requiring codecs. All
-    * paths emit the same fixed-width L1-normalized Array[Double], so
-    * downstream consumers (similarity search, dedup on features) are
-    * agnostic to which decoder ran.
+  /** Decode + feature-extract: REAL decode for BMP/PNG (hand decoders),
+    * JPEG/GIF/TIFF (JDK ImageIO) — pixels -> luminance histogram — and
+    * WAV (PCM samples -> amplitude histogram); deterministic stub
+    * histogram only for codecs absent from the JDK. All paths emit the
+    * same fixed-width L1-normalized Array[Double], so downstream
+    * consumers (similarity search, dedup on features) are agnostic to
+    * which decoder ran. The hand decoders run first: no AWT machinery on
+    * the overwhelmingly-common uncompressed paths.
     */
   def decode(df: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -325,6 +379,7 @@ object Media {
       rows.map { r =>
         val feature = decodeBmpPixels(r.bytes)
           .orElse(decodePngPixels(r.bytes))
+          .orElse(decodeImageIOPixels(r.bytes))
           .map { case (_, _, px) => lumaHistogram(px) }
           .orElse(decodeWavPcm(r.bytes).map { case (_, _, s) => amplitudeHistogram(s) })
           .getOrElse(nibbleHistogram(r.bytes))

@@ -234,19 +234,25 @@ object TextOps {
     * (which a function returning a lazy frame has no safe point to call),
     * while checkpoint blocks are reclaimed by the ContextCleaner when the
     * frame becomes unreferenced. tf is corpus-scale, so a production
-    * pipeline materializes it as a table instead (same fault-tolerance
-    * caveat as Percentages.percentagesSingleScan). Document frequency
+    * pipeline passes a `materialize` sink and the frame persists as a
+    * [[graft.sources.VersionedTable]] snapshot instead — fault-tolerant
+    * and resumable (same caveat as Percentages.percentagesSingleScan).
+    * Document frequency
     * aggregates to vocabulary size and joins back on token (AQE
     * broadcasts it when the vocabulary is small); the corpus size joins
     * as a broadcast scalar — no driver-side count. The final top-k is a
     * window over doc_id — the same key tf already shuffled on.
     */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+  def tfidfTopTerms(
+      docs: DataFrame,
+      topK: Int = 3,
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame = {
+    val tf = graft.sources.VersionedTable.materialize(
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf")),
+      materialize)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

@@ -124,4 +124,21 @@ final class VersionedTable(val root: String) {
 
 object VersionedTable {
   def apply(root: String): VersionedTable = new VersionedTable(root)
+
+  /** Materialize a corpus-scale intermediate frame once for its multiple
+    * consumers: into `sink` as a committed snapshot when given — the
+    * 100 TB path (fault-tolerant, resumable, inspectable, survives the
+    * job) — else an in-memory `localCheckpoint` (the single-job path;
+    * executor-local blocks, lost with the job). Both return a frame whose
+    * downstream plans read materialized rows instead of recomputing the
+    * lineage. The table path re-reads through parquet, so physical
+    * partitioning from the producing plan is NOT carried over (a
+    * downstream join re-establishes it with one exchange); the
+    * checkpoint path preserves it.
+    */
+  def materialize(frame: DataFrame, sink: Option[VersionedTable]): DataFrame =
+    sink match {
+      case Some(vt) => vt.commit(frame); vt.read(frame.sparkSession)
+      case None => frame.localCheckpoint()
+    }
 }

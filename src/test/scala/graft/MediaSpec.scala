@@ -263,6 +263,77 @@ class MediaSpec extends AnyFunSuite {
     assert(feats.head.feature(15) === 1.0)
   }
 
+  test("decodePngPixels: rejects duplicate IHDR, IDAT-before-IHDR, bad CRC") {
+    val ok = pngBytes(2, 2, 2, Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12)), Seq(0, 0))
+    // a second IHDR appended before IEND: would redefine geometry after IDAT
+    val ihdrChunk = ok.slice(8, 8 + 8 + 13 + 4)
+    val dup = ok.dropRight(12) ++ ihdrChunk ++ ok.takeRight(12)
+    assert(Media.decodePngPixels(dup) === None)
+    // IDAT before any IHDR: strip the IHDR chunk entirely
+    val noIhdr = ok.take(8) ++ ok.drop(8 + 8 + 13 + 4)
+    assert(Media.decodePngPixels(noIhdr) === None)
+    // flip one bit in IDAT data without fixing the chunk CRC
+    val idatData = 8 + (8 + 13 + 4) + (8 + 14 + 4) + 8
+    val corrupt = ok.clone(); corrupt(idatData) = (corrupt(idatData) ^ 0x40).toByte
+    assert(Media.decodePngPixels(corrupt) === None)
+  }
+
+  // ---------------------------------------------------------------------
+  // ImageIO path (JPEG/GIF/TIFF — JDK java.desktop module): golden pixels
+  // for the lossless codecs, dimension + tolerance checks for JPEG.
+  // ---------------------------------------------------------------------
+
+  /** Encode pixels through the JDK's own writer for the given format. */
+  def imageIoBytes(fmt: String, w: Int, h: Int, px: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px.toArray, 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must have a $fmt writer")
+    out.toByteArray
+  }
+
+  test("decodeImageIOPixels: GIF and TIFF golden pixels round-trip exactly") {
+    // 8x8: the JDK GIF writer scrambles sub-8px images (probe-verified),
+    // so golden size starts there; <=256 colors keeps GIF lossless
+    val px = (0 until 64).map(i => if ((i + i / 8) % 2 == 0) 0xff0000 else 0x0000ff)
+    for (fmt <- Seq("gif", "tiff")) {
+      val Some((w, h, got)) = Media.decodeImageIOPixels(imageIoBytes(fmt, 8, 8, px))
+      assert((w, h) === (8, 8), fmt)
+      assert(got.toSeq === px, fmt)
+    }
+    // TIFF is lossless for arbitrary RGB — multi-color golden too
+    val rich = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0xffffff, 0x000000)
+    val Some((w, h, got)) = Media.decodeImageIOPixels(imageIoBytes("tiff", 3, 2, rich))
+    assert((w, h) === (3, 2))
+    assert(got.toSeq === rich)
+  }
+
+  test("decodeImageIOPixels: JPEG decodes with lossy tolerance") {
+    // uniform mid-gray: JPEG's DC-only block survives within a few codes
+    val px = Seq.fill(64)(0x808080)
+    val Some((w, h, got)) = Media.decodeImageIOPixels(imageIoBytes("jpg", 8, 8, px))
+    assert((w, h) === (8, 8))
+    got.foreach { p =>
+      for (shift <- Seq(16, 8, 0))
+        assert(math.abs(((p >> shift) & 0xff) - 0x80) <= 8, f"channel off: $p%06x")
+    }
+  }
+
+  test("decodeImageIOPixels: rejects truncated and non-image payloads") {
+    val jpeg = imageIoBytes("jpg", 8, 8, Seq.fill(64)(0x808080))
+    assert(Media.decodeImageIOPixels(jpeg.take(jpeg.length / 2)) === None)
+    assert(Media.decodeImageIOPixels(Array.tabulate[Byte](64)(i => i.toByte)) === None)
+    assert(Media.decodeImageIOPixels(Array.emptyByteArray) === None)
+  }
+
+  test("decode: JPEG payloads take the real pixel path via ImageIO") {
+    val white = imageIoBytes("jpg", 8, 8, Seq.fill(64)(0xffffff))
+    val feats = Media.decode(Seq(
+      MediaRow(30L, "image", white, "image/jpeg", 8, 8, 0L)).toDS()).collect()
+    // all-white survives JPEG to within a few codes -> top luma bins
+    assert(feats.head.feature(15) + feats.head.feature(14) === 1.0)
+  }
+
   test("decodeWavPcm: golden samples round-trip, chunk walk skips LIST") {
     val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 42)
     val Some((rate, ch, out)) = Media.decodeWavPcm(wavBytes(16000, 1, samples))
