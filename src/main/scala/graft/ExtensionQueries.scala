@@ -234,6 +234,21 @@ object ExtensionQueries {
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // Same Jaccard computation routed through the EXECUTABLE 100 TB
+    // materialization path: the corpus-scale shingle frame persists as a
+    // VersionedTable snapshot (fault-tolerant, resumable, inspectable)
+    // instead of a localCheckpoint, and must stay hash-identical to x24 —
+    // the oracle gate proves the claim rather than leaving it as prose.
+    "x24t_jaccard_table" -> ((s, dir) => {
+      val sink = graft.sources.VersionedTable(
+        java.nio.file.Files.createTempDirectory("graft_x24t_").toString)
+      Dedup.jaccardNearDups(
+        Tables.documents(s, dir), threshold = 0.5, minShared = 2, maxShingleDf = 100,
+        materialize = Some(sink))
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -296,6 +311,36 @@ object ExtensionQueries {
           col("text").cast("binary").as("bytes")))
         .orderBy("media_id")),
   )
+
+  /** Shared by x24 (localCheckpoint path) and x24t (VersionedTable path):
+    * the two plans must be row/schema/hash-identical, so they gate against
+    * one oracle.
+    */
+  private val JaccardNearDupsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |idx AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 100),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM idx a JOIN idx b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b,
+      |       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+      |FROM inter i
+      |JOIN n na ON na.doc_id = i.doc_a
+      |JOIN n nb ON nb.doc_id = i.doc_b
+      |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -470,31 +515,10 @@ object ExtensionQueries {
         |       round(COALESCE(tp.top_bigram_frac, 0.0), 4) AS top_bigram_frac
         |FROM ls LEFT JOIN tp ON tp.doc_id = ls.doc_id
         |ORDER BY 1""".stripMargin,
-    "x24_jaccard_neardups" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |      FROM t WHERE len(toks) >= 3),
-        |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
-        |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-        |idx AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 100),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM idx a JOIN idx b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b,
-        |       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
-        |FROM inter i
-        |JOIN n na ON na.doc_id = i.doc_a
-        |JOIN n nb ON nb.doc_id = i.doc_b
-        |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+    "x24_jaccard_neardups" -> JaccardNearDupsSql,
+    // the table-backed variant computes the IDENTICAL result, so it gates
+    // against the same oracle
+    "x24t_jaccard_table" -> JaccardNearDupsSql,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,

@@ -435,20 +435,22 @@ object ServingQueries {
          |            ELSE 'weaker' END AS comment_class,
          |       (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
          |FROM daily ORDER BY 1, 2""".stripMargin,
-    // BOTH engines pre-round to 1 decimal with the SAME rounding function
-    // before formatting: Spark bround and DuckDB round_even both round the
-    // SHORTEST decimal repr half-even (probed on every tie class: 12.35 ->
-    // 12.4, 12.25 -> 12.2, 0.05 -> 0.0, 2.675 -> 2.7), so %.1f of the
-    // rounded value is a pass-through on both sides. Formatting the RAW
-    // value would NOT be safe: printf rounds the exact binary value
-    // (12.35 -> "12.3") while Java's Formatter rounds the shortest repr
-    // half-up (12.35 -> "12.4") — see Forecast.dailyForecast.
+    // BOTH engines pre-round to 1 decimal via the MULTIPLY form
+    // (x * 10, half-even at scale 0, / 10) before formatting, so %.1f is a
+    // pass-through on both sides. Scale 0 deliberately: its tie points are
+    // half-integers, all exactly representable, so Spark's repr-based
+    // bround and DuckDB's binary-based round_even cannot split there —
+    // scale-1 rounding COULD (3.35 = 3350000/1e6 reprs as '3.35' but sits
+    // below the binary tie). Formatting the RAW value would NOT be safe:
+    // printf rounds the exact binary value (12.35 -> "12.3") while Java's
+    // Formatter rounds the shortest repr half-up (12.35 -> "12.4") — see
+    // Forecast.dailyForecast.
     "o43_comments" -> {
       val cases = (for {
         (cls, phrases) <- Forecast.DailyPhrases.toSeq
         (p, i) <- phrases.zipWithIndex
       } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
-        s"THEN printf('$p', '$MoveType', round_even(round(hist_avg, 6), 1), round_even(round(implied_pct, 6), 1))")
+        s"THEN printf('$p', '$MoveType', round_even(round(hist_avg, 6) * 10, 0) / 10, round_even(round(implied_pct, 6) * 10, 0) / 10)")
         .mkString("\n         |            ")
       s"""${Tables.FactCtes},
          |${SparkEntry.DensePctCtes},

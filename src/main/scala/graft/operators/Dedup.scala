@@ -154,8 +154,19 @@ object Dedup {
   /** Banded LSH candidate pairs: docs agreeing on ALL rows of at least one
     * band. bands * rowsPerBand must equal the signature length.
     * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    *
+    * `saltBuckets > 1` routes the bucket self-join through
+    * [[Skew.saltedJoin]] — the explicit hatch for a degenerate band bucket
+    * (e.g. boilerplate corpora where one signature dominates) too hot for
+    * AQE's sort-merge skew splitting to reach (the bucket join is a hash
+    * join on a compound key). Results are identical; only row placement
+    * spreads (DedupSpec plants a hot bucket and pins both).
     */
-  def candidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  def candidatePairs(
+      sigs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      saltBuckets: Int = 0): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -172,7 +183,10 @@ object Dedup {
     val b = banded.select(
       col("band_id"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val joined =
+      if (saltBuckets > 1) Skew.saltedJoin(a, b, Seq("band_id", "band_hash"), saltBuckets)
+      else a.join(b, Seq("band_id", "band_hash"))
+    joined
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct() // a pair may collide in several bands
@@ -242,12 +256,19 @@ object Dedup {
       TextOps.shingles(docs, n).withColumn("df", count(lit(1)).over(byShingle)),
       materialize)
     val idx = sh.filter(col("df") <= maxShingleDf).select("shingle", "doc_id")
+    // localCheckpoint, not just a val: cands feeds BOTH the final join and
+    // hotInter, and column pruning specializes the two uses into
+    // non-identical subtrees ReuseExchange cannot collapse — without the
+    // materialization the whole candidate self-join + pair aggregation
+    // (the expensive part) executes twice (plan-verified this round).
+    // cands is pair-bounded (near-dup candidates), far smaller than sh.
     val cands = idx.select(col("shingle"), col("doc_id").as("doc_a"))
       .join(idx.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= minShared)
+      .localCheckpoint()
     // intersection over the capped-out (hot) shingles only — exact
     // complement of the candidate join's rare-shared count
     val hotSh = sh.filter(col("df") > maxShingleDf)
@@ -332,12 +353,20 @@ object Dedup {
   /** Fingerprint-overlap near-dup candidates: docs sharing >= minShared
     * winnowed fingerprints. Inverted-index join on fp — shuffle-parallel,
     * candidate count bounded by fingerprint collisions, never all-pairs.
+    * `saltBuckets > 1` opens the same salted-join skew hatch as
+    * [[candidatePairs]] for a degenerate posting list.
     */
-  def fingerprintCandidates(docs: DataFrame, minShared: Int = 2): DataFrame = {
+  def fingerprintCandidates(
+      docs: DataFrame,
+      minShared: Int = 2,
+      saltBuckets: Int = 0): DataFrame = {
     val fps = winnowFingerprints(docs)
     val a = fps.toDF("doc_a", "fp")
     val b = fps.toDF("doc_b", "fp")
-    a.join(b, Seq("fp"))
+    val joined =
+      if (saltBuckets > 1) Skew.saltedJoin(a, b, Seq("fp"), saltBuckets)
+      else a.join(b, Seq("fp"))
+    joined
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_fps"))

@@ -298,25 +298,35 @@ object Forecast {
             // %.1f parity: the three formatters disagree on ties — Java's
             // Formatter rounds the SHORTEST decimal repr half-up (12.35 ->
             // "12.4"), CPython f"{x:.1f}" rounds the exact binary value
-            // half-even (-> "12.3"), and Spark bround / DuckDB round_even
-            // both round the shortest repr half-even (-> 12.4). Pre-rounding
-            // with bround(x, 1) makes Java's formatter a pass-through and
-            // gives text DuckDB reproduces exactly via
-            // printf('%.1f', round_even(x, 1)) — deterministic and
-            // cross-engine stable. Documented fidelity deviation: on an
-            // exact shortest-repr .x5 tie the digit is half-even on the
-            // printed repr, where CPython (main.py:270-279) is half-even on
-            // the binary value; every non-tie value formats identically.
+            // half-even (-> "12.3"), and Spark bround rounds the shortest
+            // repr half-even (-> 12.4). Pre-rounding to 1 dp makes Java's
+            // formatter a pass-through and gives text DuckDB reproduces
+            // exactly — deterministic and cross-engine stable. Documented
+            // fidelity deviation: on an exact .x5 tie the digit is
+            // half-even on the value both engines compute (binary, via the
+            // multiply form below), where CPython (main.py:270-279) is
+            // half-even on the unrounded binary value; every non-tie value
+            // formats identically.
             //
-            // The CrossRound.r(x, 6) INSIDE the bround is the partition-
+            // The CrossRound.r(x, 6) INSIDE the rounding is the partition-
             // order guard (round-3 red row): hist_avg can fall back to a
             // monthly AVG whose true value sits exactly ON a scale-1 tie
             // (21.25 for (B94, 2024-01-31)); summed in a different order —
-            // 4 vs 32 partitions — it arrives 1 ulp high and bround flips
-            // "21.2" to "21.3". Collapsing at 6 dp first lands every
-            // ordering on the same double; the oracle mirrors with
-            // round_even(round(x, 6), 1).
-            def fmt1(c: Column): Column = bround(CrossRound.r(c, 6), 1)
+            // 4 vs 32 partitions — it arrives 1 ulp high and the half-even
+            // flips "21.2" to "21.3". Collapsing at 6 dp first lands every
+            // ordering on the same double.
+            //
+            // The half-even step itself uses the MULTIPLY form, not
+            // bround(x, 1): Spark's scale-1 bround half-evens the shortest
+            // decimal repr while DuckDB's round_even(x, 1) half-evens the
+            // binary value, and a pre-rounded 3.35 (= 3350000/1e6, not
+            // binary-representable) splits them. At scale 0 the tie points
+            // are half-INTEGERS — every one exactly representable — so
+            // repr-rounding and binary-rounding agree on ALL inputs; both
+            // engines multiply the same double by 10, half-even at the
+            // integer, and divide back. Oracle mirror:
+            // round_even(round(x, 6) * 10, 0) / 10.
+            def fmt1(c: Column): Column = bround(CrossRound.r(c, 6) * 10) / 10
             def bank(k: String): Column = element_at(
               array(DailyPhrases(k).map(p =>
                 format_string(p, lit(mt), fmt1(col("hist_avg")), fmt1(col("implied_pct")))): _*),

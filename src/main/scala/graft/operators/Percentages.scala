@@ -229,9 +229,16 @@ object Percentages {
     // First run against a never-written path degrades to a plain write —
     // the reference's ON CONFLICT upsert works on an empty table too
     // (precompute_percentages.py:218-233).
+    // match the error CONDITION, not message text: Spark 4 exposes the
+    // stable error class on AnalysisException, while wording changes
+    // across versions ("Path does not exist" in 3.x) would silently turn
+    // the first-run fallback into a hard failure
     val existing =
       try Some(readPercentages(spark, path))
-      catch { case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val merged = existing match {
       case Some(stored) =>
         stored

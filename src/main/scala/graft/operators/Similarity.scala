@@ -151,9 +151,12 @@ object Similarity {
     * the corpus is scanned once per iteration — at 100 TB train on a
     * sampled subset and do one final full assignment, the standard
     * recipe. Deterministic end to end: hash-ordered init, argmax ties
-    * break on centroid_id, and the mean aggregation's double drift is
-    * collapsed by the cast back to float (1e-7 granularity vs 1e-12
-    * noise).
+    * break on centroid_id, and the mean aggregation's partition-order
+    * drift is collapsed by an explicit CrossRound.ra pre-round BEFORE the
+    * float cast (the cast alone is only probabilistic: a mean landing
+    * within the ~1e-12 drift of a float rounding boundary still flips
+    * bits across partition counts; 7 dp is within float's precision near
+    * unit-scale embeddings, so the round costs no real signal).
     */
   def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int = 3): DataFrame = {
     var centroids = ivfCentroids(corpus, c).localCheckpoint()
@@ -161,7 +164,7 @@ object Similarity {
       val means = ivfAssign(corpus, centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg(avg(col("v")).as("m"))
+        .agg(CrossRound.ra(avg(col("v")), 7).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(
@@ -218,12 +221,15 @@ object Similarity {
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     // probe side is |probes| x nprobe rows — broadcast it so the corpus-
     // sized cell table never shuffles (plan audit caught Spark defaulting
-    // to a sort-merge join here)
+    // to a sort-merge join here). No candidate dedup needed: ivfAssign
+    // puts each vector in exactly ONE cell (rn === 1) and a probe's
+    // nprobe cells are distinct, so a (q, vec) pair meets at most once —
+    // round 4 paid a corpus-wide distinct over (q_emb, embedding) rows
+    // here for pairs that were already unique.
     broadcast(probeCells)
       .join(cells, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "q_emb", "vec_id", "embedding")
-      .distinct() // a pair may meet in several probed cells
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -241,13 +247,21 @@ object Similarity {
       bits: Int = 10,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    val bucketed = bucketize(emb, planes).select("table_id", "bucket", "vec_id", "embedding")
-    val a = bucketed.toDF("table_id", "bucket", "vec_a", "emb_a")
-    val b = bucketed.toDF("table_id", "bucket", "vec_b", "emb_b")
-    a.join(b, Seq("table_id", "bucket"))
+    // id-only bucket join + dedup: a pair colliding in several tables used
+    // to carry BOTH embedding payloads through the distinct's shuffle —
+    // now the T-fold bucket join and the dedup move only (table, bucket,
+    // id) rows, and each embedding is re-attached once afterwards (two
+    // equi-joins on vec_id, each shuffling the vector table once instead
+    // of per-collision)
+    val bucketedIds = bucketize(emb, planes).select("table_id", "bucket", "vec_id")
+    val pairs = bucketedIds.toDF("table_id", "bucket", "vec_a")
+      .join(bucketedIds.toDF("table_id", "bucket", "vec_b"), Seq("table_id", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "emb_a", "emb_b")
+      .select("vec_a", "vec_b")
       .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
@@ -266,17 +280,22 @@ object Similarity {
       bits: Int = 10,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    val corpusB = bucketize(corpus, planes).select("table_id", "bucket", "vec_id", "embedding")
-    val probesB = bucketize(
+    // same id-only dedup as lshNearDupPairs: the bucket join and the
+    // cross-table distinct move (table, bucket, id) rows only; q_emb
+    // re-attaches from the (small, broadcast) probe table and the corpus
+    // embedding from ONE equi-join — round 4 shuffled both payloads
+    // per-collision through the distinct
+    val corpusIds = bucketize(corpus, planes).select("table_id", "bucket", "vec_id")
+    val probeIds = bucketize(
       probes.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), planes)
-      .select(
-        col("table_id"), col("bucket"),
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val candidates = probesB
-      .join(corpusB, Seq("table_id", "bucket"))
+      .select(col("table_id"), col("bucket"), col("vec_id").as("q_id"))
+    val candidates = probeIds
+      .join(corpusIds, Seq("table_id", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "q_emb", "vec_id", "embedding")
+      .select("q_id", "vec_id")
       .distinct() // same pair can collide in several tables
+      .join(broadcast(probes), Seq("q_id"))
+      .join(corpus, Seq("vec_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     candidates

@@ -201,4 +201,26 @@ object Ingest {
       .agg(sum(col("cnt")).as("cnt"))
       .select(to_date(col("w.start")).as("ds"), col("branch"), col("move_type"), col("cnt"))
   }
+
+  /** Ingest sink in the `historical_data` (per-move-type) shape — the
+    * table `Percentages.refreshMonths` re-aggregates in the nightly cycle.
+    * Same exactly-once dynamic-partition-overwrite contract as
+    * [[streamDailyCountsToTable]]; IngestSpec drives the full
+    * stream -> refresh -> serving-join loop through it.
+    */
+  def streamDailyCountsByTypeToTable(
+      moves: org.apache.spark.sql.DataFrame,
+      tablePath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dailyCountsByType(moves).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ds")
+          .parquet(tablePath)
+      }
+      .start()
 }

@@ -35,19 +35,22 @@ class CrossRoundSpec extends AnyFunSuite {
     assert(java.lang.Double.doubleToRawLongBits(r) === 0L)
   }
 
-  test("bround(r(x, 6), 1) collapses partition-order drift on the 21.25 tie (o43 witness)") {
+  test("bround(r(x, 6) * 10) / 10 collapses partition-order drift on the 21.25 tie (o43 witness)") {
     // the round-3 red row: (B94, 2024-01-31)'s monthly-average hist_avg is
     // exactly 21.25 at 4 shuffle partitions but 21.25 + 1 ulp at 32 — the
     // unguarded bround(x, 1) then formats "21.2" vs "21.3". The 6 dp
-    // pre-round must land every ordering on the same digit.
+    // pre-round must land every ordering on the same digit. The half-even
+    // step is the MULTIPLY form (round-5 ADVICE): scale-0 tie points are
+    // half-integers, exactly representable, so Spark's repr-based bround
+    // and DuckDB's binary round_even cannot diverge there.
     val exact = 21.25
     val up = java.lang.Math.nextUp(exact)
     val down = java.lang.Math.nextDown(exact)
     val got = Seq(exact, up, down).toDF("x")
-      .select(format_string("%.1f", bround(CrossRound.r(col("x"), 6), 1)).as("s"))
+      .select(format_string("%.1f", bround(CrossRound.r(col("x"), 6) * 10) / 10).as("s"))
       .collect().map(_.getString(0)).toSeq
-    // DuckDB: printf('%.1f', round_even(round(x, 6), 1)) = '21.2' for all
-    // three (probed); half-even on the .25 tie rounds DOWN to the even digit
+    // DuckDB: printf('%.1f', round_even(round(x, 6) * 10, 0) / 10) = '21.2'
+    // for all three (probed); half-even on the .25 tie rounds DOWN to even
     assert(got === Seq("21.2", "21.2", "21.2"))
     // and the unguarded form is genuinely unstable across the same inputs —
     // the regression this guard exists for

@@ -69,6 +69,65 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardNearDups(docs, threshold = 0.3, maxShingleDf = 100).count() > 0)
   }
 
+  test("jaccardNearDups: VersionedTable path is row-identical to the checkpoint path") {
+    // the 100 TB materialization hook must not change a single row — the
+    // same contract the x24/x24t oracle pair pins at fixture scale
+    val docs = corpus()
+    val viaCheckpoint = Dedup.jaccardNearDups(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sink = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_jaccard_vt_").toString)
+    val viaTable = Dedup.jaccardNearDups(docs, threshold = 0.3, materialize = Some(sink))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaTable === viaCheckpoint)
+    assert(viaTable.nonEmpty)
+    // and the intermediate really landed as a committed snapshot
+    assert(sink.latestVersion().contains(0L))
+  }
+
+  test("planted hot band bucket: salted candidatePairs matches unsalted and spreads the rows") {
+    // 60 docs with IDENTICAL text -> identical signatures -> every band
+    // hashes to ONE bucket: a degenerate posting list of 60 docs (1770
+    // pairs), the boilerplate-corpus skew the salt hatch exists for.
+    val hotText = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val rnd = new scala.util.Random(13)
+    val docs = ((0L until 60L).map(i => (i, hotText)) ++
+      (100L until 140L).map(i => (i, (0 until 30).map(_ => s"w${rnd.nextInt(500)}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesRowwise(docs).localCheckpoint()
+    val plain = Dedup.candidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.count(p => p._1 < 60 && p._2 < 60) === 60 * 59 / 2, "hot clique missing")
+    val salted = Dedup.candidatePairs(sigs, saltBuckets = 8)
+    assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === plain,
+      "salting must not change the candidate set")
+    // the executed bucket join really runs on the salted compound key
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+
+    // spread evidence on the join itself. Two confs pinned for the probe:
+    // coalescing off (or everything merges to 1 partition at fixture scale
+    // regardless of salting) and auto-broadcast off (or this tiny fixture
+    // broadcasts and never shuffles at all — at the scale the hatch is for,
+    // the bucket join is shuffle-bound by definition)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.operators.Skew
+      val hot = (0 until 60).map(i => ("bucket0", i.toLong)).toDF("k", "id")
+      def nonEmptyParts(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
+      val unsalted = hot.join(hot.toDF("k", "id2"), Seq("k"))
+      assert(nonEmptyParts(unsalted) === 1, "one key = one shuffle partition unsalted")
+      val opened = Skew.saltedJoin(hot, hot.toDF("k", "id2"), Seq("k"), buckets = 8)
+      assert(nonEmptyParts(opened) > 1, "salt hatch did not spread the hot key")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("candidate-pair count is far below all-pairs") {
     val docs = corpus()
     val sigs = Dedup.minhashSignatures(TextOps.shingles(docs))

@@ -120,16 +120,18 @@ class ForecastSpec extends AnyFunSuite {
     assert(got(2.4999) === 2L && got(2.5001) === 3L)
   }
 
-  test("comment %.1f pre-rounding: bround rounds the shortest repr half-even (o43 parity pin)") {
-    // Spark bround(x, 1) and DuckDB round_even(x, 1) share these exact
-    // semantics (probed on every tie class) — the o43 oracle formats
-    // round_even(x, 1) on its side, so THIS behavior is the cross-engine
-    // contract; a silent change here would break the o43 hash gate.
-    // Documented CPython deviation: f"{12.35:.1f}" is "12.3" (exact
-    // binary half-even); this engine deterministically emits 12.4.
-    val got = Seq(12.35, 12.25, 0.05, 0.15, 2.675, 99.95)
+  test("comment %.1f pre-rounding: multiply-form half-even matches DuckDB (o43 parity pin)") {
+    // The o43 oracle formats round_even(x * 10, 0) / 10 on its side and
+    // this engine bround(x * 10) / 10 — probed identical in DuckDB on
+    // every tie class (21.25+-ulp, 12.35, 12.25, 0.05, 0.15, 2.675,
+    // 99.95, 3.35, 3.3499999999999996), so THIS behavior is the
+    // cross-engine contract; a silent change here would break the o43
+    // hash gate. Documented CPython deviation: f"{12.35:.1f}" is "12.3"
+    // (binary half-even of the unrounded value); both engines here emit
+    // 12.4 (12.35d * 10 rounds to exactly 123.5, half-even -> 124).
+    val got = Seq(12.35, 12.25, 0.05, 0.15, 2.675, 99.95, 3.35)
       .toDF("x")
-      .select(col("x"), format_string("%.1f", bround(col("x"), 1)).as("s"))
+      .select(col("x"), format_string("%.1f", bround(col("x") * 10) / 10).as("s"))
       .collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
     assert(got(12.35) === "12.4")
     assert(got(12.25) === "12.2")
@@ -137,6 +139,7 @@ class ForecastSpec extends AnyFunSuite {
     assert(got(0.15) === "0.2")
     assert(got(2.675) === "2.7")
     assert(got(99.95) === "100.0")
+    assert(got(3.35) === "3.4")
   }
 
   // -------------------- validation quirks (main.py:200-209) ----------------

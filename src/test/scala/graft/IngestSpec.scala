@@ -187,4 +187,50 @@ class IngestSpec extends AnyFunSuite {
       assert(!days.contains("2024-01-02"), "late event beyond watermark must be dropped")
     } finally q.stop()
   }
+
+  test("cron-then-serve cycle: a late-landed day flows stream -> refresh -> serving join") {
+    // the reference's nightly loop (precompute_percentages.py cron +
+    // main.py serving reads) as ONE pipeline: history lacks Jan 21, the
+    // serving join falls back to month level; the day then lands through
+    // the streaming ingest, refreshMonths folds it in, and the same
+    // request hits day level.
+    import graft.operators.{Forecast, Percentages}
+    implicit val sqlCtx = spark.sqlContext
+
+    val histRows = for {
+      d <- 1 to 20
+      b <- Seq("B1", "B2")
+      mt <- Seq("click", "view")
+    } yield (java.sql.Date.valueOf(f"2024-01-$d%02d"), b, mt, 10.0 + d)
+    val hist = histRows.toDF("ds", "branch", "move_type", "cnt")
+    val pctPath = java.nio.file.Files.createTempDirectory("graft_cycle_pct").toString
+    Percentages.writePercentages(Percentages.percentagesSingleScan(hist), pctPath)
+
+    val request = Seq(("B1", "click", 1L, 21L)).toDF("branch", "move_type", "month", "day")
+    val before = Forecast.fallbackPct(request, Percentages.readPercentages(spark, pctPath)).head()
+    assert(before.getAs[String]("fallback_level") === "month", "day 21 must not exist yet")
+
+    // day 21 lands late via the streaming ingest (user 1 -> branch B1)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cycle_tbl").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cycle_ckpt").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Ingest.streamDailyCountsByTypeToTable(
+      Ingest.eventsToMoves(mem.toDF().toDF("ts", "user_id", "event_type")), tableDir, ckptDir)
+    try {
+      mem.addData(
+        (ts("2024-01-21 09:00:00"), 1L, "click"),
+        (ts("2024-01-21 10:00:00"), 1L, "click"),
+        (ts("2024-01-21 11:00:00"), 2L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // nightly refresh: re-aggregate January from history + the streamed table
+    val streamed = spark.read.parquet(tableDir)
+      .select(col("ds").cast("date").as("ds"), col("branch"), col("move_type"), col("cnt"))
+    Percentages.refreshMonths(spark, hist.unionByName(streamed), Seq(1L), pctPath)
+
+    val after = Forecast.fallbackPct(request, Percentages.readPercentages(spark, pctPath)).head()
+    assert(after.getAs[String]("fallback_level") === "day", "refreshed day must serve at day level")
+    assert(after.getAs[Double]("day_pct") > 0.0)
+  }
 }

@@ -11,6 +11,19 @@ class TextOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("tfidfTopTerms: VersionedTable path is row-identical to the checkpoint path") {
+    val docs = Tables.documents(spark, sf)
+    val viaCheckpoint = TextOps.tfidfTopTerms(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val sink = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_tfidf_vt_").toString)
+    val viaTable = TextOps.tfidfTopTerms(docs, 3, materialize = Some(sink))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaTable === viaCheckpoint)
+    assert(viaTable.nonEmpty)
+    assert(sink.latestVersion().contains(0L)) // tf really landed as a snapshot
+  }
+
   test("chunkDocs: full coverage, stable ids, no suffix chunks") {
     import spark.implicits._
     val docs = Seq(
