@@ -208,6 +208,13 @@ object ExtensionQueries {
     "x27_source_mix" -> ((s, dir) =>
       TextOps.sourceMix(Tables.documents(s, dir)).orderBy("source")),
 
+    // Per-source cardinality report: docs, distinct languages, chars,
+    // distinct-token vocabulary. Exact COUNT(DISTINCT) here (the oracle
+    // surface); the approx=true HLL form is the 100 TB path, pinned
+    // within 5% of this in TextOpsSpec.
+    "x28_corpus_cardinality" -> ((s, dir) =>
+      TextOps.corpusCardinality(Tables.documents(s, dir)).orderBy("source")),
+
     // Sliding-window chunking (pretraining prep): 40-token windows, 8
     // overlapping — every token covered, ids stable by construction.
     "x26_chunks" -> ((s, dir) =>
@@ -485,6 +492,17 @@ object ExtensionQueries {
          |       round(round(mean_quality, 8), 4) AS mean_quality,
          |       round(CAST(n_docs AS DOUBLE) / corpus_docs * 100.0, 4) AS corpus_share_pct
          |FROM a CROSS JOIN tot ORDER BY 1 NULLS FIRST""".stripMargin,
+    "x28_corpus_cardinality" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |v AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocabulary
+        |      FROM tok GROUP BY 1),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |      FROM documents GROUP BY 1)
+        |SELECT s.source, s.n_docs, s.n_langs, s.total_chars, v.vocabulary
+        |FROM s JOIN v USING (source) ORDER BY 1""".stripMargin,
     "x26_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

@@ -347,6 +347,39 @@ object TextOps {
   def tokenDistributionApprox(docs: DataFrame): DataFrame =
     distributionOf(tokenStats(docs), exact = false)
 
+  /** Corpus cardinality report per ingest source: document count,
+    * distinct languages, total characters, and distinct-token VOCABULARY
+    * — the governance numbers a corpus curator tracks per source.
+    *
+    * `approx = true` swaps exact COUNT(DISTINCT) for the HLL++ sketch
+    * (`approx_count_distinct`) — the 100 TB path: one pass with fixed
+    * memory per group instead of an exact-distinct re-shuffle of the
+    * exploded token frame (SURVEY §2.4's free sketch). The exact form is
+    * the oracle surface (COUNT(DISTINCT) is engine-portable; HLL sketch
+    * values are not); TextOpsSpec pins the sketch within 5% of exact.
+    *
+    * Doc-level stats aggregate the raw table (one row per doc, cheap) and
+    * vocabulary aggregates the exploded token frame separately — joining
+    * two source-keyed aggregates beats one countDistinct(doc_id) pass
+    * over the token explosion, which would re-count each doc once per
+    * token.
+    */
+  def corpusCardinality(docs: DataFrame, approx: Boolean = false): DataFrame = {
+    def cd(c: Column): Column =
+      if (approx) approx_count_distinct(c) else countDistinct(c)
+    val stats = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cd(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+    val vocab = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(cd(col("token")).as("vocabulary"))
+    stats.join(vocab, Seq("source"))
+  }
+
   private def distributionOf(stats: DataFrame, exact: Boolean): DataFrame = {
     val fn = if (exact) "percentile" else "approx_percentile"
     stats.agg(

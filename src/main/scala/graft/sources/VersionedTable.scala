@@ -46,7 +46,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * job), any number of readers. Scale caveat: `Files.move` is atomic on
   * POSIX and HDFS; object stores without atomic rename (S3) need the
   * pointer swap delegated to a catalog/metastore CAS — the protocol is
-  * unchanged, only the final swap primitive moves.
+  * unchanged, only the final swap primitive moves. Reads do NOT depend on
+  * directory listings: each snapshot carries a `_manifest` of its data
+  * files (written before publish), so eventually-consistent LISTs never
+  * hide a freshly-committed file and stray files are never silently read.
   */
 final class VersionedTable(val root: String) {
 
@@ -87,6 +90,7 @@ final class VersionedTable(val root: String) {
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(next).toString)
+    writeManifest(next)
     // publish: temp file + atomic rename — the one-instruction commit
     val tmp = rootPath.resolve(s"_latest.tmp.$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
@@ -95,15 +99,61 @@ final class VersionedTable(val root: String) {
     next
   }
 
+  private def manifestPath(v: Long): Path = versionDir(v).resolve("_manifest")
+
+  /** Per-snapshot file manifest, written BEFORE the pointer swap: the
+    * exact relative paths of the snapshot's data files, one per line.
+    * Readers resolve files from the manifest instead of LISTing the
+    * directory, so a fresh commit is readable even on object stores with
+    * eventually-consistent listings (the writer enumerates its own files
+    * while its view is consistent; readers only need GET on the small
+    * manifest) — and stray files that leak into the directory are never
+    * silently read. The same manifest-over-listing move Iceberg/Delta
+    * make; `_manifest` starts with '_' so Spark's parquet reader ignores
+    * it as a metadata file on the fallback listing path.
+    */
+  private def writeManifest(v: Long): Unit = {
+    val dir = versionDir(v)
+    val s = Files.walk(dir)
+    val rel =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => dir.relativize(p).toString)
+          .toSeq.sorted
+      } finally s.close()
+    Files.write(manifestPath(v), rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Data-file paths of one snapshot per its manifest (pre-manifest
+    * snapshots return None and fall back to directory listing).
+    */
+  def manifest(v: Long): Option[Seq[String]] =
+    if (!Files.exists(manifestPath(v))) None
+    else Some(
+      new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map(rel => versionDir(v).resolve(rel).toString))
+
   /** Read the published snapshot (errors on a never-committed table, like
     * reading a missing path).
     */
   def read(spark: SparkSession): DataFrame = readVersion(spark, latestVersion()
     .getOrElse(throw new IllegalStateException(s"no published version under $root")))
 
-  /** Read one pinned snapshot — time travel over retained versions. */
-  def readVersion(spark: SparkSession, v: Long): DataFrame =
-    spark.read.parquet(versionDir(v).toString)
+  /** Read one pinned snapshot — time travel over retained versions.
+    * Manifest-backed when available (no directory LIST on the read path;
+    * `basePath` keeps hive-style partition columns inferable from the
+    * explicit file paths); pre-manifest snapshots fall back to listing.
+    */
+  def readVersion(spark: SparkSession, v: Long): DataFrame = manifest(v) match {
+    case Some(files) =>
+      spark.read
+        .option("basePath", versionDir(v).toString)
+        .parquet(files: _*)
+    case None => spark.read.parquet(versionDir(v).toString)
+  }
 
   /** Drop all but the newest `keep` snapshots (never the published one).
     * Callers own the retention contract: only vacuum past the oldest

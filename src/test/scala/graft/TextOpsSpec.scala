@@ -77,6 +77,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Double]("dup_line_frac") === 0.0)
   }
 
+  test("corpusCardinality: HLL sketch tracks exact distinct counts within 5%") {
+    val docs = Tables.documents(spark, sf)
+    def byShape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+          r.getAs[Long]("total_chars"), r.getAs[Long]("vocabulary"))).toMap
+    val exact = byShape(TextOps.corpusCardinality(docs))
+    val approx = byShape(TextOps.corpusCardinality(docs, approx = true))
+    assert(exact.nonEmpty && exact.keySet === approx.keySet)
+    exact.foreach { case (src, (nDocs, nLangs, chars, vocab)) =>
+      val (aDocs, aLangs, aChars, aVocab) = approx(src)
+      assert(aDocs === nDocs && aChars === chars, src) // non-sketch columns identical
+      assert(math.abs(aLangs - nLangs) <= math.max(1L, (0.05 * nLangs).toLong), src)
+      assert(math.abs(aVocab - vocab) <= math.max(1L, (0.05 * vocab).toLong),
+        s"$src: HLL vocabulary $aVocab vs exact $vocab drifted past 5%")
+    }
+  }
+
   test("approx token distribution tracks the exact one within 5% (the 100 TB path)") {
     val docs = Tables.documents(spark, sf)
     val exact = TextOps.tokenDistribution(docs).head()

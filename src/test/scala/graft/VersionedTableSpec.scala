@@ -67,6 +67,36 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
   }
 
+  test("manifest: commit records its data files; reads ignore stray files in the dir") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"s$i", i % 4)).toDF("id", "s", "p")
+    t.commit(df, partitionBy = Seq("p"))
+
+    // manifest lists exactly the snapshot's parquet files
+    val files = t.manifest(0L).getOrElse(fail("manifest missing"))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.endsWith(".parquet") && java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // partition columns survive the explicit-file read (basePath)
+    val back = t.read(spark)
+    assert(back.columns.toSet === Set("id", "s", "p"))
+    assert(back.count() === 100)
+    assert(back.filter(col("p") === 2).count() === 25)
+
+    // a stray file leaking into the snapshot dir (partial upload, foreign
+    // writer) is NEVER silently read — the manifest, not the listing, is
+    // the source of truth
+    val stray = (900L to 999L).map(i => (i, "stray", 0L)).toDF("id", "s", "p")
+    val strayDir = java.nio.file.Files.createTempDirectory("graft_vt_stray").toString + "/d"
+    stray.write.parquet(strayDir)
+    val strayFile = java.nio.file.Files.list(java.nio.file.Paths.get(strayDir))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(
+      strayFile,
+      java.nio.file.Paths.get(t.root, "v=0", "p=0", "part-stray.parquet"))
+    assert(t.read(spark).count() === 100, "stray file must not be read")
+  }
+
   test("an orphan directory from a crashed commit never blocks later commits") {
     val t = freshTable()
     import spark.implicits._
