@@ -247,13 +247,17 @@ object ExtensionQueries {
     // instead of a localCheckpoint, and must stay hash-identical to x24 —
     // the oracle gate proves the claim rather than leaving it as prose.
     "x24t_jaccard_table" -> ((s, dir) => {
-      val sink = graft.sources.VersionedTable(
-        java.nio.file.Files.createTempDirectory("graft_x24t_").toString)
-      Dedup.jaccardNearDups(
+      val sink = X24tSink
+      val out = Dedup.jaccardNearDups(
         Tables.documents(s, dir), threshold = 0.5, minShared = 2, maxShingleDf = 100,
         materialize = Some(sink))
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+      // bound the disk footprint across repeated evaluations; keep=2
+      // leaves the just-committed snapshot plus one of slack for any
+      // still-referenced prior frame
+      sink.vacuum(keep = 2)
+      out
     }),
 
     // Benchmark-contamination check: shingle overlap against a banned set
@@ -318,6 +322,16 @@ object ExtensionQueries {
           col("text").cast("binary").as("bytes")))
         .orderBy("media_id")),
   )
+
+  /** One JVM-wide sink for x24t: the harness evaluates query lambdas
+    * repeatedly (sweeps at two widths, warm bench iterations, plan
+    * audits), and a fresh temp directory per evaluation would leak one
+    * corpus-scale shingle snapshot per run. Repeated evaluations commit
+    * new versions into this ONE table and vacuum keeps it bounded.
+    */
+  private lazy val X24tSink: graft.sources.VersionedTable =
+    graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_x24t_").toString + "/t")
 
   /** Shared by x24 (localCheckpoint path) and x24t (VersionedTable path):
     * the two plans must be row/schema/hash-identical, so they gate against
@@ -501,8 +515,9 @@ object ExtensionQueries {
         |             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |             CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |      FROM documents GROUP BY 1)
-        |SELECT s.source, s.n_docs, s.n_langs, s.total_chars, v.vocabulary
-        |FROM s JOIN v USING (source) ORDER BY 1""".stripMargin,
+        |SELECT s.source, s.n_docs, s.n_langs, s.total_chars,
+        |       COALESCE(v.vocabulary, 0) AS vocabulary
+        |FROM s LEFT JOIN v USING (source) ORDER BY 1""".stripMargin,
     "x26_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

@@ -57,8 +57,13 @@ import org.apache.spark.sql.functions._
   * Deterministic per-row values (ratios of exact integer sums, scalar
   * math) cannot drift and may use [[r]] directly; anything downstream of
   * AVG/STDDEV over doubles — or of a sum that can exceed 2^53 at target
-  * scale — goes through [[ra]] (or formats through `bround(r(x, 6), 1)`
-  * for printed text, mirrored as `round_even(round(x, 6), 1)`).
+  * scale — goes through [[ra]]. Printed text formats through the
+  * MULTIPLY form `bround(r(x, 6) * 10) / 10`, mirrored as
+  * `round_even(round(x, 6) * 10, 0) / 10` (round 5): scale-1 `bround`
+  * half-evens the shortest repr while DuckDB's `round_even(x, 1)`
+  * half-evens the binary value, and a pre-rounded 3350000/1e6 can split
+  * them — at scale 0 every tie point is a half-INTEGER, exactly
+  * representable, so repr- and binary-rounding agree on all inputs.
   */
 object CrossRound {
   def r(c: Column, scale: Int): Column = {

@@ -156,17 +156,21 @@ object Dedup {
     * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     *
     * `saltBuckets > 1` routes the bucket self-join through
-    * [[Skew.saltedJoin]] — the explicit hatch for a degenerate band bucket
-    * (e.g. boilerplate corpora where one signature dominates) too hot for
-    * AQE's sort-merge skew splitting to reach (the bucket join is a hash
-    * join on a compound key). Results are identical; only row placement
-    * spreads (DedupSpec plants a hot bucket and pins both).
+    * [[Skew.saltedJoinSkewed]] — the explicit hatch for a degenerate band
+    * bucket (e.g. boilerplate corpora where one signature dominates) too
+    * hot for AQE's sort-merge skew splitting to reach (the bucket join is
+    * a hash join on a compound key). Only buckets larger than
+    * `saltHotThreshold` are salted — salting every bucket would multiply
+    * the whole join's shuffle volume by `saltBuckets` to fix a handful of
+    * keys. Results are identical; only row placement spreads (DedupSpec
+    * plants a hot bucket and pins both).
     */
   def candidatePairs(
       sigs: DataFrame,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      saltBuckets: Int = 0): DataFrame = {
+      saltBuckets: Int = 0,
+      saltHotThreshold: Long = 1000L): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -184,7 +188,8 @@ object Dedup {
       col("band_id"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val joined =
-      if (saltBuckets > 1) Skew.saltedJoin(a, b, Seq("band_id", "band_hash"), saltBuckets)
+      if (saltBuckets > 1)
+        Skew.saltedJoinSkewed(a, b, Seq("band_id", "band_hash"), saltBuckets, saltHotThreshold)
       else a.join(b, Seq("band_id", "band_hash"))
     joined
       .filter(col("doc_a") < col("doc_b"))
@@ -353,18 +358,20 @@ object Dedup {
   /** Fingerprint-overlap near-dup candidates: docs sharing >= minShared
     * winnowed fingerprints. Inverted-index join on fp — shuffle-parallel,
     * candidate count bounded by fingerprint collisions, never all-pairs.
-    * `saltBuckets > 1` opens the same salted-join skew hatch as
-    * [[candidatePairs]] for a degenerate posting list.
+    * `saltBuckets > 1` opens the same hot-bucket-only salted-join skew
+    * hatch as [[candidatePairs]] for a degenerate posting list.
     */
   def fingerprintCandidates(
       docs: DataFrame,
       minShared: Int = 2,
-      saltBuckets: Int = 0): DataFrame = {
+      saltBuckets: Int = 0,
+      saltHotThreshold: Long = 1000L): DataFrame = {
     val fps = winnowFingerprints(docs)
     val a = fps.toDF("doc_a", "fp")
     val b = fps.toDF("doc_b", "fp")
     val joined =
-      if (saltBuckets > 1) Skew.saltedJoin(a, b, Seq("fp"), saltBuckets)
+      if (saltBuckets > 1)
+        Skew.saltedJoinSkewed(a, b, Seq("fp"), saltBuckets, saltHotThreshold)
       else a.join(b, Seq("fp"))
     joined
       .filter(col("doc_a") < col("doc_b"))

@@ -155,6 +155,19 @@ object Media {
 
   private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Tri-state PNG decode result. Integrity failures are TERMINAL: the
+    * payload claims to be a PNG and is provably damaged (bad chunk CRC,
+    * duplicate IHDR, IDAT before IHDR, truncated stream) — handing it to
+    * a CRC-ignoring fallback decoder would resurrect exactly the garbage
+    * pixels the checks exist to reject. Unsupported-feature results
+    * (palette, 16-bit, Adam7 — or not a PNG at all) fall through to the
+    * ImageIO path, which handles those variants correctly.
+    */
+  private[graft] sealed trait PngDecode
+  private[graft] final case class PngOk(w: Int, h: Int, px: Array[Int]) extends PngDecode
+  private[graft] case object PngCorrupt extends PngDecode
+  private[graft] case object PngUnsupported extends PngDecode
+
   /** Decode an 8-bit-depth non-interlaced PNG (color types 0 gray, 2 RGB,
     * 4 gray+alpha, 6 RGBA — the overwhelming majority of real PNGs):
     * (width, height, row-major top-down packed 0xRRGGBB pixels; alpha
@@ -162,10 +175,18 @@ object Media {
     * concatenation, JDK-Inflater DEFLATE decompression, and per-scanline
     * unfiltering (None/Sub/Up/Average/Paeth). Returns None for palette or
     * 16-bit or Adam7-interlaced images, truncated streams, and hostile
-    * headers (long-math size guards, allocation cap).
+    * headers (long-math size guards, allocation cap); [[decodePngDetailed]]
+    * additionally distinguishes corrupt from unsupported.
     */
-  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i))) return None
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePngDetailed(b) match {
+      case PngOk(w, h, px) => Some((w, h, px))
+      case _ => None
+    }
+
+  private[graft] def decodePngDetailed(b: Array[Byte]): PngDecode = {
+    if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i)))
+      return PngUnsupported // not a PNG at all (or too short to ever be)
     var pos = 8
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
     var ihdrSeen = false
@@ -179,17 +200,17 @@ object Media {
       val dataStart = pos + 8
       // LONG math: a declared length near Int.MaxValue wraps the bound
       // check in 32-bit arithmetic
-      if (len < 0 || dataStart.toLong + len + 4 > b.length) return None
+      if (len < 0 || dataStart.toLong + len + 4 > b.length) return PngCorrupt
       // per-chunk CRC over type+data: corrupted or crafted chunks fail
       // here instead of decoding to garbage pixels
       val crc = new java.util.zip.CRC32()
       crc.update(b, pos + 4, 4 + len)
-      if (crc.getValue.toInt != i32be(b, dataStart + len)) return None
+      if (crc.getValue.toInt != i32be(b, dataStart + len)) return PngCorrupt
       typ match {
         case "IHDR" =>
           // a second IHDR after IDAT would silently redefine the geometry
           // the accumulated IDAT bytes are interpreted with
-          if (ihdrSeen || len < 13) return None
+          if (ihdrSeen || len < 13) return PngCorrupt
           ihdrSeen = true
           w = i32be(b, dataStart)
           h = i32be(b, dataStart + 4)
@@ -199,11 +220,13 @@ object Media {
           bpp = colorType match {
             case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => -1
           }
-          if (w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
+          if (w <= 0 || h <= 0) return PngCorrupt
+          // features this decoder declines but a full decoder handles
+          if (bitDepth != 8 || bpp < 0 ||
             u8(b, dataStart + 10) != 0 || u8(b, dataStart + 11) != 0 || interlace != 0)
-            return None
+            return PngUnsupported
         case "IDAT" =>
-          if (!ihdrSeen) return None // IDAT before IHDR: no geometry to decode against
+          if (!ihdrSeen) return PngCorrupt // IDAT before IHDR: no geometry
           idatBuf.write(b, dataStart, len)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunks (tEXt, pHYs, gAMA, ...) skipped
@@ -211,11 +234,14 @@ object Media {
       pos = dataStart + len + 4 // skip CRC
     }
     val idat = idatBuf.toByteArray
-    if (w == 0 || idat.isEmpty) return None
+    if (w == 0 || idat.isEmpty) return PngCorrupt
     val stride = 1L + w.toLong * bpp // <= ~2^33, cannot overflow a long
     // divide-form bound: `stride * h` itself can overflow LONG for hostile
-    // 2^31-scale dimensions, silently passing a product-form check
-    if (h > MaxRawBytes / stride) return None
+    // 2^31-scale dimensions, silently passing a product-form check.
+    // Past-cap = capability refusal, not proof of damage — but the
+    // ImageIO path enforces the same cap pre-decode, so a hostile header
+    // still ends at the stub without a giant allocation anywhere.
+    if (h > MaxRawBytes / stride) return PngUnsupported
     val rawSize = stride * h
     val raw = new Array[Byte](rawSize.toInt)
     val inflater = new java.util.zip.Inflater()
@@ -228,11 +254,11 @@ object Media {
         // truncated stream (needsInput) OR a preset-dictionary zlib header
         // (needsDictionary — never valid in PNG and otherwise an infinite
         // loop: inflate would return 0 forever)
-        if (n == 0) return None
+        if (n == 0) return PngCorrupt
         got += n
       }
-      if (got < raw.length) return None
-    } catch { case _: java.util.zip.DataFormatException => return None }
+      if (got < raw.length) return PngCorrupt
+    } catch { case _: java.util.zip.DataFormatException => return PngCorrupt }
     finally inflater.end()
 
     // unfilter scanlines in place over prev/cur row byte windows
@@ -259,7 +285,7 @@ object Media {
             val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
             u8(raw, cur + i) + pred
-          case _ => return None
+          case _ => return PngCorrupt // 5+ is not a defined filter type
         }
         raw(cur + i) = (recon & 0xff).toByte
         i += 1
@@ -275,7 +301,7 @@ object Media {
       }
       y += 1
     }
-    Some((w, h, px))
+    PngOk(w, h, px)
   }
 
   /** 16-bin L1-normalized luminance histogram over decoded pixels (BT.601
@@ -377,12 +403,22 @@ object Media {
     df.mapPartitions { rows =>
       // per-partition init would open heavier codecs once here
       rows.map { r =>
-        val feature = decodeBmpPixels(r.bytes)
-          .orElse(decodePngPixels(r.bytes))
-          .orElse(decodeImageIOPixels(r.bytes))
-          .map { case (_, _, px) => lumaHistogram(px) }
-          .orElse(decodeWavPcm(r.bytes).map { case (_, _, s) => amplitudeHistogram(s) })
-          .getOrElse(nibbleHistogram(r.bytes))
+        val feature = decodeBmpPixels(r.bytes) match {
+          case Some((_, _, px)) => lumaHistogram(px)
+          case None =>
+            decodePngDetailed(r.bytes) match {
+              case PngOk(_, _, px) => lumaHistogram(px)
+              // provably-damaged PNG: TERMINAL. ImageIO's PNG reader skips
+              // chunk CRCs, so falling through would decode exactly the
+              // garbage pixels the integrity checks reject.
+              case PngCorrupt => nibbleHistogram(r.bytes)
+              case PngUnsupported =>
+                decodeImageIOPixels(r.bytes)
+                  .map { case (_, _, px) => lumaHistogram(px) }
+                  .orElse(decodeWavPcm(r.bytes).map { case (_, _, s) => amplitudeHistogram(s) })
+                  .getOrElse(nibbleHistogram(r.bytes))
+            }
+        }
         MediaFeatures(r.media_id, r.kind, feature)
       }
     }

@@ -242,7 +242,7 @@ object Percentages {
     val merged = existing match {
       case Some(stored) =>
         stored
-          .filter(col("month").isin(months: _*))
+          .filter(col("month").isin(months.toIndexedSeq: _*))
           .join(updates.select(PctKey.map(col): _*), PctKey, "left_anti")
           .select(PctCols.map(col): _*)
           .unionByName(updates.select(PctCols.map(col): _*))

@@ -108,7 +108,7 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+  private def planeLit(p: Array[Double]): Column = array(p.toIndexedSeq.map(lit): _*)
 
   /** Packed sign-bit bucket id for one table — pure column math, shuffle-free. */
   def bucketCol(emb: Column, planes: Seq[Array[Double]]): Column =

@@ -63,4 +63,38 @@ object Skew {
       .join(explodedSmall, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** Hot/cold split salted join — the form to reach for at scale.
+    * [[saltedJoin]] replicates the ENTIRE small side by `buckets`, so
+    * applied wholesale it multiplies total shuffle volume to fix a
+    * handful of hot keys. This variant first finds the keys whose
+    * big-side row count exceeds `hotThreshold` (a bounded set by
+    * construction — materialized and broadcast), salts ONLY those, and
+    * joins the cold majority unsalted; the union equals the plain join
+    * for inner/left joins (both sides are split by the same key set, so
+    * every pair meets in exactly one branch).
+    */
+  def saltedJoinSkewed(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      hotThreshold: Long,
+      joinType: String = "inner",
+      seed: Long = 7L): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val keyCols = keys.map(col)
+    val hotKeys = big
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(keyCols: _*)
+      .localCheckpoint() // four consumers below; bounded by construction
+    val bigHot = big.join(broadcast(hotKeys), keys, "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), keys, "left_anti")
+    val smallHot = small.join(broadcast(hotKeys), keys, "left_semi")
+    val smallCold = small.join(broadcast(hotKeys), keys, "left_anti")
+    saltedJoin(bigHot, smallHot, keys, buckets, joinType, seed)
+      .unionByName(bigCold.join(smallCold, keys, joinType))
+  }
 }

@@ -377,7 +377,12 @@ object TextOps {
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source")
       .agg(cd(col("token")).as("vocabulary"))
-    stats.join(vocab, Seq("source"))
+    // LEFT join + 0 default: a source whose documents all have null text
+    // produces no token rows at all — an inner join would silently drop
+    // the source from the governance report despite its real documents
+    stats
+      .join(vocab, Seq("source"), "left")
+      .na.fill(0, Seq("vocabulary"))
   }
 
   private def distributionOf(stats: DataFrame, exact: Boolean): DataFrame = {

@@ -47,10 +47,20 @@ object Ingest {
   /** The ingest SINK: stream daily counts into the partitioned parquet
     * fact table the batch pipelines read. foreachBatch gives exactly-once
     * per micro-batch via the checkpoint; each batch OVERWRITES only the
-    * day partitions it touches (dynamic partition overwrite), so a late
-    * re-emit within the watermark replaces that day's row instead of
+    * partitions it touches (dynamic partition overwrite), so a late
+    * re-emit within the watermark replaces that row instead of
     * duplicating it — the streaming analog of the reference's upsert
     * (precompute_percentages.py:218-233).
+    *
+    * The table is partitioned by the FULL aggregation key (ds, branch),
+    * not just ds. This is what makes update-mode + dynamic overwrite
+    * correct: update mode re-emits only the (ds, branch) rows the batch
+    * changed, and each such row rewrites exactly its own partition. A
+    * ds-only layout would rewrite the whole day with only the CHANGED
+    * rows, silently deleting every unchanged branch's row for that day
+    * (round-5 review catch). The table holds bounded daily aggregates —
+    * |days| x |branches| directories — so the finer layout stays cheap,
+    * and readers prune on both columns for free.
     */
   def streamDailyCountsToTable(
       moves: org.apache.spark.sql.DataFrame,
@@ -63,7 +73,7 @@ object Ingest {
         batch.write
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ds")
+          .partitionBy("ds", "branch")
           .parquet(tablePath)
       }
       .start()
@@ -205,8 +215,12 @@ object Ingest {
   /** Ingest sink in the `historical_data` (per-move-type) shape — the
     * table `Percentages.refreshMonths` re-aggregates in the nightly cycle.
     * Same exactly-once dynamic-partition-overwrite contract as
-    * [[streamDailyCountsToTable]]; IngestSpec drives the full
-    * stream -> refresh -> serving-join loop through it.
+    * [[streamDailyCountsToTable]], and the same partition-by-the-full-
+    * aggregation-key rule: update mode emits only changed
+    * (ds, branch, move_type) rows, so each must own its partition or the
+    * overwrite deletes the day's unchanged groups. IngestSpec drives the
+    * full stream -> refresh -> serving-join loop through it and pins the
+    * cross-batch no-deletion property.
     */
   def streamDailyCountsByTypeToTable(
       moves: org.apache.spark.sql.DataFrame,
@@ -219,7 +233,7 @@ object Ingest {
         batch.write
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ds")
+          .partitionBy("ds", "branch", "move_type")
           .parquet(tablePath)
       }
       .start()

@@ -98,10 +98,14 @@ class DedupSpec extends AnyFunSuite {
     val plain = Dedup.candidatePairs(sigs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(plain.count(p => p._1 < 60 && p._2 < 60) === 60 * 59 / 2, "hot clique missing")
-    val salted = Dedup.candidatePairs(sigs, saltBuckets = 8)
+    // threshold 30: the 60-row degenerate bucket salts, the singleton
+    // buckets of the normal docs stay on the unsalted cold branch — the
+    // hot/cold split is the point (salting everything would multiply the
+    // whole join's shuffle volume by the bucket count)
+    val salted = Dedup.candidatePairs(sigs, saltBuckets = 8, saltHotThreshold = 30L)
     assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === plain,
       "salting must not change the candidate set")
-    // the executed bucket join really runs on the salted compound key
+    // the executed hot branch really joins on the salted compound key
     assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
 
     // spread evidence on the join itself. Two confs pinned for the probe:

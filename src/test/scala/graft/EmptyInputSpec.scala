@@ -57,6 +57,22 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(dist.getAs[Long]("n_docs") === 0L)
   }
 
+  test("round-5 operators handle empty inputs") {
+    val emptySourced = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.corpusCardinality(emptySourced).count() === 0)
+    assert(TextOps.corpusCardinality(emptySourced, approx = true).count() === 0)
+    // table-backed materialization of an empty frame commits and reads back empty
+    val sink = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_empty_vt").toString + "/t")
+    assert(Dedup.jaccardNearDups(emptyDocs, materialize = Some(sink)).count() === 0)
+    assert(sink.latestVersion().contains(0L))
+    // salted candidate paths on empty corpora
+    assert(Dedup.fingerprintCandidates(emptyDocs, saltBuckets = 4).count() === 0)
+    val emptySigs = Dedup.minhashSignaturesRowwise(emptyDocs)
+    assert(Dedup.candidatePairs(emptySigs, saltBuckets = 4).count() === 0)
+  }
+
   test("summarize of an empty daily frame is empty") {
     val daily = Seq.empty[(String, String, Long, Long, Double, Double)]
       .toDF("branch", "ds", "branch_forecast", "predicted_moves", "input_pct", "hist_avg")

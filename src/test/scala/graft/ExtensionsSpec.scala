@@ -40,6 +40,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(
         salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0,
         s"salted $jt join diverges from plain join")
+      // hot/cold split form: only key 99 (1800 rows) crosses the
+      // threshold and salts; the cold keys join unsalted — results must
+      // still be exactly the plain join
+      val skewed = Skew.saltedJoinSkewed(
+        fact, dim, Seq("k"), buckets = 8, hotThreshold = 500L, joinType = jt)
+      assert(skewed.columns.toSeq === plain.columns.toSeq)
+      assert(
+        skewed.exceptAll(plain).count() === 0 && plain.exceptAll(skewed).count() === 0,
+        s"hot/cold salted $jt join diverges from plain join")
     }
   }
 

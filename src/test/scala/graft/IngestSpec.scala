@@ -73,6 +73,31 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode sink: updating one branch never deletes the day's other branches") {
+    // the round-5 review catch: update mode re-emits only CHANGED rows,
+    // so the table must partition by the full aggregation key or the
+    // dynamic overwrite deletes the day's unchanged groups
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_grain_tbl").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_grain_ckpt").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Ingest.streamDailyCountsToTable(
+      Ingest.eventsToMoves(mem.toDF().toDF("ts", "user_id", "event_type")), tableDir, ckptDir)
+    try {
+      // batch 1: two branches on the same day
+      mem.addData((ts("2024-01-10 08:00:00"), 1L, "click"), (ts("2024-01-10 09:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: one more event for B1 ONLY — update mode emits only B1's row
+      mem.addData((ts("2024-01-10 10:00:00"), 1L, "click"))
+      q.processAllAvailable()
+      val day = Ingest.readDailyCountsTable(spark, tableDir)
+        .filter(col("ds") === "2024-01-10")
+        .collect().map(r => r.getAs[String]("branch") -> r.getAs[Double]("cnt")).toMap
+      assert(day === Map("B1" -> 2.0, "B2" -> 1.0),
+        "the batch-2 overwrite must not delete B2's untouched row")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

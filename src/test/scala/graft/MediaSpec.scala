@@ -263,6 +263,40 @@ class MediaSpec extends AnyFunSuite {
     assert(feats.head.feature(15) === 1.0)
   }
 
+  test("corrupt PNG is TERMINAL in decode(): stub path, never the CRC-ignoring ImageIO reader") {
+    import graft.operators.Media.{PngCorrupt, PngUnsupported}
+    // all-white 2x2 RGB PNG with one IDAT bit flipped and the CRC left
+    // stale: provably damaged. ImageIO's PNG reader skips chunk CRCs and
+    // would happily decode it (to white here, garbage in general).
+    val white = pngBytes(2, 2, 2, Seq.fill(2)(Seq.fill(6)(255)), Seq(0, 0))
+    val idatData = 8 + (8 + 13 + 4) + (8 + 14 + 4) + 8
+    val corrupt = white.clone(); corrupt(idatData + 3) = (corrupt(idatData + 3) ^ 0x01).toByte
+    assert(Media.decodePngDetailed(corrupt) === PngCorrupt)
+    val feats = Media.decode(Seq(
+      MediaRow(40L, "image", corrupt, "image/png", 2, 2, 0L)).toDS()).collect()
+    // stub nibble histogram of the raw bytes, NOT a white-pixel histogram
+    assert(feats.head.feature(15) < 1.0, "corrupt PNG must not reach a pixel decoder")
+
+    // Adam7-interlaced PNG (written by the JDK's own writer with
+    // progressive mode): a CAPABILITY gap, so it falls through to ImageIO
+    // and decodes for real
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 8, 8, Array.fill(64)(0xffffff), 0, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val adam7 = out.toByteArray
+    assert(Media.decodePngDetailed(adam7) === PngUnsupported)
+    val f2 = Media.decode(Seq(
+      MediaRow(41L, "image", adam7, "image/png", 8, 8, 0L)).toDS()).collect()
+    assert(f2.head.feature(15) === 1.0, "interlaced PNG must decode via ImageIO")
+  }
+
   test("decodePngPixels: rejects duplicate IHDR, IDAT-before-IHDR, bad CRC") {
     val ok = pngBytes(2, 2, 2, Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12)), Seq(0, 0))
     // a second IHDR appended before IEND: would redefine geometry after IDAT

@@ -77,6 +77,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Double]("dup_line_frac") === 0.0)
   }
 
+  test("corpusCardinality: a source whose docs are all token-less still appears") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("alpha beta"), "en", "web", 10L),
+      (2L, None: Option[String], "en", "scan", 0L), // null text -> no token rows
+      (3L, None: Option[String], "de", "scan", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.corpusCardinality(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("vocabulary"))).toMap
+    assert(out("web") === (1L, 2L))
+    assert(out("scan") === (2L, 0L), "token-less source must report vocabulary 0, not vanish")
+  }
+
   test("corpusCardinality: HLL sketch tracks exact distinct counts within 5%") {
     val docs = Tables.documents(spark, sf)
     def byShape(df: org.apache.spark.sql.DataFrame) = df.collect()
