@@ -260,6 +260,19 @@ object ExtensionQueries {
       out
     }),
 
+    // Incremental dedup (the production daily-ingest shape): docs 0-99
+    // stand in for today's batch, the rest for the already-ingested
+    // corpus; exact Jaccard over batch x corpus pairs ONLY — no corpus
+    // self-pairs recomputed.
+    "x29_incremental_neardups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardNearDupsAgainst(
+        docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100),
+        threshold = 0.5, minShared = 2, maxShingleDf = 100)
+        .select(col("batch_id"), col("corpus_id"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -552,6 +565,36 @@ object ExtensionQueries {
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,
+    // same recall contract as x24: candidates need >= 2 shingles under
+    // the CORPUS df cap; the intersection itself is the full exact one
+    "x29_incremental_neardups" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        |b AS (SELECT * FROM sh WHERE doc_id < 100),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 100),
+        |dfc AS (SELECT shingle, COUNT(*) AS df FROM c GROUP BY 1),
+        |idxc AS (SELECT c.* FROM c JOIN dfc USING (shingle) WHERE df <= 100),
+        |cand AS (
+        |  SELECT b.doc_id AS batch_id, idxc.doc_id AS corpus_id
+        |  FROM b JOIN idxc USING (shingle)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |inter AS (
+        |  SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS n_inter
+        |  FROM cand JOIN b ON b.doc_id = cand.batch_id
+        |  JOIN c ON c.doc_id = cand.corpus_id AND c.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+        |nc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1)
+        |SELECT i.batch_id, i.corpus_id,
+        |       round(CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN nb ON nb.doc_id = i.batch_id
+        |JOIN nc ON nc.doc_id = i.corpus_id
+        |WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,

@@ -105,7 +105,9 @@ object PlanAudit {
     // same documented inverted-index shape through the VersionedTable-
     // backed materialization path (plus the parquet re-read losing the
     // producing plan's partitioning, re-established by the join)
-    "x24t_jaccard_table" -> 3)
+    "x24t_jaccard_table" -> 3,
+    // asymmetric batch-vs-corpus variant of the same shape
+    "x29_incremental_neardups" -> 2)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -299,6 +299,75 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental exact-Jaccard near-dups: a NEW batch of documents
+    * checked against an EXISTING corpus — the production daily-ingest
+    * shape: dedup today's crawl against everything already ingested
+    * without recomputing corpus self-pairs. Same df-capped inverted-index
+    * algorithm as [[jaccardNearDups]], made asymmetric:
+    *
+    *   - the df cap is taken over the CORPUS shingle frequencies (the
+    *     side large enough for document frequency to mean "boilerplate";
+    *     a small daily batch's frequencies identify nothing),
+    *   - candidates are batch x corpus only — no batch-batch and no
+    *     corpus-corpus pairs are generated or scored,
+    *   - the exact intersection decomposes identically: shared shingles
+    *     with corpus-df <= cap are counted by the candidate join, the
+    *     capped-out remainder by one bounded pass over the hot postings —
+    *     so the cap prunes candidates without biasing any reported
+    *     similarity.
+    *
+    * Scale posture: the corpus shingle frame shuffles once on shingle for
+    * the window df (persist it via `materialize` across daily runs — it
+    * only grows by each day's accepted batch); the batch frame is small
+    * by definition and is localCheckpoint'ed for its three consumers.
+    * Output: (batch_id, corpus_id, jaccard) for pairs >= threshold.
+    */
+  def jaccardNearDupsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      n: Int = 3,
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val shC = graft.sources.VersionedTable.materialize(
+      TextOps.shingles(corpus, n).withColumn("df", count(lit(1)).over(byShingle)),
+      materialize)
+    val shB = TextOps.shingles(batch, n).localCheckpoint()
+    val idxC = shC.filter(col("df") <= maxShingleDf)
+    // multi-consumer: the final join and the hot-intersection pass (the
+    // same ReuseExchange-defeated-by-pruning trap jaccardNearDups hit)
+    val cands = shB.select(col("shingle"), col("doc_id").as("batch_id"))
+      .join(idxC.select(col("shingle"), col("doc_id").as("corpus_id")), Seq("shingle"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minShared)
+      .localCheckpoint()
+    val hotC = shC.filter(col("df") > maxShingleDf)
+    // bound the batch-side re-expansion to hot shingles before fanning
+    // out over candidate pairs
+    val hotB = shB.join(hotC.select("shingle").distinct(), Seq("shingle"))
+    val hotInter = cands.select("batch_id", "corpus_id")
+      .join(hotB.select(col("doc_id").as("batch_id"), col("shingle")), Seq("batch_id"))
+      .join(hotC.select(col("doc_id").as("corpus_id"), col("shingle")), Seq("corpus_id", "shingle"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n_hot_shared"))
+    val nB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands
+      .join(hotInter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0, Seq("n_hot_shared"))
+      .withColumn("n_inter", col("n_rare_shared") + col("n_hot_shared"))
+      .join(nB.select(col("doc_id").as("batch_id"), col("n").as("n_b")), Seq("batch_id"))
+      .join(nC.select(col("doc_id").as("corpus_id"), col("n").as("n_c")), Seq("corpus_id"))
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_b") + col("n_c") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** Exact n-gram Jaccard for given pairs (verification-grade; join on the
     * exploded shingle sets, never materializing full sets on the driver).
     */

@@ -69,6 +69,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardNearDups(docs, threshold = 0.3, maxShingleDf = 100).count() > 0)
   }
 
+  test("jaccardNearDupsAgainst: batch x corpus pairs only, exact scores") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 300).map(i => s"v$i")
+    def doc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusDoc = doc(60)
+    val toks = corpusDoc.split(" ")
+    val nearDup = (toks.take(30) ++ Array("EDITED") ++ toks.drop(31)).mkString(" ")
+    val twin = doc(50) // identical pair WITHIN the batch — must NOT be reported
+    val corpus = ((0 until 20).map(i => (100L + i, doc(60))) :+ (200L, corpusDoc))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, nearDup), (2L, twin), (3L, twin)).toDF("doc_id", "text")
+    val out = Dedup.jaccardNearDupsAgainst(batch, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 200L)), s"expected only the planted cross pair, got $out")
+    assert(out((1L, 200L)) >= 0.5)
+    // exactness: matches the verification-grade pair scorer
+    val exact = Dedup.exactJaccard(
+      Seq((1L, 200L)).toDF("doc_a", "doc_b"),
+      TextOps.shingles(batch.unionByName(corpus)))
+      .head().getDouble(2)
+    assert(out((1L, 200L)) === exact)
+  }
+
   test("jaccardNearDups: VersionedTable path is row-identical to the checkpoint path") {
     // the 100 TB materialization hook must not change a single row — the
     // same contract the x24/x24t oracle pair pins at fixture scale
