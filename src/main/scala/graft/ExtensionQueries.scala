@@ -108,6 +108,19 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Exact top-k over the int8-QUANTIZED corpus — the 4x-compressed form
+    // an ANN pipeline serves from at 100 TB (rows-only: quantized sims
+    // are engine-internal floats; SimilaritySpec pins codes-in-range,
+    // cosine drift < 0.01, and top-k recall vs the float corpus).
+    "x30_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(probes, Similarity.quantizedCorpus(emb), 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup pairs, blocked on the label column (the standard
     // cheap-blocking-key pattern: pair count is sum of block sizes squared,
     // not corpus squared).

@@ -441,9 +441,96 @@ object Media {
           sequence(lit(0), lit(n - 1)),
           i => (col("duration_ms") * i / n).cast("long")).as("sample_offsets_ms"))
 
+  /** Bilinear resample of row-major packed 0xRRGGBB pixels to
+    * (tw, th) — pixel-center mapping (sx = (x+0.5)*w/tw - 0.5), edge
+    * clamp, per-channel interpolation: the standard resize every
+    * image-preprocessing pipeline applies before feature extraction.
+    * Pure deterministic math, no library.
+    */
+  def resizePixels(px: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0, "dimensions must be positive")
+    require(px.length == w * h, s"expected $w x $h = ${w * h} pixels, got ${px.length}")
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y + 0.5) * h / th - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = math.max(0.0, math.min(1.0, sy - y0))
+      var x = 0
+      while (x < tw) {
+        val sx = (x + 0.5) * w / tw - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        val p00 = px(y0 * w + x0); val p01 = px(y0 * w + x1)
+        val p10 = px(y1 * w + x0); val p11 = px(y1 * w + x1)
+        def ch(shift: Int): Int = {
+          val c00 = (p00 >> shift) & 0xff; val c01 = (p01 >> shift) & 0xff
+          val c10 = (p10 >> shift) & 0xff; val c11 = (p11 >> shift) & 0xff
+          val top = c00 + (c01 - c00) * fx
+          val bot = c10 + (c11 - c10) * fx
+          math.round(top + (bot - top) * fy).toInt
+        }
+        out(y * tw + x) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Aspect-preserving target dimensions for a maxSide bound — the same
+    * formula [[resizeMeta]] publishes as metadata, shared so the pixel
+    * path and the metadata path can never disagree.
+    */
+  def targetDims(w: Int, h: Int, maxSide: Int): (Int, Int) =
+    if (math.max(w, h) <= maxSide) (w, h)
+    else (w * maxSide / math.max(w, h), h * maxSide / math.max(w, h))
+
+  case class ResizedFeatures(
+      media_id: Long,
+      target_width: Int,
+      target_height: Int,
+      feature: Array[Double])
+
+  /** Decode + REAL bilinear resize + feature-extract: the full
+    * image-preprocessing chain the brief names (decode / resize /
+    * feature). Images decode through the same dispatch as [[decode]]
+    * (hand decoders, then ImageIO; corrupt PNGs terminal), resample to
+    * `maxSide` preserving aspect, and emit the luminance histogram of
+    * the RESIZED pixels — scale-normalized features, the point of
+    * resizing before extraction. Undecodable payloads fall back to the
+    * stub histogram with target dims (0, 0), so the output stays total.
+    * Per-row mapPartitions, no shuffle.
+    */
+  def decodeResized(df: Dataset[MediaRow], maxSide: Int): Dataset[ResizedFeatures] = {
+    implicit val enc = Encoders.product[ResizedFeatures]
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded: Option[(Int, Int, Array[Int])] = decodeBmpPixels(r.bytes) match {
+          case some @ Some(_) => some
+          case None =>
+            decodePngDetailed(r.bytes) match {
+              case PngOk(w, h, px) => Some((w, h, px))
+              case PngCorrupt => None // terminal — same contract as decode()
+              case PngUnsupported => decodeImageIOPixels(r.bytes)
+            }
+        }
+        decoded match {
+          case Some((w, h, px)) =>
+            val (tw, th) = targetDims(w, h, maxSide)
+            ResizedFeatures(r.media_id, tw, th, lumaHistogram(resizePixels(px, w, h, tw, th)))
+          case None =>
+            ResizedFeatures(r.media_id, 0, 0, nibbleHistogram(r.bytes))
+        }
+      }
+    }
+  }
+
   /** Metadata-level resize: recompute target dimensions preserving aspect
-    * ratio. The pixel work belongs to the decoder (stubbed here); the
-    * metadata contract — what downstream consumers read — is real.
+    * ratio (same formula as [[targetDims]]); [[decodeResized]] is the
+    * pixel-level counterpart.
     */
   def resizeMeta(df: DataFrame, maxSide: Int): DataFrame =
     df.select(

@@ -99,6 +99,50 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // int8 quantization: the standard 4x memory/shuffle compression for
+  // embedding corpora at 100 TB — float32 vectors dominate scan and
+  // shuffle bytes in every ANN path above, and symmetric per-vector
+  // int8 keeps cosine error negligible relative to LSH/IVF's own
+  // approximation. Pure column math, no UDF.
+  // -------------------------------------------------------------------
+
+  /** Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    * q_i = round(x_i / scale) in [-127, 127]. The scale stays a DOUBLE so
+    * max|x|/scale lands on exactly 127 +- 1 ulp (a float-rounded scale
+    * could push the ratio past 127.5 and overflow the tinyint). All-zero
+    * vectors quantize to zeros with scale 0.
+    * Output: (vec_id, q: array<tinyint>, scale: double).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxAbs = aggregate(
+      col("embedding"), lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    emb
+      .withColumn("scale", maxAbs / 127.0)
+      .select(
+        col("vec_id"),
+        when(col("scale") === 0.0, transform(col("embedding"), _ => lit(0)))
+          .otherwise(
+            transform(col("embedding"), x => round(x.cast("double") / col("scale"))))
+          .cast("array<tinyint>").as("q"),
+        col("scale"))
+  }
+
+  /** Reconstruct approximate float vectors from int8 codes — the read
+    * side of [[quantizeInt8]]; feeds any operator above that expects an
+    * `embedding` column.
+    */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
+  /** The embeddings frame with vectors round-tripped through int8 — the
+    * corpus an ANN pipeline actually serves from at scale. Deterministic
+    * column math end to end, so downstream top-k stays rows-stable.
+    */
+  def quantizedCorpus(emb: DataFrame): DataFrame =
+    quantizeInt8(emb)
+      .select(col("vec_id"), dequantize(col("q"), col("scale")).as("embedding"))
+
+  // -------------------------------------------------------------------
   // Random-hyperplane LSH (Charikar 2002): sign-bit buckets, T tables.
   // -------------------------------------------------------------------
 

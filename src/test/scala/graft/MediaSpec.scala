@@ -391,6 +391,35 @@ class MediaSpec extends AnyFunSuite {
     assert(feats(12L).sum > 0.99) // stub histogram path still L1-normalized
   }
 
+  test("resizePixels: solid color invariant, corners exact, interior interpolates") {
+    val solid = Array.fill(16)(0x336699)
+    assert(Media.resizePixels(solid, 4, 4, 2, 2).toSeq === Seq.fill(4)(0x336699))
+    // 2x2 black/white checkerboard upscaled to 4x4: each corner clamps to
+    // its source pixel; interior positions blend
+    val checker = Array(0x000000, 0xffffff, 0xffffff, 0x000000)
+    val up = Media.resizePixels(checker, 2, 2, 4, 4)
+    assert(up(0) === 0x000000 && up(3) === 0xffffff)
+    assert(up(12) === 0xffffff && up(15) === 0x000000)
+    val mid = up(5) & 0xff
+    assert(mid > 0 && mid < 255, "interior must interpolate")
+    // aspect math shared with resizeMeta
+    assert(Media.targetDims(1920, 1080, 960) === (960, 540))
+    assert(Media.targetDims(640, 480, 960) === (640, 480))
+  }
+
+  test("decodeResized: real decode + bilinear resize + histogram of resized pixels") {
+    val white = bmpBytes(8, 4, Seq.fill(32)(0xffffff))
+    val rows = Seq(
+      MediaRow(50L, "image", white, "image/bmp", 8, 4, 0L),
+      MediaRow(51L, "data", Array.tabulate[Byte](64)(_.toByte), "application/octet-stream", 0, 0, 0L))
+    val out = Media.decodeResized(rows.toDS(), 4).collect().map(f => f.media_id -> f).toMap
+    assert((out(50L).target_width, out(50L).target_height) === (4, 2))
+    assert(out(50L).feature(15) === 1.0) // still all-white after resampling
+    // undecodable payload: stub histogram, (0, 0) dims — output stays total
+    assert((out(51L).target_width, out(51L).target_height) === (0, 0))
+    assert(math.abs(out(51L).feature.sum - 1.0) < 1e-9)
+  }
+
   test("frameSampleOffsets: evenly spaced within duration, video only") {
     val out = Media.frameSampleOffsets(rows.toDF(), 4).collect()
     assert(out.length === 1) // only the video row

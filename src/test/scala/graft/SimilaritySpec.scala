@@ -123,6 +123,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 14, s"refined-IVF recall too low: $hits/20 twins found")
   }
 
+  test("int8 quantization: codes in range, cosine error tiny, top-k recall holds") {
+    val emb = corpus()
+    // codes bounded and scale consistent with the max channel
+    val quantized = Similarity.quantizeInt8(emb).cache()
+    quantized.collect().foreach { r =>
+      val q = r.getSeq[Byte](1)
+      assert(q.forall(v => v >= -127 && v <= 127), "int8 code out of symmetric range")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // cosine of every planted (probe, twin) pair survives within 0.01
+    val deq = Similarity.quantizedCorpus(emb)
+    val origSims = Similarity.bruteForceTopK(probes(emb), emb, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    val deqSims = Similarity.bruteForceTopK(probes(emb), deq, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    origSims.foreach { case (q, s) =>
+      assert(math.abs(deqSims(q) - s) < 0.01, s"probe $q cosine drifted: $s -> ${deqSims(q)}")
+    }
+    // top-3 membership is stable through quantization for >= 90% of probes
+    def top3(corpusDf: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(probes(emb), corpusDf, 3)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = top3(emb); val b = top3(deq)
+    // keys.toSeq, NOT keys: mapping a Set of keys to overlap VALUES would
+    // collapse equal fractions before the sum
+    val overlap = a.keys.toSeq.map(q => (a(q) intersect b(q)).size.toDouble / 3).sum / a.size
+    assert(overlap >= 0.9, s"quantized top-3 overlap $overlap")
+    quantized.unpersist()
+  }
+
   test("LSH near-dup pairs find the planted twins without all-pairs scoring") {
     val emb = corpus()
     val pairs = Similarity.lshNearDupPairs(emb, 0.9, tables = 4, bits = 8, dim = Dim).cache()
