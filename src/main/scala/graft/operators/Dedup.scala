@@ -525,6 +525,36 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware retention: keep the BEST-scoring member of each
+    * near-dup component instead of the minimum id — what a training-data
+    * curation pipeline actually wants ("of these near-identical pages,
+    * keep the cleanest"), with `scoreCol` typically
+    * `TextOps.qualityScore`'s output joined onto the docs. Ties break on
+    * id so the survivor is deterministic. Never-paired rows all survive.
+    *
+    * Scale posture: the component labels are pair-bounded (far smaller
+    * than the corpus), so the label join broadcasts; the per-component
+    * argmax is a window over that bounded frame, not the corpus.
+    */
+  def dropNearDuplicatesBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs) // (node, component), pair-bounded
+    val member = docs
+      .join(broadcast(comps.withColumnRenamed("node", idCol)), Seq(idCol))
+      .select(col(idCol), col("component"), col(scoreCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val losers = member
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // SimHash (Charikar 2002): 64-bit signature; near-dups have small
   // Hamming distance.

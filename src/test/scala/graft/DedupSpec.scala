@@ -245,6 +245,25 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.toSeq === Seq(0L))
   }
 
+  test("dropNearDuplicatesBy keeps the best-scoring member of each component") {
+    // component {1,2,3} (chain) with scores favoring 2; pair {10,11} with
+    // scores favoring 11; 20 unpaired
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (10L, 0.4), (11L, 0.8),
+      (20L, 0.1))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicatesBy(docs, pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 11L, 20L), s"got $kept")
+    // score tie: the smaller id survives deterministically
+    val tied = Seq((1L, 0.5), (2L, 0.5)).toDF("doc_id", "quality")
+    val keptTied = Dedup.dropNearDuplicatesBy(tied, Seq((1L, 2L)).toDF("doc_a", "doc_b"), "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied === Set(1L))
+  }
+
   test("dropNearDuplicates keeps one row per component plus unpaired rows") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
