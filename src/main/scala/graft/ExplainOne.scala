@@ -13,8 +13,12 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
     val t0 = System.nanoTime()
-    df.count()
-    println(f"[explain-one] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // Execute df's OWN plan (df.count() would spawn a separate
+    // QueryExecution and leave this one's AdaptiveSparkPlanExec
+    // un-executed, printing the static pre-AQE tree — the exact pitfall
+    // PlanAudit.auditExecuted documents).
+    val n = df.queryExecution.toRdd.count()
+    println(f"[explain-one] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

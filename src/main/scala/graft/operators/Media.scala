@@ -202,11 +202,17 @@ object Media {
       // check in 32-bit arithmetic
       if (len < 0 || dataStart.toLong + len + 4 > b.length) return PngCorrupt
       // per-chunk CRC over type+data: corrupted or crafted chunks fail
-      // here instead of decoding to garbage pixels
+      // here instead of decoding to garbage pixels. Only CRITICAL chunks
+      // (uppercase first type letter — IHDR/PLTE/IDAT/IEND) are terminal:
+      // a damaged tEXt/pHYs leaves the pixels fully recoverable, and
+      // libpng-family decoders warn-and-skip ancillary CRC failures, so
+      // an ancillary mismatch skips just that chunk.
       val crc = new java.util.zip.CRC32()
       crc.update(b, pos + 4, 4 + len)
-      if (crc.getValue.toInt != i32be(b, dataStart + len)) return PngCorrupt
-      typ match {
+      val crcOk = crc.getValue.toInt == i32be(b, dataStart + len)
+      val critical = (b(pos + 4) & 0x20) == 0
+      if (!crcOk && critical) return PngCorrupt
+      if (crcOk) typ match {
         case "IHDR" =>
           // a second IHDR after IDAT would silently redefine the geometry
           // the accumulated IDAT bytes are interpreted with
@@ -486,7 +492,16 @@ object Media {
     */
   def targetDims(w: Int, h: Int, maxSide: Int): (Int, Int) =
     if (math.max(w, h) <= maxSide) (w, h)
-    else (w * maxSide / math.max(w, h), h * maxSide / math.max(w, h))
+    else {
+      // Long math + floor-to-1: w * maxSide overflows Int for decodable
+      // ~2^28-pixel-wide images, and an extreme aspect (200x1, maxSide 64)
+      // truncates the short side to 0 — either would make resizePixels
+      // throw inside mapPartitions and break the output-stays-total
+      // contract for a VALID image.
+      val m = math.max(w, h).toLong
+      (math.max(1L, w.toLong * maxSide / m).toInt,
+        math.max(1L, h.toLong * maxSide / m).toInt)
+    }
 
   case class ResizedFeatures(
       media_id: Long,

@@ -188,7 +188,13 @@ object VersionedTable {
     */
   def materialize(frame: DataFrame, sink: Option[VersionedTable]): DataFrame =
     sink match {
-      case Some(vt) => vt.commit(frame); vt.read(frame.sparkSession)
+      // pin the read to the version just committed — read() re-resolves
+      // latestVersion(), so a concurrent committer (or a re-evaluated
+      // query lambda) between commit and read would silently swap in a
+      // DIFFERENT snapshot than the one this frame produced
+      case Some(vt) =>
+        val v = vt.commit(frame)
+        vt.readVersion(frame.sparkSession, v)
       case None => frame.localCheckpoint()
     }
 }

@@ -62,10 +62,52 @@ object Ingest {
     * |days| x |branches| directories — so the finer layout stays cheap,
     * and readers prune on both columns for free.
     */
+  /** Fail-fast partition-grain guard: dynamic overwrite into a table laid
+    * out at a DIFFERENT grain (e.g. a pre-round-5 ds-only table under a
+    * (ds, branch) stream) mixes directory depths, which breaks Spark
+    * partition discovery ("conflicting directory structures") and leaves
+    * the stale coarse-grain data undeleted. Walks the partition
+    * directories (bounded for these daily-aggregate tables: |days| x
+    * |branches| x |move types| entries — the same listing the dynamic
+    * overwrite itself pays) and throws before the stream starts rather
+    * than corrupting the layout mid-flight. Existing old-grain tables
+    * must be rewritten, or the stream pointed at a fresh path.
+    */
+  private[graft] def requireGrain(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      cols: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def walk(p: org.apache.hadoop.fs.Path, rest: Seq[String]): Unit = rest match {
+      case Nil => () // leaf level: data files live here
+      case c +: tail =>
+        fs.listStatus(p)
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .foreach { e =>
+            val nm = e.getPath.getName
+            if (!e.isDirectory || !nm.startsWith(c + "="))
+              throw new IllegalStateException(
+                s"table at $tablePath is not partitioned by (${cols.mkString(", ")}): found " +
+                  s"'$nm' where '$c=...' directories were expected. Dynamic partition " +
+                  "overwrite into a mixed-grain layout breaks partition discovery and " +
+                  "strands stale coarse-grain data — rewrite the table at the new grain " +
+                  "or point the stream at a fresh path.")
+            walk(e.getPath, tail)
+          }
+    }
+    walk(root, cols)
+  }
+
   def streamDailyCountsToTable(
       moves: org.apache.spark.sql.DataFrame,
       tablePath: String,
-      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireGrain(moves.sparkSession, tablePath, Seq("ds", "branch"))
     dailyCounts(moves).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
@@ -77,6 +119,7 @@ object Ingest {
           .parquet(tablePath)
       }
       .start()
+  }
 
   /** Read side of the streamed table, in the forecasting_data shape. */
   def readDailyCountsTable(
@@ -225,7 +268,8 @@ object Ingest {
   def streamDailyCountsByTypeToTable(
       moves: org.apache.spark.sql.DataFrame,
       tablePath: String,
-      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireGrain(moves.sparkSession, tablePath, Seq("ds", "branch", "move_type"))
     dailyCountsByType(moves).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
@@ -237,4 +281,5 @@ object Ingest {
           .parquet(tablePath)
       }
       .start()
+  }
 }

@@ -98,6 +98,29 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("grain guard: starting a stream over an old-grain table fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_oldgrain_tbl").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_oldgrain_ckpt").toString
+    // a pre-existing table written at the COARSER ds-only grain
+    Seq(("2024-01-10", "B1", 3.0)).toDF("ds", "branch", "cnt")
+      .write.mode("overwrite").partitionBy("ds").parquet(tableDir)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val moves = Ingest.eventsToMoves(mem.toDF().toDF("ts", "user_id", "event_type"))
+    val ex = intercept[IllegalStateException] {
+      Ingest.streamDailyCountsToTable(moves, tableDir, ckptDir)
+    }
+    assert(ex.getMessage.contains("not partitioned by (ds, branch)"))
+    // a matching-grain table (or an empty dir) starts cleanly
+    val goodDir = java.nio.file.Files.createTempDirectory("graft_goodgrain_tbl").toString
+    Seq(("2024-01-10", "B1", 3.0)).toDF("ds", "branch", "cnt")
+      .write.mode("overwrite").partitionBy("ds", "branch").parquet(goodDir)
+    val q = Ingest.streamDailyCountsToTable(
+      moves, goodDir, java.nio.file.Files.createTempDirectory("graft_goodgrain_ckpt").toString)
+    q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -312,6 +312,32 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodePngPixels(corrupt) === None)
   }
 
+  test("decodePngPixels: damaged ANCILLARY chunk is skipped, pixels still decode") {
+    val ok = pngBytes(2, 2, 2, Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12)), Seq(0, 0))
+    val base = Media.decodePngPixels(ok)
+    assert(base.isDefined)
+    // flip a bit inside the tEXt chunk's data without fixing its CRC:
+    // pixel data is intact, so libpng-style warn-and-skip applies — the
+    // decode must NOT be classified corrupt (only critical-chunk CRC
+    // failures are terminal)
+    val textData = 8 + (8 + 13 + 4) + 8 // sig + IHDR chunk + tEXt len/type
+    val damaged = ok.clone(); damaged(textData) = (damaged(textData) ^ 0x40).toByte
+    val got = Media.decodePngPixels(damaged)
+    assert(got.isDefined)
+    assert((got.get._1, got.get._2) === (base.get._1, base.get._2))
+    assert(got.get._3.toSeq === base.get._3.toSeq) // Array equality is by ref
+  }
+
+  test("targetDims: extreme aspect clamps to 1, wide dims don't overflow Int") {
+    // 200x1 at maxSide 64: naive Int math yields height 0, which would
+    // make resizePixels throw inside mapPartitions for a VALID image
+    assert(Media.targetDims(200, 1, 64) === (64, 1))
+    assert(Media.targetDims(1, 200, 64) === (1, 64))
+    // w * maxSide overflows Int for ~2^28-wide payloads; Long math keeps
+    // the quotient right and the short side clamps to 1
+    assert(Media.targetDims(1 << 28, 2, 64) === (64, 1))
+  }
+
   // ---------------------------------------------------------------------
   // ImageIO path (JPEG/GIF/TIFF — JDK java.desktop module): golden pixels
   // for the lossless codecs, dimension + tolerance checks for JPEG.

@@ -41,6 +41,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readVersion(spark, 0L).filter(col("s") === "a").count() === 1)
   }
 
+  test("materialize is pinned to the snapshot it committed, not the latest pointer") {
+    val t = freshTable()
+    import spark.implicits._
+    val mat = VersionedTable.materialize(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some(t))
+    // another committer bumps the pointer between materialize and the
+    // downstream read — the materialized frame must keep serving ITS
+    // snapshot (pre-fix, materialize re-resolved latestVersion and would
+    // silently read the interloper's data)
+    t.commit(Seq((9L, "z")).toDF("id", "s"))
+    assert(mat.count() === 2)
+    assert(mat.filter(col("s") === "z").count() === 0)
+  }
+
   test("snapshot upsert row-matches the in-place upsert") {
     val pct = Percentages.percentages(spark, sf).cache()
     // same update set as PercentagesSpec's in-place test: bump one row,
