@@ -228,6 +228,25 @@ object ExtensionQueries {
     "x28_corpus_cardinality" -> ((s, dir) =>
       TextOps.corpusCardinality(Tables.documents(s, dir)).orderBy("source")),
 
+    // Deterministic training-shard balance: md5-prefix shard assignment
+    // (16 shards) + per-shard doc/byte counts — the publish-precheck for
+    // the shard layout a pretraining loader reads.
+    "x31_shards" -> ((s, dir) =>
+      Splits.shardBalance(Tables.documents(s, dir), "doc_id", "n_chars", hexChars = 1)
+        .orderBy("shard")),
+
+    // Temperature-based source mixing weights (alpha sampling): the
+    // upsample factors a data-loading config consumes.
+    "x32_mix_weights" -> ((s, dir) =>
+      TextOps.mixWeights(Tables.documents(s, dir), alpha = 0.7).orderBy("source")),
+
+    // C4-style per-source cap: keep <= 20 docs per source by the
+    // deterministic md5 shuffle order.
+    "x33_source_cap" -> ((s, dir) =>
+      TextOps.capPerSource(Tables.documents(s, dir), "doc_id", maxDocs = 20)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")),
+
     // Sliding-window chunking (pretraining prep): 40-token windows, 8
     // overlapping — every token covered, ids stable by construction.
     "x26_chunks" -> ((s, dir) =>
@@ -544,6 +563,28 @@ object ExtensionQueries {
         |SELECT s.source, s.n_docs, s.n_langs, s.total_chars,
         |       COALESCE(v.vocabulary, 0) AS vocabulary
         |FROM s LEFT JOIN v USING (source) ORDER BY 1""".stripMargin,
+    "x31_shards" ->
+      """SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x32_mix_weights" ->
+      """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                  pow(CAST(COUNT(*) AS DOUBLE), 0.7) AS w
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(w) AS tot, SUM(n_docs) AS corpus_docs FROM a)
+        |SELECT source, n_docs,
+        |       round(round(w / tot, 10), 6) AS mix_weight,
+        |       round(round(w / tot * corpus_docs / n_docs, 10), 6) AS upsample_factor
+        |FROM a CROSS JOIN t ORDER BY 1 NULLS FIRST""".stripMargin,
+    "x33_source_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) ranked
+        |WHERE rn <= 20 ORDER BY source NULLS FIRST, doc_id""".stripMargin,
     "x26_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

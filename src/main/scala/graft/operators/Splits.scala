@@ -54,4 +54,55 @@ object Splits {
     }
     df.withColumn("fold", fold)
   }
+
+  // -------------------------------------------------------------------
+  // Training shards: a deterministic global shuffle of the corpus into
+  // fixed fan-out shards, the layout a pretraining data loader consumes.
+  // -------------------------------------------------------------------
+
+  /** Deterministic shard id: the first `hexChars` hex digits of
+    * md5(key-as-string) — 16^hexChars shards. md5-of-the-decimal-string is
+    * deliberate where the folds above use xxhash64: a shard LAYOUT is a
+    * long-lived on-disk contract that other tooling (loaders, audits,
+    * other engines) must be able to recompute, and md5 is universally
+    * available; the fold hash is engine-internal because only the fold
+    * boundary is the contract. Pure projection — no shuffle.
+    */
+  def shardOf(key: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    substring(md5(key.cast("string")), 1, hexChars)
+  }
+
+  /** Shard balance report: docs and payload size per shard. md5 is
+    * uniform, so shard sizes concentrate tightly around corpus/16^hexChars
+    * — this report is the check a layout job runs before publishing.
+    * One scan + one bounded shuffle (16^hexChars groups).
+    */
+  def shardBalance(
+      df: DataFrame, keyCol: String, sizeCol: String, hexChars: Int): DataFrame =
+    df.groupBy(shardOf(col(keyCol), hexChars).as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("total_size"))
+
+  /** Write the corpus as one directory per shard, rows ordered by the
+    * same md5 within each shard — a deterministic global shuffle: the
+    * layout (which shard, and the order inside it) is a pure function of
+    * the keys, reproducible run-over-run and engine-over-engine. One
+    * shuffle (repartition on the shard id, so each shard is written by
+    * exactly one task); the within-shard sort is partition-local.
+    */
+  def writeShards(df: DataFrame, keyCol: String, hexChars: Int, path: String): Unit =
+    df.withColumn("shard", shardOf(col(keyCol), hexChars))
+      .repartition(col("shard"))
+      // the sort MUST lead with the partition column: a dynamic-partition
+      // write plans its own Sort(partition cols) (V1Writes), and
+      // EliminateSorts then deletes any sort it shadows — a
+      // sortWithinPartitions(md5) alone is silently discarded and the
+      // files come out in input order (caught by SplitsSpec). Leading
+      // with `shard` makes this sort satisfy the writer's required
+      // ordering, so it survives as THE sort.
+      .sortWithinPartitions(
+        col("shard"), md5(col(keyCol).cast("string")), col(keyCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -195,6 +195,69 @@ object TextOps {
           .as("corpus_share_pct"))
   }
 
+  /** Temperature-based source mixing weights: p_i ∝ n_i^alpha, normalized
+    * over sources (the alpha-sampling rule from the multilingual-pretraining
+    * literature — alpha=1 is natural proportions, alpha=0 uniform, 0.2-0.7
+    * the usual up-weight-the-tail range). `upsample_factor` is
+    * p_i / natural-share — how far each source is over/under-sampled
+    * relative to its corpus presence, the number a data-loading config
+    * actually consumes.
+    *
+    * Scale posture: one scan + one shuffle down to |sources| rows; the
+    * power/normalize math runs on the bounded aggregate (localCheckpoint'd
+    * — it feeds both the total and the output, and an unmaterialized
+    * bounded aggregate with two consumers re-scans the corpus: the
+    * Percentages trap). Total is a broadcast cross join.
+    *
+    * Rounding: the normalizing sum is a float aggregate, so both outputs
+    * pre-round at scale+4 before the final round (CrossRound.ra) — the
+    * partition-order-drift rule.
+    */
+  def mixWeights(docs: DataFrame, alpha: Double): DataFrame = {
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val powed = bySource.select(
+      col("source"), col("n_docs"),
+      pow(col("n_docs").cast("double"), lit(alpha)).as("w"))
+    val total = powed.agg(
+      sum(col("w")).as("tot"), sum(col("n_docs")).as("corpus_docs"))
+    powed
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"),
+        CrossRound.ra(col("w") / col("tot"), 6).as("mix_weight"),
+        CrossRound.ra(
+          col("w") / col("tot") * col("corpus_docs") / col("n_docs"), 6)
+          .as("upsample_factor"))
+  }
+
+  /** C4-style per-source document cap: rank each source's docs by
+    * md5(key) — a stable, engine-reproducible uniform shuffle — and keep
+    * the first `maxDocs`, so no single source (one crawl domain, one
+    * boilerplate-heavy dump) dominates the training mix. Deterministic:
+    * the retained set is a pure function of the keys, with the key itself
+    * as the tie-break.
+    *
+    * Scale posture: the window partitions by source, so ranking is
+    * per-key parallel. A degenerately hot source (billions of docs in one
+    * window partition) uses the two-phase form: the md5 order is uniform,
+    * so pre-filtering to hash-prefix < ~2x the cap fraction (a pure
+    * projection) bounds the exact ranking to O(maxDocs) survivors per
+    * source; the cheap single-window form here is exact and right
+    * whenever no one source exceeds executor-partition scale.
+    */
+  def capPerSource(docs: DataFrame, keyCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    docs
+      .withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= maxDocs)
+      .drop("__cap_rn")
+  }
+
   /** Marker-token language ID with a fixed precedence order on ties and
     * 'und' (undetermined) when no marker hits.
     */

@@ -36,6 +36,42 @@ class SplitsSpec extends AnyFunSuite {
     assert(once === repartitioned)
   }
 
+  test("shards: every row in exactly one shard, balanced, stable under repartitioning") {
+    val sized = docs.withColumn("n_chars", col("doc_id") % 100)
+    val bal = Splits.shardBalance(sized, "doc_id", "n_chars", hexChars = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bal.keySet.subsetOf(('0' to '9').map(_.toString).toSet ++ ('a' to 'f').map(_.toString)))
+    assert(bal.values.sum === 5000L)
+    // md5 uniformity: every 16th-shard within ~35% of the expected 312.5
+    bal.values.foreach(n => assert(math.abs(n - 312.5) < 110.0, s"skewed shard: $bal"))
+    // layout is a pure function of the keys — partitioning can't move rows
+    val re = Splits.shardBalance(sized.repartition(17), "doc_id", "n_chars", hexChars = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === bal)
+  }
+
+  test("writeShards: one directory per shard, rows inside in md5 order") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val sized = docs.limit(200).withColumn("n_chars", col("doc_id") % 100)
+    Splits.writeShards(sized, "doc_id", hexChars = 1, out)
+    // cast: hive-style partition dirs ("shard=0"... "shard=f") could infer
+    // a surprising type for the partition column on digit-only samples
+    val back = spark.read.parquet(out).withColumn("shard", col("shard").cast("string"))
+    assert(back.count() === 200)
+    // every key present exactly once, shard column matches shardOf
+    val mismatched = back.withColumn(
+      "expect", Splits.shardOf(col("doc_id"), 1))
+      .filter(col("shard") =!= col("expect"))
+    assert(mismatched.count() === 0)
+    // within one shard file, rows are in md5 order (deterministic shuffle)
+    val shard0 = back.filter(col("shard") === "0")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val inOrder = shard0.orderBy("h").select("doc_id").collect().map(_.getLong(0))
+    // re-read WITHOUT sorting: parquet preserves row order within the file
+    val asWritten = shard0.select("doc_id", "h").collect().map(_.getLong(0))
+    assert(asWritten.toSeq === inOrder.toSeq)
+  }
+
   test("same key lands in the same fold across different tables") {
     val folds = Seq("train" -> 0.9, "test" -> 0.1)
     val a = Splits.splitByHash(docs, "doc_id", folds)

@@ -24,6 +24,52 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sink.latestVersion().contains(0L)) // tf really landed as a snapshot
   }
 
+  test("mixWeights: weights normalize to 1, alpha flattens toward uniform") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed corpus: 80 / 15 / 5 docs
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 95).map(i => (i.toLong, "mid")) ++
+      (96 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    def weights(alpha: Double): Map[String, Double] =
+      TextOps.mixWeights(docs, alpha).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val natural = weights(1.0)
+    assert(math.abs(natural.values.sum - 1.0) < 1e-6)
+    assert(math.abs(natural("big") - 0.80) < 1e-6) // alpha=1 = natural share
+    val flat = weights(0.3)
+    assert(math.abs(flat.values.sum - 1.0) < 2e-6)
+    // temperature flattens: the head loses mass, the tail gains
+    assert(flat("big") < natural("big") && flat("small") > natural("small"))
+    // alpha=0 is exactly uniform
+    val uniform = weights(0.0)
+    uniform.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+    // upsample factor: tail > 1 (oversampled), head < 1 at alpha<1
+    val fac = TextOps.mixWeights(docs, 0.3).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(fac("small") > 1.0 && fac("big") < 1.0)
+  }
+
+  test("capPerSource: exact cap, deterministic, partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 300).map(i => (i.toLong, s"s${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val capped = TextOps.capPerSource(docs, "doc_id", maxDocs = 10)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // a source under the cap is untouched
+    val small = TextOps.capPerSource(docs.filter(col("doc_id") <= 5), "doc_id", 10)
+    assert(small.count() === 5)
+    // retention is a pure function of the keys
+    val once = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = TextOps.capPerSource(docs.repartition(13), "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === once)
+  }
+
   test("chunkDocs: full coverage, stable ids, no suffix chunks") {
     import spark.implicits._
     val docs = Seq(
