@@ -148,6 +148,18 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // SemDeDup semantic dedup (rows-only: the k-means cells are engine-
+    // internal; planted-twin retention and width-determinism are
+    // property-tested in SimilaritySpec). x11/x15 FIND embedding
+    // near-dup pairs; this applies the retention rule — cluster, score
+    // within cluster, keep the smallest id of each similar pair.
+    "x34_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        threshold = 0.45, c = 16, iters = 2)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // LSH-bucketed embedding near-dup pairs (rows-only; the exact blocked
     // variant x11 is the oracle-verified baseline).
     "x15_lsh_neardup" -> ((s, dir) =>
@@ -310,6 +322,18 @@ object ExtensionQueries {
     "x22_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.contamination(docs, docs.filter(col("doc_id") < 50), minShared = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-sketch decontamination (rows-only: the bloom bit layout is
+    // engine-internal; the no-false-negative containment of exact x22 and
+    // the FP bound are property-tested in PiiSpec). The 100 TB path: the
+    // banned set compresses to a scalar-subquery bit array, so corpus
+    // membership testing needs ZERO shuffle where x22's semi join
+    // shuffles every corpus shingle.
+    "x35_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationBloom(docs, docs.filter(col("doc_id") < 50), minShared = 2)
         .orderBy("doc_id")
     }),
 

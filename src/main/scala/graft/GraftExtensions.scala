@@ -17,8 +17,11 @@ import graft.operators.Dedup
   * installs the same functions directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
+    ext.injectFunction(GraftExtensions.bloomAggFunction)
+    ext.injectFunction(GraftExtensions.mightContainFunction)
+  }
 }
 
 object GraftExtensions {
@@ -46,9 +49,54 @@ object GraftExtensions {
     MinHashSigExpr(child, params.map(_._1).toArray, params.map(_._2).toArray, Dedup.MinHashPrime)
   }
 
-  /** Install into a live session (same registration the extension does). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = minhashSigFunction
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  /** `bloom_filter_agg(xxhash64(col), items, bits)` — Spark ships this
+    * aggregate (it powers runtime row-level filtering) but does not
+    * register it as a SQL function; exposing it makes the
+    * sketch-membership path expressible in plain SQL, the same way DuckDB
+    * and Trino users reach their sketch aggregates.
+    */
+  val bloomAggFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    {
+      // return the raw AggregateFunction: the analyzer wraps it into an
+      // AggregateExpression during resolution, like any registered agg
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom_filter_agg expects (longCol[, items[, bits]]), got ${other.size} args")
+    })
+
+  /** `might_contain(filterBinary, xxhash64(value))` — the membership probe
+    * for [[bloomAggFunction]]'s filters; the filter side must be a
+    * constant or scalar subquery (enforced by the expression itself).
+    */
+  val mightContainFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    {
+      case Seq(bf, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+      case other =>
+        throw new IllegalArgumentException(
+          s"might_contain expects (filterBinary, longValue), got ${other.size} args")
+    })
+
+  /** Install into a live session (same registration the extension does);
+    * idempotent — re-registration overwrites with identical builders.
+    */
+  def register(spark: SparkSession): Unit =
+    Seq(minhashSigFunction, bloomAggFunction, mightContainFunction).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

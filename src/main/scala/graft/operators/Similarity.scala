@@ -280,6 +280,39 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, score exact
+    * cosine only WITHIN each cluster, and drop every vector that is
+    * >= threshold-similar to a lower-id vector in its cluster. The paper
+    * keeps the cluster item farthest from the centroid; any deterministic
+    * representative rule works, and keep-smallest-id matches this
+    * engine's exact-dedup convention with no extra scoring pass.
+    *
+    * Scale posture: the clustering IS the blocking key — the pair space
+    * is the sum of squared cluster sizes, never corpus squared (reuses
+    * [[blockedThresholdPairs]]); k-means state is c x dim per iteration
+    * and assignment is one broadcast argmax per scan. Near-dup pairs
+    * split across cluster boundaries are missed by construction — the
+    * documented SemDeDup approximation; fewer, larger clusters trade
+    * pair-scoring work for recall.
+    *
+    * @return the kept rows of `emb` (schema unchanged)
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double,
+      c: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val cells = ivfAssign(emb, kmeansCentroids(emb, c, iters))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    // every pair has vec_a < vec_b, so the dropped set = distinct right
+    // sides; anything never similar to a lower id survives
+    val dropped = blockedThresholdPairs(cells, "cell", threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs via LSH buckets (the scale path for
     * threshold pairing when no cheap blocking key exists): only vectors
     * sharing a (table, bucket) cell are paired and exactly scored.

@@ -527,4 +527,58 @@ object TextOps {
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
         (coalesce(col("n_shared_shingles"), lit(0L)) >= minShared).as("contaminated"))
   }
+
+  /** Bloom-filter decontamination — the sketch path for [[contamination]]
+    * at 100 TB: the banned shingle set compresses into a fixed-size bit
+    * array (`bloom_filter_agg`, a scalar subquery the engine evaluates
+    * once), so the CORPUS side does no shuffle at all for membership —
+    * each partition tests its shingles locally against the broadcast
+    * bits, where the exact semi join shuffles every corpus shingle.
+    *
+    * Bloom semantics: NO false negatives (every truly contaminated doc
+    * is flagged — pinned against [[contamination]] in the spec), false
+    * positives at ~fpp inflate `n_maybe_shared`. The standard cascade
+    * routes the (tiny) flagged set through the exact check when
+    * precision matters. Deterministic at any parallelism: the filter is
+    * an OR of bit positions, insertion-order-independent.
+    *
+    * Output mirrors [[contamination]] with `maybe_` naming — a sketch
+    * result must not masquerade as exact.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      banned: DataFrame,
+      minShared: Int = 2,
+      expectedItems: Long = 4096L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    // optimal bit count for the target false-positive rate
+    val numBits = math.max(
+      64L, math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val docSh = shingles(docs)
+    val banSh = shingles(banned).select("shingle").distinct()
+    // might_contain requires its filter side constant-foldable or a
+    // scalar subquery — the subquery form keeps the aggregation fully
+    // engine-side (no driver collect), so it needs the SQL surface;
+    // Spark ships both expressions but registers neither as a SQL
+    // function, so the engine's extension point installs them
+    graft.GraftExtensions.register(spark)
+    docSh.createOrReplaceTempView("graft_bloom_doc_shingles")
+    banSh.createOrReplaceTempView("graft_bloom_ban_shingles")
+    val flagged = spark.sql(
+      s"""SELECT doc_id FROM graft_bloom_doc_shingles
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(shingle), ${expectedItems}L, ${numBits}L)
+         |   FROM graft_bloom_ban_shingles),
+         |  xxhash64(shingle))""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_maybe_shared"))
+    docs
+      .select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_maybe_shared"), lit(0L)).as("n_maybe_shared"),
+        (coalesce(col("n_maybe_shared"), lit(0L)) >= minShared).as("maybe_contaminated"))
+  }
 }

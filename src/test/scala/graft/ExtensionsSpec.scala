@@ -26,6 +26,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(h8 === Set(8))
   }
 
+  test("bloom_filter_agg / might_contain are callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("bloom_vals")
+    val hits = spark.sql(
+      """SELECT v, might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(v), 10L, 1000L) FROM bloom_vals),
+        |  xxhash64(v)) AS hit
+        |FROM (VALUES (1L), (2L), (99L)) t(v)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // bloom guarantee: members ALWAYS hit
+    assert(hits(1L) && hits(2L))
+    // a non-member misses at 1000 bits over 3 items (deterministic hash —
+    // this is a fixed fact about these values, not a probabilistic flake)
+    assert(!hits(99L))
+  }
+
   test("saltedJoin equals the plain join on skewed data (inner and left)") {
     // skew: 90% of fact rows share one key
     val fact = spark.range(0, 2000)

@@ -53,4 +53,28 @@ class PiiSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, false)))
     assert(out(4L) === ((0L, false)))
   }
+
+  test("bloom decontamination: superset of exact flags, counts never undercount") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val banned = docs.filter($"doc_id" < 20)
+    val exact = TextOps.contamination(docs, banned, minShared = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val bloom = TextOps.contaminationBloom(docs, banned, minShared = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(bloom.keySet === exact.keySet)
+    // no false negatives: bloom membership contains every true member, so
+    // per-doc counts dominate the exact counts and flags are a superset
+    exact.foreach { case (id, (n, flagged)) =>
+      assert(bloom(id)._1 >= n, s"doc $id: bloom ${bloom(id)._1} < exact $n")
+      if (flagged) assert(bloom(id)._2, s"doc $id: exact-contaminated but bloom missed it")
+    }
+    // false positives exist but are bounded: at fpp=0.01 the flagged set
+    // stays close to the exact one (generous 10x slack on the FP budget —
+    // the assertion is about ORDER, not the precise rate)
+    val exactFlagged = exact.count(_._2._2)
+    val bloomFlagged = bloom.count(_._2._2)
+    val fpBudget = math.max(5, (docs.count() * 0.01 * 10).toInt)
+    assert(bloomFlagged - exactFlagged <= fpBudget,
+      s"bloom flagged $bloomFlagged vs exact $exactFlagged — FP rate out of bounds")
+  }
 }

@@ -154,6 +154,24 @@ class SimilaritySpec extends AnyFunSuite {
     quantized.unpersist()
   }
 
+  test("semanticDedup: drops planted twins, keeps originals, deterministic") {
+    val emb = corpus() // 60 base vectors + 20 near-twins at id+1000
+    val kept = Similarity.semanticDedup(emb, threshold = 0.95, c = 8, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every base vector survives: random gaussians in dim 32 never reach
+    // cosine 0.95, and each twin has the HIGHER id so the base is kept
+    (0L until 60L).foreach(i => assert(kept.contains(i), s"base $i dropped"))
+    // twins are dropped wherever they share their base's cluster; a few
+    // may straddle a cell boundary (the documented SemDeDup miss class)
+    val survivingTwins = (0 until 20).count(i => kept.contains(i + 1000L))
+    assert(survivingTwins <= 3, s"$survivingTwins of 20 twins survived dedup")
+    // retention is a pure function of the data — partitioning-independent
+    val again = Similarity
+      .semanticDedup(emb.repartition(7), threshold = 0.95, c = 8, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
   test("LSH near-dup pairs find the planted twins without all-pairs scoring") {
     val emb = corpus()
     val pairs = Similarity.lshNearDupPairs(emb, 0.9, tables = 4, bits = 8, dim = Dim).cache()
