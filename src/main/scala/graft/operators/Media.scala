@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
@@ -544,18 +544,24 @@ object Media {
   }
 
   /** Metadata-level resize: recompute target dimensions preserving aspect
-    * ratio (same formula as [[targetDims]]); [[decodeResized]] is the
-    * pixel-level counterpart.
+    * ratio (same formula as [[targetDims]], including its Long math and
+    * floor-to-1 — a metadata row must never disagree with what the pixel
+    * path [[decodeResized]] actually produces for the same media_id).
     */
-  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame =
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    // mirror of targetDims in Column space: LONG multiply (an Int multiply
+    // wraps for ~2^28-wide dims) and a floor at 1 (extreme aspect would
+    // truncate the short side to 0)
+    def dim(side: Column): Column = {
+      val m = greatest(col("width"), col("height")).cast("long")
+      when(greatest(col("width"), col("height")) <= maxSide, side)
+        .otherwise(greatest(lit(1L), side.cast("long") * maxSide / m).cast("int"))
+    }
     df.select(
       col("media_id"),
       col("width"),
       col("height"),
-      when(greatest(col("width"), col("height")) <= maxSide, col("width"))
-        .otherwise((col("width") * maxSide / greatest(col("width"), col("height"))).cast("int"))
-        .as("target_width"),
-      when(greatest(col("width"), col("height")) <= maxSide, col("height"))
-        .otherwise((col("height") * maxSide / greatest(col("width"), col("height"))).cast("int"))
-        .as("target_height"))
+      dim(col("width")).as("target_width"),
+      dim(col("height")).as("target_height"))
+  }
 }

@@ -512,6 +512,25 @@ object TextOps {
     * benchmarks are tiny next to a training corpus); the grouped count
     * shuffles on doc_id. No all-pairs product anywhere.
     */
+  /** Shared assembly tail for the contamination reports: re-attach the
+    * per-doc shared-shingle counts to EVERY doc (zero for the clean ones)
+    * and apply the flag threshold — one definition so the exact and the
+    * bloom variants cannot drift apart.
+    */
+  private def sharedCountReport(
+      docs: DataFrame,
+      counts: DataFrame,
+      countCol: String,
+      flagCol: String,
+      minShared: Int): DataFrame =
+    docs
+      .select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col(countCol), lit(0L)).as(countCol),
+        (coalesce(col(countCol), lit(0L)) >= minShared).as(flagCol))
+
   def contamination(docs: DataFrame, banned: DataFrame, minShared: Int = 2): DataFrame = {
     val docSh = shingles(docs) // distinct within doc already
     val banSh = shingles(banned).select("shingle").distinct()
@@ -519,13 +538,7 @@ object TextOps {
       .join(banSh, Seq("shingle"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
-    docs
-      .select(col("doc_id"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
-        (coalesce(col("n_shared_shingles"), lit(0L)) >= minShared).as("contaminated"))
+    sharedCountReport(docs, shared, "n_shared_shingles", "contaminated", minShared)
   }
 
   /** Bloom-filter decontamination — the sketch path for [[contamination]]
@@ -555,6 +568,20 @@ object TextOps {
     // optimal bit count for the target false-positive rate
     val numBits = math.max(
       64L, math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently CLAMPS items/bits to the session's
+    // runtime-filter caps — a saturated filter degrades fpp toward 1 with
+    // no error, flagging everything. Fail loudly instead: the caller
+    // either shrinks the banned set estimate or raises the caps.
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(
+      expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the session caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); the aggregate would clamp and " +
+        "silently saturate — raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits or lower expectedItems/fpp")
     val docSh = shingles(docs)
     val banSh = shingles(banned).select("shingle").distinct()
     // might_contain requires its filter side constant-foldable or a
@@ -563,22 +590,28 @@ object TextOps {
     // Spark ships both expressions but registers neither as a SQL
     // function, so the engine's extension point installs them
     graft.GraftExtensions.register(spark)
-    docSh.createOrReplaceTempView("graft_bloom_doc_shingles")
-    banSh.createOrReplaceTempView("graft_bloom_ban_shingles")
-    val flagged = spark.sql(
-      s"""SELECT doc_id FROM graft_bloom_doc_shingles
-         |WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(shingle), ${expectedItems}L, ${numBits}L)
-         |   FROM graft_bloom_ban_shingles),
-         |  xxhash64(shingle))""".stripMargin)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_maybe_shared"))
-    docs
-      .select(col("doc_id"))
-      .join(flagged, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_maybe_shared"), lit(0L)).as("n_maybe_shared"),
-        (coalesce(col("n_maybe_shared"), lit(0L)) >= minShared).as("maybe_contaminated"))
+    // unique, dropped-after-analysis view names: fixed names would race
+    // concurrent callers on the shared session catalog (one caller's SQL
+    // silently analyzing over the other's frames) and leak catalog entries
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val docView = s"graft_bloom_doc_$tag"
+    val banView = s"graft_bloom_ban_$tag"
+    docSh.createOrReplaceTempView(docView)
+    banSh.createOrReplaceTempView(banView)
+    val flagged =
+      try
+        // spark.sql analyzes eagerly, so the views can drop right after
+        spark.sql(
+          s"""SELECT doc_id FROM $docView
+             |WHERE might_contain(
+             |  (SELECT bloom_filter_agg(xxhash64(shingle), ${expectedItems}L, ${numBits}L)
+             |   FROM $banView),
+             |  xxhash64(shingle))""".stripMargin)
+      finally {
+        spark.catalog.dropTempView(docView)
+        spark.catalog.dropTempView(banView)
+      }
+    val counts = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_maybe_shared"))
+    sharedCountReport(docs, counts, "n_maybe_shared", "maybe_contaminated", minShared)
   }
 }

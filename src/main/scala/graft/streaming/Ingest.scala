@@ -81,7 +81,25 @@ object Ingest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     def walk(p: org.apache.hadoop.fs.Path, rest: Seq[String]): Unit = rest match {
-      case Nil => () // leaf level: data files live here
+      case Nil =>
+        // leaf level must hold data FILES only: a directory here means the
+        // existing table is partitioned FINER than this stream (e.g. a
+        // (ds, branch, move_type) table under a (ds, branch) stream) —
+        // overwriting would mix file and directory entries at one depth,
+        // the same corruption as the coarser-grain case
+        fs.listStatus(p)
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .foreach { e =>
+            if (e.isDirectory)
+              throw new IllegalStateException(
+                s"table at $tablePath is partitioned FINER than (${cols.mkString(", ")}): " +
+                  s"found partition directory '${e.getPath.getName}' where data files were " +
+                  "expected. Rewrite the table at the new grain or point the stream at a " +
+                  "fresh path.")
+          }
       case c +: tail =>
         fs.listStatus(p)
           .filterNot { s =>

@@ -112,6 +112,17 @@ class IngestSpec extends AnyFunSuite {
       Ingest.streamDailyCountsToTable(moves, tableDir, ckptDir)
     }
     assert(ex.getMessage.contains("not partitioned by (ds, branch)"))
+    // the FINER grain must fail too: ds=/branch=/move_type= dirs under a
+    // (ds, branch) stream would leave stale move_type subdirs next to new
+    // leaf files — the review catch on the first version of this guard
+    val finerDir = java.nio.file.Files.createTempDirectory("graft_finergrain_tbl").toString
+    Seq(("2024-01-10", "B1", "local", 3.0)).toDF("ds", "branch", "move_type", "cnt")
+      .write.mode("overwrite").partitionBy("ds", "branch", "move_type").parquet(finerDir)
+    val exFiner = intercept[IllegalStateException] {
+      Ingest.streamDailyCountsToTable(
+        moves, finerDir, java.nio.file.Files.createTempDirectory("graft_finergrain_ckpt").toString)
+    }
+    assert(exFiner.getMessage.contains("partitioned FINER"))
     // a matching-grain table (or an empty dir) starts cleanly
     val goodDir = java.nio.file.Files.createTempDirectory("graft_goodgrain_tbl").toString
     Seq(("2024-01-10", "B1", 3.0)).toDF("ds", "branch", "cnt")

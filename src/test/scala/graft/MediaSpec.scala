@@ -460,4 +460,21 @@ class MediaSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("target_width") === 640) // already within bounds
     assert(out(1L).getAs[Int]("target_height") === 480)
   }
+
+  test("resizeMeta agrees with targetDims on extreme aspect and wide dims") {
+    // the metadata path must publish exactly what the pixel path computes:
+    // a 200x1 banner clamps to (64, 1) — not height 0 — and a ~2^28-wide
+    // payload must not wrap the Int multiply
+    val extreme = Seq(
+      (1L, "image", Array.emptyByteArray, "image/bmp", 200, 1, 0L),
+      (2L, "image", Array.emptyByteArray, "image/bmp", 1 << 28, 2, 0L))
+      .toDF("media_id", "kind", "bytes", "mime", "width", "height", "duration_ms")
+    val out = Media.resizeMeta(extreme, 64).collect().map(r => r.getLong(0) -> r).toMap
+    assert(
+      (out(1L).getAs[Int]("target_width"), out(1L).getAs[Int]("target_height")) ===
+        Media.targetDims(200, 1, 64))
+    assert(
+      (out(2L).getAs[Int]("target_width"), out(2L).getAs[Int]("target_height")) ===
+        Media.targetDims(1 << 28, 2, 64))
+  }
 }
