@@ -105,6 +105,63 @@ class SeasonalModelSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("RidgeOls agrees with MLlib LinearRegression on the same design matrix") {
+    // independent-implementation check: the one-shuffle normal-equations
+    // aggregator must solve the SAME ridge problem as MLlib's battle-tested
+    // WeightedLeastSquares ("normal" solver). Objectives align when
+    // MLlib's per-row-averaged L2 weight is lambda/n (ours: (X'X + lambda I)
+    // c = X'y; MLlib: (X'X + n*regParam*I) c = X'y at standardization=false,
+    // fitIntercept=false — the bias lives in the feature vector both
+    // places). The engine still deliberately avoids MLlib for the PIPELINE:
+    // one fit() call per branch is a driver-side loop over 110 groups,
+    // where the aggregator fits every branch in one shuffle.
+    import org.apache.spark.ml.regression.LinearRegression
+    import org.apache.spark.ml.linalg.Vectors
+    // changepoint-free spec: trend-hinge columns make the design
+    // ill-conditioned enough that MLlib's Cholesky declares it singular
+    // and falls back to quasi-Newton (observed: intercept pinned at 0) —
+    // coefficient comparison is only meaningful where the ridge optimum
+    // is unique and both solvers actually solve the normal equations
+    val cmpSpec = spec.copy(nChangepoints = 0)
+    val data = synthetic()
+    val model = SeasonalModel.fit(data, cmpSpec, cutoff)
+      .filter(col("branch") === "A").head()
+    val ours = model.getAs[scala.collection.Seq[Double]]("coef").toIndexedSeq
+    val ts = SeasonalModel.TimeScale(
+      model.getAs[java.sql.Date]("t_start").toLocalDate,
+      model.getAs[Double]("t_days"))
+    val rows = data
+      .filter(col("ds") <= lit(java.sql.Date.valueOf(cutoff)) && col("branch") === "A")
+      .select(
+        SeasonalModel.featureCol(col("ds"), cmpSpec, ts).as("x"),
+        log1p(col("y")).as("label"))
+      .collect().map(r => (r.getDouble(1), r.getSeq[Double](0).toArray))
+    // MLlib fits its OWN intercept: a constant feature column has zero
+    // variance, which WLS treats as degenerate (Cholesky "singular",
+    // coefficient forced to 0) — so hand it the features minus our bias
+    // column and compare PREDICTIONS, which are unique and well-defined
+    // for both parameterizations. The one remaining objective difference
+    // is that our ridge penalizes the intercept and MLlib's does not —
+    // O(lambda/n) ~ 1.5e-4 on the log scale, inside the tolerance.
+    val mlModel = new LinearRegression()
+      .setFitIntercept(true)
+      .setStandardization(false)
+      .setElasticNetParam(0.0)
+      .setRegParam(cmpSpec.ridgeLambda / rows.length)
+      .setSolver("normal")
+      .fit(rows.toSeq.map { case (y, x) => (y, Vectors.dense(x.drop(1))) }
+        .toDF("label", "features"))
+    val mlW = mlModel.coefficients.toArray
+    assert(mlW.length === ours.length - 1)
+    val diffs = rows.map { case (_, x) =>
+      val po = x.indices.map(i => x(i) * ours(i)).sum
+      val pm = mlModel.intercept + mlW.indices.map(i => x(i + 1) * mlW(i)).sum
+      math.abs(po - pm)
+    }
+    assert(diffs.max < 5e-3, s"max in-sample prediction gap ${diffs.max}")
+    assert(diffs.sum / diffs.length < 1e-3, s"mean gap ${diffs.sum / diffs.length}")
+  }
+
   test("fit is deterministic across runs") {
     val data = synthetic()
     val a = SeasonalModel.fit(data, spec, cutoff)
