@@ -252,6 +252,15 @@ object ExtensionQueries {
     "x32_mix_weights" -> ((s, dir) =>
       TextOps.mixWeights(Tables.documents(s, dir), alpha = 0.7).orderBy("source")),
 
+    // Temperature-resampled corpus (rows-only: the md5-uniform copy
+    // decisions are engine-internal; expected-volume tracking and
+    // determinism are property-tested in TextOpsSpec). The EXECUTABLE
+    // form of x32's weights — the resampled (doc_id, copy_id) corpus a
+    // training run reads.
+    "x36_resampled_corpus" -> ((s, dir) =>
+      TextOps.resampleByTemperature(Tables.documents(s, dir), alpha = 0.7)
+        .orderBy("source", "doc_id", "copy_id")),
+
     // C4-style per-source cap: keep <= 20 docs per source by the
     // deterministic md5 shuffle order.
     "x33_source_cap" -> ((s, dir) =>

@@ -232,6 +232,41 @@ object TextOps {
           .as("upsample_factor"))
   }
 
+  /** Materialize the corpus [[mixWeights]] prescribes: each source is
+    * down-/up-sampled to its temperature weight. A doc with upsample
+    * factor f gets floor(f) full copies plus one more iff its md5-derived
+    * uniform u < frac(f) — so expected per-source volume is n_s * f while
+    * every decision is a pure function of the keys (deterministic across
+    * runs, partitionings, and engines; no rand()). copy_id distinguishes
+    * replicas so a downstream shuffle/shard step can spread them.
+    *
+    * Scale posture: one bounded aggregate (mixWeights) broadcast back
+    * onto the corpus (null-safe on source — a null source is a group,
+    * and a plain equi-join would silently DROP its docs), then a
+    * projection + explode; no corpus shuffle. The explode's sequence is
+    * cheap column arithmetic, not a derived-array HOF (the
+    * InferFiltersFromGenerate trap does not apply).
+    */
+  def resampleByTemperature(docs: DataFrame, alpha: Double): DataFrame = {
+    val w = mixWeights(docs, alpha)
+      .select(col("source").as("__mix_source"), col("upsample_factor"))
+    // uniform in [0,1) from the first 8 md5 hex digits of the key
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val copies = floor(col("upsample_factor")).cast("int") +
+      when(u < col("upsample_factor") - floor(col("upsample_factor")), 1).otherwise(0)
+    docs
+      .join(broadcast(w), col("source") <=> col("__mix_source"), "left")
+      .withColumn("__n_copies", copies)
+      // explode of an empty sequence drops the row — exactly the
+      // downsample semantics for n_copies = 0
+      .select(
+        col("doc_id"), col("source"),
+        explode(when(col("__n_copies") > 0,
+          sequence(lit(1), col("__n_copies"))).otherwise(array().cast("array<int>")))
+          .as("copy_id"))
+  }
+
   /** C4-style per-source document cap: rank each source's docs by
     * md5(key) — a stable, engine-reproducible uniform shuffle — and keep
     * the first `maxDocs`, so no single source (one crawl domain, one

@@ -51,6 +51,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fac("small") > 1.0 && fac("big") < 1.0)
   }
 
+  test("resampleByTemperature: volumes track the weights, deterministic, null-source kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 440).map(i => (i.toLong, "small")) ++
+      (441 to 460).map(i => (i.toLong, null: String)))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    // alpha=1 is the identity mix: every doc exactly once, copy_id 1
+    val nat = TextOps.resampleByTemperature(docs, 1.0)
+    assert(nat.count() === 460)
+    assert(nat.filter(col("copy_id") =!= 1).count() === 0)
+    // alpha<1 upsamples the tail: per-source volume lands in
+    // [n*floor(f), n*ceil(f)] and near n*f (binomial concentration)
+    val mixed = TextOps.resampleByTemperature(docs, 0.3).cache()
+    val fac = TextOps.mixWeights(docs, 0.3).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap
+    val vol = mixed.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    Seq(Option("big") -> 400, Option("small") -> 40, (None: Option[String]) -> 20)
+      .foreach { case (src, n) =>
+        val f = fac(src)
+        val v = vol.getOrElse(src, 0L).toDouble
+        assert(v >= n * math.floor(f) && v <= n * math.ceil(f), s"$src: $v vs f=$f")
+        val sd = math.sqrt(n * (f - math.floor(f)) * (1 - (f - math.floor(f)))) + 1e-9
+        assert(math.abs(v - n * f) <= 4 * sd + 1, s"$src: volume $v far from ${n * f}")
+      }
+    // null-source docs must survive the weight join (null-safe equality)
+    assert(vol.contains(None))
+    // pure function of the keys: partitioning cannot change the sample
+    val again = TextOps.resampleByTemperature(docs.repartition(11), 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again === mixed.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+  }
+
   test("capPerSource: exact cap, deterministic, partitioning-independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
