@@ -550,12 +550,21 @@ object Media {
     */
   def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
     // mirror of targetDims in Column space: LONG multiply (an Int multiply
-    // wraps for ~2^28-wide dims) and a floor at 1 (extreme aspect would
-    // truncate the short side to 0)
+    // wraps for ~2^28-wide dims), a floor at 1 (extreme aspect would
+    // truncate the short side to 0), and INTEGRAL division — Column `/`
+    // divides in double, which disagrees with targetDims' exact Long
+    // division once side*maxSide exceeds 2^53 (review-constructed
+    // counterexample: (542029245, 1566774104, maxSide 58339123) rounds up
+    // in double); IntegralDivide is the Long `div` the scalar path uses
     def dim(side: Column): Column = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
       val m = greatest(col("width"), col("height")).cast("long")
+      val q = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          ColumnBridge.expression(side.cast("long") * maxSide),
+          ColumnBridge.expression(m)))
       when(greatest(col("width"), col("height")) <= maxSide, side)
-        .otherwise(greatest(lit(1L), side.cast("long") * maxSide / m).cast("int"))
+        .otherwise(greatest(lit(1L), q).cast("int"))
     }
     df.select(
       col("media_id"),

@@ -607,10 +607,14 @@ object TextOps {
     // runtime-filter caps — a saturated filter degrades fpp toward 1 with
     // no error, flagging everything. Fail loudly instead: the caller
     // either shrinks the banned set estimate or raises the caps.
+    // no hardcoded fallbacks: these entries are REGISTERED SQLConf
+    // configs, so get() returns the build's actual default — the same
+    // value BloomFilterAggregate clamps against (a hardcoded copy would
+    // silently diverge on a build that changes the caps)
     val maxItems = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
     val maxBits = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
     require(
       expectedItems <= maxItems && numBits <= maxBits,
       s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the session caps " +

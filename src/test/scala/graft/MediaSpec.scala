@@ -476,5 +476,14 @@ class MediaSpec extends AnyFunSuite {
     assert(
       (out(2L).getAs[Int]("target_width"), out(2L).getAs[Int]("target_height")) ===
         Media.targetDims(1 << 28, 2, 64))
+    // double-division counterexample: side*maxSide > 2^53 rounds UP in a
+    // double to an exact multiple of m, off-by-one vs exact Long division
+    // — the column path must use integral division to stay in lockstep
+    val big = Seq((3L, "image", Array.emptyByteArray, "image/bmp", 542029245, 1566774104, 0L))
+      .toDF("media_id", "kind", "bytes", "mime", "width", "height", "duration_ms")
+    val bigOut = Media.resizeMeta(big, 58339123).head()
+    assert(
+      (bigOut.getAs[Int]("target_width"), bigOut.getAs[Int]("target_height")) ===
+        Media.targetDims(542029245, 1566774104, 58339123))
   }
 }

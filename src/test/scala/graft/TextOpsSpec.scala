@@ -79,10 +79,14 @@ class TextOpsSpec extends AnyFunSuite {
       }
     // null-source docs must survive the weight join (null-safe equality)
     assert(vol.contains(None))
-    // pure function of the keys: partitioning cannot change the sample
-    val again = TextOps.resampleByTemperature(docs.repartition(11), 0.3)
-      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
-    assert(again === mixed.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // pure function of the keys: partitioning cannot change the sample —
+    // compare SORTED FULL ROWS, not a set (a set would mask duplicate
+    // rows or a corrupted source column)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2)))
+        .sortBy(t => (t._2.getOrElse(""), t._1, t._3)).toSeq
+    assert(rowsOf(TextOps.resampleByTemperature(docs.repartition(11), 0.3)) === rowsOf(mixed))
   }
 
   test("capPerSource: exact cap, deterministic, partitioning-independent") {
