@@ -302,9 +302,34 @@ object Similarity {
       emb: DataFrame,
       threshold: Double,
       c: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val cells = ivfAssign(emb, kmeansCentroids(emb, c, iters))
+      iters: Int = 2,
+      maxCellSize: Option[Int] = None): DataFrame = {
+    val assigned = ivfAssign(emb, kmeansCentroids(emb, c, iters))
       .select(col("cell"), col("vec_id"), col("embedding"))
+    // pair work is sum of SQUARED cell sizes, so one degenerate cluster
+    // (a mass of near-identical boilerplate — the common real-world
+    // corpus pathology) turns quadratic. The opt-in cap hash-splits any
+    // oversized cell into ceil(n/cap) sub-cells, bounding every block at
+    // ~cap rows; pairs across sub-cells of the same hot cluster are
+    // missed (each sub-cell keeps its own representative) — the same
+    // recall-for-boundedness trade as LSH banding, and exactly what
+    // SemDeDup wants in a cluster that IS one giant duplicate class.
+    val cells = maxCellSize match {
+      case None => assigned
+      case Some(cap) =>
+        require(cap > 0, "maxCellSize must be positive")
+        // bounded: c rows
+        val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+        val nSubs = greatest(
+          lit(1L), floor((col("__n") + (cap - 1)) / cap).cast("long"))
+        assigned
+          .join(broadcast(sizes), Seq("cell"))
+          .select(
+            concat(
+              col("cell").cast("string"), lit("#"),
+              pmod(xxhash64(col("vec_id")), nSubs).cast("string")).as("cell"),
+            col("vec_id"), col("embedding"))
+    }
     // every pair has vec_a < vec_b, so the dropped set = distinct right
     // sides; anything never similar to a lower id survives
     val dropped = blockedThresholdPairs(cells, "cell", threshold)

@@ -172,6 +172,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("semanticDedup cell cap: hot duplicate cluster stays bounded, still collapses") {
+    // a degenerate corpus: 120 near-identical vectors (one giant duplicate
+    // class that k-means will put in ONE cell) + 30 spread vectors
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+    val hot = (0 until 120).map(i =>
+      (i.toLong, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    val rest = (200 until 230).map(i => (i.toLong, Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    // uncapped: the hot mass collapses to one representative per k-means
+    // cell it lands in (a couple of cells at most — near-identical points
+    // can straddle a cell boundary)
+    val open = Similarity.semanticDedup(emb, 0.95, c = 4, iters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(open.count(_ < 200L) <= 3, s"${open.count(_ < 200L)} uncapped hot survivors")
+    // capped at 12: the 120-row cell splits into ~10 sub-cells, each
+    // keeping ONE representative — block size (and pair work) bounded at
+    // ~cap^2 instead of 120^2, survivors = number of sub-cells
+    val capped = Similarity
+      .semanticDedup(emb, 0.95, c = 4, iters = 1, maxCellSize = Some(12))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hotSurvivors = capped.count(_ < 200L)
+    assert(hotSurvivors >= 2 && hotSurvivors <= 15,
+      s"$hotSurvivors hot survivors — expected ~one per sub-cell")
+    // spread vectors are untouched by the cap
+    assert(capped.count(_ >= 200L) === 30)
+    // deterministic under repartitioning
+    val again = Similarity
+      .semanticDedup(emb.repartition(7), 0.95, c = 4, iters = 1, maxCellSize = Some(12))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === capped)
+  }
+
   test("LSH near-dup pairs find the planted twins without all-pairs scoring") {
     val emb = corpus()
     val pairs = Similarity.lshNearDupPairs(emb, 0.9, tables = 4, bits = 8, dim = Dim).cache()
