@@ -304,8 +304,15 @@ object Similarity {
       c: Int = 16,
       iters: Int = 2,
       maxCellSize: Option[Int] = None): DataFrame = {
+    // materialized: blockedThresholdPairs self-joins this frame, and an
+    // unmaterialized frame with two consumers re-executes the whole
+    // cross-join + argmax assignment once PER SIDE (verified in the
+    // executed plan — the recurring multi-consumer rule). Corpus-scale
+    // like x24's shingle frame; a production pipeline persists the
+    // assignment as a table instead (VersionedTable sink pattern).
     val assigned = ivfAssign(emb, kmeansCentroids(emb, c, iters))
       .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
     // pair work is sum of SQUARED cell sizes, so one degenerate cluster
     // (a mass of near-identical boilerplate — the common real-world
     // corpus pathology) turns quadratic. The opt-in cap hash-splits any
