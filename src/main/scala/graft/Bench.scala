@@ -41,14 +41,23 @@ object Bench {
           name -> (-1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail. Full-precision doubles for 60+ queries
+    // push the line past the buffer and the parse silently fails (rounds
+    // 4 and 5 both shipped "parsed": null). So: millisecond precision on
+    // the headline line, and the cold-run breakdown on its own EARLIER
+    // line — it scrolls out of the tail but stays in the full log.
+    def ms(x: Double): String = f"$x%.3f"
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + ms(w) }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + ms(c) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
+    val coldTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""[bench-cold] {"cold_queries":$colds}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$colds,"failed":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

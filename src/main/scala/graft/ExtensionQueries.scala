@@ -326,6 +326,13 @@ object ExtensionQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Duplicated-span removal (ExactSubstr at word grain): rewrite every
+    // document, deleting 15-word spans that occur verbatim elsewhere in
+    // the corpus at an earlier (doc_id, pos) — one copy of each span
+    // survives.
+    "x37_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), k = 15).orderBy("doc_id")),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -682,6 +689,36 @@ object ExtensionQueries {
         |JOIN nc ON nc.doc_id = i.corpus_id
         |WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    // duplicated-span removal: DuckDB restates the interval-cover rule
+    // relationally (covered positions as DISTINCT unnested ranges); list
+    // slices are 1-based INCLUSIVE, so ws[i+1:i+15] is Spark's
+    // slice(ws, i+1, 15)
+    "x37_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL
+        |), w AS (
+        |  SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS word FROM t
+        |), g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+15], ' ') AS gram
+        |  FROM t, unnest(range(0, len(ws) - 15 + 1)) AS u(i)
+        |  WHERE len(ws) >= 15
+        |), f AS (
+        |  SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram HAVING count(*) > 1
+        |), f2 AS (
+        |  SELECT g.gram, f.fd, min(g.pos) AS fp
+        |  FROM g JOIN f ON g.gram = f.gram AND g.doc_id = f.fd
+        |  GROUP BY g.gram, f.fd
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, r.rp
+        |  FROM g JOIN f2 ON g.gram = f2.gram, unnest(range(g.pos, g.pos + 15)) AS r(rp)
+        |  WHERE NOT (g.doc_id = f2.fd AND g.pos = f2.fp)
+        |)
+        |SELECT w.doc_id,
+        |       coalesce(string_agg(CASE WHEN cov.rp IS NULL THEN w.word END, ' ' ORDER BY w.pos), '') AS text_dedup,
+        |       CAST(count(cov.rp) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.rp
+        |GROUP BY w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     "x22_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,

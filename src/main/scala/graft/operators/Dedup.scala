@@ -556,6 +556,80 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Duplicated-span removal (ExactSubstr restated at word grain —
+  // Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better"): where the pair-level ops above DROP whole documents, this
+  // REWRITES them, deleting repeated spans from every occurrence but the
+  // corpus-first one.
+  // -------------------------------------------------------------------
+
+  /** Remove duplicated k-word spans from all but their first occurrence
+    * and rebuild each document's text. A word position is deleted iff it
+    * is covered by at least one k-gram window whose text also occurs at a
+    * lexicographically earlier (doc_id, start) — so exactly ONE copy of
+    * every duplicated span survives, the deterministic retention the
+    * suffix-array ExactSubstr procedure uses (reference pipeline has no
+    * dedup at all; this is brief-extension surface).
+    *
+    * Output: (doc_id, text_dedup, n_removed) — one row per input
+    * document, including untouched ones (n_removed = 0).
+    *
+    * Shape: the k-gram windows are a projection + explode (no shuffle);
+    * one grouped aggregation on gram finds the first occurrence of each
+    * duplicated gram (map-side combinable — the partial min/count
+    * collapses each partition's occurrences before the exchange); one
+    * join back on gram marks non-first starts; the per-document rebuild
+    * is array math over the collected start set (interval cover via
+    * sequence/flatten, positional filter), NOT a per-word window — tail
+    * positions never shuffle at all.
+    *
+    * Scale posture: shuffles are keyed on gram (corpus-scale but
+    * uniform — a natural-language k-gram for k~15 is nearly a document
+    * fingerprint; a degenerate boilerplate gram is AQE-skew-join
+    * territory) and on doc_id (the non-first start sets, bounded by the
+    * duplicated volume, far below corpus scale). The gram join carries
+    * the gram STRING so the result is oracle-exact; a production corpus
+    * would key both sides on sha2(gram, 256) to make the shuffle rows
+    * fixed-width — same plan, collision risk 2^-128.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 15): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+    val grams = base
+      .filter(size(col("ws")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - k),
+          p => array_join(slice(col("ws"), p + lit(1), lit(k)), " "))).as(Seq("pos", "gram")))
+    // first occurrence (lexicographic (doc_id, pos)) of every gram seen
+    // more than once; grams seen once never leave the aggregate
+    val firsts = grams
+      .groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("gram", "first")
+    val nonFirstStarts = grams
+      .join(firsts, Seq("gram"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+    // interval cover: position i is removed iff some non-first start s
+    // has s <= i <= s+k-1; distinct union of the start intervals
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val removed = array_distinct(flatten(transform(starts, s => sequence(s, s + k - 1))))
+    base
+      .join(nonFirstStarts, Seq("doc_id"), "left")
+      .withColumn("removed", removed)
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(col("ws"), (w, i) => !array_contains(col("removed"), i)), " ").as("text_dedup"),
+        size(col("removed")).cast("long").as("n_removed"))
+  }
+
+  // -------------------------------------------------------------------
   // SimHash (Charikar 2002): 64-bit signature; near-dups have small
   // Hamming distance.
   // -------------------------------------------------------------------

@@ -273,4 +273,52 @@ class DedupSpec extends AnyFunSuite {
     // {1,2,4} -> keep 1; {5,6} -> keep 5; 3 unpaired -> kept
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
+
+  test("spanDedup removes the later copy of a planted span and keeps the first") {
+    import spark.implicits._
+    val span = (0 until 6).map(i => s"dup$i").mkString(" ") // k = 6
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("a", 4) + " " + span + " " + words("b", 4)), // first occurrence
+      (2L, words("c", 5) + " " + span),                       // later copy -> removed
+      (3L, words("d", 10))                                    // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 6).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) === ((1L, words("a", 4) + " " + span + " " + words("b", 4), 0L)))
+    assert(out(1) === ((2L, words("c", 5), 6L)))
+    assert(out(2) === ((3L, words("d", 10), 0L)))
+  }
+
+  test("spanDedup: overlapping duplicated windows cover their union, once each") {
+    import spark.implicits._
+    // doc 2 repeats a 7-word run from doc 1; with k = 6 that is TWO
+    // overlapping duplicated windows (starts 0 and 1) whose cover is the
+    // union [0, 6] — 7 words removed, not 12
+    val run = (0 until 7).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + (0 until 3).map(i => s"x$i").mkString(" ")),
+      (2L, run + " " + (0 until 3).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 6).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out(0)._3 === 0L)
+    assert(out(1) === ((2L, "y0 y1 y2", 7L)))
+  }
+
+  test("spanDedup: within-document repeats also dedup to the first occurrence") {
+    import spark.implicits._
+    val span = (0 until 6).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, span + " mid " + span)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 6).as[(Long, String, Long)].head()
+    assert(out === ((1L, span + " mid", 6L)))
+  }
+
+  test("spanDedup: documents shorter than k pass through untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 6).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq === Seq((1L, "a b c", 0L), (2L, "a b c", 0L)))
+  }
 }
