@@ -92,11 +92,49 @@ final class VersionedTable(val root: String) {
       .parquet(versionDir(next).toString)
     writeManifest(next)
     // publish: temp file + atomic rename — the one-instruction commit
-    val tmp = rootPath.resolve(s"_latest.tmp.$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    publish(next)
+    next
+  }
+
+  /** Append-only commit: write ONLY `df`'s rows as new files and publish
+    * a snapshot whose manifest references them PLUS every file of the
+    * previous published snapshot — O(batch) bytes written instead of
+    * O(corpus), the move that makes a continuously-growing 100 TB corpus
+    * committable per micro-batch (a full [[commit]] would rewrite the
+    * whole table every time). The snapshot semantics are unchanged:
+    * readers of the new version see previous-rows-plus-batch, readers
+    * pinned to an old version see exactly what they resolved, and the
+    * pointer swap is the same single atomic rename.
+    *
+    * Unpartitioned tables only: shared files live in OTHER version
+    * directories, so hive-style partition inference (which needs one
+    * `basePath` above all files) cannot apply — [[readVersion]] reads a
+    * cross-directory manifest without a basePath. Use [[commit]] with
+    * `partitionBy` when partition pruning matters more than append cost.
+    *
+    * Vacuum interaction: an appended snapshot keeps old version
+    * directories ALIVE (their files are referenced), so [[vacuum]]
+    * deletes a directory only when no retained manifest references it.
+    */
+  def appendCommit(df: DataFrame): Long = {
+    val prev = latestVersion().map(v =>
+      manifest(v).getOrElse(throw new IllegalStateException(
+        s"appendCommit needs a manifest-bearing previous snapshot under $root " +
+          "(pre-manifest snapshots predate the append path — rewrite once with commit())")))
+      .getOrElse(Nil)
+    val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
+    df.write.mode("errorifexists").parquet(versionDir(next).toString)
+    writeManifest(next, carried = prev)
+    publish(next)
+    next
+  }
+
+  /** Atomic pointer swap publishing version `v`. */
+  private def publish(v: Long): Unit = {
+    val tmp = rootPath.resolve(s"_latest.tmp.$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    next
   }
 
   private def manifestPath(v: Long): Path = versionDir(v).resolve("_manifest")
@@ -112,7 +150,14 @@ final class VersionedTable(val root: String) {
     * make; `_manifest` starts with '_' so Spark's parquet reader ignores
     * it as a metadata file on the fallback listing path.
     */
-  private def writeManifest(v: Long): Unit = {
+  /** Manifest entries are either relative to the snapshot's own directory
+    * (files this version wrote) or, prefixed `~/`, relative to the table
+    * ROOT (files carried over from an earlier snapshot by
+    * [[appendCommit]] — the prefix keeps the two namespaces unambiguous,
+    * since a dir-relative hive path like `branch=x/part.parquet` also
+    * contains slashes).
+    */
+  private def writeManifest(v: Long, carried: Seq[String] = Nil): Unit = {
     val dir = versionDir(v)
     val s = Files.walk(dir)
     val rel =
@@ -123,7 +168,10 @@ final class VersionedTable(val root: String) {
           .map(p => dir.relativize(p).toString)
           .toSeq.sorted
       } finally s.close()
-    Files.write(manifestPath(v), rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val carriedRel = carried.map(abs => "~/" + rootPath.relativize(Paths.get(abs)).toString).sorted
+    Files.write(
+      manifestPath(v),
+      (carriedRel ++ rel).mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
   /** Data-file paths of one snapshot per its manifest (pre-manifest
@@ -134,7 +182,11 @@ final class VersionedTable(val root: String) {
     else Some(
       new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
-        .map(rel => versionDir(v).resolve(rel).toString))
+        .map {
+          case rootRel if rootRel.startsWith("~/") =>
+            rootPath.resolve(rootRel.stripPrefix("~/")).toString
+          case rel => versionDir(v).resolve(rel).toString
+        })
 
   /** Read the published snapshot (errors on a never-committed table, like
     * reading a missing path).
@@ -149,19 +201,40 @@ final class VersionedTable(val root: String) {
     */
   def readVersion(spark: SparkSession, v: Long): DataFrame = manifest(v) match {
     case Some(files) =>
-      spark.read
-        .option("basePath", versionDir(v).toString)
-        .parquet(files: _*)
+      val own = versionDir(v).toString + java.io.File.separator
+      if (files.forall(_.startsWith(own)))
+        spark.read
+          .option("basePath", versionDir(v).toString)
+          .parquet(files: _*)
+      else
+        // appended snapshot: files span version directories, so no single
+        // basePath exists — fine, append-path tables are unpartitioned by
+        // contract (appendCommit scaladoc)
+        spark.read.parquet(files: _*)
     case None => spark.read.parquet(versionDir(v).toString)
   }
 
-  /** Drop all but the newest `keep` snapshots (never the published one).
-    * Callers own the retention contract: only vacuum past the oldest
-    * snapshot an in-flight reader may still hold.
+  /** Drop all but the newest `keep` snapshots (never the published one,
+    * and never a directory whose files a RETAINED snapshot still
+    * references through its manifest — append-committed snapshots carry
+    * files from older version directories, and deleting those would
+    * corrupt the live table, the same reason Delta's VACUUM walks the
+    * retained transaction log before deleting). Callers own the retention
+    * contract: only vacuum past the oldest snapshot an in-flight reader
+    * may still hold.
     */
   def vacuum(keep: Int = 2): Unit = {
     val published = latestVersion().toSeq
-    val drop = versions().sorted.reverse.drop(math.max(keep, 1)).filterNot(published.contains)
+    val retained = versions().sorted.reverse.take(math.max(keep, 1)) ++ published
+    val referenced: Set[String] = retained.toSet[Long]
+      .flatMap(v => manifest(v).getOrElse(Nil))
+    def isReferenced(v: Long): Boolean = {
+      val prefix = versionDir(v).toString + java.io.File.separator
+      referenced.exists(_.startsWith(prefix))
+    }
+    val drop = versions().sorted.reverse.drop(math.max(keep, 1))
+      .filterNot(published.contains)
+      .filterNot(isReferenced)
     drop.foreach { v =>
       val dir = versionDir(v)
       import scala.jdk.CollectionConverters._

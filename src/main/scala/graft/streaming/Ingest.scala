@@ -300,4 +300,63 @@ object Ingest {
       }
       .start()
   }
+
+  // -------------------------------------------------------------------
+  // Streaming corpus builder: the production crawl-ingest loop — each
+  // micro-batch of documents is deduped within itself and against the
+  // already-committed corpus, and the survivors are APPENDED as a new
+  // snapshot. Composes the three 100 TB pieces end to end: streaming
+  // ingest, incremental inverted-index dedup
+  // (Dedup.jaccardNearDupsAgainst), and O(batch) snapshot commits
+  // (VersionedTable.appendCommit).
+  // -------------------------------------------------------------------
+
+  /** Start a stream that grows `corpus` with near-dup-free documents.
+    *
+    * Per micro-batch (checkpointed, so a restart resumes at the failed
+    * batch; appendCommit's pointer swap makes the commit itself atomic):
+    *   1. exact-dedup WITHIN the batch (smallest doc_id survives);
+    *   2. drop batch docs whose n-gram Jaccard against any committed
+    *      corpus doc reaches `threshold` — the asymmetric df-capped
+    *      inverted index, so cost is batch-x-corpus-candidates, never
+    *      corpus self-pairs;
+    *   3. append the survivors: O(batch) bytes written, corpus files
+    *      carried by manifest reference.
+    *
+    * Duplicate-vs-self WITHIN a batch beyond exact (two near-dup docs in
+    * one batch, neither in the corpus) is intentionally left to the next
+    * nightly full pass ([[graft.operators.Dedup.jaccardNearDups]]) —
+    * the same batch-now/global-later split production pipelines use.
+    *
+    * The batch frame is streaming-sourced; jaccardNearDupsAgainst
+    * aggregates it multiple times, so it is localCheckpointed here first
+    * (foreachBatch hands us a re-playable but per-action re-evaluated
+    * frame).
+    */
+  def streamDedupedCorpus(
+      docs: org.apache.spark.sql.DataFrame,
+      corpus: graft.sources.VersionedTable,
+      checkpointPath: String,
+      threshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Dedup.dropExactDuplicates(batch.localCheckpoint())
+        val survivors = corpus.latestVersion() match {
+          case None => fresh
+          case Some(v) =>
+            val existing = corpus.readVersion(spark, v)
+            val dupIds = graft.operators.Dedup
+              .jaccardNearDupsAgainst(fresh, existing, threshold, minShared, maxShingleDf)
+              .select(col("batch_id").as("doc_id")).distinct()
+            fresh.join(dupIds, Seq("doc_id"), "left_anti")
+        }
+        corpus.appendCommit(survivors)
+        ()
+      }
+      .start()
 }

@@ -292,4 +292,37 @@ class IngestSpec extends AnyFunSuite {
     assert(after.getAs[String]("fallback_level") === "day", "refreshed day must serve at day level")
     assert(after.getAs[Double]("day_pct") > 0.0)
   }
+
+  test("streamDedupedCorpus: the ingest -> dedup-vs-corpus -> append loop") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_corpus_ckpt").toString
+    val corpus = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/t")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.streamDedupedCorpus(mem.toDF().toDF("doc_id", "text"), corpus, ckpt)
+    try {
+      val textA = (0 until 30).map(i => s"a$i").mkString(" ")
+      val textB = (0 until 30).map(i => s"b$i").mkString(" ")
+      val textC = (0 until 30).map(i => s"c$i").mkString(" ")
+      // one substituted token: 3-gram jaccard ~= 0.8, well above 0.5
+      val nearA = ((0 until 15).map(i => s"a$i") ++ Seq("CHANGED") ++
+        (16 until 30).map(i => s"a$i")).mkString(" ")
+
+      // batch 1: doc 3 is an exact in-batch dup of doc 1 -> dropped
+      mem.addData((1L, textA), (2L, textB), (3L, textA))
+      q.processAllAvailable()
+      assert(corpus.latestVersion().contains(0L))
+      assert(corpus.read(spark).select("doc_id").as[Long].collect().sorted ===
+        Array(1L, 2L))
+
+      // batch 2: doc 10 near-dups committed doc 1 -> dropped; doc 11 is
+      // fresh -> appended (O(batch) commit, v0's files carried by manifest)
+      mem.addData((10L, nearA), (11L, textC))
+      q.processAllAvailable()
+      assert(corpus.latestVersion().contains(1L))
+      assert(corpus.read(spark).select("doc_id").as[Long].collect().sorted ===
+        Array(1L, 2L, 11L))
+      assert(corpus.manifest(1L).get.exists(_.contains("v=0")), "append must carry v0 files")
+    } finally q.stop()
+  }
 }

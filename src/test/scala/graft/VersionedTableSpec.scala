@@ -134,4 +134,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.latestVersion().contains(3L))
     assert(t.read(spark).filter(col("s") === "v3").count() === 1)
   }
+
+  test("appendCommit publishes previous-rows-plus-batch writing only the batch") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val pinned = t.read(spark)
+
+    val v1 = t.appendCommit(Seq((3L, "c")).toDF("id", "s"))
+    assert(v1 === 1L)
+    // new snapshot = union; the appended version's DIRECTORY holds only
+    // the batch's files (O(batch) write), the rest carried by manifest
+    assert(t.read(spark).select("s").as[String].collect().sorted === Array("a", "b", "c"))
+    val ownFiles = t.manifest(v1).get.filter(_.contains("v=1"))
+    val carried = t.manifest(v1).get.filter(_.contains("v=0"))
+    assert(ownFiles.nonEmpty && carried.nonEmpty)
+    // snapshot isolation unchanged: the pre-append reader still sees v0
+    assert(pinned.count() === 2)
+
+    // appends chain: a second appendCommit carries BOTH earlier versions
+    t.appendCommit(Seq((4L, "d")).toDF("id", "s"))
+    assert(t.read(spark).select("s").as[String].collect().sorted ===
+      Array("a", "b", "c", "d"))
+  }
+
+  test("vacuum never deletes a directory a retained append snapshot references") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s"))      // v0: full
+    t.appendCommit(Seq((2L, "b")).toDF("id", "s")) // v1: refs v0
+    t.appendCommit(Seq((3L, "c")).toDF("id", "s")) // v2: refs v0, v1
+    // keep=2 retains v1 and v2 — but v1 and v2 both reference v0's files,
+    // so v0 must survive, or the LIVE published snapshot would lose rows
+    t.vacuum(keep = 2)
+    assert(t.versions() === Seq(0L, 1L, 2L))
+    assert(t.read(spark).select("s").as[String].collect().sorted === Array("a", "b", "c"))
+
+    // full commits break the reference chain; then old versions CAN go
+    t.commit(t.read(spark)) // v3: self-contained rewrite
+    t.commit(Seq((9L, "z")).toDF("id", "s")) // v4
+    t.vacuum(keep = 2)
+    assert(t.versions() === Seq(3L, 4L))
+    assert(t.read(spark).select("s").as[String].collect() === Array("z"))
+  }
 }
