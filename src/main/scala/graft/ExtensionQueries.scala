@@ -17,6 +17,11 @@ object ExtensionQueries {
 
   private def r4(c: Column): Column = graft.operators.CrossRound.r(c, 4)
 
+  /** r4 for AGGREGATE-fed doubles — partition-order FP drift collapsed by
+    * a pre-round (CrossRound.ra; oracle mirror `round(round(x, 8), 4)`).
+    */
+  private def r4a(c: Column): Column = graft.operators.CrossRound.ra(c, 4)
+
   /** r4 for columns that can round to NEGATIVE zero (cosine similarities,
     * differences): DuckDB round preserves the sign bit of -0.0 while Spark
     * normalizes it, which breaks the driver's bit-exact hash. `+ 0.0`
@@ -117,6 +122,20 @@ object ExtensionQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.bruteForceTopK(probes, Similarity.quantizedCorpus(emb), 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Exact top-k over the PRODUCT-QUANTIZED corpus — x30's 32x sibling:
+    // dim*4 bytes/vector become m=8 codes + a shared codebook (rows-only:
+    // codebook training is engine-internal; SimilaritySpec pins codes in
+    // range, encode/training agreement, reconstruction quality, top-k
+    // recall vs the float corpus, and partition-width determinism).
+    "x38_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopK(probes, emb, 5, m = 8, ksub = 16, iters = 1)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
@@ -247,6 +266,13 @@ object ExtensionQueries {
       Splits.shardBalance(Tables.documents(s, dir), "doc_id", "n_chars", hexChars = 1)
         .orderBy("shard")),
 
+    // Sequence packing (concat-then-cut training layout): each doc's
+    // token span and first/last sequence within its md5 shard at a
+    // 512-token budget — the loader-facing complement of x31's layout.
+    "x40_pack_sequences" -> ((s, dir) =>
+      Splits.packSequences(Tables.documents(s, dir), seqLen = 512, hexChars = 1)
+        .orderBy("doc_id")),
+
     // Temperature-based source mixing weights (alpha sampling): the
     // upsample factors a data-loading config consumes.
     "x32_mix_weights" -> ((s, dir) =>
@@ -283,6 +309,14 @@ object ExtensionQueries {
           col("doc_id"), col("n_lines"),
           r4(col("dup_line_frac")).as("dup_line_frac"),
           r4(col("top_bigram_frac")).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    // Unigram LM quality signal (CCNet-style): frequency-weighted mean
+    // log-probability of each doc's tokens under the corpus unigram
+    // distribution — the perplexity-bucket filter signal.
+    "x39_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), r4a(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
     // Exact n-gram Jaccard near-dups via the df-capped inverted index —
@@ -608,6 +642,41 @@ object ExtensionQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_size
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sequence packing: same shard/order contract as x31, running sum as
+    // a window, integer division for the sequence ids (// in DuckDB, DIV
+    // in Spark — both exact)
+    "x40_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |         md5(CAST(doc_id AS VARCHAR)) AS ord,
+        |         len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY shard ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(tok_offset AS BIGINT) AS tok_offset,
+        |       CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+        |       CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "x39_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |freq AS (SELECT token, SUM(tf) AS freq FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(freq) AS total_tokens FROM freq)
+        |SELECT tf.doc_id,
+        |       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |       round(round(
+        |         SUM(tf.tf * ln(CAST(freq.freq AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)))
+        |           / SUM(tf.tf), 8), 4) AS logprob
+        |FROM tf JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x32_mix_weights" ->
       """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |                  pow(CAST(COUNT(*) AS DOUBLE), 0.7) AS w

@@ -143,6 +143,198 @@ object Similarity {
       .select(col("vec_id"), dequantize(col("q"), col("scale")).as("embedding"))
 
   // -------------------------------------------------------------------
+  // Product quantization (Jegou, Douze, Schmid 2011, "Product
+  // quantization for nearest neighbor search"): split each vector into m
+  // subvectors, k-means each subspace to ksub centroids, store a vector
+  // as m sub-byte codes. Where int8 compresses 4x, PQ compresses
+  // dim*4 bytes -> m bytes (32x at dim=64, m=8) plus one shared
+  // m x ksub x (dim/m) codebook — the difference between an embedding
+  // corpus that fits executor memory and one that doesn't at 100 TB.
+  // Training state is bounded (codebooks), encode/decode are pure
+  // projections (NO shuffle), and search reuses the exact brute-force
+  // scorer over reconstructed vectors.
+  // -------------------------------------------------------------------
+
+  /** |c|^2 for a literal centroid, folded in index order — matches
+    * `dot(centroid, centroid)`'s sequential sum bit-exactly.
+    */
+  private def norm2Lit(centroid: Array[Float]): Double =
+    centroid.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+
+  /** Train per-subspace PQ codebooks with distributed Lloyd iterations.
+    *
+    * Init is the [[ivfCentroids]] recipe per subspace (the ksub corpus
+    * rows with smallest xxhash64(vec_id) seed ALL m subspaces — stable,
+    * uniform); each iteration assigns every subvector to its nearest
+    * centroid by squared L2 (the PQ metric; cosine is wrong on
+    * subvectors, whose norms carry signal) and recomputes non-empty
+    * cells' means, empty cells keeping their previous centroid. The loop
+    * is keyed by (sub, code) so ALL m subspaces train in the SAME two
+    * shuffles per iteration, not m sequential jobs. Mean drift across
+    * partition orders is collapsed by the same CrossRound.ra(7) pre-round
+    * as [[kmeansCentroids]].
+    *
+    * The return is driver-side — bounded MODEL state (m x ksub x dim/m
+    * floats, the same class as [[hyperplanes]]' literals), not data; the
+    * corpus itself never leaves the executors. At 100 TB train on a
+    * sampled subset and run one full encode pass, the standard recipe.
+    *
+    * @return codebooks(sub)(code) = centroid of length dim/m
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int = 2,
+      dim: Int = 64): Array[Array[Array[Float]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 128, "ksub must fit a tinyint code in [1, 128]")
+    val dsub = dim / m
+    val subs = corpus.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+    // bounded: ksub rows; the un-partitioned window runs AFTER the limit
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = corpus
+      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(ksub)
+      .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
+      .select("vec_id", "code")
+    var cb = subs
+      .join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("code"), col("sv").as("centroid"))
+      .localCheckpoint() // bounded: m x ksub rows
+    for (it <- 0 until iters) {
+      // argmin_c |sv - c|^2 = argmin_c (|c|^2 - 2 sv.c): |sv|^2 is
+      // constant across codes, so it never needs computing, and the
+      // remaining terms run through the codegen'd dot instead of an
+      // interpreted zip_with lambda per (subvector, code) pair
+      val assigned = subs
+        .join(
+          broadcast(cb.withColumn("cn2", dot(col("centroid"), col("centroid")))),
+          Seq("sub"))
+        .withColumn("d", col("cn2") - lit(2.0) * dot(col("sv"), col("centroid")))
+        // argmin per subvector: smallest distance, ties to the smallest
+        // code — one map-combinable aggregate, no window over the corpus
+        .groupBy(col("vec_id"), col("sub"), col("sv"))
+        .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos")
+        .agg(CrossRound.ra(avg(col("v")), 7).as("mv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(
+          col("sub"), col("code"),
+          transform(col("pm"), x => x.getField("mv")).cast("array<float>").as("refined"))
+      cb = cb
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("refined"), col("centroid")).as("centroid"))
+      // intermediate iterations checkpoint (the next loop round consumes
+      // cb twice — broadcast + coalesce join); the LAST stays lazy so the
+      // final collect() is the job that runs it, saving a checkpoint job
+      // + broadcast round per training call
+      if (it < iters - 1) cb = cb.localCheckpoint()
+    }
+    val rows = cb.collect() // bounded model state: m x ksub rows
+    val out = Array.ofDim[Array[Array[Float]]](m)
+    for (s <- 0 until m) {
+      val cell = rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+      out(s) = cell.map(_.getSeq[Float](2).toArray)
+    }
+    out
+  }
+
+  /** PQ-encode an embedding column: per subspace, the argmin code over
+    * the codebook, as ONE fused native expression
+    * ([[graft.functions.PqEncodeExpr]] — codegen'd loop; the literal-
+    * expanded Column composition was ~10k interpreted nodes per row and
+    * dominated the whole search). Same |c|^2 - 2 sv.c score and fold
+    * order as training's assignment, so codes reproduce the trained
+    * partition bit-exactly. Pure projection — the 100 TB encode pass is
+    * map-only, no shuffle.
+    */
+  def pqEncodeCol(emb: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    graft.functions.PqEncodeExpr.pqEncode(emb, codebooks)
+
+  /** Reconstruct the approximate vector from PQ codes: codebook lookups
+    * into ONE literal m x ksub x dsub table, flattened. The codes column
+    * is referenced exactly once (the transform lambda binds it), so
+    * composing decode over [[pqEncodeCol]]'s tree — as [[pqCorpus]] does
+    * in a single projection — cannot duplicate the encode expression
+    * m times into the task binary. Pure projection, the read side of
+    * [[pqEncodeCol]].
+    */
+  def pqDecodeCol(codes: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val table = array(codebooks.map(book =>
+      array(book.map(c => array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    flatten(transform(codes, (c, s) =>
+      element_at(element_at(table, s + 1), c.cast("int") + 1)))
+  }
+
+  /** The embeddings frame round-tripped through PQ codes — the corpus an
+    * ANN pipeline serves from when even int8 is too big ([[quantizedCorpus]]'s
+    * 32x sibling). Encode + decode fuse into ONE scan-side projection.
+    */
+  def pqCorpus(
+      emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val cb = pqCodebooks(emb, m, ksub, iters, dim)
+    emb.select(
+      col("vec_id"),
+      pqDecodeCol(pqEncodeCol(col("embedding"), cb), cb).as("embedding"))
+  }
+
+  /** Asymmetric-distance top-k over the PQ corpus (ADC — Jegou et al.
+    * §4.2): queries stay exact; each candidate's score is assembled from
+    * its codes alone — per subspace, dot(q_s, codebook[s][code_s]) via
+    * literal table lookups, and |x̂|^2 = Σ_s |c_{s,code_s}|^2 from a
+    * literal norm table (exact, since x̂ is the concatenation). The
+    * corpus side is first MATERIALIZED as (vec_id, codes, nrm) — m bytes
+    * + one double per vector, the form a PQ system stores at rest (and
+    * 32x smaller than the floats, so the checkpoint is cheap). This also
+    * pins encode to ONE evaluation per corpus row: left lazy under the
+    * cross join, CollapseProject inlines the whole argmin-encode tree
+    * into every per-pair score reference (measured 5x slower).
+    */
+  def pqTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val cb = pqCodebooks(corpus, m, ksub, iters, dim)
+    val dsub = dim / m
+    val tables = cb.map(book =>
+      array(book.map(c => array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*))
+    val norm2Tables = cb.map(book =>
+      array(book.map(c => lit(norm2Lit(c))).toIndexedSeq: _*))
+    def codeAt(s: Int): Column = element_at(col("codes"), s + 1).cast("int") + 1
+    val codedN = corpus
+      .select(col("vec_id"), pqEncodeCol(col("embedding"), cb).as("codes"))
+      .withColumn(
+        "nrm_c",
+        sqrt((0 until m).map(s => element_at(norm2Tables(s), codeAt(s))).reduce(_ + _)))
+      .localCheckpoint()
+    val probesN = probes.withColumn("nrm_q", norm(col("q_emb")))
+    val approxDot = (0 until m)
+      .map(s => dot(slice(col("q_emb"), s * dsub + 1, dsub), element_at(tables(s), codeAt(s))))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
+    codedN
+      .crossJoin(broadcast(probesN))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", approxDot / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
+  // -------------------------------------------------------------------
   // Random-hyperplane LSH (Charikar 2002): sign-bit buckets, T tables.
   // -------------------------------------------------------------------
 

@@ -105,4 +105,42 @@ object Splits {
       .sortWithinPartitions(
         col("shard"), md5(col(keyCol).cast("string")), col(keyCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Pack documents into fixed-token-budget training sequences — the
+    * GPT-style concat-then-cut layout: within each md5 shard, documents
+    * are concatenated in the [[writeShards]] order (md5, then key) and
+    * the token stream is cut every `seqLen` tokens. Each document owns
+    * the half-open token span [tok_offset, tok_offset + n_tokens) and so
+    * lands in sequences seq_first..seq_last (documents may straddle a
+    * cut — standard pad-free packing; a loader emits sequence i of a
+    * shard by concatenating the docs whose span intersects
+    * [i*seqLen, (i+1)*seqLen)).
+    *
+    * Scale posture: the only wide op is ONE running-sum window PER SHARD
+    * — the shard is the window partition, so capacity grows by adding
+    * shards (raise hexChars), never by a global sort. Offsets are a pure
+    * function of the keys and token counts: reproducible run-over-run
+    * and engine-over-engine, like the shard layout itself. All integer
+    * math — no rounding drift anywhere.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, hexChars: Int = 1): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        shardOf(col("doc_id"), hexChars).as("shard"),
+        md5(col("doc_id").cast("string")).as("ord"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not fp division: offsets are exact at any corpus size
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $seqLen").as("seq_first"),
+        expr(s"(tok_offset + n_tokens - 1) DIV $seqLen").as("seq_last"))
+  }
 }

@@ -371,6 +371,46 @@ object TextOps {
       .select("doc_id", "rank", "token", "score")
   }
 
+  /** CCNet-style unigram language-model quality signal (Wenzek et al.
+    * 2020 score documents with a 5-gram KenLM; the unigram restatement
+    * keeps the same "how typical of the corpus is this document" signal
+    * while staying fully SQL-expressible): per document, the
+    * frequency-weighted mean natural-log probability of its tokens under
+    * the corpus unigram distribution p(t) = freq(t) / total_tokens.
+    * Common-vocabulary prose scores high; rare-token garbage, wrong-
+    * language, and OCR noise score low — the standard perplexity-bucket
+    * filter signal (perplexity = exp(-logprob) per token).
+    *
+    * Shape: one (doc, token) tf aggregate — materialized, exactly like
+    * [[tfidfTopTerms]]' tf, because BOTH the vocabulary frequency table
+    * and the per-doc join read it (unmaterialized, the corpus would be
+    * tokenized twice) — then a vocabulary-sized freq aggregate, a
+    * token-keyed join back, one per-doc aggregate. The corpus total joins
+    * as a broadcast scalar, never a driver-side count. At 100 TB the tf
+    * frame persists as a table via the same `materialize` hook as
+    * [[tfidfTopTerms]].
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame = {
+    val tf = graft.sources.VersionedTable.materialize(
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf")),
+      materialize)
+    val freq = tf.groupBy("token").agg(sum(col("tf")).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total_tokens"))
+    tf.join(freq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        (sum(col("tf").cast("double") *
+          log(col("freq").cast("double") / col("total_tokens").cast("double"))) /
+          sum(col("tf")).cast("double")).as("logprob"))
+  }
+
   /** Token 3-gram shingles, exploded to one row per (doc_id, shingle) —
     * the substrate for MinHash/Jaccard (Dedup). Distinct within doc.
     */

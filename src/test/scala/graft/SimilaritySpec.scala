@@ -248,4 +248,82 @@ class SimilaritySpec extends AnyFunSuite {
     self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
     emb.unpersist()
   }
+
+  test("PQ: codes in range, decode has full dimension") {
+    val emb = corpus()
+    val cb = Similarity.pqCodebooks(emb, m = 4, ksub = 8, iters = 1, dim = Dim)
+    assert(cb.length === 4)
+    cb.foreach { book =>
+      assert(book.length === 8)
+      book.foreach(c => assert(c.length === Dim / 4))
+    }
+    val coded = emb.select(
+      col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    val rows = coded.collect()
+    assert(rows.length === 80)
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](1)
+      assert(codes.length === 4)
+      codes.foreach(c => assert(c >= 0 && c < 8, s"code $c out of [0, 8)"))
+    }
+    val decodedLen = emb.select(
+      size(Similarity.pqDecodeCol(
+        Similarity.pqEncodeCol(col("embedding"), cb), cb)).as("n"))
+      .as[Int].collect()
+    decodedLen.foreach(n => assert(n === Dim))
+  }
+
+  test("PQ encode (native expression): every code is the true argmin of its subspace") {
+    val emb = corpus()
+    val cb = Similarity.pqCodebooks(emb, m = 4, ksub = 8, iters = 1, dim = Dim)
+    val rows = emb.select(
+      col("vec_id"), col("embedding"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes")).collect()
+    val dsub = Dim / 4
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Byte](2)
+      (0 until 4).foreach { s =>
+        // same |c|^2 - 2 sv.c score and fold order as the expression
+        val scores = cb(s).map { c =>
+          val cn2 = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+          var dot = 0.0
+          (0 until dsub).foreach(t => dot += v(s * dsub + t).toDouble * c(t).toDouble)
+          cn2 - 2.0 * dot
+        }
+        val expect = scores.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+        assert(codes(s).toInt === expect,
+          s"vec ${r.getLong(0)} sub $s: code ${codes(s)}, argmin $expect")
+      }
+    }
+  }
+
+  test("PQ top-k recalls the planted twins") {
+    val emb = corpus()
+    val top = Similarity.pqTopK(probes(emb), emb, 3, m = 4, ksub = 16, iters = 2, dim = Dim)
+    val hits = top.filter(col("vec_id") === col("q_id") + 1000L).count()
+    assert(hits >= 16, s"PQ recall too low: $hits/20 twins found")
+  }
+
+  test("PQ: Lloyd iterations do not worsen reconstruction; deterministic across widths") {
+    val emb = corpus()
+    def mse(iters: Int, frame: DataFrame): Double = {
+      val cb = Similarity.pqCodebooks(frame, m = 4, ksub = 8, iters = iters, dim = Dim)
+      val err = aggregate(
+        zip_with(
+          col("embedding"),
+          Similarity.pqDecodeCol(Similarity.pqEncodeCol(col("embedding"), cb), cb),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      frame.select(avg(err).as("mse")).as[Double].collect().head
+    }
+    val sampled = mse(0, emb)
+    val refined = mse(2, emb)
+    assert(refined <= sampled + 1e-9, s"Lloyd worsened PQ distortion: $sampled -> $refined")
+    // codebooks (and thus the whole search) identical at different widths
+    val cbA = Similarity.pqCodebooks(emb.repartition(3), m = 4, ksub = 8, iters = 2, dim = Dim)
+    val cbB = Similarity.pqCodebooks(emb.repartition(7), m = 4, ksub = 8, iters = 2, dim = Dim)
+    assert(cbA.map(_.map(_.toSeq).toSeq).toSeq === cbB.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }

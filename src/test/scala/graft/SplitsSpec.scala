@@ -98,4 +98,43 @@ class SplitsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(byFold("x") / 5000.0 - 0.75) < 0.03)
   }
+
+  test("packSequences: offsets tile each shard exactly; sequence ids match the cuts") {
+    val texts = (1L to 300L).map(i => (i, ("w " * (1 + (i % 37).toInt)).trim))
+    val packed = Splits.packSequences(texts.toDF("doc_id", "text"), seqLen = 64).cache()
+    assert(packed.count() === 300L)
+    val byShard = packed
+      .select("shard", "doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    byShard.foreach { case (shard, rows) =>
+      // within a shard, docs ordered by md5(doc_id) tile the token stream
+      // with no gaps or overlaps, starting at offset 0
+      val ordered = rows.sortBy { case (_, id, _, _, _, _) =>
+        (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id)
+      }
+      var expect = 0L
+      ordered.foreach { case (_, id, n, ofs, first, last) =>
+        assert(ofs === expect, s"shard $shard doc $id: offset $ofs, expected $expect")
+        assert(first === ofs / 64, s"doc $id seq_first")
+        assert(last === (ofs + n - 1) / 64, s"doc $id seq_last")
+        assert(first <= last)
+        expect += n
+      }
+    }
+    // documents longer than the straddle boundary really span sequences
+    assert(packed.filter(col("seq_last") > col("seq_first")).count() > 0)
+    packed.unpersist()
+  }
+
+  test("packSequences: layout is a pure function of keys — stable under repartitioning") {
+    val texts = (1L to 300L).map(i => (i, ("w " * (1 + (i % 37).toInt)).trim))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Splits.packSequences(df, seqLen = 64)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val a = run(texts.toDF("doc_id", "text").repartition(3))
+    val b = run(texts.toDF("doc_id", "text").repartition(17))
+    assert(a === b)
+  }
 }

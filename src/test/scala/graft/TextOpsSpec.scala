@@ -207,4 +207,36 @@ class TextOpsSpec extends AnyFunSuite {
         s"$q: approx $a vs exact $e drifted past 5%")
     }
   }
+
+  test("unigramLogProb: golden values on a hand-computed corpus") {
+    import spark.implicits._
+    // freq: a=2, b=2, c=1; total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected1 = (2 * math.log(2.0 / 5) + math.log(2.0 / 5)) / 3
+    val expected2 = (math.log(2.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - expected1) < 1e-12)
+    assert(math.abs(out(2L)._2 - expected2) < 1e-12)
+  }
+
+  test("unigramLogProb: common-token docs outscore rare-token docs; deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 docs of the same common words + 1 doc of singleton tokens
+    val common = (1L to 20L).map(i => (i, "the quick brown fox"))
+    val rare = Seq((99L, "zxqv wvut kjhg plmn"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val scores = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(99L),
+      s"common-vocab doc ${scores(1L)} should outscore rare-vocab doc ${scores(99L)}")
+    val wide = TextOps.unigramLogProb(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // partition-order FP drift is below the query edge's ra(4) rounding;
+    // raw doubles here agree to 1e-9 already on this tiny corpus
+    scores.foreach { case (id, v) => assert(math.abs(wide(id) - v) < 1e-9) }
+  }
 }
