@@ -140,6 +140,19 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF+PQ composite (IVFADC, the billion-vector layout): coarse cells
+    // bound the candidate set, residual PQ codes bound the bytes per
+    // candidate (rows-only: cells and codebooks are engine-internal;
+    // SimilaritySpec pins twin recall and width determinism).
+    "x41_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfPqTopK(probes, emb, 5, c = 16, nprobe = 4, m = 8, ksub = 16, iters = 1)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup pairs, blocked on the label column (the standard
     // cheap-blocking-key pattern: pair count is sum of block sizes squared,
     // not corpus squared).

@@ -334,6 +334,93 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
+  /** IVF + PQ composite (IVFADC — Jegou et al. 2011 §IV, the FAISS
+    * billion-vector layout): coarse IVF cells bound WHICH vectors a probe
+    * scores (nprobe cells of ~|corpus|/c), PQ codes bound the BYTES each
+    * candidate costs (m + 9 per vector at rest vs dim*4 floats). True
+    * RESIDUAL encoding: codes quantize x - centroid(cell), so codebook
+    * precision is spent on within-cell variance rather than re-describing
+    * the coarse structure — reconstruction is centroid + decode(codes).
+    *
+    * Scoring is ADC split along the residual decomposition:
+    * dot(q, x̂) = dot(q, centroid) + dot(q, r̂). The first term is
+    * computed once per (probe, cell) — nprobe rows per probe, already in
+    * hand when probes pick their cells; the second assembles from the
+    * residual-codebook literal tables like [[pqTopK]]. |x̂| is exact,
+    * computed once at encode time and stored beside the codes.
+    *
+    * At-rest state: the coded corpus (cell, vec_id, codes, nrm — the
+    * checkpoint below; a production pipeline persists it as a table) plus
+    * bounded model state (c coarse centroids + m x ksub residual
+    * codebooks). The residual frame is materialized before training
+    * because [[pqCodebooks]] scans its input per iteration and the
+    * residuals hang off an assignment cross-join — same recurring
+    * multi-consumer rule as semanticDedup's assignment.
+    */
+  def ivfPqTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      c: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1,
+      refineIters: Int = 0,
+      dim: Int = 64): DataFrame = {
+    val centroids = // bounded: c rows
+      if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
+      else ivfCentroids(corpus, c).localCheckpoint()
+    val cellCentroid = centroids
+      .select(col("centroid_id").as("cell"), col("centroid"))
+    val assigned = ivfAssign(corpus, centroids)
+      .join(broadcast(cellCentroid), Seq("cell"))
+      .select(
+        col("cell"), col("vec_id"),
+        zip_with(col("embedding"), col("centroid"), (x, y) => x - y).as("resid"))
+      .localCheckpoint()
+    val cb = pqCodebooks(
+      assigned.select(col("vec_id"), col("resid").as("embedding")), m, ksub, iters, dim)
+    val tables = cb.map(book =>
+      array(book.map(r => array(r.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*))
+    def codeAt(s: Int): Column = element_at(col("codes"), s + 1).cast("int") + 1
+    val reconstructed = zip_with(
+      col("centroid"), pqDecodeCol(col("codes"), cb), (x, y) => x + y)
+    // the at-rest form: m residual codes + the exact reconstruction norm
+    val coded = assigned
+      .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), cb).as("codes"))
+      .join(broadcast(cellCentroid), Seq("cell"))
+      .select(
+        col("cell"), col("vec_id"), col("codes"),
+        sqrt(dot(reconstructed, reconstructed)).as("nrm_c"))
+      .localCheckpoint()
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val probeCells = probes
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(
+        col("centroid_id").as("cell"), col("q_id"), col("q_emb"),
+        dot(col("q_emb"), col("centroid")).as("qc_dot"),
+        norm(col("q_emb")).as("nrm_q"))
+    val dsub = dim / m
+    val residDot = (0 until m)
+      .map(s => dot(slice(col("q_emb"), s * dsub + 1, dsub), element_at(tables(s), codeAt(s))))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
+    // probe side is |probes| x nprobe rows — broadcast so the coded corpus
+    // never shuffles (the ivfTopK rule); each (q, vec) meets at most once
+    broadcast(probeCells)
+      .join(coded, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", (col("qc_dot") + residDot) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
   // -------------------------------------------------------------------
   // Random-hyperplane LSH (Charikar 2002): sign-bit buckets, T tables.
   // -------------------------------------------------------------------

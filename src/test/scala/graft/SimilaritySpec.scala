@@ -306,6 +306,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 16, s"PQ recall too low: $hits/20 twins found")
   }
 
+  test("IVF+PQ (IVFADC) recalls the planted twins; deterministic across widths") {
+    val emb = corpus()
+    def run(frame: DataFrame) =
+      Similarity.ivfPqTopK(
+        probes(frame), frame, 3, c = 8, nprobe = 3, m = 4, ksub = 16, iters = 1, dim = Dim)
+    val top = run(emb).cache()
+    // double approximation (cell pruning + residual codes): twins are at
+    // cosine ~0.99 vs ~0 background, so both layers should keep most
+    val hits = top.filter(col("vec_id") === col("q_id") + 1000L).count()
+    assert(hits >= 14, s"IVFADC recall too low: $hits/20 twins found")
+    val a = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    top.unpersist()
+    val b = run(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "IVFADC result depends on input partitioning")
+  }
+
   test("PQ: Lloyd iterations do not worsen reconstruction; deterministic across widths") {
     val emb = corpus()
     def mse(iters: Int, frame: DataFrame): Double = {
