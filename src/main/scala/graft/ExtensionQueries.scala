@@ -324,6 +324,15 @@ object ExtensionQueries {
           r4(col("top_bigram_frac")).as("top_bigram_frac"))
         .orderBy("doc_id")),
 
+    // BPE merge training (tokenizer induction — rows-only: the iterative
+    // argmax loop is not ANSI-expressible; TextOpsSpec cross-checks the
+    // merge sequence against an independent reference implementation).
+    // One corpus scan; every iteration runs on the vocabulary-scale
+    // word-frequency table.
+    "x42_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMergeTable(Tables.documents(s, dir), numMerges = 20)
+        .orderBy("rank")),
+
     // Unigram LM quality signal (CCNet-style): frequency-weighted mean
     // log-probability of each doc's tokens under the corpus unigram
     // distribution — the perplexity-bucket filter signal.

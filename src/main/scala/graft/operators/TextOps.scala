@@ -371,6 +371,105 @@ object TextOps {
       .select("doc_id", "rank", "token", "score")
   }
 
+  // -------------------------------------------------------------------
+  // BPE merge training (Sennrich, Haddow, Birch 2016, "Neural Machine
+  // Translation of Rare Words with Subword Units") — tokenizer induction,
+  // the step every LLM pipeline runs before anything tokenizes. The
+  // standard form: ONE distributed corpus scan builds the (word, freq)
+  // table — pair counts weight by word frequency, so the corpus is never
+  // rescanned — and the merge loop fits driver-side over that bounded
+  // table (Heaps' law: vocabulary is orders of magnitude smaller than
+  // the corpus at 100 TB).
+  // -------------------------------------------------------------------
+
+  /** The trained model: one merge per rank, most-frequent pair first. */
+  final case class BpeMerge(rank: Int, left: String, right: String, count: Long)
+
+  /** Train `numMerges` BPE merges over the corpus.
+    *
+    * Division of labor (how every production tokenizer trainer works —
+    * the merge loop in SentencePiece/HF-tokenizers is single-machine):
+    * the CORPUS-scale work is the word-frequency count — one distributed
+    * scan + one shuffle — and the merge loop then runs DRIVER-SIDE over
+    * that bounded table. The collect is capped at `maxVocab` words by
+    * frequency (deterministic: freq desc, then word), the same
+    * highest-frequency-prefix cap real trainers apply; vocabulary is
+    * orders of magnitude smaller than the corpus (Heaps' law), so this
+    * is bounded model-fit state like PQ codebooks, not data on the
+    * driver. A first cut of this operator ran the merge loop as
+    * checkpointed DataFrame iterations: 20 merges = 20 sequential job
+    * barriers of pure scheduling cost (~4 s at sf0.1) for work a driver
+    * loop does in microseconds — the distributed form was strictly worse
+    * at every scale.
+    *
+    * Merge selection: max summed frequency, ties to the lexicographically
+    * smallest (left, right); merging is the greedy-leftmost fold of the
+    * reference implementation (a merged symbol can immediately serve as
+    * the left side of the next occurrence). Stops early when no pair
+    * occurs twice.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int, maxVocab: Int = 100000): Seq[BpeMerge] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocab)
+      .collect() // bounded: maxVocab (word, freq) rows — model-fit input
+      .map(r => (r.getString(0), r.getLong(1)))
+    var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((l, r), cnt)) if cnt >= 2 =>
+          merges += BpeMerge(rank, l, r, cnt)
+          vocab = vocab.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var last: String = null
+            syms.foreach { x =>
+              if (last == l && x == r) {
+                // drop the pending `l`, emit the merged symbol instead
+                last = l + r
+              } else {
+                if (last != null) out += last
+                last = x
+              }
+            }
+            if (last != null) out += last
+            (out.result(), f)
+          }
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.result()
+  }
+
+  /** The trained merge table as a DataFrame — the query-surface form
+    * (rank, left, right, merged, pair_count).
+    */
+  def bpeMergeTable(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, numMerges)
+      .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** CCNet-style unigram language-model quality signal (Wenzek et al.
     * 2020 score documents with a 5-gram KenLM; the unigram restatement
     * keeps the same "how typical of the corpus is this document" signal

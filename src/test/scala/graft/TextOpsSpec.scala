@@ -208,6 +208,64 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges: matches an independent reference implementation") {
+    import spark.implicits._
+    // the Sennrich-paper-style corpus: shared subwords across frequencies
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest")).toDF("doc_id", "text")
+    // reference BPE in plain Scala: same greedy-leftmost merge, same
+    // (count desc, pair asc) tie-break
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      var out = Vector.empty[(String, String, Long)]
+      var done = false
+      while (out.size < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+            case _ =>
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+        best match {
+          case Some(((a, b), n)) if n >= 2 =>
+            out :+= (a, b, n)
+            vocab = vocab.map { case (syms, f) =>
+              val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+                if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+                else acc :+ x
+              }
+              (merged, f)
+            }
+          case _ => done = true
+        }
+      }
+      out
+    }
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val expected = refBpe(words, 10)
+    val got = TextOps.bpeMerges(docs, 10).map(m => (m.left, m.right, m.count))
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the famous first merges on this corpus: 'es' then 'est'
+    assert(got.head._1 === "e" && got.head._2 === "s")
+    assert(got(1)._1 === "es" && got(1)._2 === "t")
+  }
+
+  test("bpeMerges: deterministic across partition widths; early-stops when exhausted") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta")).toDF("doc_id", "text")
+    val a = TextOps.bpeMerges(docs, 50)
+    val b = TextOps.bpeMerges(docs.repartition(13), 50)
+    assert(a === b)
+    // four distinct words of <= 5 chars: merges exhaust well before 50
+    assert(a.size < 50)
+    assert(a.size >= 4) // at least one full word coalesces
+  }
+
   test("unigramLogProb: golden values on a hand-computed corpus") {
     import spark.implicits._
     // freq: a=2, b=2, c=1; total=5
