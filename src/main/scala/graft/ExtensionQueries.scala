@@ -333,6 +333,25 @@ object ExtensionQueries {
       TextOps.bpeMergeTable(Tables.documents(s, dir), numMerges = 20)
         .orderBy("rank")),
 
+    // BPE segmentation (the encode side): per-document subword counts
+    // under the 20-merge tokenizer — fertility (subwords per word) is the
+    // standard tokenizer-fit metric (rows-only: the trained merges are
+    // engine-internal; TextOpsSpec pins golden segmentations, the
+    // no-mergeable-pair-remains invariant, and open-vocabulary behavior).
+    "x43_bpe_segments" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeMerges(docs, numMerges = 20)
+      TextOps.bpeSegments(docs, merges)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size(col("subwords"))).cast("long").as("n_subwords"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_subwords"),
+          r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+        .orderBy("doc_id")
+    }),
+
     // Unigram LM quality signal (CCNet-style): frequency-weighted mean
     // log-probability of each doc's tokens under the corpus unigram
     // distribution — the perplexity-bucket filter signal.

@@ -470,6 +470,24 @@ object TextOps {
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Segment every word of the corpus with a trained merge list — the
+    * encode side of BPE, and open-vocabulary by construction (unseen
+    * words start from characters like everything else). One projection:
+    * [[graft.functions.BpeApplyExpr]] keeps the per-word merge loop
+    * inside whole-stage codegen, so segmentation runs at scan speed with
+    * the merge list as broadcast-free bounded model state — the corpus
+    * never shuffles.
+    *
+    * @return (doc_id, pos, word, subwords)
+    */
+  def bpeSegments(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .select(
+        col("doc_id"), col("pos"), col("word"),
+        graft.functions.BpeApplyExpr.bpeApply(col("word"), merges).as("subwords"))
+
   /** CCNet-style unigram language-model quality signal (Wenzek et al.
     * 2020 score documents with a 5-gram KenLM; the unigram restatement
     * keeps the same "how typical of the corpus is this document" signal

@@ -255,6 +255,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1)._1 === "es" && got(1)._2 === "t")
   }
 
+  test("bpeSegments: golden segmentations, fully-merged invariant, open vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, 10)
+    val pairs = merges.map(m => (m.left, m.right)).toSet
+    // segment the training corpus PLUS unseen words (open vocabulary)
+    val probe = Seq((9L, "lowest slowest low xyz")).toDF("doc_id", "text")
+    val segs = TextOps.bpeSegments(docs.union(probe), merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getSeq[String](3)))
+    // every word reassembles exactly from its subwords
+    segs.foreach { case (_, _, w, sub) => assert(sub.mkString("") === w) }
+    // fully merged: no adjacent subword pair is still in the merge table
+    segs.foreach { case (_, _, w, sub) =>
+      sub.sliding(2).foreach {
+        case Seq(a, b) => assert(!pairs((a, b)), s"$w: mergeable pair ($a,$b) survived")
+        case _ =>
+      }
+    }
+    // the classic corpus fully coalesces its own words
+    val byWord = segs.filter(_._1 < 9L).map(s => s._3 -> s._4).toMap
+    assert(byWord("newest") === Seq("newest"))
+    assert(byWord("low") === Seq("low"))
+    // unseen word built from trained subwords: "lowest" = low + est
+    val lowest = segs.find(s => s._3 == "lowest").get._4
+    assert(lowest.head === "low", s"'lowest' segmented as $lowest")
+    assert(lowest.contains("est") || lowest.contains("lowest") === false)
+    // gibberish with no trained merges stays (mostly) characters
+    val xyz = segs.find(s => s._3 == "xyz").get._4
+    assert(xyz === Seq("x", "y", "z"))
+  }
+
   test("bpeMerges: deterministic across partition widths; early-stops when exhausted") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta")).toDF("doc_id", "text")
