@@ -45,14 +45,16 @@ object Bench {
         val cold = once()
         dropCached()
         val warm = once()
-        dropCached()
         name -> (warm, cold)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
           name -> (-1.0, -1.0)
-      }
+      } finally dropCached() // ALSO on failure: a query that dies after
+      // materializing checkpoints would otherwise leak its RDDs into
+      // every subsequent query's timings — the interference this
+      // cleanup exists to remove
     }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. Full-precision doubles for 60+ queries
@@ -60,7 +62,10 @@ object Bench {
     // 4 and 5 both shipped "parsed": null). So: millisecond precision on
     // the headline line, and the cold-run breakdown on its own EARLIER
     // line — it scrolls out of the tail but stays in the full log.
-    def ms(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would emit 12,345 — breaking
+    // the driver's JSON parse the same silent way the overflow did
+    def ms(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + ms(w) }
       .mkString("{", ",", "}")
     val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + ms(c) }

@@ -46,7 +46,19 @@ case class BpeApplyExpr(child: Expression, lefts: Array[String], rights: Array[S
   def applyWord(w: UTF8String): ArrayData = {
     val word = w.toString
     if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
-    var syms = scala.collection.mutable.ArrayBuffer.tabulate(word.length)(i => word.substring(i, i + 1))
+    // split by CODE POINT, not Java char: a supplementary-plane character
+    // (emoji, rare CJK) is two chars, and lone surrogates re-encode as
+    // replacement bytes — breaking the subwords-reassemble-to-word
+    // invariant for any non-BMP text
+    val syms0 = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms0 += word.substring(ci, ci + n)
+      ci += n
+    }
+    var syms = syms0
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue

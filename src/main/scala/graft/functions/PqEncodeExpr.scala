@@ -46,6 +46,10 @@ case class PqEncodeExpr(child: Expression, flat: Array[Float], cn2: Array[Double
       TypeCheckResult.TypeCheckFailure(s"pq_encode requires array<float|double>, got $other")
   }
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  // null on short/null-element arrays even when the CHILD is non-nullable:
+  // without this override ev.isNull is the FalseLiteral and the generated
+  // `false = true;` does not compile (same rationale as DotProductExpr)
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
   // lazy: child.dataType is only callable after analysis resolves it

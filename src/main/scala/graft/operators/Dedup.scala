@@ -619,13 +619,19 @@ object Dedup {
     // has s <= i <= s+k-1; distinct union of the start intervals
     val starts = coalesce(col("starts"), array().cast("array<int>"))
     val removed = array_distinct(flatten(transform(starts, s => sequence(s, s + k - 1))))
+    // kept = all positions minus removed, via array_except (hash-set
+    // membership, O(n + |removed|), left order preserved) — a per-word
+    // array_contains scan was O(n * |removed|), quadratic on the
+    // boilerplate-heavy documents this operator exists for; element_at
+    // by kept index is O(1)
+    val kept = array_except(sequence(lit(0), size(col("ws")) - 1), col("removed"))
     base
       .join(nonFirstStarts, Seq("doc_id"), "left")
       .withColumn("removed", removed)
       .select(
         col("doc_id"),
         array_join(
-          filter(col("ws"), (w, i) => !array_contains(col("removed"), i)), " ").as("text_dedup"),
+          transform(kept, i => element_at(col("ws"), i + 1)), " ").as("text_dedup"),
         size(col("removed")).cast("long").as("n_removed"))
   }
 

@@ -419,7 +419,19 @@ object TextOps {
       .limit(maxVocab)
       .collect() // bounded: maxVocab (word, freq) rows — model-fit input
       .map(r => (r.getString(0), r.getLong(1)))
-    var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    // code-point split (not Java chars): keeps supplementary-plane
+    // characters whole, matching BpeApplyExpr's encode-side splitting
+    def cpSyms(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
+    var vocab = words.map { case (w, f) => (cpSyms(w), f) }
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 0
     var exhausted = false

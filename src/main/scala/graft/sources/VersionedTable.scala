@@ -116,17 +116,50 @@ final class VersionedTable(val root: String) {
     * directories ALIVE (their files are referenced), so [[vacuum]]
     * deletes a directory only when no retained manifest references it.
     */
-  def appendCommit(df: DataFrame): Long = {
+  /** @param tag opaque idempotence token, readable back via
+    *             [[latestTag]] — written INSIDE the version directory
+    *             before the pointer swap, so a committed-tag check and
+    *             the data it vouches for cannot be observed out of order.
+    *             An exactly-once producer (a streaming foreachBatch that
+    *             can replay its last batch after a crash) tags each
+    *             commit with its batch id and skips when the published
+    *             tag already matches.
+    */
+  def appendCommit(df: DataFrame, tag: Option[String] = None): Long = {
     val prev = latestVersion().map(v =>
       manifest(v).getOrElse(throw new IllegalStateException(
         s"appendCommit needs a manifest-bearing previous snapshot under $root " +
           "(pre-manifest snapshots predate the append path — rewrite once with commit())")))
       .getOrElse(Nil)
+    // fail fast on a PARTITIONED previous snapshot: carried cross-version
+    // reads go through the no-basePath manifest path, where hive
+    // directories are not inferred — the partition column would silently
+    // read as missing/null for every carried row instead of erroring
+    prev.foreach { abs =>
+      val rel = rootPath.relativize(Paths.get(abs)).toString
+      val middle = rel.split('/').drop(1).dropRight(1)
+      require(
+        !middle.exists(_.contains("=")),
+        s"appendCommit supports unpartitioned snapshots only, but the previous " +
+          s"version carries hive-partitioned file '$rel' — rewrite with commit() " +
+          "or point the append stream at a fresh table")
+    }
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     df.write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
+    tag.foreach(t =>
+      Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
     publish(next)
     next
+  }
+
+  /** The idempotence tag of the published snapshot, if its committer set
+    * one — see [[appendCommit]]'s `tag` parameter.
+    */
+  def latestTag(): Option[String] = latestVersion().flatMap { v =>
+    val p = versionDir(v).resolve("_tag")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
   }
 
   /** Atomic pointer swap publishing version `v`. */

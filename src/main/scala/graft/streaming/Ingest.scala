@@ -314,7 +314,10 @@ object Ingest {
   /** Start a stream that grows `corpus` with near-dup-free documents.
     *
     * Per micro-batch (checkpointed, so a restart resumes at the failed
-    * batch; appendCommit's pointer swap makes the commit itself atomic):
+    * batch; appendCommit's pointer swap makes the commit itself atomic,
+    * and the batch-id tag on each snapshot makes the commit IDEMPOTENT —
+    * a replay of an already-committed batch is skipped, closing the
+    * crash-between-commit-and-checkpoint double-append window):
     *   1. exact-dedup WITHIN the batch (smallest doc_id survives);
     *   2. drop batch docs whose n-gram Jaccard against any committed
     *      corpus doc reaches `threshold` — the asymmetric df-capped
@@ -343,19 +346,39 @@ object Ingest {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.Dedup.dropExactDuplicates(batch.localCheckpoint())
-        val survivors = corpus.latestVersion() match {
-          case None => fresh
-          case Some(v) =>
-            val existing = corpus.readVersion(spark, v)
-            val dupIds = graft.operators.Dedup
-              .jaccardNearDupsAgainst(fresh, existing, threshold, minShared, maxShingleDf)
-              .select(col("batch_id").as("doc_id")).distinct()
-            fresh.join(dupIds, Seq("doc_id"), "left_anti")
+        val tag = s"batch-$batchId"
+        // replay guard: a crash AFTER appendCommit but BEFORE the
+        // streaming checkpoint advances re-delivers this batch, and the
+        // near-dup filter does not reliably catch the replay (short docs
+        // produce < minShared shingles; ubiquitous shingles exceed the df
+        // cap) — the published snapshot's tag does, exactly once
+        if (!corpus.latestTag().contains(tag)) {
+          // drop every RDD this batch pins (the batch checkpoint plus the
+          // ones inside jaccardNearDupsAgainst) once the commit is down:
+          // nothing outlives the batch, so a long-running stream holds
+          // O(one batch) of checkpoint blocks instead of growing without
+          // bound. Scoped to ids created during the batch — a session
+          // running concurrent persisting jobs should isolate streams.
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          try {
+            val fresh = graft.operators.Dedup.dropExactDuplicates(batch.localCheckpoint())
+            val survivors = corpus.latestVersion() match {
+              case None => fresh
+              case Some(v) =>
+                val existing = corpus.readVersion(spark, v)
+                val dupIds = graft.operators.Dedup
+                  .jaccardNearDupsAgainst(fresh, existing, threshold, minShared, maxShingleDf)
+                  .select(col("batch_id").as("doc_id")).distinct()
+                fresh.join(dupIds, Seq("doc_id"), "left_anti")
+            }
+            corpus.appendCommit(survivors, Some(tag))
+          } finally {
+            spark.sparkContext.getPersistentRDDs
+              .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }
+          }
         }
-        corpus.appendCommit(survivors)
         ()
       }
       .start()

@@ -299,6 +299,7 @@ class IngestSpec extends AnyFunSuite {
     val corpus = graft.sources.VersionedTable(
       java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/t")
     val mem = MemoryStream[(Long, String)]
+    val preStreamRdds = spark.sparkContext.getPersistentRDDs.keySet
     val q = Ingest.streamDedupedCorpus(mem.toDF().toDF("doc_id", "text"), corpus, ckpt)
     try {
       val textA = (0 until 30).map(i => s"a$i").mkString(" ")
@@ -323,6 +324,15 @@ class IngestSpec extends AnyFunSuite {
       assert(corpus.read(spark).select("doc_id").as[Long].collect().sorted ===
         Array(1L, 2L, 11L))
       assert(corpus.manifest(1L).get.exists(_.contains("v=0")), "append must carry v0 files")
+      // each commit is tagged with its batch id — the replay-idempotence
+      // token the foreachBatch guard checks before appending
+      assert(corpus.latestTag() === Some("batch-1"))
+      // batch-scoped checkpoint cleanup: the stream holds O(one batch) of
+      // persisted RDD blocks, not one per processed batch (other suites
+      // may share this session, so assert on the stream's own ids only)
+      assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(preStreamRdds).size ===
+        spark.sparkContext.getPersistentRDDs.size,
+        "batch checkpoints must not outlive their micro-batch")
     } finally q.stop()
   }
 }

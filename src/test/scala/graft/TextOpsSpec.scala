@@ -291,6 +291,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(xyz === Seq("x", "y", "z"))
   }
 
+  test("bpe: supplementary-plane characters stay whole through training and segmentation") {
+    import spark.implicits._
+    // U+1F600 is two Java chars; char-grain splitting would cut it into
+    // lone surrogates that re-encode as replacement bytes
+    val smile = new String(Character.toChars(0x1F600))
+    val word = s"ab$smile"
+    val docs = (1L to 5L).map(i => (i, s"$word $word")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, 5)
+    val segs = TextOps.bpeSegments(docs, merges).limit(1)
+      .select("word", "subwords").collect()
+    val (w, sub) = (segs(0).getString(0), segs(0).getSeq[String](1))
+    assert(sub.mkString("") === w, s"subwords $sub do not reassemble $w")
+    assert(w.contains(smile))
+  }
+
   test("bpeMerges: deterministic across partition widths; early-stops when exhausted") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta")).toDF("doc_id", "text")

@@ -158,6 +158,29 @@ class VersionedTableSpec extends AnyFunSuite {
       Array("a", "b", "c", "d"))
   }
 
+  test("appendCommit refuses a partitioned previous snapshot; tags round-trip") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "branch", "s"),
+      partitionBy = Seq("branch"))
+    // carried cross-version reads skip basePath, so hive columns would
+    // silently read as missing — must fail fast instead
+    val e = intercept[IllegalArgumentException] {
+      t.appendCommit(Seq((3L, "z", "c")).toDF("id", "branch", "s"))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+
+    val t2 = freshTable()
+    t2.commit(Seq((1L, "a")).toDF("id", "s"))
+    assert(t2.latestTag() === None)
+    t2.appendCommit(Seq((2L, "b")).toDF("id", "s"), tag = Some("batch-7"))
+    assert(t2.latestTag() === Some("batch-7"))
+    // an untagged commit clears the published tag
+    t2.appendCommit(Seq((3L, "c")).toDF("id", "s"))
+    assert(t2.latestTag() === None)
+  }
+
   test("vacuum never deletes a directory a retained append snapshot references") {
     val t = freshTable()
     import spark.implicits._
