@@ -334,7 +334,45 @@ object Dedup {
     val shC = graft.sources.VersionedTable.materialize(
       TextOps.shingles(corpus, n).withColumn("df", count(lit(1)).over(byShingle)),
       materialize)
-    val shB = TextOps.shingles(batch, n).localCheckpoint()
+    jaccardAgainstCore(
+      TextOps.shingles(batch, n).localCheckpoint(), shC, threshold, minShared, maxShingleDf)
+  }
+
+  /** [[jaccardNearDupsAgainst]] over PREBUILT corpus postings (doc_id,
+    * shingle) — the incremental-ingest fast path: when the postings live
+    * in a table that appends each accepted batch's shingles, the corpus
+    * TEXT is never re-read or re-tokenized per batch; per-batch work is
+    * the df annotation (one shuffle over compact postings) plus the
+    * candidate joins. [[graft.streaming.Ingest.streamDedupedCorpus]]
+    * maintains exactly such a table.
+    */
+  def jaccardNearDupsAgainstPostings(
+      batch: DataFrame,
+      postings: DataFrame,
+      threshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      n: Int = 3): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // df-annotated postings feed four consumers (rare index, hot side,
+    // per-doc counts) — checkpoint so the window runs once per batch
+    val shC = postings
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .localCheckpoint()
+    jaccardAgainstCore(
+      TextOps.shingles(batch, n).localCheckpoint(), shC, threshold, minShared, maxShingleDf)
+  }
+
+  /** Shared asymmetric inverted-index scorer: `shB`/`shC` are the batch
+    * and corpus (doc_id, shingle) frames, `shC` df-annotated and already
+    * materialized by the caller.
+    */
+  private def jaccardAgainstCore(
+      shB: DataFrame,
+      shC: DataFrame,
+      threshold: Double,
+      minShared: Int,
+      maxShingleDf: Int): DataFrame = {
     val idxC = shC.filter(col("df") <= maxShingleDf)
     // multi-consumer: the final join and the hot-intersection pass (the
     // same ReuseExchange-defeated-by-pruning trap jaccardNearDups hit)
@@ -566,10 +604,16 @@ object Dedup {
   /** Remove duplicated k-word spans from all but their first occurrence
     * and rebuild each document's text. A word position is deleted iff it
     * is covered by at least one k-gram window whose text also occurs at a
-    * lexicographically earlier (doc_id, start) — so exactly ONE copy of
-    * every duplicated span survives, the deterministic retention the
-    * suffix-array ExactSubstr procedure uses (reference pipeline has no
-    * dedup at all; this is brief-extension surface).
+    * lexicographically earlier (doc_id, start) — each duplicated gram's
+    * first occurrence is never deleted ON ITS OWN ACCOUNT, the
+    * deterministic retention rule of the suffix-array ExactSubstr
+    * procedure (reference pipeline has no dedup at all; this is
+    * brief-extension surface). Caveat shared with ExactSubstr's greedy
+    * behavior: when covers CHAIN — gram G's first occurrence overlaps a
+    * non-first occurrence of a different gram H — G's first copy can be
+    * clipped by H's cover, so "one intact copy of every span" is not
+    * guaranteed under overlapping duplication, only per-gram
+    * first-occurrence protection.
     *
     * Output: (doc_id, text_dedup, n_removed) — one row per input
     * document, including untouched ones (n_removed = 0).
@@ -593,9 +637,14 @@ object Dedup {
     * fixed-width — same plan, collision risk 2^-128.
     */
   def spanDedup(docs: DataFrame, k: Int = 15): DataFrame = {
+    // materialized: the token-array frame feeds BOTH the gram subtree
+    // (itself consumed twice: firsts + the non-first join) and the final
+    // rebuild join — unmaterialized, the corpus text is scanned and
+    // re-split three times per run (the recurring multi-consumer rule)
     val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .localCheckpoint()
     val grams = base
       .filter(size(col("ws")) >= k)
       .select(

@@ -161,6 +161,28 @@ object Similarity {
   private def norm2Lit(centroid: Array[Float]): Double =
     centroid.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
 
+  /** Per-subspace centroid lookup tables, one literal nested array each —
+    * shared by every ADC consumer so code indexing lives in ONE place.
+    */
+  private def pqTables(cb: Array[Array[Array[Float]]]): IndexedSeq[Column] =
+    cb.toIndexedSeq.map(book =>
+      array(book.map(c => array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*))
+
+  /** The 1-based lookup index for subspace s, from a bound `codes` column. */
+  private def pqCodeAt(s: Int): Column = element_at(col("codes"), s + 1).cast("int") + 1
+
+  /** ADC approximate dot(q, decode(codes)): per-subspace codegen'd dots of
+    * the q slice against the code's centroid lookup, summed — reads the
+    * bound `codes` column, never a decode expression.
+    */
+  private def pqAdcDot(qEmb: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val dsub = cb(0)(0).length
+    val tables = pqTables(cb)
+    cb.indices
+      .map(s => dot(slice(qEmb, s * dsub + 1, dsub), element_at(tables(s), pqCodeAt(s))))
+      .reduce(_ + _)
+  }
+
   /** Train per-subspace PQ codebooks with distributed Lloyd iterations.
     *
     * Init is the [[ivfCentroids]] recipe per subspace (the ksub corpus
@@ -190,10 +212,14 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 128, "ksub must fit a tinyint code in [1, 128]")
     val dsub = dim / m
+    // cast up front: PqEncodeExpr accepts array<double> too, and without
+    // this an array<double> corpus trains Double centroid rows that the
+    // float-typed collect below would CCE on. Codebooks are float by
+    // contract (PQ is lossy); for float input the cast is a no-op.
     val subs = corpus.select(
       col("vec_id"),
       posexplode(array((0 until m).map(s =>
-        slice(col("embedding"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+        slice(col("embedding").cast("array<float>"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
     // bounded: ksub rows; the un-partitioned window runs AFTER the limit
     val seedW = Window.orderBy(col("h"), col("vec_id"))
     val seeds = corpus
@@ -307,28 +333,21 @@ object Similarity {
       iters: Int = 2,
       dim: Int = 64): DataFrame = {
     val cb = pqCodebooks(corpus, m, ksub, iters, dim)
-    val dsub = dim / m
-    val tables = cb.map(book =>
-      array(book.map(c => array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*))
     val norm2Tables = cb.map(book =>
       array(book.map(c => lit(norm2Lit(c))).toIndexedSeq: _*))
-    def codeAt(s: Int): Column = element_at(col("codes"), s + 1).cast("int") + 1
     val codedN = corpus
       .select(col("vec_id"), pqEncodeCol(col("embedding"), cb).as("codes"))
       .withColumn(
         "nrm_c",
-        sqrt((0 until m).map(s => element_at(norm2Tables(s), codeAt(s))).reduce(_ + _)))
+        sqrt((0 until m).map(s => element_at(norm2Tables(s), pqCodeAt(s))).reduce(_ + _)))
       .localCheckpoint()
     val probesN = probes.withColumn("nrm_q", norm(col("q_emb")))
-    val approxDot = (0 until m)
-      .map(s => dot(slice(col("q_emb"), s * dsub + 1, dsub), element_at(tables(s), codeAt(s))))
-      .reduce(_ + _)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     codedN
       .crossJoin(broadcast(probesN))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", approxDot / (col("nrm_q") * col("nrm_c")))
+      .withColumn("sim", pqAdcDot(col("q_emb"), cb) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
@@ -381,33 +400,26 @@ object Similarity {
       .localCheckpoint()
     val cb = pqCodebooks(
       assigned.select(col("vec_id"), col("resid").as("embedding")), m, ksub, iters, dim)
-    val tables = cb.map(book =>
-      array(book.map(r => array(r.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*))
-    def codeAt(s: Int): Column = element_at(col("codes"), s + 1).cast("int") + 1
+    // the at-rest form: m residual codes + the exact reconstruction norm.
+    // The reconstruction is bound to its OWN projected column before the
+    // norm reads it twice — inlined, dot(recon, recon) would evaluate the
+    // whole decode tree twice per row (the expression-duplication class
+    // pqTopK documents)
     val reconstructed = zip_with(
       col("centroid"), pqDecodeCol(col("codes"), cb), (x, y) => x + y)
-    // the at-rest form: m residual codes + the exact reconstruction norm
     val coded = assigned
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), cb).as("codes"))
       .join(broadcast(cellCentroid), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("codes"), reconstructed.as("recon"))
       .select(
         col("cell"), col("vec_id"), col("codes"),
-        sqrt(dot(reconstructed, reconstructed)).as("nrm_c"))
+        sqrt(dot(col("recon"), col("recon"))).as("nrm_c"))
       .localCheckpoint()
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val probeCells = probes
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
+    val probeCells = nearestCells(probes, centroids, nprobe)
       .select(
-        col("centroid_id").as("cell"), col("q_id"), col("q_emb"),
+        col("cell"), col("q_id"), col("q_emb"),
         dot(col("q_emb"), col("centroid")).as("qc_dot"),
         norm(col("q_emb")).as("nrm_q"))
-    val dsub = dim / m
-    val residDot = (0 until m)
-      .map(s => dot(slice(col("q_emb"), s * dsub + 1, dsub), element_at(tables(s), codeAt(s))))
-      .reduce(_ + _)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     // probe side is |probes| x nprobe rows — broadcast so the coded corpus
@@ -415,7 +427,7 @@ object Similarity {
     broadcast(probeCells)
       .join(coded, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", (col("qc_dot") + residDot) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("sim", (col("qc_dot") + pqAdcDot(col("q_emb"), cb)) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
@@ -501,6 +513,20 @@ object Similarity {
     centroids
   }
 
+  /** The nprobe nearest centroids per probe (broadcast argmax, the probe-
+    * side mirror of [[ivfAssign]]): (cell, q_id, q_emb, centroid) — shared
+    * by [[ivfTopK]] and [[ivfPqTopK]] so the tie-break rule lives once.
+    */
+  private def nearestCells(probes: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+    probes
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("centroid_id").as("cell"), col("q_id"), col("q_emb"), col("centroid"))
+  }
+
   /** Assign every vector to its nearest centroid (cosine): broadcast
     * nested loop over |corpus| x c, then a per-vector argmax — one shuffle
     * on vec_id at scale, cells come out hash-partitioned by centroid.
@@ -533,13 +559,8 @@ object Similarity {
       if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
       else ivfCentroids(corpus, c).localCheckpoint()
     val cells = ivfAssign(corpus, centroids)
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val probeCells = probes
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("centroid_id").as("cell"), col("q_id"), col("q_emb"))
+    val probeCells = nearestCells(probes, centroids, nprobe)
+      .select("cell", "q_id", "q_emb")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     // probe side is |probes| x nprobe rows — broadcast it so the corpus-

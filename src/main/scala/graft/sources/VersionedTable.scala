@@ -81,7 +81,7 @@ final class VersionedTable(val root: String) {
     * published version. `partitionBy` columns keep partition pruning inside
     * the snapshot directory.
     */
-  def commit(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  def commit(df: DataFrame, partitionBy: Seq[String] = Nil, tag: Option[String] = None): Long = {
     // next version from ALL directories on disk, not just the published
     // pointer: a crash between write and publish leaves an orphan v=N dir,
     // and computing next from the pointer alone would collide with it on
@@ -91,6 +91,8 @@ final class VersionedTable(val root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(next).toString)
     writeManifest(next)
+    tag.foreach(t =>
+      Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
     // publish: temp file + atomic rename — the one-instruction commit
     publish(next)
     next
@@ -156,7 +158,20 @@ final class VersionedTable(val root: String) {
   /** The idempotence tag of the published snapshot, if its committer set
     * one — see [[appendCommit]]'s `tag` parameter.
     */
-  def latestTag(): Option[String] = latestVersion().flatMap { v =>
+  def latestTag(): Option[String] = latestVersion().flatMap(tagOf)
+
+  /** ALL idempotence tags among retained versions. A replay guard must
+    * check this set, not just [[latestTag]]: any interleaved commit by
+    * another writer (the nightly full-rewrite pass, a compaction) takes
+    * over the head and would hide the replayed batch's tag. Vacuum drops
+    * a version's tag with its directory — replay detection therefore
+    * assumes the replayed commit is within the retention window, which a
+    * promptly-restarted stream always is.
+    */
+  def committedTags(): Set[String] =
+    (versions() ++ latestVersion()).distinct.flatMap(tagOf).toSet
+
+  private def tagOf(v: Long): Option[String] = {
     val p = versionDir(v).resolve("_tag")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     else None

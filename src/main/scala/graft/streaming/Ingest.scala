@@ -336,44 +336,92 @@ object Ingest {
     * (foreachBatch hands us a re-playable but per-action re-evaluated
     * frame).
     */
+  /** @param shingleIndex optional postings table (doc_id, shingle) that
+    *        mirrors the committed corpus — the incremental-index fast
+    *        path: with it, a batch never re-reads or re-tokenizes the
+    *        corpus TEXT (the O(corpus)-per-batch cost of the plain path);
+    *        it reads compact postings, and each accepted batch appends
+    *        its own shingles (O(batch) write). Coherence is a tag on the
+    *        index recording which corpus version it mirrors — a crash
+    *        between the two commits, or any out-of-band corpus write,
+    *        makes the tag mismatch and the next batch falls back to the
+    *        corpus text and HEALS the index with a full rewrite.
+    */
   def streamDedupedCorpus(
       docs: org.apache.spark.sql.DataFrame,
       corpus: graft.sources.VersionedTable,
       checkpointPath: String,
       threshold: Double = 0.5,
       minShared: Int = 2,
-      maxShingleDf: Int = 100): org.apache.spark.sql.streaming.StreamingQuery =
+      maxShingleDf: Int = 100,
+      shingleIndex: Option[graft.sources.VersionedTable] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val tag = s"batch-$batchId"
+        def mirrorTag(v: Long) = s"corpus-v$v"
         // replay guard: a crash AFTER appendCommit but BEFORE the
         // streaming checkpoint advances re-delivers this batch, and the
         // near-dup filter does not reliably catch the replay (short docs
         // produce < minShared shingles; ubiquitous shingles exceed the df
-        // cap) — the published snapshot's tag does, exactly once
-        if (!corpus.latestTag().contains(tag)) {
+        // cap) — the snapshot tags do, exactly once. ALL retained tags,
+        // not just the head's: an interleaved commit by another writer
+        // (the nightly full pass) must not reopen the window
+        if (!corpus.committedTags().contains(tag)) {
           // drop every RDD this batch pins (the batch checkpoint plus the
-          // ones inside jaccardNearDupsAgainst) once the commit is down:
-          // nothing outlives the batch, so a long-running stream holds
-          // O(one batch) of checkpoint blocks instead of growing without
+          // ones inside the dedup) once the commit is down: nothing
+          // outlives the batch, so a long-running stream holds O(one
+          // batch) of checkpoint blocks instead of growing without
           // bound. Scoped to ids created during the batch — a session
           // running concurrent persisting jobs should isolate streams.
           val before = spark.sparkContext.getPersistentRDDs.keySet
           try {
             val fresh = graft.operators.Dedup.dropExactDuplicates(batch.localCheckpoint())
-            val survivors = corpus.latestVersion() match {
-              case None => fresh
-              case Some(v) =>
+            val prevVersion = corpus.latestVersion()
+            // the index is usable only if its tag says it mirrors the
+            // corpus version this batch dedups against
+            val coherentIndex = (shingleIndex, prevVersion) match {
+              case (Some(idx), Some(v)) if idx.latestTag().contains(mirrorTag(v)) =>
+                Some(idx.read(spark))
+              case _ => None
+            }
+            val survivors = (prevVersion, coherentIndex) match {
+              case (None, _) => fresh
+              case (Some(_), Some(postings)) =>
+                val dupIds = graft.operators.Dedup
+                  .jaccardNearDupsAgainstPostings(fresh, postings, threshold, minShared, maxShingleDf)
+                  .select(col("batch_id").as("doc_id")).distinct()
+                fresh.join(dupIds, Seq("doc_id"), "left_anti")
+              case (Some(v), None) =>
                 val existing = corpus.readVersion(spark, v)
                 val dupIds = graft.operators.Dedup
                   .jaccardNearDupsAgainst(fresh, existing, threshold, minShared, maxShingleDf)
                   .select(col("batch_id").as("doc_id")).distinct()
                 fresh.join(dupIds, Seq("doc_id"), "left_anti")
             }
-            corpus.appendCommit(survivors, Some(tag))
+            // reused by the corpus commit AND the index append
+            val survivorsC = survivors.localCheckpoint()
+            val newVersion = corpus.appendCommit(survivorsC, Some(tag))
+            shingleIndex.foreach { idx =>
+              val freshShingles = graft.operators.TextOps.shingles(survivorsC, 3)
+              if (prevVersion.isEmpty)
+                // first corpus snapshot: a SELF-CONTAINED index commit —
+                // an append could carry stale postings from an
+                // out-of-band index write
+                idx.commit(freshShingles, tag = Some(mirrorTag(newVersion)))
+              else if (coherentIndex.isDefined)
+                // fast path: the index mirrored v, append this batch's
+                // shingles and it mirrors newVersion — O(batch) write
+                idx.appendCommit(freshShingles, Some(mirrorTag(newVersion)))
+              else
+                // heal: rebuild the postings from the corpus head (the
+                // one full pass; every subsequent batch appends again)
+                idx.commit(
+                  graft.operators.TextOps.shingles(corpus.readVersion(spark, newVersion), 3),
+                  tag = Some(mirrorTag(newVersion)))
+            }
           } finally {
             spark.sparkContext.getPersistentRDDs
               .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }

@@ -335,4 +335,53 @@ class IngestSpec extends AnyFunSuite {
         "batch checkpoints must not outlive their micro-batch")
     } finally q.stop()
   }
+
+  test("streamDedupedCorpus: incremental shingle index — fast path, mirror tags, heal") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_corpus_ckpt2").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus2").toString
+    val corpus = graft.sources.VersionedTable(base + "/t")
+    val index = graft.sources.VersionedTable(base + "/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.streamDedupedCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus, ckpt, shingleIndex = Some(index))
+    try {
+      val textA = (0 until 30).map(i => s"a$i").mkString(" ")
+      val textC = (0 until 30).map(i => s"c$i").mkString(" ")
+      val nearA = ((0 until 15).map(i => s"a$i") ++ Seq("CHANGED") ++
+        (16 until 30).map(i => s"a$i")).mkString(" ")
+
+      mem.addData((1L, textA))
+      q.processAllAvailable()
+      // the index mirrors corpus v0 and holds doc 1's shingles
+      assert(index.latestTag() === Some("corpus-v0"))
+      assert(index.read(spark).select("doc_id").distinct().as[Long].collect() === Array(1L))
+
+      // batch 2 dedups THROUGH the index (coherent tag): near-dup dropped,
+      // fresh doc appended to corpus AND index — by manifest reference
+      mem.addData((10L, nearA), (11L, textC))
+      q.processAllAvailable()
+      assert(corpus.read(spark).select("doc_id").as[Long].collect().sorted === Array(1L, 11L))
+      assert(index.latestTag() === Some("corpus-v1"))
+      assert(index.read(spark).select("doc_id").distinct().as[Long].collect().sorted ===
+        Array(1L, 11L))
+      assert(index.manifest(index.latestVersion().get).get.exists(_.contains("v=0")),
+        "index append must carry its previous postings by reference")
+
+      // out-of-band corpus write breaks the mirror tag -> next batch must
+      // fall back to the corpus text, still dedup correctly, and HEAL
+      corpus.appendCommit(Seq((20L, textA + " extra")).toDF("doc_id", "text"))
+      val nearC = ((0 until 10).map(i => s"c$i") ++ Seq("X") ++
+        (11 until 30).map(i => s"c$i")).mkString(" ")
+      mem.addData((30L, nearC))
+      q.processAllAvailable()
+      // nearC ~ doc 11 -> dropped even though the index was stale
+      assert(corpus.read(spark).select("doc_id").as[Long].collect().sorted ===
+        Array(1L, 11L, 20L))
+      val healed = corpus.latestVersion().get
+      assert(index.latestTag() === Some(s"corpus-v$healed"))
+      assert(index.read(spark).select("doc_id").distinct().as[Long].collect().sorted ===
+        Array(1L, 11L, 20L), "heal must rebuild postings from the corpus head")
+    } finally q.stop()
+  }
 }
