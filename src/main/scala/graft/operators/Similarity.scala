@@ -265,6 +265,8 @@ object Similarity {
       if (it < iters - 1) cb = cb.localCheckpoint()
     }
     val rows = cb.collect() // bounded model state: m x ksub rows
+    require(rows.nonEmpty,
+      "PQ training requires a non-empty corpus (no codebook seeds found)")
     val out = Array.ofDim[Array[Array[Float]]](m)
     for (s <- 0 until m) {
       val cell = rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))

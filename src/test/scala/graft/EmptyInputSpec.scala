@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Forecast, Percentages, TextOps}
+import graft.operators.{Dedup, Forecast, Percentages, Similarity, TextOps}
 
 /** Robustness: every pipeline must degrade cleanly on empty inputs — no
   * exceptions, correct empty/default outputs (the reference aborts with
@@ -71,6 +71,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.fingerprintCandidates(emptyDocs, saltBuckets = 4).count() === 0)
     val emptySigs = Dedup.minhashSignaturesRowwise(emptyDocs)
     assert(Dedup.candidatePairs(emptySigs, saltBuckets = 4).count() === 0)
+  }
+
+  test("round-6 operators handle empty inputs") {
+    // BPE: training on nothing yields no merges; segmentation with zero
+    // merges degrades to character splitting; packing/LM scoring empty in
+    // -> empty out
+    assert(TextOps.bpeMerges(emptyDocs, 5) === Seq.empty)
+    assert(TextOps.bpeMergeTable(emptyDocs, 5).count() === 0)
+    val seg = TextOps.bpeSegments(Seq((1L, "ab")).toDF("doc_id", "text"), Seq.empty)
+      .select("subwords").head().getSeq[String](0)
+    assert(seg === Seq("a", "b"))
+    assert(TextOps.unigramLogProb(emptyDocs).count() === 0)
+    assert(graft.operators.Splits.packSequences(emptyDocs, seqLen = 64).count() === 0)
+    // PQ training on an empty corpus fails fast with a clear message
+    // (searching nothing is a caller error, not an empty result)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), 4, 8, 1, 32)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
   }
 
   test("summarize of an empty daily frame is empty") {
