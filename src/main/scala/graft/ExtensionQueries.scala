@@ -360,6 +360,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"), r4a(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity buckets: head/middle/tail thirds by the
+    // unigram LM score — global percentile cuts as a broadcast scalar,
+    // never a corpus-wide window.
+    "x44_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), r4a(col("logprob")).as("logprob"), col("bucket"))
+        .orderBy("doc_id")),
+
     // Exact n-gram Jaccard near-dups via the df-capped inverted index —
     // the deterministic, oracle-checkable complement of the MinHash path
     // (x06/x11/x15 cover the hashed variants).
@@ -705,6 +713,29 @@ object ExtensionQueries {
         |       CAST(tok_offset // 512 AS BIGINT) AS seq_first,
         |       CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
         |FROM o ORDER BY doc_id""".stripMargin,
+    // same LM-score pipeline as x39, then global thirds; both engines
+    // compare 6-dp-rounded values at the cuts (CrossRound convention)
+    "x44_ppl_buckets" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |freq AS (SELECT token, SUM(tf) AS freq FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(freq) AS total_tokens FROM freq),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |         SUM(tf.tf * ln(CAST(freq.freq AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)))
+        |           / SUM(tf.tf) AS logprob
+        |  FROM tf JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY 1),
+        |c AS (SELECT quantile_cont(logprob, ${2.0 / 3}) AS head_cut,
+        |             quantile_cont(logprob, ${1.0 / 3}) AS mid_cut FROM s)
+        |SELECT doc_id, n_tokens,
+        |       round(round(logprob, 8), 4) AS logprob,
+        |       CASE WHEN round(logprob, 6) >= round(head_cut, 6) THEN 'head'
+        |            WHEN round(logprob, 6) >= round(mid_cut, 6) THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin,
     "x39_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),

@@ -540,6 +540,36 @@ object TextOps {
           sum(col("tf")).cast("double")).as("logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * every document by its LM score and split the corpus into
+    * head/middle/tail thirds — the standard quality gate (train on head,
+    * sample middle, drop or audit tail). Fluency here is
+    * [[unigramLogProb]]; higher mean log-probability = lower perplexity
+    * = head.
+    *
+    * Scale shape: the two cut points are GLOBAL percentiles computed as
+    * one bounded aggregate and broadcast back — never an ntile/window
+    * over one partition, which would single-thread the corpus sort at
+    * 100 TB. Bucket comparisons round BOTH sides to 6 dp (CrossRound) so
+    * engine ulp drift at a cut cannot flip a document's bucket.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    // one row per doc, consumed twice (cut aggregate + bucket join)
+    val scored = unigramLogProb(docs).localCheckpoint()
+    val cuts = scored.agg(
+      expr(s"percentile(logprob, ${2.0 / 3})").as("head_cut"),
+      expr(s"percentile(logprob, ${1.0 / 3})").as("mid_cut"))
+    def r6(c: Column): Column = CrossRound.r(c, 6)
+    scored
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("doc_id"), col("n_tokens"), col("logprob"),
+        when(r6(col("logprob")) >= r6(col("head_cut")), "head")
+          .when(r6(col("logprob")) >= r6(col("mid_cut")), "middle")
+          .otherwise("tail")
+          .as("bucket"))
+  }
+
   /** Token 3-gram shingles, exploded to one row per (doc_id, shingle) —
     * the substrate for MinHash/Jaccard (Dedup). Distinct within doc.
     */

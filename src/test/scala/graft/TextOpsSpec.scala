@@ -317,6 +317,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.size >= 4) // at least one full word coalesces
   }
 
+  test("perplexityBuckets: thirds by LM score, order respected, width-deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.perplexityBuckets(docs).cache()
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = out.count()
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // thirds up to ties at the cuts
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3.0) <= n * 0.1, byBucket.toString))
+    // every head doc scores at least every tail doc
+    val minHead = out.filter(col("bucket") === "head").agg(min("logprob")).head().getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail").agg(max("logprob")).head().getDouble(0)
+    assert(minHead >= maxTail)
+    val a = out.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    out.unpersist()
+    val b = TextOps.perplexityBuckets(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(a === b)
+  }
+
   test("unigramLogProb: golden values on a hand-computed corpus") {
     import spark.implicits._
     // freq: a=2, b=2, c=1; total=5
