@@ -66,9 +66,20 @@ object Bench {
     // comma-decimal locale (de_DE, fr_FR) would emit 12,345 — breaking
     // the driver's JSON parse the same silent way the overflow did
     def ms(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + ms(w) }
+    // per-query values at CENTISECOND precision with trailing zeros
+    // stripped: at 71 queries, millisecond precision pushed the headline
+    // line to 2063 chars — past the ~2000-char tail the driver parses
+    // (the round-5 silent-null failure mode, resurfacing via query
+    // growth). Centiseconds keep ~160 chars of headroom and grading
+    // fidelity; the totals keep 3 decimals.
+    def cs(x: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + cs(w) }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + ms(c) }
+    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + cs(c) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val coldTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
