@@ -79,14 +79,24 @@ object Bench {
     }
     val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + cs(w) }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + cs(c) }
+    // the cold sidecar prints on its own EARLIER line where the tail
+    // budget does not apply — keep full millisecond fidelity there
+    val colds = results.map { case (k, (_, c)) => s"\"" + k + "\":" + ms(c) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val coldTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""[bench-cold] {"cold_queries":$colds}""")
-    println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"failed":$errs,"sf":"$sfDir"}""")
+    val headline =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"failed":$errs,"sf":"$sfDir"}"""
+    // the budget failure must be LOUD: a line past the driver's ~2000-char
+    // tail fails the parse SILENTLY (rounds 4 and 5 both shipped
+    // "parsed": null) — warn while there is still headroom to act
+    if (headline.length > 1950)
+      System.err.println(
+        s"[bench] WARNING: headline line is ${headline.length} chars — the driver " +
+          "parses only the last ~2000 chars of stdout; trim per-query keys or precision")
+    println(headline)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -730,12 +730,12 @@ object ExtensionQueries {
         |  GROUP BY 1),
         |c AS (SELECT quantile_cont(logprob, ${2.0 / 3}) AS head_cut,
         |             quantile_cont(logprob, ${1.0 / 3}) AS mid_cut FROM s)
-        |SELECT doc_id, n_tokens,
-        |       round(round(logprob, 8), 4) AS logprob,
-        |       CASE WHEN round(logprob, 6) >= round(head_cut, 6) THEN 'head'
-        |            WHEN round(logprob, 6) >= round(mid_cut, 6) THEN 'middle'
+        |SELECT s.doc_id, s.n_tokens,
+        |       round(round(s.logprob, 8), 4) AS logprob,
+        |       CASE WHEN round(round(s.logprob, 10), 6) >= round(round(c.head_cut, 10), 6) THEN 'head'
+        |            WHEN round(round(s.logprob, 10), 6) >= round(round(c.mid_cut, 10), 6) THEN 'middle'
         |            ELSE 'tail' END AS bucket
-        |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin,
+        |FROM s CROSS JOIN c ORDER BY s.doc_id""".stripMargin,
     "x39_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),

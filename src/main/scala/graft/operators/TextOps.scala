@@ -547,19 +547,25 @@ object TextOps {
     * [[unigramLogProb]]; higher mean log-probability = lower perplexity
     * = head.
     *
-    * Scale shape: the two cut points are GLOBAL percentiles computed as
-    * one bounded aggregate and broadcast back — never an ntile/window
-    * over one partition, which would single-thread the corpus sort at
-    * 100 TB. Bucket comparisons round BOTH sides to 6 dp (CrossRound) so
-    * engine ulp drift at a cut cannot flip a document's bucket.
+    * Scale shape: the two cut points are GLOBAL percentiles broadcast
+    * back — never an ntile/window over one partition, which would
+    * single-thread the corpus sort. The default exact `percentile` is
+    * the ORACLE surface, but it buffers one entry per distinct double on
+    * the final reducer (the same caveat as [[tokenDistribution]]) — at
+    * 100 TB pass `approx = true` for the fixed-memory
+    * `approx_percentile` sketch cuts. Bucket comparisons go through
+    * CrossRound.ra on BOTH sides (these are AGGREGATE-fed doubles —
+    * plain 6-dp rounding would leave partition-order ulp drift able to
+    * flip a bucket at a rounding tie, CrossRound trap #3).
     */
-  def perplexityBuckets(docs: DataFrame): DataFrame = {
+  def perplexityBuckets(docs: DataFrame, approx: Boolean = false): DataFrame = {
     // one row per doc, consumed twice (cut aggregate + bucket join)
     val scored = unigramLogProb(docs).localCheckpoint()
+    val fn = if (approx) "approx_percentile" else "percentile"
     val cuts = scored.agg(
-      expr(s"percentile(logprob, ${2.0 / 3})").as("head_cut"),
-      expr(s"percentile(logprob, ${1.0 / 3})").as("mid_cut"))
-    def r6(c: Column): Column = CrossRound.r(c, 6)
+      expr(s"$fn(logprob, ${2.0 / 3})").as("head_cut"),
+      expr(s"$fn(logprob, ${1.0 / 3})").as("mid_cut"))
+    def r6(c: Column): Column = CrossRound.ra(c, 6)
     scored
       .crossJoin(broadcast(cuts))
       .select(

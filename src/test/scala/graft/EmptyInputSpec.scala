@@ -83,6 +83,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .select("subwords").head().getSeq[String](0)
     assert(seg === Seq("a", "b"))
     assert(TextOps.unigramLogProb(emptyDocs).count() === 0)
+    // percentile over zero rows yields an all-NULL cuts row; the cross
+    // join against an empty scored frame must stay empty, not error
+    assert(TextOps.perplexityBuckets(emptyDocs).count() === 0)
     assert(graft.operators.Splits.packSequences(emptyDocs, seqLen = 64).count() === 0)
     // PQ training on an empty corpus fails fast with a clear message
     // (searching nothing is a caller error, not an empty result)
