@@ -299,6 +299,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ADC scoring agrees with cosine over the decoded corpus") {
+    val emb = corpus()
+    val top = Similarity.pqTopK(probes(emb), emb, 3, m = 4, ksub = 8, iters = 1, dim = Dim)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // independent path: reconstruct the corpus, score with the exact
+    // cosine — the lookup-table split (per-subspace dots + norm table)
+    // regroups the same products, so values agree to addition-order noise
+    val cb = Similarity.pqCodebooks(emb, m = 4, ksub = 8, iters = 1, dim = Dim)
+    val decoded = emb.select(
+      col("vec_id"),
+      Similarity.pqDecodeCol(Similarity.pqEncodeCol(col("embedding"), cb), cb).as("embedding"))
+    val reference = probes(emb).crossJoin(decoded)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(top.nonEmpty)
+    top.foreach { case (pair, adc) =>
+      assert(math.abs(adc - reference(pair)) < 1e-9,
+        s"$pair: ADC $adc vs decoded-cosine ${reference(pair)}")
+    }
+  }
+
   test("PQ top-k recalls the planted twins") {
     val emb = corpus()
     val top = Similarity.pqTopK(probes(emb), emb, 3, m = 4, ksub = 16, iters = 2, dim = Dim)
