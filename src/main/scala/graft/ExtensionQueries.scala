@@ -479,6 +479,41 @@ object ExtensionQueries {
           col("n_events"))
         .orderBy("user_id", "session_seq")),
 
+    // Audio quality features over REAL decoded 16-bit PCM (rows-only:
+    // DSP is not ANSI SQL; MediaSpec pins the analytic goldens — sine
+    // RMS = A/sqrt(2), ZCR = 2f/rate, clipping and silence fractions).
+    // Payloads are deterministic synthesized WAVs keyed by doc_id (the
+    // brief's sanctioned fake for the absent media table) — the RIFF
+    // encode, PCM decode, and feature math are all real.
+    "x45_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select("doc_id").as[Long].map { id =>
+        val rate = 8000
+        // triangle wave, not sine: pure double arithmetic — no libm call
+        // whose last ulp could differ across platforms, and ~10x faster
+        // over millions of samples (the spec's analytic goldens use a
+        // real sine at small n)
+        val period = (10 + (id % 8) * 5).toInt // 100-229 Hz at 8 kHz
+        val amp = 0.1 + (id % 5) * 0.2
+        val samples = Array.tabulate[Short](1600) { t =>
+          val x = (t % period).toDouble / period
+          val tri = if (x < 0.5) 4.0 * x - 1.0 else 3.0 - 4.0 * x
+          math.round(amp * 32767.0 * tri).toShort
+        }
+        Media.AudioPayload(id, Media.encodeWavPcm(rate, 1, samples))
+      }
+      Media.audioFeatures(payloads)
+        .toDF()
+        .select(
+          col("media_id"), col("decoded"), col("sample_rate"), col("channels"),
+          col("n_frames"), r4(col("duration_sec")).as("duration_sec"),
+          r4(col("rms")).as("rms"),
+          r4(col("zero_crossing_rate")).as("zero_crossing_rate"),
+          r4(col("clipping_frac")).as("clipping_frac"),
+          r4(col("silence_frac")).as("silence_frac"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal payload metadata over a binary column (documents' text
     // bytes stand in for media payloads; decode itself is stubbed — see
     // Media.decodeStub and MediaSpec).

@@ -143,6 +143,128 @@ object Media {
     if (fmtOk && samples != null) Some((rate, channels, samples)) else None
   }
 
+  /** Encode 16-bit integer PCM as a minimal RIFF/WAVE file — the inverse
+    * of [[decodeWavPcm]] (round-trip pinned in MediaSpec); also the
+    * deterministic synthesizer substrate for audio-feature testing.
+    */
+  def encodeWavPcm(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels > 0, "rate and channels must be positive")
+    val dataBytes = samples.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def putS(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    putS(0, "RIFF"); put32(4, 36 + dataBytes); putS(8, "WAVE")
+    putS(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, channels)
+    put32(24, rate); put32(28, rate * channels * 2); put16(32, channels * 2); put16(34, 16)
+    putS(36, "data"); put32(40, dataBytes)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  case class AudioPayload(media_id: Long, bytes: Array[Byte])
+
+  case class AudioFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_sec: Double,
+      rms: Double,
+      zero_crossing_rate: Double,
+      clipping_frac: Double,
+      silence_frac: Double)
+
+  /** Frame-level audio quality features over decoded 16-bit PCM — the
+    * signals a speech-corpus curation pass filters on:
+    *
+    *   - `rms`: overall level, normalized to [-1, 1] full scale (dead or
+    *     too-quiet recordings drop out at a floor);
+    *   - `zero_crossing_rate`: sign changes per sample of the
+    *     channel-mixed signal — the classic cheap spectral proxy
+    *     (voiced speech low, fricatives/noise high);
+    *   - `clipping_frac`: fraction of raw samples at |s| >= 32760 —
+    *     recordings damaged by gain clipping;
+    *   - `silence_frac`: fraction of 25 ms frames with RMS under 1% FS —
+    *     mostly-silence payloads waste tokens downstream.
+    *
+    * Undecodable payloads emit decoded = false with zeroed features, so
+    * the output stays total. Per-row mapPartitions, no shuffle, pure
+    * deterministic JVM math — same posture as [[decodeResized]].
+    */
+  def audioFeatures(df: Dataset[AudioPayload]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWavPcm(r.bytes) match {
+          case None =>
+            AudioFeatures(r.media_id, decoded = false, 0, 0, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+          case Some((rate, channels, samples)) =>
+            val nFrames = samples.length / channels
+            val mono = new Array[Double](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < channels) { acc += samples(i * channels + c); c += 1 }
+              mono(i) = acc / channels / 32768.0
+              i += 1
+            }
+            var sumSq = 0.0
+            var crossings = 0
+            var clipped = 0
+            // crossings compare against the last NONZERO sign: a sampled
+            // sine whose frequency divides the rate lands exactly on 0.0
+            // at every crossing, and a naive product test counts none
+            var lastSign = 0
+            i = 0
+            while (i < nFrames) {
+              sumSq += mono(i) * mono(i)
+              val sg = if (mono(i) > 0) 1 else if (mono(i) < 0) -1 else 0
+              if (sg != 0) {
+                if (lastSign != 0 && sg != lastSign) crossings += 1
+                lastSign = sg
+              }
+              i += 1
+            }
+            i = 0
+            while (i < samples.length) {
+              if (samples(i) >= 32760 || samples(i) <= -32760) clipped += 1
+              i += 1
+            }
+            val frameLen = math.max(1, rate / 40) // 25 ms
+            var silent = 0
+            var nWindows = 0
+            var start = 0
+            while (start < nFrames) {
+              val end = math.min(nFrames, start + frameLen)
+              var s = 0.0
+              var j = start
+              while (j < end) { s += mono(j) * mono(j); j += 1 }
+              if (math.sqrt(s / (end - start)) < 0.01) silent += 1
+              nWindows += 1
+              start = end
+            }
+            AudioFeatures(
+              r.media_id, decoded = true, rate, channels, nFrames.toLong,
+              if (rate > 0) nFrames.toDouble / rate else 0.0,
+              if (nFrames > 0) math.sqrt(sumSq / nFrames) else 0.0,
+              if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0,
+              if (samples.nonEmpty) clipped.toDouble / samples.length else 0.0,
+              if (nWindows > 0) silent.toDouble / nWindows else 0.0)
+        }
+      }
+    }
+  }
+
   private def i32be(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 

@@ -486,4 +486,39 @@ class MediaSpec extends AnyFunSuite {
       (bigOut.getAs[Int]("target_width"), bigOut.getAs[Int]("target_height")) ===
         Media.targetDims(542029245, 1566774104, 58339123))
   }
+
+  test("audio features: analytic goldens for sine, silence, clipping; total on garbage") {
+    import spark.implicits._
+    val rate = 8000
+    def sine(a: Double, f: Double, n: Int) = Array.tabulate[Short](n)(t =>
+      math.round(a * 32767.0 * StrictMath.sin(2 * math.Pi * f * t / rate)).toShort)
+    val rows = Seq(
+      Media.AudioPayload(1L, Media.encodeWavPcm(rate, 1, sine(0.5, 400, 4000))),
+      Media.AudioPayload(2L, Media.encodeWavPcm(rate, 1, new Array[Short](4000))),
+      Media.AudioPayload(3L, Media.encodeWavPcm(rate, 1,
+        Array.tabulate[Short](4000)(t => if ((t / 10) % 2 == 0) 32767 else -32768))),
+      Media.AudioPayload(4L, Array[Byte](1, 2, 3)))
+    val out = Media.audioFeatures(rows.toDS()).collect().map(f => f.media_id -> f).toMap
+    val s1 = out(1L)
+    assert(s1.decoded && s1.sample_rate === rate && s1.channels === 1 && s1.n_frames === 4000L)
+    // 400 Hz at 8000 Hz over 4000 samples = 200 exact periods
+    assert(math.abs(s1.rms - 0.5 / math.sqrt(2)) < 0.005, s"sine rms ${s1.rms}")
+    assert(math.abs(s1.zero_crossing_rate - 2 * 400.0 / rate) < 0.005, s"sine zcr ${s1.zero_crossing_rate}")
+    assert(s1.clipping_frac === 0.0)
+    assert(s1.silence_frac === 0.0)
+    val s2 = out(2L)
+    assert(s2.rms === 0.0 && s2.silence_frac === 1.0 && s2.zero_crossing_rate === 0.0)
+    val s3 = out(3L)
+    assert(s3.clipping_frac > 0.99, s"clipped frac ${s3.clipping_frac}")
+    assert(math.abs(s3.rms - 1.0) < 0.01)
+    assert(!out(4L).decoded)
+  }
+
+  test("encodeWavPcm round-trips through decodeWavPcm exactly") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val decoded = Media.decodeWavPcm(Media.encodeWavPcm(44100, 2, samples))
+    assert(decoded.isDefined)
+    val (r, c, back) = decoded.get
+    assert(r === 44100 && c === 2 && back === samples)
+  }
 }
