@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.MinHashSigExpr
+import graft.functions.{BpeApplyExpr, MinHashSigExpr}
 import graft.operators.Dedup
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
     ext.injectFunction(GraftExtensions.bloomAggFunction)
     ext.injectFunction(GraftExtensions.mightContainFunction)
+    ext.injectFunction(GraftExtensions.bpeApplyFunction)
   }
 }
 
@@ -91,11 +92,41 @@ object GraftExtensions {
           s"might_contain expects (filterBinary, longValue), got ${other.size} args")
     })
 
+  /** `bpe_apply(word, lefts, rights)` — the native BPE segmenter over a
+    * trained merge list, the SQL face of TextOps.bpeSegments: lefts and
+    * rights are rank-ordered array LITERALS (the trained model is a
+    * constant of the query, like minhash_sig's hash family).
+    */
+  val bpeApplyFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_apply"),
+    new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
+    {
+      case Seq(word, lefts, rights) if lefts.foldable && rights.foldable =>
+        val (l, r) = (strArray(lefts), strArray(rights))
+        if (l.length != r.length)
+          throw new IllegalArgumentException(
+            s"bpe_apply: lefts (${l.length}) and rights (${r.length}) must pair up")
+        BpeApplyExpr(word, l, r)
+      case other =>
+        throw new IllegalArgumentException(
+          "bpe_apply expects (word, lefts array literal, rights array literal); " +
+            s"got ${other.size} args" +
+            (if (other.size == 3) " with non-literal merge arrays" else ""))
+    })
+
+  private def strArray(e: Expression): Array[String] = e.eval() match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(s => if (s == null) null else s.toString)
+    case other =>
+      throw new IllegalArgumentException(s"expected an array literal, got $other")
+  }
+
   /** Install into a live session (same registration the extension does);
     * idempotent — re-registration overwrites with identical builders.
     */
   def register(spark: SparkSession): Unit =
-    Seq(minhashSigFunction, bloomAggFunction, mightContainFunction).foreach {
+    Seq(minhashSigFunction, bloomAggFunction, mightContainFunction, bpeApplyFunction).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

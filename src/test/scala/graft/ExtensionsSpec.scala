@@ -42,6 +42,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!hits(99L))
   }
 
+  test("bpe_apply is callable from SQL and matches the trained segmenter") {
+    GraftExtensions.register(spark)
+    // merges trained on the classic corpus: (e,s) then (es,t)
+    val out = spark.sql(
+      """SELECT bpe_apply('newest', array('e', 'es'), array('s', 't')) AS segs""")
+      .head().getSeq[String](0)
+    assert(out === Seq("n", "e", "w", "est"))
+    // same result as the DataFrame path over the same merge list
+    import graft.operators.TextOps
+    val merges = Seq(TextOps.BpeMerge(0, "e", "s", 9), TextOps.BpeMerge(1, "es", "t", 9))
+    val viaDf = TextOps.bpeSegments(Seq((1L, "newest")).toDF("doc_id", "text"), merges)
+      .head().getSeq[String](3)
+    assert(viaDf === out)
+    // non-literal merge arrays are rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_apply(t, array(t), array(t)) FROM (SELECT 'x' AS t)").collect()
+    }
+    assert(e.getMessage.contains("bpe_apply"))
+  }
+
   test("saltedJoin equals the plain join on skewed data (inner and left)") {
     // skew: 90% of fact rows share one key
     val fact = spark.range(0, 2000)
