@@ -493,7 +493,7 @@ object ExtensionQueries {
         // whose last ulp could differ across platforms, and ~10x faster
         // over millions of samples (the spec's analytic goldens use a
         // real sine at small n)
-        val period = (10 + (id % 8) * 5).toInt // 100-229 Hz at 8 kHz
+        val period = (10 + (id % 8) * 5).toInt // 10-45 samples: 178-800 Hz at 8 kHz
         val amp = 0.1 + (id % 5) * 0.2
         val samples = Array.tabulate[Short](1600) { t =>
           val x = (t % period).toDouble / period

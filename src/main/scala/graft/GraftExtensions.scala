@@ -114,12 +114,23 @@ object GraftExtensions {
             (if (other.size == 3) " with non-literal merge arrays" else ""))
     })
 
-  private def strArray(e: Expression): Array[String] = e.eval() match {
-    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-      a.toArray[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType).map(s => if (s == null) null else s.toString)
-    case other =>
-      throw new IllegalArgumentException(s"expected an array literal, got $other")
+  private def strArray(e: Expression): Array[String] = {
+    // check the TYPE before eval: array(1, 2) is foldable too, and the
+    // UTF8String extraction below would die with a bare
+    // ClassCastException instead of naming the contract
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      case other =>
+        throw new IllegalArgumentException(
+          s"bpe_apply merge arrays must be array<string> literals, got $other")
+    }
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(s => if (s == null) null else s.toString)
+      case other =>
+        throw new IllegalArgumentException(s"expected an array literal, got $other")
+    }
   }
 
   /** Install into a live session (same registration the extension does);

@@ -127,7 +127,10 @@ object Media {
           channels = u16le(b, dataStart + 2)
           rate = i32le(b, dataStart + 4)
           val bits = u16le(b, dataStart + 14)
-          fmtOk = audioFormat == 1 && bits == 16 && channels > 0
+          // rate > 0 is part of well-formedness: broken encoders emit
+          // rate 0, which would poison every duration/frame computation
+          // downstream (audioFeatures' silence window, duration_sec)
+          fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
         case "data" =>
           val n = size / 2
           samples = new Array[Short](n)
@@ -149,6 +152,11 @@ object Media {
     */
   def encodeWavPcm(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(rate > 0 && channels > 0, "rate and channels must be positive")
+    // RIFF sizes are 32-bit: past this bound length*2 wraps negative
+    // (NegativeArraySizeException) or writes wrapped size fields that
+    // decodeWavPcm would reject — fail with a clear message instead
+    require(samples.length <= (Int.MaxValue - 44) / 2,
+      s"${samples.length} samples exceed the 32-bit RIFF size limit")
     val dataBytes = samples.length * 2
     val out = new Array[Byte](44 + dataBytes)
     def putS(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
@@ -193,8 +201,10 @@ object Media {
     *     (voiced speech low, fricatives/noise high);
     *   - `clipping_frac`: fraction of raw samples at |s| >= 32760 —
     *     recordings damaged by gain clipping;
-    *   - `silence_frac`: fraction of 25 ms frames with RMS under 1% FS —
-    *     mostly-silence payloads waste tokens downstream.
+    *   - `silence_frac`: fraction of SAMPLES lying in 25 ms frames whose
+    *     RMS is under 1% FS (sample-weighted, so a sub-frame tail cannot
+    *     carry a full frame's weight) — mostly-silence payloads waste
+    *     tokens downstream.
     *
     * Undecodable payloads emit decoded = false with zeroed features, so
     * the output stays total. Per-row mapPartitions, no shuffle, pure
@@ -235,31 +245,35 @@ object Media {
               }
               i += 1
             }
+            // scan nFrames * channels, not samples.length: a data chunk
+            // that is not frame-aligned leaves orphan trailing samples no
+            // other feature sees — clipping must use the same population
             i = 0
-            while (i < samples.length) {
+            while (i < nFrames * channels) {
               if (samples(i) >= 32760 || samples(i) <= -32760) clipped += 1
               i += 1
             }
+            // silence weighted by SAMPLES in silent windows, not window
+            // count: a 1 ms tail window would otherwise carry the weight
+            // of a full 25 ms frame
             val frameLen = math.max(1, rate / 40) // 25 ms
-            var silent = 0
-            var nWindows = 0
+            var silentSamples = 0L
             var start = 0
             while (start < nFrames) {
               val end = math.min(nFrames, start + frameLen)
               var s = 0.0
               var j = start
               while (j < end) { s += mono(j) * mono(j); j += 1 }
-              if (math.sqrt(s / (end - start)) < 0.01) silent += 1
-              nWindows += 1
+              if (math.sqrt(s / (end - start)) < 0.01) silentSamples += end - start
               start = end
             }
             AudioFeatures(
               r.media_id, decoded = true, rate, channels, nFrames.toLong,
-              if (rate > 0) nFrames.toDouble / rate else 0.0,
+              nFrames.toDouble / rate,
               if (nFrames > 0) math.sqrt(sumSq / nFrames) else 0.0,
               if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0,
-              if (samples.nonEmpty) clipped.toDouble / samples.length else 0.0,
-              if (nWindows > 0) silent.toDouble / nWindows else 0.0)
+              if (nFrames > 0) clipped.toDouble / (nFrames * channels) else 0.0,
+              if (nFrames > 0) silentSamples.toDouble / nFrames else 0.0)
         }
       }
     }
