@@ -291,13 +291,17 @@ object ExtensionQueries {
     "x32_mix_weights" -> ((s, dir) =>
       TextOps.mixWeights(Tables.documents(s, dir), alpha = 0.7).orderBy("source")),
 
-    // Temperature-resampled corpus (rows-only: the md5-uniform copy
-    // decisions are engine-internal; expected-volume tracking and
-    // determinism are property-tested in TextOpsSpec). The EXECUTABLE
-    // form of x32's weights — the resampled (doc_id, copy_id) corpus a
-    // training run reads.
+    // Temperature-resampled corpus — the EXECUTABLE form of x32's
+    // weights: the resampled (doc_id, copy_id) corpus a training run
+    // reads. Hash-gated: the md5-uniform copy decision is pure integer/
+    // float math DuckDB reproduces bit-exactly (u is an exact 32-bit
+    // integer over an exact power-of-two divisor; f is the x32-green
+    // rounded factor, so the u < frac(f) comparison sees identical
+    // doubles on both engines). copy_id cast to long to match DuckDB's
+    // generate_series element type.
     "x36_resampled_corpus" -> ((s, dir) =>
       TextOps.resampleByTemperature(Tables.documents(s, dir), alpha = 0.7)
+        .withColumn("copy_id", col("copy_id").cast("long"))
         .orderBy("source", "doc_id", "copy_id")),
 
     // C4-style per-source cap: keep <= 20 docs per source by the
@@ -514,6 +518,33 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // MP3 frame-header metadata (public-spec sync-frame arithmetic, no
+    // codec): payloads are deterministic MPEG1 Layer III streams keyed by
+    // doc_id — varying bitrate index, sample rate, channel mode, frame
+    // count, VBR alternation, per-frame padding, ID3v2 prefix, ID3v1
+    // trailer. HASH-GATED: every output column is a closed-form function
+    // of doc_id, so the oracle recomputes the generator's parameters in
+    // SQL and the parser must recover exactly what was encoded (frame
+    // walking across variable frame lengths included).
+    "x46_mp3_meta" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select("doc_id").as[Long].map { id =>
+        val base = 1 + (id % 14).toInt
+        val alt = 1 + ((id + 1) % 14).toInt
+        val n = 5 + (id % 10).toInt
+        val idxs = (0 until n).map(f => if (id % 5 == 0 && f % 2 == 1) alt else base)
+        Media.AudioPayload(id, Media.encodeMp3(
+          idxs,
+          vBits = 3, layer = 3,
+          srIdx = (id % 3).toInt,
+          mono = id % 2 == 1,
+          padFrame = f => id % 7 == 0 && f % 2 == 0,
+          id3v2PadBytes = if (id % 3 == 0) 57 else -1,
+          id3v1Trailer = id % 4 == 0))
+      }
+      Media.mp3Meta(payloads).toDF().orderBy("media_id")
+    }),
+
     // Multimodal payload metadata over a binary column (documents' text
     // bytes stand in for media payloads; decode itself is stubbed — see
     // Media.decodeStub and MediaSpec).
@@ -678,6 +709,24 @@ object ExtensionQueries {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end",
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x46: the generator's parameters in closed form — the parser must
+    // recover exactly what encodeMp3 wrote (MPEG1 Layer III throughout;
+    // 1152 samples/frame; duration over the exact sample count).
+    "x46_mp3_meta" ->
+      """SELECT doc_id AS media_id,
+        |       TRUE AS decoded,
+        |       'MPEG1' AS version,
+        |       3 AS layer,
+        |       [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sample_rate,
+        |       CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS channels,
+        |       [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+        |         [CAST(doc_id % 14 AS INT) + 1] AS bitrate_kbps,
+        |       CAST(5 + doc_id % 10 AS INT) AS n_frames,
+        |       CAST(round(1000.0 * (5 + doc_id % 10) * 1152
+        |                  / [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1], 0)
+        |            AS BIGINT) AS duration_ms,
+        |       (doc_id % 5 = 0) AS vbr
+        |FROM documents ORDER BY 1""".stripMargin,
     "x12_media_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
@@ -793,6 +842,32 @@ object ExtensionQueries {
         |       round(round(w / tot, 10), 6) AS mix_weight,
         |       round(round(w / tot * corpus_docs / n_docs, 10), 6) AS upsample_factor
         |FROM a CROSS JOIN t ORDER BY 1 NULLS FIRST""".stripMargin,
+    // x36: x32's weights CTE, then the md5-derived uniform u (first 8 hex
+    // digits parsed positionally — DuckDB has no conv(); exact because the
+    // value is an integer < 2^32 and 4294967296 is a power of two) drives
+    // floor(f)+Bernoulli(frac(f)) copies, exploded via generate_series.
+    "x36_resampled_corpus" ->
+      """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                  pow(CAST(COUNT(*) AS DOUBLE), 0.7) AS w
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(w) AS tot, SUM(n_docs) AS corpus_docs FROM a),
+        |wts AS (SELECT source,
+        |               round(round(w / tot * corpus_docs / n_docs, 10), 6) AS f
+        |        FROM a, t),
+        |d AS (SELECT doc_id, d.source, f,
+        |             list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                    * 16 ** (8 - i))) / 4294967296.0 AS u
+        |      FROM documents d
+        |      LEFT JOIN wts w ON d.source IS NOT DISTINCT FROM w.source),
+        |c AS (SELECT doc_id, source,
+        |             CAST(floor(f) AS INT)
+        |               + (CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END) AS n_copies
+        |      FROM d)
+        |SELECT doc_id, source,
+        |       CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+        |FROM c ORDER BY source, doc_id, copy_id""".stripMargin,
     "x33_source_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -47,7 +47,8 @@ object GraftExtensions {
 
   private def build(child: Expression, numHashes: Int): MinHashSigExpr = {
     val params = Dedup.defaultHashParams(numHashes)
-    MinHashSigExpr(child, params.map(_._1).toArray, params.map(_._2).toArray, Dedup.MinHashPrime)
+    MinHashSigExpr(
+      child, params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq, Dedup.MinHashPrime)
   }
 
   /** `bloom_filter_agg(xxhash64(col), items, bits)` — Spark ships this
@@ -106,7 +107,7 @@ object GraftExtensions {
         if (l.length != r.length)
           throw new IllegalArgumentException(
             s"bpe_apply: lefts (${l.length}) and rights (${r.length}) must pair up")
-        BpeApplyExpr(word, l, r)
+        BpeApplyExpr(word, l.toIndexedSeq, r.toIndexedSeq)
       case other =>
         throw new IllegalArgumentException(
           "bpe_apply expects (word, lefts array literal, rights array literal); " +
@@ -126,8 +127,16 @@ object GraftExtensions {
     }
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+        val out = a.toArray[org.apache.spark.unsafe.types.UTF8String](
           org.apache.spark.sql.types.StringType).map(s => if (s == null) null else s.toString)
+        // a NULL element (array('a', NULL)) would pass through to
+        // BpeApplyExpr where null merge keys are silently inert — the
+        // query runs but applies a different model than the user trained.
+        // Fail at registration like the length-mismatch check does.
+        if (out.exists(_ == null))
+          throw new IllegalArgumentException(
+            "bpe_apply merge arrays must not contain NULL elements")
+        out
       case other =>
         throw new IllegalArgumentException(s"expected an array literal, got $other")
     }

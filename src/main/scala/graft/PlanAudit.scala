@@ -38,7 +38,14 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   */
 object PlanAudit {
 
-  final case class Counts(scans: Int, bcastJoins: Int, smj: Int, cartesian: Int, hofFilters: Int)
+  final case class Counts(
+      scans: Int,
+      bcastJoins: Int,
+      smj: Int,
+      cartesian: Int,
+      hofFilters: Int,
+      bnlj: Int,
+      windowGroupLimits: Int)
 
   /** All plan nodes reachable from `p`, descending through AQE wrappers
     * (AdaptiveSparkPlanExec and QueryStageExec are leaf-like nodes hiding
@@ -75,7 +82,10 @@ object PlanAudit {
         n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
       smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
       cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),
-      hofFilters = nodes.collect { case f: FilterExec if hofFilter(f) => f }.size)
+      hofFilters = nodes.collect { case f: FilterExec if hofFilter(f) => f }.size,
+      bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      windowGroupLimits = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]))
   }
 
   /** Execute the query (finalizing AQE) and audit the executed plan.
@@ -109,18 +119,66 @@ object PlanAudit {
     // asymmetric batch-vs-corpus variant of the same shape
     "x29_incremental_neardups" -> 2)
 
+  /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
+    * audited counts. Two legitimate classes only:
+    * (a) a crossJoin against a BOUNDED 1-row totals/denominator frame
+    *     (mixWeights' normalizer, o36's summary totals, the drift guards)
+    *     — a broadcast of one row is scale-independent;
+    * (b) the documented exhaustive scoring baselines
+    *     (`corpus.crossJoin(broadcast(probes))` in bruteForce/ADC/IVF
+    *     assignment) — every (candidate, probe) pair IS the semantics.
+    * Anywhere else — or any count ABOVE the pin — a BNLJ means a join
+    * condition accidentally became non-equi: Spark demotes a broadcastable
+    * non-equi join to BNLJ, not CartesianProduct, so the cartesian gate
+    * alone cannot see this class.
+    */
+  private val AllowedBnlj: Map[String, Int] = Map(
+    "f02_forecast_serving" -> 3, "o15_null_validation" -> 1,
+    "o22_percentages" -> 1, "o24_fallback_chain" -> 3,
+    "o26_move_type_validation" -> 1, "o31_monthly_avg" -> 1,
+    "o35_count" -> 1, "o36_forecast_summary" -> 3,
+    "o42_forecast_daily" -> 3, "o43_comments" -> 3,
+    "x09_topk_cosine" -> 1, "x14_ivf_topk" -> 2,
+    "x21_tfidf_topterms" -> 1, "x27_source_mix" -> 1,
+    "x30_quantized_topk" -> 1, "x32_mix_weights" -> 1,
+    "x36_resampled_corpus" -> 1, "x38_pq_topk" -> 1,
+    "x39_unigram_logprob" -> 1, "x41_ivfpq_topk" -> 1,
+    "x44_ppl_buckets" -> 1)
+
+  /** Queries whose top-k is REQUIRED to compile to WindowGroupLimitExec:
+    * every ANN query (and the rank-capped text queries) bounds its
+    * per-group candidate ranking with `filter(row_number().over(w) <= k)`,
+    * which Spark 4's InferWindowGroupLimit rewrites into a group-limit
+    * that keeps ~k rows per partition BEFORE the rank shuffle. Nothing
+    * else pins that plan: a refactor that breaks the filter-over-window
+    * pattern (renaming the rank column, filtering after a projection the
+    * optimizer can't see through) silently reverts to
+    * sort-every-candidate-per-probe. Pinned from the executed plans.
+    */
+  private val RequiredWindowGroupLimit: Set[String] = Set(
+    "x09_topk_cosine", "x10_ann_lsh", "x14_ivf_topk", "x21_tfidf_topterms",
+    "x30_quantized_topk", "x33_source_cap", "x38_pq_topk", "x41_ivfpq_topk")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.getOrCreate(s"local[8]")
     var bad = List.empty[String]
-    println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter |")
-    println("|---|---|---|---|---|---|")
+    println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter | BNLJ | window group limits |")
+    println("|---|---|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val c = auditExecuted(fn(spark, dir))
-      println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} |")
+      println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} | ${c.bnlj} | ${c.windowGroupLimits} |")
       if (c.cartesian > 0) bad ::= s"$name: cartesian product"
+      if (c.bnlj > AllowedBnlj.getOrElse(name, 0))
+        bad ::= s"$name: BroadcastNestedLoopJoin above allowance " +
+          "(a join condition likely became non-equi — only the documented " +
+          "exhaustive ADC/brute-force baselines may BNLJ)"
       if (c.smj > AllowedSmj.getOrElse(name, 0))
         bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
+      if (RequiredWindowGroupLimit.contains(name) && c.windowGroupLimits == 0)
+        bad ::= s"$name: top-k lost its WindowGroupLimit " +
+          "(filter-over-row_number no longer matches InferWindowGroupLimit; " +
+          "the rank shuffle is back to sorting every candidate per probe)"
       if (c.hofFilters > 0)
         bad ::= s"$name: higher-order function inside a Filter condition " +
           "(pushed-down filter re-evaluates an inlined array expression per element — " +

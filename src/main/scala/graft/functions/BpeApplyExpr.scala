@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen with one virtual call per row (the
   * compiled-regex pattern RegExpExtract uses).
   */
-case class BpeApplyExpr(child: Expression, lefts: Array[String], rights: Array[String])
+// IndexedSeq fields, not Array: case-class equality on Array is reference
+// equality, and two structurally identical instances (same merge list
+// constructed twice) would never canonicalize — blocking Catalyst
+// subexpression elimination and exchange reuse
+case class BpeApplyExpr(child: Expression, lefts: IndexedSeq[String], rights: IndexedSeq[String])
     extends UnaryExpression {
 
   require(lefts.length == rights.length)
@@ -111,7 +115,7 @@ object BpeApplyExpr {
     ColumnBridge.column(
       BpeApplyExpr(
         ColumnBridge.expression(word),
-        ranked.map(_.left).toArray,
-        ranked.map(_.right).toArray))
+        ranked.map(_.left).toIndexedSeq,
+        ranked.map(_.right).toIndexedSeq))
   }
 }

@@ -21,10 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * allocations, and identical arithmetic, so signatures are bit-identical
   * to the HOF formulation (DedupSpec asserts it).
   */
-case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
+// IndexedSeq fields, not Array: case-class equality on Array is reference
+// equality, so two instances built from the same hash family would never
+// canonicalize (blocks subexpression elimination / exchange reuse)
+case class MinHashSigExpr(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long], prime: Long)
     extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty)
+
+  @transient private lazy val asA: Array[Long] = as.toArray
+  @transient private lazy val bsA: Array[Long] = bs.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,7 +50,7 @@ case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long], p
       val x = arr.getLong(i)
       var j = 0
       while (j < h) {
-        val v = java.lang.Math.floorMod(x * as(j) + bs(j), prime)
+        val v = java.lang.Math.floorMod(x * asA(j) + bsA(j), prime)
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -54,8 +60,8 @@ case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long], p
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
-    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val aRef = ctx.addReferenceObj("minhashA", asA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bsA, "long[]")
     nullSafeCodeGen(
       ctx,
       ev,
@@ -91,5 +97,5 @@ object MinHashSigExpr {
   /** Column-API entry point. */
   def minhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     ColumnBridge.column(
-      MinHashSigExpr(ColumnBridge.expression(hashes), as.toArray, bs.toArray, prime))
+      MinHashSigExpr(ColumnBridge.expression(hashes), as.toIndexedSeq, bs.toIndexedSeq, prime))
 }

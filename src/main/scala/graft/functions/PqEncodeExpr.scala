@@ -34,11 +34,20 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
   *               rows than ksub)
   * @param dsub   subvector width (dim / m)
   */
-case class PqEncodeExpr(child: Expression, flat: Array[Float], cn2: Array[Double], counts: Array[Int], dsub: Int)
+// IndexedSeq fields, not Array: case-class equality on Array is reference
+// equality, so two structurally identical instances (the same codebook
+// flattened twice) would never compare equal — blocking Catalyst
+// subexpression elimination and exchange-reuse canonicalization. The hot
+// loops below run over private array views, so per-row cost is unchanged.
+case class PqEncodeExpr(child: Expression, flat: IndexedSeq[Float], cn2: IndexedSeq[Double], counts: IndexedSeq[Int], dsub: Int)
     extends UnaryExpression {
 
   require(counts.nonEmpty && counts.forall(_ >= 1) && dsub >= 1)
   require(flat.length == counts.sum * dsub && cn2.length == counts.sum)
+
+  @transient private lazy val flatA: Array[Float] = flat.toArray
+  @transient private lazy val cn2A: Array[Double] = cn2.toArray
+  @transient private lazy val countsA: Array[Int] = counts.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -69,31 +78,31 @@ case class PqEncodeExpr(child: Expression, flat: Array[Float], cn2: Array[Double
       var best = Double.MaxValue
       var bestJ = 0
       var j = 0
-      while (j < counts(s)) {
+      while (j < countsA(s)) {
         var dot = 0.0
         var t = 0
         while (t < dsub) {
           val x = if (arr.isNullAt(s * dsub + t)) return null
           else if (isFloat) arr.getFloat(s * dsub + t).toDouble
           else arr.getDouble(s * dsub + t)
-          dot += x * flat((off + j) * dsub + t).toDouble
+          dot += x * flatA((off + j) * dsub + t).toDouble
           t += 1
         }
-        val d = cn2(off + j) - 2.0 * dot
+        val d = cn2A(off + j) - 2.0 * dot
         if (d < best) { best = d; bestJ = j }
         j += 1
       }
       codes(s) = bestJ.toByte
-      off += counts(s)
+      off += countsA(s)
       s += 1
     }
     new GenericArrayData(codes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val flatRef = ctx.addReferenceObj("pqFlat", flat, "float[]")
-    val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[]")
-    val countsRef = ctx.addReferenceObj("pqCounts", counts, "int[]")
+    val flatRef = ctx.addReferenceObj("pqFlat", flatA, "float[]")
+    val cn2Ref = ctx.addReferenceObj("pqCn2", cn2A, "double[]")
+    val countsRef = ctx.addReferenceObj("pqCounts", countsA, "int[]")
     val getElem = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(
       ctx,
@@ -150,10 +159,11 @@ object PqEncodeExpr {
     * [[graft.operators.Similarity.pqCodebooks]] returns.
     */
   def pqEncode(emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
-    val counts = codebooks.map(_.length)
+    val counts = codebooks.map(_.length).toIndexedSeq
     val dsub = codebooks(0)(0).length
-    val flat = codebooks.flatMap(_.flatMap(_.toSeq))
-    val cn2 = codebooks.flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+    val flat = codebooks.flatMap(_.flatMap(_.toSeq)).toIndexedSeq
+    val cn2 = codebooks
+      .flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))).toIndexedSeq
     ColumnBridge.column(
       PqEncodeExpr(ColumnBridge.expression(emb), flat, cn2, counts, dsub))
   }

@@ -279,6 +279,213 @@ object Media {
     }
   }
 
+  // -------------------------------------------------------------------
+  // MP3 frame-header metadata (ISO/IEC 11172-3 / 13818-3 header layout —
+  // public-spec arithmetic over sync frames; no codec, no decode).
+  // Speech-corpus curation hits MP3 constantly: sample rate, channel
+  // mode, bitrate, frame count, and a duration estimate all come from
+  // the 4-byte frame headers alone.
+  // -------------------------------------------------------------------
+
+  /** Parsed whole-file MP3 facts. `bitrate_kbps` is the FIRST frame's
+    * (the value a CBR pipeline keys on); `vbr` reports whether any later
+    * frame differs. `duration_ms` = total samples over the first frame's
+    * sample rate (mixed-rate streams are out of contract, as they are for
+    * every real tool that estimates duration without decoding).
+    */
+  case class Mp3Info(
+      version: String, // MPEG1 | MPEG2 | MPEG2.5
+      layer: Int, // 1..3
+      sample_rate: Int,
+      channels: Int,
+      bitrate_kbps: Int,
+      n_frames: Int,
+      duration_ms: Long,
+      vbr: Boolean)
+
+  /** One frame header's facts; `frame_bytes` is the walk stride. */
+  private case class Mp3FrameHeader(
+      version: String,
+      layer: Int,
+      rate: Int,
+      channels: Int,
+      kbps: Int,
+      samplesPerFrame: Int,
+      frameBytes: Int)
+
+  // bitrate tables in kbps, indexed 0..13 by (header bitrate index - 1);
+  // key = (version group 1|2, layer). MPEG2 and 2.5 share tables.
+  private val Mp3Kbps: Map[(Int, Int), Array[Int]] = Map(
+    (1, 1) -> Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2) -> Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3) -> Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1) -> Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2) -> Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3) -> Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  // sample-rate tables indexed by the header's 2-bit rate field; key =
+  // the header's 2-bit version field (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+  private val Mp3Rates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  /** Validate + decode the 4-byte frame header at offset `i`, or None. */
+  private def mp3Header(b: Array[Byte], i: Int): Option[Mp3FrameHeader] = {
+    if (i + 4 > b.length) return None
+    if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xe0) != 0xe0) return None
+    val vBits = (u8(b, i + 1) >> 3) & 3
+    val lBits = (u8(b, i + 1) >> 1) & 3
+    val brIdx = (u8(b, i + 2) >> 4) & 15
+    val srIdx = (u8(b, i + 2) >> 2) & 3
+    val padding = (u8(b, i + 2) >> 1) & 1
+    // reserved version (01), reserved layer (00), bad sample-rate index
+    // (11), bad bitrate (1111) and "free format" (0000 — frame length is
+    // unknowable without decoding) all fail validation; the walk resyncs
+    if (vBits == 1 || lBits == 0 || srIdx == 3 || brIdx == 0 || brIdx == 15) return None
+    val layer = 4 - lBits
+    val group = if (vBits == 3) 1 else 2
+    val kbps = Mp3Kbps((group, layer))(brIdx - 1)
+    val rate = Mp3Rates(vBits)(srIdx)
+    val spf =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (group == 1) 1152
+      else 576 // MPEG2/2.5 Layer III
+    // ISO frame-length arithmetic (integer division): Layer I counts
+    // 4-byte slots; II/III count bytes as spf/8 * bitrate / rate
+    val frameBytes =
+      if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+      else spf / 8 * (kbps * 1000) / rate + padding
+    val channels = if (((u8(b, i + 3) >> 6) & 3) == 3) 1 else 2
+    val version = if (vBits == 3) "MPEG1" else if (vBits == 2) "MPEG2" else "MPEG2.5"
+    Some(Mp3FrameHeader(version, layer, rate, channels, kbps, spf, frameBytes))
+  }
+
+  /** Walk the sync frames of an MP3 payload: skip a leading ID3v2 tag
+    * (syncsafe size), then stride frame to frame by each header's length,
+    * resynchronizing byte-by-byte over junk (an ID3v1 "TAG" trailer, a
+    * truncated last frame, stray garbage — none contain a valid sync
+    * header, so they are skipped without being counted). None when no
+    * valid frame exists.
+    */
+  def parseMp3(b: Array[Byte]): Option[Mp3Info] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2 size is 4 syncsafe bytes (7 bits each), excluding the header
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + size
+    }
+    var first: Mp3FrameHeader = null
+    var nFrames = 0
+    var totalSamples = 0L
+    var vbr = false
+    while (i + 4 <= b.length) {
+      mp3Header(b, i) match {
+        case Some(h) if h.frameBytes >= 4 =>
+          if (first == null) first = h
+          else if (h.kbps != first.kbps) vbr = true
+          nFrames += 1
+          totalSamples += h.samplesPerFrame
+          i += h.frameBytes
+        case _ => i += 1 // resync scan
+      }
+    }
+    if (first == null) None
+    else Some(Mp3Info(
+      first.version, first.layer, first.rate, first.channels, first.kbps,
+      nFrames, math.round(1000.0 * totalSamples / first.rate), vbr))
+  }
+
+  /** Synthesize a valid MP3 frame stream — the encode side of
+    * [[parseMp3]] for tests and the deterministic-fixture queries: each
+    * frame gets a spec-correct header and a zeroed payload of exactly the
+    * header's frame length (0x00 never contains a sync pattern, so the
+    * walk sees precisely these frames).
+    *
+    * @param frameKbpsIdx per-frame bitrate index (1..14); varying indices
+    *                     make a VBR stream
+    * @param vBits        header version field: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    * @param layer        1..3
+    * @param srIdx        sample-rate index 0..2
+    * @param mono         single-channel mode flag
+    * @param padFrame     per-frame padding bit
+    */
+  def encodeMp3(
+      frameKbpsIdx: Seq[Int],
+      vBits: Int = 3,
+      layer: Int = 3,
+      srIdx: Int = 0,
+      mono: Boolean = false,
+      padFrame: Int => Boolean = _ => false,
+      id3v2PadBytes: Int = -1,
+      id3v1Trailer: Boolean = false): Array[Byte] = {
+    require(Set(3, 2, 0)(vBits) && layer >= 1 && layer <= 3 && srIdx >= 0 && srIdx <= 2)
+    require(frameKbpsIdx.nonEmpty && frameKbpsIdx.forall(x => x >= 1 && x <= 14))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    if (id3v2PadBytes >= 0) {
+      out ++= "ID3".getBytes("US-ASCII")
+      out += 3; out += 0; out += 0 // v2.3, flags 0
+      out += ((id3v2PadBytes >> 21) & 0x7f).toByte
+      out += ((id3v2PadBytes >> 14) & 0x7f).toByte
+      out += ((id3v2PadBytes >> 7) & 0x7f).toByte
+      out += (id3v2PadBytes & 0x7f).toByte
+      out ++= new Array[Byte](id3v2PadBytes)
+    }
+    val group = if (vBits == 3) 1 else 2
+    frameKbpsIdx.zipWithIndex.foreach { case (idx, f) =>
+      val pad = if (padFrame(f)) 1 else 0
+      val kbps = Mp3Kbps((group, layer))(idx - 1)
+      val rate = Mp3Rates(vBits)(srIdx)
+      val frameBytes =
+        if (layer == 1) (12 * kbps * 1000 / rate + pad) * 4
+        else (if (layer == 2 || group == 1) 144 else 72) * (kbps * 1000) / rate + pad
+      out += 0xff.toByte
+      out += (0xe0 | (vBits << 3) | ((4 - layer) << 1) | 1).toByte // protection bit off
+      out += ((idx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      out += (if (mono) 0xc0 else 0x00).toByte
+      out ++= new Array[Byte](frameBytes - 4)
+    }
+    if (id3v1Trailer) {
+      val tag = new Array[Byte](128)
+      "TAG".getBytes("US-ASCII").copyToArray(tag)
+      out ++= tag
+    }
+    out.toArray
+  }
+
+  case class Mp3Meta(
+      media_id: Long,
+      decoded: Boolean,
+      version: String,
+      layer: Int,
+      sample_rate: Int,
+      channels: Int,
+      bitrate_kbps: Int,
+      n_frames: Int,
+      duration_ms: Long,
+      vbr: Boolean)
+
+  /** MP3 header metadata over a binary payload column — per-row
+    * mapPartitions, no shuffle, total output (unparseable payloads emit
+    * decoded = false with zeroed facts), the [[audioFeatures]] posture.
+    */
+  def mp3Meta(df: Dataset[AudioPayload]): Dataset[Mp3Meta] = {
+    implicit val enc = Encoders.product[Mp3Meta]
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        parseMp3(r.bytes) match {
+          case Some(m) => Mp3Meta(
+            r.media_id, decoded = true, m.version, m.layer, m.sample_rate,
+            m.channels, m.bitrate_kbps, m.n_frames, m.duration_ms, m.vbr)
+          case None =>
+            Mp3Meta(r.media_id, decoded = false, "", 0, 0, 0, 0, 0, 0L, vbr = false)
+        }
+      }
+    }
+  }
+
   private def i32be(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 

@@ -231,7 +231,12 @@ object Similarity {
     var cb = subs
       .join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("code"), col("sv").as("centroid"))
-      .localCheckpoint() // bounded: m x ksub rows
+      // bounded: m x ksub rows. Lazy persist, not localCheckpoint — the
+      // first iteration's broadcast job materializes it, so seeding costs
+      // no extra barrier (each eager job ~0.15-0.2 s at local[32]). The
+      // PER-ITERATION checkpoints below stay eager: they also truncate
+      // lineage, which persist does not.
+      .persist()
     for (it <- 0 until iters) {
       // argmin_c |sv - c|^2 = argmin_c (|c|^2 - 2 sv.c): |sv|^2 is
       // constant across codes, so it never needs computing, and the
@@ -342,14 +347,25 @@ object Similarity {
       .withColumn(
         "nrm_c",
         sqrt((0 until m).map(s => element_at(norm2Tables(s), pqCodeAt(s))).reduce(_ + _)))
-      .localCheckpoint()
+      // lazy persist: the cache boundary still blocks CollapseProject from
+      // inlining the encode into per-pair references (the 5x class above),
+      // but materialization folds into the search job instead of paying
+      // its own eager-barrier round-trip
+      .persist()
     val probesN = probes.withColumn("nrm_q", norm(col("q_emb")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
     codedN
       .crossJoin(broadcast(probesN))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", pqAdcDot(col("q_emb"), cb) / (col("nrm_q") * col("nrm_c")))
+      // a zero reconstruction (every chosen code a zero vector) makes the
+      // cosine 0/0 = NaN, and Spark sorts NaN ABOVE every double — under
+      // the descending rank window a degenerate candidate would top every
+      // list. Sink it to -Inf instead so it ranks last.
+      .withColumn("sim",
+        when(col("nrm_q") * col("nrm_c") > 0,
+          pqAdcDot(col("q_emb"), cb) / (col("nrm_q") * col("nrm_c")))
+          .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
@@ -389,9 +405,16 @@ object Similarity {
       iters: Int = 1,
       refineIters: Int = 0,
       dim: Int = 64): DataFrame = {
+    // persist(), NOT localCheckpoint, for every multi-consumer frame here:
+    // both pin re-used lineage to one evaluation, but a localCheckpoint is
+    // an EAGER job — at local[32] each round-trip costs ~0.15-0.2 s of pure
+    // scheduling, and this operator had three of them (measured as the
+    // whole gap to the other ANN paths). A lazy persist materializes
+    // inside the FIRST consuming job (the codebook fit below), so the
+    // barrier count drops without giving up single-evaluation.
     val centroids = // bounded: c rows
       if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
-      else ivfCentroids(corpus, c).localCheckpoint()
+      else ivfCentroids(corpus, c).persist()
     val cellCentroid = centroids
       .select(col("centroid_id").as("cell"), col("centroid"))
     val assigned = ivfAssign(corpus, centroids)
@@ -399,7 +422,7 @@ object Similarity {
       .select(
         col("cell"), col("vec_id"),
         zip_with(col("embedding"), col("centroid"), (x, y) => x - y).as("resid"))
-      .localCheckpoint()
+      .persist()
     val cb = pqCodebooks(
       assigned.select(col("vec_id"), col("resid").as("embedding")), m, ksub, iters, dim)
     // the at-rest form: m residual codes + the exact reconstruction norm.
@@ -409,6 +432,12 @@ object Similarity {
     // pqTopK documents)
     val reconstructed = zip_with(
       col("centroid"), pqDecodeCol(col("codes"), cb), (x, y) => x + y)
+    // persist (lazy) rather than checkpoint (eager): the cache boundary
+    // still pins the encode to ONE evaluation per corpus row — an
+    // InMemoryRelation cannot be projection-collapsed into the per-pair
+    // score references above the join (the 5x duplication class pqTopK
+    // documents) — but the materialization now happens inside the final
+    // query job instead of its own barrier.
     val coded = assigned
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), cb).as("codes"))
       .join(broadcast(cellCentroid), Seq("cell"))
@@ -416,7 +445,7 @@ object Similarity {
       .select(
         col("cell"), col("vec_id"), col("codes"),
         sqrt(dot(col("recon"), col("recon"))).as("nrm_c"))
-      .localCheckpoint()
+      .persist()
     val probeCells = nearestCells(probes, centroids, nprobe)
       .select(
         col("cell"), col("q_id"), col("q_emb"),
@@ -429,7 +458,12 @@ object Similarity {
     broadcast(probeCells)
       .join(coded, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", (col("qc_dot") + pqAdcDot(col("q_emb"), cb)) / (col("nrm_q") * col("nrm_c")))
+      // same NaN sink as pqTopK: a zero residual reconstruction in a zero
+      // cell gives nrm_c = 0 and NaN would rank FIRST under desc ordering
+      .withColumn("sim",
+        when(col("nrm_q") * col("nrm_c") > 0,
+          (col("qc_dot") + pqAdcDot(col("q_emb"), cb)) / (col("nrm_q") * col("nrm_c")))
+          .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))

@@ -171,6 +171,30 @@ final class VersionedTable(val root: String) {
   def committedTags(): Set[String] =
     (versions() ++ latestVersion()).distinct.flatMap(tagOf).toSet
 
+  /** Incremental view of [[committedTags]] for per-batch replay guards:
+    * a long-running stream calling [[committedTags]] every micro-batch
+    * re-reads a `_tag` file from EVERY retained version directory, an
+    * I/O cost that grows with retained versions until vacuum runs. The
+    * cursor reads each version's tag once and afterwards only the
+    * versions that appeared since the last call — O(new commits) file
+    * reads per batch. Tags of since-vacuumed versions stay cached; for a
+    * replay guard that is strictly safer than the fresh scan (a replayed
+    * batch whose commit was already vacuumed is still skipped, not
+    * double-committed).
+    */
+  final class TagCursor {
+    private var seenVersions = Set.empty[Long]
+    private var cached = Set.empty[String]
+    def committedTags(): Set[String] = {
+      val fresh = (versions() ++ latestVersion()).distinct.filterNot(seenVersions)
+      cached ++= fresh.flatMap(tagOf)
+      seenVersions ++= fresh
+      cached
+    }
+  }
+
+  def tagCursor(): TagCursor = new TagCursor
+
   private def tagOf(v: Long): Option[String] = {
     val p = versionDir(v).resolve("_tag")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))

@@ -354,7 +354,12 @@ object Ingest {
       threshold: Double = 0.5,
       minShared: Int = 2,
       maxShingleDf: Int = 100,
-      shingleIndex: Option[graft.sources.VersionedTable] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      shingleIndex: Option[graft.sources.VersionedTable] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // one cursor per stream: the replay-guard tag scan reads each retained
+    // version's _tag file ONCE across the stream's lifetime instead of
+    // once per micro-batch (per-batch I/O would grow with retained
+    // versions until vacuum)
+    val tagCursor = corpus.tagCursor()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -369,7 +374,7 @@ object Ingest {
         // cap) — the snapshot tags do, exactly once. ALL retained tags,
         // not just the head's: an interleaved commit by another writer
         // (the nightly full pass) must not reopen the window
-        if (!corpus.committedTags().contains(tag)) {
+        if (!tagCursor.committedTags().contains(tag)) {
           // drop every RDD this batch pins (the batch checkpoint plus the
           // ones inside the dedup) once the commit is down: nothing
           // outlives the batch, so a long-running stream holds O(one
@@ -430,4 +435,5 @@ object Ingest {
         ()
       }
       .start()
+  }
 }

@@ -521,4 +521,92 @@ class MediaSpec extends AnyFunSuite {
     val (r, c, back) = decoded.get
     assert(r === 44100 && c === 2 && back === samples)
   }
+
+  // ---------------------------------------------------------------
+  // MP3 frame-header parsing (public-spec sync-frame arithmetic)
+  // ---------------------------------------------------------------
+
+  test("parseMp3: single MPEG1 Layer III frame golden") {
+    // index 9 = 128 kbps at 44100 Hz stereo: frame = 144*128000/44100 = 417 B
+    val b = Media.encodeMp3(Seq(9))
+    assert(b.length === 417)
+    val m = Media.parseMp3(b).get
+    assert(m.version === "MPEG1" && m.layer === 3)
+    assert(m.sample_rate === 44100 && m.channels === 2)
+    assert(m.bitrate_kbps === 128 && m.n_frames === 1 && !m.vbr)
+    assert(m.duration_ms === math.round(1000.0 * 1152 / 44100)) // 26 ms
+  }
+
+  test("parseMp3: ID3v2 prefix skipped via syncsafe size, ID3v1 trailer ignored") {
+    val b = Media.encodeMp3(Seq(9, 9, 9), id3v2PadBytes = 200, id3v1Trailer = true)
+    val m = Media.parseMp3(b).get
+    assert(m.n_frames === 3 && !m.vbr)
+    // a syncsafe size crossing the 7-bit boundary (value 200 > 127)
+    assert(b(8) === ((200 >> 7) & 0x7f).toByte && b(9) === (200 & 0x7f).toByte)
+  }
+
+  test("parseMp3: VBR detected, bitrate reported from the first frame") {
+    val m = Media.parseMp3(Media.encodeMp3(Seq(9, 11, 9, 11))).get
+    assert(m.vbr && m.bitrate_kbps === 128 && m.n_frames === 4)
+  }
+
+  test("parseMp3: per-frame padding changes stride but not facts") {
+    val padded = Media.encodeMp3(Seq(9, 9, 9, 9), padFrame = _ % 2 == 0)
+    val plain = Media.encodeMp3(Seq(9, 9, 9, 9))
+    assert(padded.length === plain.length + 2)
+    val m = Media.parseMp3(padded).get
+    assert(m.n_frames === 4 && m.bitrate_kbps === 128 && !m.vbr)
+  }
+
+  test("parseMp3: MPEG2.5 Layer III uses 576 samples/frame and the low-rate table") {
+    // vBits 0 = MPEG2.5, srIdx 2 = 8000 Hz, index 5 = 40 kbps
+    // frame = 72*40000/8000 = 360 B; duration = round(1000*2*576/8000) = 144
+    val b = Media.encodeMp3(Seq(5, 5), vBits = 0, srIdx = 2, mono = true)
+    assert(b.length === 720)
+    val m = Media.parseMp3(b).get
+    assert(m.version === "MPEG2.5" && m.sample_rate === 8000 && m.channels === 1)
+    assert(m.bitrate_kbps === 40 && m.n_frames === 2 && m.duration_ms === 144L)
+  }
+
+  test("parseMp3: Layer I counts 4-byte slots (MPEG1, 384 samples/frame)") {
+    // index 4 = 128 kbps Layer I at 44100: (12*128000/44100)*4 = 34*4 = 136 B
+    val b = Media.encodeMp3(Seq(4), layer = 1)
+    assert(b.length === 136)
+    val m = Media.parseMp3(b).get
+    assert(m.layer === 1 && m.bitrate_kbps === 128)
+    assert(m.duration_ms === math.round(1000.0 * 384 / 44100))
+  }
+
+  test("parseMp3: resyncs over junk between frames; counts a header-intact truncated tail") {
+    val f = Media.encodeMp3(Seq(9))
+    val junk = Array[Byte](0x12, 0x34, -1) // 0xFF alone is not a sync (next byte fails)
+    val m = Media.parseMp3(f ++ junk ++ f).get
+    assert(m.n_frames === 2)
+    // a final frame cut off mid-payload still has a parseable header
+    val t = Media.parseMp3(f ++ f.take(10)).get
+    assert(t.n_frames === 2)
+  }
+
+  test("parseMp3: garbage, free-format, and reserved headers yield None") {
+    assert(Media.parseMp3(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(Media.parseMp3(Array.empty[Byte]).isEmpty)
+    // free format (bitrate index 0): valid sync but unknowable length
+    val free = Array[Byte](0xff.toByte, 0xfb.toByte, 0x00, 0x00)
+    assert(Media.parseMp3(free).isEmpty)
+    // reserved version bits (01) and reserved layer (00)
+    assert(Media.parseMp3(Array[Byte](0xff.toByte, 0xeb.toByte, 0x90.toByte, 0)).isEmpty)
+    assert(Media.parseMp3(Array[Byte](0xff.toByte, 0xf9.toByte, 0x90.toByte, 0)).isEmpty)
+  }
+
+  test("mp3Meta: distributed parse is total over mixed payloads") {
+    val payloads = Seq(
+      Media.AudioPayload(1L, Media.encodeMp3(Seq(9, 9))),
+      Media.AudioPayload(2L, Array.fill[Byte](32)(0x00)),
+      Media.AudioPayload(3L, Media.encodeMp3(Seq(1, 14), vBits = 2, srIdx = 1, mono = true)))
+    val out = Media.mp3Meta(payloads.toDS()).collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).decoded && out(1L).n_frames === 2 && out(1L).bitrate_kbps === 128)
+    assert(!out(2L).decoded && out(2L).version === "")
+    assert(out(3L).decoded && out(3L).version === "MPEG2" && out(3L).sample_rate === 24000)
+    assert(out(3L).vbr && out(3L).bitrate_kbps === 8 && out(3L).channels === 1)
+  }
 }
