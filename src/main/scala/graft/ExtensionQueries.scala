@@ -518,6 +518,40 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // Gopher quality-filter signals (Rae et al. 2021 A1.1) with the
+    // published thresholds; minWords lowered to 20 so the synthetic
+    // corpus exercises both sides of the length gate. Hash-gated: every
+    // signal is per-row integer-ratio math.
+    "x47_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(Tables.documents(s, dir), minWords = 20)
+        .orderBy("doc_id")),
+
+    // Canonical text normalization: NFC (native codegen'd expression) +
+    // control strip + whitespace collapse. Hash-gated against DuckDB's
+    // nfc_normalize — the normalized TEXT itself is compared, not just
+    // lengths.
+    "x48_normalize" -> ((s, dir) =>
+      TextOps.normalizeText(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Sequence-length bucketing / padding-waste report (small buckets so
+    // the synthetic short docs spread across several rungs).
+    "x49_length_buckets" -> ((s, dir) =>
+      TextOps.lengthBuckets(Tables.documents(s, dir), buckets = Seq(8, 16, 32, 64, 128))
+        .orderBy("bucket")),
+
+    // Embedding-space decontamination: every 50th vector stands in for
+    // the benchmark set; survivors are the corpus minus anything within
+    // cosine 0.98 of it. Hash-gated — cosine is list arithmetic in
+    // DuckDB (the x09 pattern).
+    "x50_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val banned = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.semanticDecontaminate(emb, banned, threshold = 0.98)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // MP3 frame-header metadata (public-spec sync-frame arithmetic, no
     // codec): payloads are deterministic MPEG1 Layer III streams keyed by
     // doc_id — varying bitrate index, sample rate, channel mode, frame
@@ -709,6 +743,88 @@ object ExtensionQueries {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end",
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x49: the bucket CASE ladder re-derived in SQL; waste on the padded
+    // total, overflow rows (bucket 0) report zero waste.
+    "x49_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16
+        |              WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |              WHEN n <= 128 THEN 128 ELSE 0 END AS bucket
+        |  FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |       CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+        |       CASE WHEN bucket > 0
+        |            THEN round(1.0 - CAST(SUM(n) AS DOUBLE)
+        |                             / CAST(bucket * COUNT(*) AS DOUBLE), 4)
+        |            ELSE 0.0 END AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // x50: survivors = corpus minus vectors within round(cos, 6) >= 0.98
+    // of any banned vector (vec_id % 50 = 0 stands in for the benchmark).
+    "x50_semantic_decontam" ->
+      s"""WITH ban AS (
+         |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |hits AS (
+         |  SELECT DISTINCT e.vec_id
+         |  FROM embeddings e CROSS JOIN ban
+         |  WHERE round(${cosSql("ban.q_emb", "e.embedding")}, 6) >= 0.98)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+         |ORDER BY vec_id""".stripMargin,
+    // x47: the Gopher signals re-derived in SQL; pass compares the SAME
+    // rounded 4-dp values as the Spark side (the threshold rule).
+    "x47_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(text, '\s+') AS toks,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |               / len(toks), 4) AS mean_word_len,
+        |         round(CAST(length(text) - length(replace(text, '#', ''))
+        |                    + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |               / len(toks), 4) AS symbol_ratio,
+        |         round(CAST(len(list_filter(lines,
+        |                 l -> regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']')))
+        |               AS DOUBLE) / len(lines), 4) AS bullet_line_frac,
+        |         round(CAST(len(list_filter(lines,
+        |                 l -> regexp_matches(rtrim(l), '(\.\.\.|' || chr(8230) || ')$')))
+        |               AS DOUBLE) / len(lines), 4) AS ellipsis_line_frac,
+        |         round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |               AS DOUBLE) / len(toks), 4) AS alpha_word_frac,
+        |         CAST(len(list_intersect(regexp_split_to_array(lower(text), '\s+'),
+        |                ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+        |              AS BIGINT) AS stopword_hits
+        |  FROM t)
+        |SELECT *,
+        |       (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio < 0.1 AND bullet_line_frac < 0.9
+        |        AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+        |        AND stopword_hits >= 2) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // x48: NFC + control strip + whitespace collapse, compared on the
+    // normalized text itself ('g' flag: DuckDB replaces first match only
+    // by default, Spark replaces all).
+    "x48_normalize" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       trim(regexp_replace(
+        |         regexp_replace(nfc_normalize(text),
+        |                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |         '[ \t]+', ' ', 'g')) AS norm_text,
+        |       CAST(length(trim(regexp_replace(
+        |         regexp_replace(nfc_normalize(text),
+        |                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |         '[ \t]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // x46: the generator's parameters in closed form — the parser must
     // recover exactly what encodeMp3 wrote (MPEG1 Layer III throughout;
     // 1152 samples/frame; duration over the exact sample count).

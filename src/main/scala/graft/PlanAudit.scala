@@ -143,7 +143,10 @@ object PlanAudit {
     "x30_quantized_topk" -> 1, "x32_mix_weights" -> 1,
     "x36_resampled_corpus" -> 1, "x38_pq_topk" -> 1,
     "x39_unigram_logprob" -> 1, "x41_ivfpq_topk" -> 1,
-    "x44_ppl_buckets" -> 1)
+    "x44_ppl_buckets" -> 1,
+    // corpus x broadcast(benchmark-set) exhaustive decontam scoring —
+    // class (b), the banned side is bounded by contract
+    "x50_semantic_decontam" -> 1)
 
   /** Queries whose top-k is REQUIRED to compile to WindowGroupLimitExec:
     * every ANN query (and the rank-capped text queries) bounds its

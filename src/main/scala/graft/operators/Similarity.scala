@@ -98,6 +98,43 @@ object Similarity {
       .select(col(blockKey), col("vec_a"), col("vec_b"), col("sim"))
   }
 
+  /** Embedding-space decontamination: drop every corpus vector whose
+    * cosine to ANY banned (benchmark/eval-set) vector reaches
+    * `threshold` — the SEMANTIC sibling of TextOps.decontaminate, which
+    * only catches verbatim n-gram overlap; a paraphrased eval item
+    * passes the exact check and leaks anyway (the contamination class
+    * the GPT-3 appendix and every since-published decontam writeup
+    * worries about).
+    *
+    * Scale posture: the banned side is a benchmark suite — thousands of
+    * rows, BOUNDED — so it broadcasts and the corpus NEVER shuffles:
+    * scoring is a map-only pass of |banned| fused dot products per
+    * corpus row, and the kill set comes back as a broadcast semi-join.
+    * The threshold compares at round(sim, 6) on both engines (the
+    * x44 threshold rule). Zero-norm rows cannot match (guarded — NaN
+    * would satisfy no comparison but still poisons plans elsewhere).
+    *
+    * @return the surviving corpus rows, schema unchanged
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      banned: DataFrame,
+      threshold: Double): DataFrame = {
+    val bannedN = broadcast(
+      banned.select(col("q_emb"), norm(col("q_emb")).as("nrm_b")))
+    val contaminated = corpus
+      .withColumn("nrm_c", norm(col("embedding")))
+      .crossJoin(bannedN)
+      .withColumn("sim",
+        when(col("nrm_c") * col("nrm_b") > 0,
+          dot(col("embedding"), col("q_emb")) / (col("nrm_c") * col("nrm_b")))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .filter(CrossRound.r(col("sim"), 6) >= threshold)
+      .select(col("vec_id"))
+      .distinct()
+    corpus.join(contaminated, Seq("vec_id"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // int8 quantization: the standard 4x memory/shuffle compression for
   // embedding corpora at 100 TB — float32 vectors dominate scan and

@@ -161,6 +161,138 @@ object TextOps {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityCol(tokens(col("text"))).as("quality_score"))
 
+  /** The eight Gopher stop words — the rule counts how many DISTINCT
+    * members appear in the document (Rae et al. 2021, A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals (Rae et al. 2021, Appendix A1.1) —
+    * the published rule set MassiveText was cleaned with, per document:
+    *
+    *   - `n_words` in [minWords, maxWords] (paper: 50..100,000);
+    *   - `mean_word_len` in [3, 10];
+    *   - `symbol_ratio`: ("#" + "...") occurrences / words, < 0.1;
+    *   - `bullet_line_frac`: lines starting with a bullet, < 0.9;
+    *   - `ellipsis_line_frac`: lines ending in "..."/"…", < 0.3;
+    *   - `alpha_word_frac`: words containing an alphabetic char, > 0.8;
+    *   - `stopword_hits`: distinct Gopher stop words present, >= 2.
+    *
+    * `pass` is the conjunction, evaluated on the ROUNDED ratios (both
+    * engines compare the same 4-dp values — the threshold rule). Every
+    * signal is per-row integer-ratio math: a pure projection, no
+    * shuffle, nothing to drift. The token array is referenced by several
+    * signals in one projection (the qualityCol idiom — tokenization is
+    * linear; measured fine at x27 scale, and at 100 TB still a map-only
+    * scan).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks)
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = size(expr("regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)"))
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWords
+    val bulletFrac = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("double") / size(lines)
+    val ellipsisFrac = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+      .cast("double") / size(lines)
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(array_intersect(
+      split(lower(col("text")), "\\s+"),
+      array(GopherStopwords.map(lit): _*)))
+    docs
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        CrossRound.r(meanLen, 4).as("mean_word_len"),
+        CrossRound.r((nHash + nEllipsis).cast("double") / nWords, 4).as("symbol_ratio"),
+        CrossRound.r(bulletFrac, 4).as("bullet_line_frac"),
+        CrossRound.r(ellipsisFrac, 4).as("ellipsis_line_frac"),
+        CrossRound.r(alphaFrac, 4).as("alpha_word_frac"),
+        stopHits.cast("long").as("stopword_hits"))
+      .withColumn(
+        "pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") > 0.8 &&
+          col("stopword_hits") >= 2)
+  }
+
+  /** Sequence-length bucketing report — the padding-waste table a
+    * pretraining batch planner reads: each doc lands in the smallest
+    * bucket that holds its token count, and the report shows how many
+    * pad tokens each bucket burns (batching docs of mixed length into a
+    * fixed sequence length wastes compute proportional to
+    * 1 - real/padded). Docs longer than the largest bucket report as
+    * bucket 0 ("overflow" — they go through [[chunkDocs]] first, so the
+    * planner sees them called out rather than silently clamped, and
+    * their padded/waste columns are 0).
+    *
+    * Scale posture: one scan, one bounded groupBy (|buckets| rows) —
+    * map-side combinable. Bucket choice is a CASE ladder over a sorted
+    * literal list, pure per-row math.
+    */
+  def lengthBuckets(
+      docs: DataFrame,
+      buckets: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048)): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted && buckets.head > 0,
+      "buckets must be a sorted list of positive lengths")
+    val n = size(tokens(col("text"))).cast("long")
+    // the CASE ladder references its input once per rung; binding n
+    // through a 1-element transform lambda pins tokenization to ONE
+    // evaluation per row (the expression-duplication class — a bare `n`
+    // here would re-split the text |buckets| times per row)
+    val bucket = element_at(
+      transform(array(n), v =>
+        buckets.reverse.foldLeft(lit(0L)) { (acc, b) =>
+          when(v <= b, lit(b.toLong)).otherwise(acc)
+        }),
+      1)
+    docs
+      .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(
+        col("bucket"), col("n_docs"), col("total_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        when(col("bucket") > 0,
+          CrossRound.r(
+            lit(1.0) - col("total_tokens").cast("double") /
+              (col("bucket") * col("n_docs")).cast("double"),
+            4))
+          .otherwise(lit(0.0)).as("waste_frac"))
+  }
+
+  /** Canonical text normalization — the cleaning pass a corpus runs
+    * BEFORE tokenization, dedup, or LM scoring: Unicode NFC (composed/
+    * decomposed twins collapse to one byte sequence — see
+    * [[graft.functions.NormalizeExpr]], a codegen'd native expression),
+    * control characters stripped (except \n and \t, which carry
+    * document structure), horizontal whitespace runs collapsed, ends
+    * trimmed. Pure projection — map-only at any scale.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val nfc = graft.functions.NormalizeExpr.unicodeNormalize(col("text"), "NFC")
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(noCtl, "[ \t]+", " "))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      collapsed.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
   /** Per-source data-mix governance report — the table every corpus
     * curation review starts from: document and token volume, mean quality,
     * and each source's share of the corpus. ONE fact scan, one shuffle on

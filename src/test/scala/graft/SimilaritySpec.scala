@@ -368,4 +368,35 @@ class SimilaritySpec extends AnyFunSuite {
     val cbB = Similarity.pqCodebooks(emb.repartition(7), m = 4, ksub = 8, iters = 2, dim = Dim)
     assert(cbA.map(_.map(_.toSeq).toSeq).toSeq === cbB.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("semanticDecontaminate: planted benchmark twins are removed, the rest survive") {
+    val emb = corpus() // ids < 20 have near-twins at id+1000 (cos ~0.99)
+    val banned = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val survivors = Similarity.semanticDecontaminate(emb, banned, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // the banned vectors themselves (cos = 1) and their planted twins go
+    (0L until 5L).foreach { i =>
+      assert(!survivors.contains(i), s"banned $i survived")
+      assert(!survivors.contains(i + 1000L), s"twin of banned $i survived")
+    }
+    // unrelated vectors and the OTHER twins stay (random gaussians in
+    // 32-d are nowhere near cos 0.95 of each other)
+    (5L until 20L).foreach { i =>
+      assert(survivors.contains(i), s"unbanned $i was dropped")
+      assert(survivors.contains(i + 1000L), s"unbanned twin ${i + 1000} was dropped")
+    }
+    assert(survivors.size === 80 - 10)
+  }
+
+  test("semanticDecontaminate: zero-norm corpus rows never match (no NaN leak)") {
+    val emb = corpus()
+      .union(Seq((9000L, Array.fill(Dim)(0.0f))).toDF("vec_id", "embedding"))
+    val banned = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val survivors = Similarity.semanticDecontaminate(emb, banned, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.contains(9000L)) // NaN cosine must not count as a hit
+    assert(!survivors.contains(0L) && !survivors.contains(1000L))
+  }
 }

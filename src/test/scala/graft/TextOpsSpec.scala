@@ -370,4 +370,107 @@ class TextOpsSpec extends AnyFunSuite {
     // raw doubles here agree to 1e-9 already on this tiny corpus
     scores.foreach { case (id, v) => assert(math.abs(wide(id) - v) < 1e-9) }
   }
+
+  // ---------------------------------------------------------------
+  // Gopher rules + normalization (round 7)
+  // ---------------------------------------------------------------
+
+  test("gopherRules: each published A1.1 rule trips on its crafted violator") {
+    import spark.implicits._
+    val good = (("the data and processing that systems have with scale " * 4).trim)
+    val docs = Seq(
+      (1L, good), // passes every rule at minWords=20
+      (2L, "short text with the and of that"), // < 20 words
+      (3L, ("a " * 40).trim + " the be to"), // mean word len < 3
+      (4L, good + " " + ("#" * 20)), // symbol ratio >= 0.1
+      (5L, (1 to 10).map(i => "- bullet item " + i).mkString("\n") +
+        "\nthe be to of and that have with words go here now ok"), // bullets >= 0.9 of lines
+      (6L, (1 to 10).map(i => "line number " + i + " trails off...").mkString("\n") +
+        "\nthe be to of and with more words to fill out the doc"), // ellipsis lines >= 0.3
+      (7L, (1 to 30).map(_.toString).mkString(" ") + " the be with"), // alpha frac <= 0.8
+      (8L, ("data processing scale systems compute memory storage " * 4).trim)) // < 2 stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, minWords = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"), s"doc 1 should pass: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("pass") && out(2L).getAs[Long]("n_words") < 20)
+    assert(!out(3L).getAs[Boolean]("pass") && out(3L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!out(4L).getAs[Boolean]("pass") && out(4L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!out(5L).getAs[Boolean]("pass") && out(5L).getAs[Double]("bullet_line_frac") >= 0.9)
+    assert(!out(6L).getAs[Boolean]("pass") && out(6L).getAs[Double]("ellipsis_line_frac") >= 0.3)
+    assert(!out(7L).getAs[Boolean]("pass") && out(7L).getAs[Double]("alpha_word_frac") <= 0.8)
+    assert(!out(8L).getAs[Boolean]("pass") && out(8L).getAs[Long]("stopword_hits") < 2)
+  }
+
+  test("gopherRules: stopword hits count distinct members, case-insensitively") {
+    import spark.implicits._
+    val docs = Seq((1L, "The THE the of OF")).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect().head
+    assert(out.getAs[Long]("stopword_hits") === 2L) // {the, of}, not 5
+  }
+
+  test("normalizeText: NFC composes, controls stripped, whitespace collapsed") {
+    import spark.implicits._
+    // "e" + combining acute (U+0301) must compose to U+00E9
+    val decomposed = "caf" + "e\u0301"
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, "a\u0001b\u000bc"), // control chars stripped (not \n/\t)
+      (3L, "  spaced\t\tout   text  "),
+      (4L, "line1\nline2")) // newline preserved
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("norm_text") === "caf\u00e9")
+    assert(out(1L).getAs[Long]("n_chars_raw") === 5L)
+    assert(out(1L).getAs[Long]("n_chars_norm") === 4L)
+    assert(out(2L).getAs[String]("norm_text") === "abc")
+    assert(out(3L).getAs[String]("norm_text") === "spaced out text")
+    assert(out(4L).getAs[String]("norm_text") === "line1\nline2")
+  }
+
+  test("NormalizeExpr: NFKC folds compatibility forms; interpreted matches codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ligature fi (U+FB01) and fullwidth A (U+FF21) fold only under NFKC
+    val df = Seq((1L, "\ufb01le \uff21")).toDF("id", "text")
+    val nfkc = df.select(
+      graft.functions.NormalizeExpr.unicodeNormalize(col("text"), "NFKC").as("t"))
+      .collect().head.getString(0)
+    assert(nfkc === "file A")
+    val nfc = df.select(
+      graft.functions.NormalizeExpr.unicodeNormalize(col("text"), "NFC").as("t"))
+      .collect().head.getString(0)
+    assert(nfc === "\ufb01le \uff21") // NFC leaves compatibility forms alone
+    // interpreted eval path (no codegen context) agrees with the df path
+    val e = graft.functions.NormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("\ufb01le \uff21")), "NFKC")
+    assert(e.eval(null).toString === "file A")
+    // nulls stay null; bad form names fail fast
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(withNull.select(
+      graft.functions.NormalizeExpr.unicodeNormalize(col("text")).as("t"))
+      .collect().head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.functions.NormalizeExpr.unicodeNormalize(col("text"), "NFX")
+    }
+  }
+
+  test("lengthBuckets: docs land in the smallest fitting bucket; overflow reports 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def doc(id: Long, words: Int) = (id, (1 to words).map(_ => "w").mkString(" "))
+    val docs = Seq(doc(1, 3), doc(2, 8), doc(3, 9), doc(4, 16), doc(5, 40))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBuckets(docs, buckets = Seq(8, 16, 32)).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(8L).getAs[Long]("n_docs") === 2L) // 3 and 8 words
+    assert(out(8L).getAs[Long]("total_tokens") === 11L)
+    assert(out(8L).getAs[Long]("padded_tokens") === 16L)
+    assert(out(8L).getAs[Double]("waste_frac") === 0.3125)
+    assert(out(16L).getAs[Long]("n_docs") === 2L) // 9 and 16
+    assert(out(0L).getAs[Long]("n_docs") === 1L) // 40 > 32: overflow
+    assert(out(0L).getAs[Double]("waste_frac") === 0.0)
+  }
 }
