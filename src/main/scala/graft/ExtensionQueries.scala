@@ -506,15 +506,19 @@ object ExtensionQueries {
         }
         Media.AudioPayload(id, Media.encodeWavPcm(rate, 1, samples))
       }
+      // ra, not r: rms is a 1600-term double fold — the oracle's SUM may
+      // associate differently, so both engines pre-round at 8 before the
+      // 4-dp output round (the partition-order-drift rule, applied to
+      // engine-order drift)
       Media.audioFeatures(payloads)
         .toDF()
         .select(
           col("media_id"), col("decoded"), col("sample_rate"), col("channels"),
           col("n_frames"), r4(col("duration_sec")).as("duration_sec"),
-          r4(col("rms")).as("rms"),
+          graft.operators.CrossRound.ra(col("rms"), 4).as("rms"),
           r4(col("zero_crossing_rate")).as("zero_crossing_rate"),
           r4(col("clipping_frac")).as("clipping_frac"),
-          r4(col("silence_frac")).as("silence_frac"))
+          graft.operators.CrossRound.ra(col("silence_frac"), 4).as("silence_frac"))
         .orderBy("media_id")
     }),
 
@@ -551,6 +555,12 @@ object ExtensionQueries {
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
+
+    // HTML/markup stripping (boilerplate removal): tags out, script/style
+    // blocks out with content, seven named entities decoded, whitespace
+    // collapsed. Hash-gated on the cleaned text itself.
+    "x51_strip_markup" -> ((s, dir) =>
+      TextOps.stripMarkup(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // MP3 frame-header metadata (public-spec sync-frame arithmetic, no
     // codec): payloads are deterministic MPEG1 Layer III streams keyed by
@@ -776,6 +786,31 @@ object ExtensionQueries {
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
          |ORDER BY vec_id""".stripMargin,
+    // x51: the same RE2-safe strip chain, operator for operator; entity
+    // decode via nested plain replace() in the same order (&amp; last).
+    "x51_strip_markup" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |           '<[^>]+>', ' ', 'g') AS t0
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(replace(t0,
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', chr(39)), '&apos;', chr(39)),
+        |             '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS clean_text
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       clean_text,
+        |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM d ORDER BY doc_id""".stripMargin,
     // x47: the Gopher signals re-derived in SQL; pass compares the SAME
     // rounded 4-dp values as the Spark side (the threshold rule).
     "x47_gopher_rules" ->
@@ -825,6 +860,52 @@ object ExtensionQueries {
         |                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
         |         '[ \t]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x45: the generator parameters are closed-form in doc_id, so the
+    // whole DSP chain re-derives in SQL: floor(x + 0.5) replicates
+    // math.round bit-exactly, the non-zero-sign lag replicates the
+    // crossing counter, and rms/silence round through the ra guard on
+    // both sides (engine-order drift on the 1600-term fold).
+    "x45_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(10 + (doc_id % 8) * 5 AS BIGINT) AS period,
+        |         0.1 + (doc_id % 5) * 0.2 AS amp
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |         floor(amp * 32767.0 * (CASE WHEN x < 0.5 THEN 4.0*x - 1.0 ELSE 3.0 - 4.0*x END) + 0.5) AS samp
+        |  FROM (
+        |    SELECT doc_id, amp, t, CAST(t % period AS DOUBLE) / period AS x
+        |    FROM p CROSS JOIN generate_series(0, 1599) AS g(t))),
+        |m AS (SELECT doc_id, t, samp, samp / 32768.0 AS mono FROM s),
+        |agg AS (
+        |  SELECT doc_id,
+        |         sqrt(SUM(mono * mono) / 1600) AS rms,
+        |         COUNT(*) FILTER (WHERE abs(samp) >= 32760) AS clipped
+        |  FROM m GROUP BY 1),
+        |z AS (
+        |  SELECT doc_id, COUNT(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev) AS crossings
+        |  FROM (
+        |    SELECT doc_id, sg, lag(sg) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+        |    FROM (SELECT doc_id, t, CASE WHEN samp > 0 THEN 1 ELSE -1 END AS sg
+        |          FROM m WHERE samp <> 0))
+        |  GROUP BY 1),
+        |fr AS (
+        |  SELECT doc_id, SUM(mono * mono) AS ss
+        |  FROM m GROUP BY doc_id, t // 200),
+        |sil AS (
+        |  SELECT doc_id, 200 * COUNT(*) FILTER (WHERE sqrt(ss / 200) < 0.01) AS silent
+        |  FROM fr GROUP BY 1)
+        |SELECT p.doc_id AS media_id, TRUE AS decoded, 8000 AS sample_rate, 1 AS channels,
+        |       CAST(1600 AS BIGINT) AS n_frames,
+        |       round(0.2, 4) AS duration_sec,
+        |       round(round(agg.rms, 8), 4) AS rms,
+        |       round(COALESCE(z.crossings, 0) / 1599.0, 4) AS zero_crossing_rate,
+        |       round(agg.clipped / 1600.0, 4) AS clipping_frac,
+        |       round(round(COALESCE(sil.silent, 0) / 1600.0, 8), 4) AS silence_frac
+        |FROM p JOIN agg USING (doc_id)
+        |LEFT JOIN z USING (doc_id) LEFT JOIN sil USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     // x46: the generator's parameters in closed form — the parser must
     // recover exactly what encodeMp3 wrote (MPEG1 Layer III throughout;
     // 1152 samples/frame; duration over the exact sample count).

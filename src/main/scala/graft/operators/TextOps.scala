@@ -274,6 +274,37 @@ object TextOps {
           .otherwise(lit(0.0)).as("waste_frac"))
   }
 
+  /** HTML/markup stripping — the boilerplate-removal pass a web-crawl
+    * corpus runs before quality scoring: script/style blocks go WITH
+    * their content (code is not prose), comments go, remaining tags
+    * become word boundaries (a space, so `a<br>b` doesn't fuse), the
+    * common named entities decode, whitespace collapses.
+    *
+    * Contract: the SEVEN named entities below only, `&amp;` last (so
+    * `&amp;lt;` single-decodes to `&lt;`, the HTML-correct order);
+    * numeric character references pass through untouched. Every pattern
+    * is RE2-compatible (no backreferences — script and style are
+    * separate patterns), so an ANSI oracle can mirror the chain
+    * operator for operator. Pure projection, map-only at any scale.
+    */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, ent, ch) // entities contain no regex metachars
+      }
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+  }
+
   /** Canonical text normalization — the cleaning pass a corpus runs
     * BEFORE tokenization, dedup, or LM scoring: Unicode NFC (composed/
     * decomposed twins collapse to one byte sequence — see

@@ -473,4 +473,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0L).getAs[Long]("n_docs") === 1L) // 40 > 32: overflow
     assert(out(0L).getAs[Double]("waste_frac") === 0.0)
   }
+
+  test("stripMarkup: tags, script/style content, comments, and entities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p></body></html>"),
+      (2L, "before<script type=\"x\">var a = 1 < 2;</script>after"),
+      (3L, "a<style>p { color: red }</style>b<!-- hidden -->c"),
+      (4L, "x &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39; &nbsp;y"),
+      (5L, "a<br>b<BR/>c"), // tags become word boundaries, case-insensitive markup
+      (6L, "no markup at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.stripMarkup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) === "Hello world")
+    assert(out(2L) === "before after") // script CONTENT removed too
+    assert(out(3L) === "a b c")
+    // &amp; decodes LAST: &amp;amp; -> &amp; (single decode, HTML-correct)
+    assert(out(4L) === "x <tag> &amp; \"q\" 's' y")
+    assert(out(5L) === "a b c")
+    assert(out(6L) === "no markup at all")
+  }
 }

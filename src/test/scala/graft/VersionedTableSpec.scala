@@ -200,4 +200,26 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.versions() === Seq(3L, 4L))
     assert(t.read(spark).select("s").as[String].collect() === Array("z"))
   }
+
+  test("TagCursor: incremental scan sees new tags, keeps vacuumed ones, matches committedTags") {
+    import spark.implicits._
+    val t = freshTable()
+    val cur = t.tagCursor()
+    assert(cur.committedTags() === Set.empty)
+    t.commit(Seq((1L, "a")).toDF("id", "s"), tag = Some("batch-0"))
+    assert(cur.committedTags() === Set("batch-0"))
+    assert(cur.committedTags() === t.committedTags())
+    t.appendCommit(Seq((2L, "b")).toDF("id", "s"), Some("batch-1"))
+    t.appendCommit(Seq((3L, "c")).toDF("id", "s"), Some("batch-2"))
+    assert(cur.committedTags() === Set("batch-0", "batch-1", "batch-2"))
+    assert(cur.committedTags() === t.committedTags())
+    // a full rewrite breaks the reference chain; vacuum then drops v0-v2.
+    // The FRESH scan forgets their tags -- the cursor, by design, does
+    // not: a replayed batch whose commit was vacuumed stays skipped.
+    t.commit(t.read(spark), tag = Some("batch-3"))
+    t.vacuum(keep = 1)
+    assert(!t.committedTags().contains("batch-0"))
+    val c = cur.committedTags()
+    assert(c.contains("batch-0") && c.contains("batch-3"))
+  }
 }
