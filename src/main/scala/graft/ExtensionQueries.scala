@@ -562,6 +562,13 @@ object ExtensionQueries {
     "x51_strip_markup" -> ((s, dir) =>
       TextOps.stripMarkup(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // C4-style corpus-wide line dedup: lines occurring >= 2 times across
+    // the corpus are boilerplate and leave every document. Hash-gated on
+    // the rebuilt text.
+    "x52_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(Tables.documents(s, dir), minOccurrences = 2)
+        .orderBy("doc_id")),
+
     // MP3 frame-header metadata (public-spec sync-frame arithmetic, no
     // codec): payloads are deterministic MPEG1 Layer III streams keyed by
     // doc_id — varying bitrate index, sample rate, channel mode, frame
@@ -786,6 +793,28 @@ object ExtensionQueries {
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
          |ORDER BY vec_id""".stripMargin,
+    // x52: parallel unnest + generate_subscripts replicates posexplode;
+    // the HAVING floor is the hot-line set; string_agg(ORDER BY pos)
+    // rebuilds in original order; zero-kept docs drop out via the join.
+    "x52_line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM documents),
+        |hot AS (SELECT line, TRUE AS h FROM l GROUP BY line HAVING COUNT(*) >= 2),
+        |k AS (SELECT l.doc_id, l.pos, l.line
+        |      FROM l LEFT JOIN hot USING (line) WHERE hot.h IS NULL),
+        |r AS (SELECT doc_id,
+        |             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |             COUNT(*) AS n_lines_kept
+        |      FROM k GROUP BY doc_id),
+        |raw AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines_raw
+        |        FROM documents)
+        |SELECT r.doc_id, r.clean_text,
+        |       CAST(raw.n_lines_raw AS BIGINT) AS n_lines_raw,
+        |       CAST(r.n_lines_kept AS BIGINT) AS n_lines_kept
+        |FROM r JOIN raw USING (doc_id) ORDER BY doc_id""".stripMargin,
     // x51: the same RE2-safe strip chain, operator for operator; entity
     // decode via nested plain replace() in the same order (&amp; last).
     "x51_strip_markup" ->

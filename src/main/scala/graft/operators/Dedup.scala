@@ -34,6 +34,52 @@ object Dedup {
   def dropExactDuplicates(docs: DataFrame): DataFrame =
     docs.join(exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
 
+  /** C4-style corpus-wide LINE dedup (Raffel et al. 2020 §2.2): any line
+    * occurring at least `minOccurrences` times across the whole corpus is
+    * boilerplate (navigation chrome, cookie banners, license footers) and
+    * is removed from EVERY document; documents left with no lines drop
+    * out entirely. Doc-level dedup misses this class completely — the
+    * surrounding text differs, only the chrome repeats.
+    *
+    * Output: (doc_id, clean_text, n_lines_raw, n_lines_kept) with
+    * clean_text the kept lines re-joined in original order.
+    *
+    * Scale posture: ONE corpus shuffle keyed by line for the frequency
+    * count (map-side combinable, so the empty-line/boilerplate skew
+    * collapses in the partial aggregate); the hot-line set is tiny by
+    * definition (lines ABOVE a repetition floor) and comes back as a
+    * broadcast anti-join; the per-doc rebuild groups on doc_id — the
+    * second shuffle, unavoidable for reassembly and key-parallel.
+    */
+  def dedupLines(docs: DataFrame, minOccurrences: Int = 3): DataFrame = {
+    val lines = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val hot = lines
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences)
+      .select(col("line"), lit(true).as("__hot"))
+    // a marker LEFT join (not an anti-join) so one doc-side aggregate
+    // yields kept AND raw counts — an anti-join would need a second
+    // corpus pass just to recover n_lines_raw. collect_list skips the
+    // nulls the when() leaves on hot lines.
+    lines
+      .join(hot, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_raw"),
+        count(when(col("__hot").isNull, 1)).as("n_lines_kept"),
+        array_sort(collect_list(
+          when(col("__hot").isNull, struct(col("pos"), col("line"))))).as("pl"))
+      .filter(col("n_lines_kept") > 0) // fully-boilerplate docs drop out
+      .select(
+        col("doc_id"),
+        concat_ws("\n", transform(col("pl"), x => x.getField("line"))).as("clean_text"),
+        col("n_lines_raw").cast("long").as("n_lines_raw"),
+        col("n_lines_kept").cast("long").as("n_lines_kept"))
+  }
+
   // -------------------------------------------------------------------
   // MinHash signatures + banded LSH (Broder 1997 / Leskovec-Rajaraman-
   // Ullman ch.3, public knowledge).

@@ -449,6 +449,12 @@ object Similarity {
     // whole gap to the other ANN paths). A lazy persist materializes
     // inside the FIRST consuming job (the codebook fit below), so the
     // barrier count drops without giving up single-evaluation.
+    // Trade-off (the TextOps.tfidfTopTerms note, inverted): cache entries
+    // outlive the returned frame until clearCache()/unpersist — fine for
+    // the query-at-a-time harness (Bench drops caches between queries)
+    // and for notebooks; a long-lived service materializes the coded
+    // corpus into a VersionedTable instead (the documented at-rest path),
+    // which removes the cache AND the refit.
     val centroids = // bounded: c rows
       if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
       else ivfCentroids(corpus, c).persist()

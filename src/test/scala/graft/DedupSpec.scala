@@ -321,4 +321,30 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(out.toSeq === Seq((1L, "a b c", 0L), (2L, "a b c", 0L)))
   }
+
+  test("dedupLines: corpus-wide boilerplate lines leave every doc; order preserved") {
+    import spark.implicits._
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"intro one\n$banner\nbody text one"),
+      (2L, s"$banner\nbody text two\nfooter two"),
+      (3L, s"body text three\n$banner"),
+      (4L, banner), // nothing left -> dropped entirely
+      (5L, "unique only"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupLines(docs, minOccurrences = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getAs[String]("clean_text") === "intro one\nbody text one")
+    assert(out(1L).getAs[Long]("n_lines_raw") === 3L)
+    assert(out(1L).getAs[Long]("n_lines_kept") === 2L)
+    assert(out(2L).getAs[String]("clean_text") === "body text two\nfooter two")
+    assert(out(3L).getAs[String]("clean_text") === "body text three")
+    assert(out(5L).getAs[String]("clean_text") === "unique only")
+    // below the floor: a line seen only twice stays
+    val out2 = graft.operators.Dedup.dedupLines(
+      Seq((1L, "twice\na"), (2L, "twice\nb")).toDF("doc_id", "text"),
+      minOccurrences = 3).collect()
+    assert(out2.forall(_.getAs[Long]("n_lines_kept") === 2L))
+  }
 }
