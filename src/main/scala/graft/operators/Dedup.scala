@@ -227,6 +227,11 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+      // persist: both sides of the band self-join read this frame, and
+      // lazily each side would re-run the ENTIRE upstream signature
+      // pipeline (tokenize -> gram hashes -> minhash -> band hashes) over
+      // the corpus. Same cache-lifetime note as lshNearDupPairs.
+      .persist()
     val a = banded.select(
       col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))

@@ -741,7 +741,13 @@ object Similarity {
     // id) rows, and each embedding is re-attached once afterwards (two
     // equi-joins on vec_id, each shuffling the vector table once instead
     // of per-collision)
-    val bucketedIds = bucketize(emb, planes).select("table_id", "bucket", "vec_id")
+    // persist: both sides of the self-join read this frame, and lazily
+    // each side would recompute the T x bits signature dots over the
+    // whole corpus — the cache halves the signature work and the id-only
+    // rows are small (3 longs/row x T). Same cache-lifetime note as the
+    // PQ paths (ivfPqTopK).
+    val bucketedIds = bucketize(emb, planes)
+      .select("table_id", "bucket", "vec_id").persist()
     val pairs = bucketedIds.toDF("table_id", "bucket", "vec_a")
       .join(bucketedIds.toDF("table_id", "bucket", "vec_b"), Seq("table_id", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
