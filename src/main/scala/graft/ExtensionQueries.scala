@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Media, Similarity, Splits, TextOps}
+import graft.operators.{Curation, Dedup, Media, Similarity, Splits, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -420,6 +420,19 @@ object ExtensionQueries {
     "x37_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), k = 15).orderBy("doc_id")),
 
+    // The WHOLE curation pipeline as ONE composed lineage: per-source cap
+    // -> quality/repetition gates -> exact dedup -> quality-aware near-dup
+    // retention -> benchmark decontamination -> temperature resample ->
+    // sequence packing. Every stage is individually oracle-pinned
+    // (x33/x03/x25/x01/x24/x22/x36/x40); this entry pins the COMPOSITION
+    // against one chained-CTE DuckDB query — shared lineage, one audited
+    // plan, no hidden barriers.
+    "x53_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.pipeline(docs, banned = docs.filter(col("doc_id") < 50))
+        .orderBy("doc_id", "copy_id")
+    }),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
@@ -648,7 +661,103 @@ object ExtensionQueries {
       |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
+  /** x53: the seven pipeline stages as chained CTEs, each the already-
+    * hash-green formulation from its standalone oracle (x33 cap, x03
+    * quality, x25 repetition, x01 exact dedup, x24 Jaccard pairs, x19
+    * min-label components, x22 contamination, x36 resample, x40 pack).
+    * Multi-referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    * default, and this chain references its survivors-so-far frames
+    * several times each — inlined, the plan re-expands the whole
+    * upstream pipeline per reference (measured: OOM at sf0.01;
+    * materialized: <1 s). Thresholds compare rounded values on both
+    * sides (x44 recipe) so ulp drift cannot flip a keep/drop decision.
+    */
+  private def curationPipelineSql: String =
+    s"""WITH RECURSIVE capped AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+       |    FROM documents d) WHERE rn <= 20),
+       |tq AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS toks FROM capped),
+       |q AS (SELECT doc_id, round(${qualitySql("toks")},6) AS quality_score FROM tq),
+       |l AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM capped),
+       |rep AS (SELECT doc_id, round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines),6) AS dlf FROM l),
+       |bgm AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM tq WHERE len(toks) >= 2),
+       |bge AS (SELECT doc_id, unnest(grams) AS gram FROM bgm),
+       |bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bge GROUP BY 1, 2),
+       |tbf AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS tbf FROM bgc GROUP BY 1),
+       |filt AS MATERIALIZED (SELECT c.doc_id, c.source, c.text, q.quality_score
+       |         FROM capped c JOIN q USING (doc_id) JOIN rep USING (doc_id)
+       |         LEFT JOIN tbf USING (doc_id)
+       |         WHERE q.quality_score >= 0.65 AND rep.dlf <= 0.2
+       |           AND round(COALESCE(tbf.tbf, 0.0), 6) <= 0.1),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY text),
+       |exd AS MATERIALIZED (SELECT f.* FROM filt f JOIN ex USING (doc_id)),
+       |t2 AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS toks FROM exd),
+       |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+       |      FROM t2 WHERE len(toks) >= 3),
+       |sh AS MATERIALIZED (SELECT doc_id, unnest(grams) AS shingle FROM g),
+       |n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+       |idx AS MATERIALIZED (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 100),
+       |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM idx a JOIN idx b USING (shingle)
+       |         WHERE a.doc_id < b.doc_id GROUP BY 1,2 HAVING COUNT(*) >= 2),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) n_inter FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle GROUP BY 1,2),
+       |pairs AS MATERIALIZED (SELECT i.doc_a, i.doc_b FROM inter i JOIN n na ON na.doc_id=i.doc_a JOIN n nb ON nb.doc_id=i.doc_b
+       |          WHERE CAST(i.n_inter AS DOUBLE)/(na.n+nb.n-i.n_inter) >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a u, doc_b v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v AND w.label < e.u),
+       |comps AS (SELECT node, MIN(label) AS component FROM walk GROUP BY 1),
+       |member AS (SELECT e.doc_id, c.component, e.quality_score FROM exd e JOIN comps c ON c.node = e.doc_id),
+       |losers AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY component ORDER BY quality_score DESC, doc_id) rn
+       |  FROM member) WHERE rn > 1),
+       |nd AS MATERIALIZED (SELECT * FROM exd WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |bt AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS toks FROM documents WHERE doc_id < 50),
+       |bg AS (SELECT list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM bt WHERE len(toks) >= 3),
+       |ban AS (SELECT DISTINCT unnest(grams) AS shingle FROM bg),
+       |nt AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS toks FROM nd),
+       |ng AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM nt WHERE len(toks) >= 3),
+       |ns AS (SELECT doc_id, unnest(grams) AS shingle FROM ng),
+       |cont AS (SELECT ns.doc_id, COUNT(*) AS nsh FROM ns JOIN ban USING (shingle) GROUP BY 1),
+       |clean AS MATERIALIZED (SELECT nd.* FROM nd LEFT JOIN cont USING (doc_id) WHERE COALESCE(nsh, 0) < 10),
+       |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs, pow(CAST(COUNT(*) AS DOUBLE), 0.7) w FROM clean GROUP BY 1),
+       |tt AS (SELECT SUM(w) tot, SUM(n_docs) corpus_docs FROM a),
+       |wts AS (SELECT source, round(round(w / tot * corpus_docs / n_docs, 10), 6) f FROM a, tt),
+       |du AS (SELECT doc_id, c.source, c.text, c.quality_score, f,
+       |         list_sum(list_transform(range(1, 9),
+       |           i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+       |                * 16 ** (8 - i))) / 4294967296.0 AS u
+       |       FROM clean c LEFT JOIN wts w ON c.source IS NOT DISTINCT FROM w.source),
+       |cc AS (SELECT doc_id, source, text, quality_score,
+       |         CAST(floor(f) AS INT) + (CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END) AS n_copies FROM du),
+       |rs AS MATERIALIZED (SELECT doc_id, source, text, quality_score,
+       |         CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS copy_id FROM cc),
+       |pk AS (SELECT doc_id, copy_id, source, quality_score,
+       |         CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR) AS pack_key,
+       |         len(regexp_split_to_array(text,'\\s+')) AS n_tokens FROM rs),
+       |po AS (SELECT doc_id, copy_id, source, quality_score, n_tokens,
+       |         substring(md5(pack_key), 1, 1) AS shard,
+       |         COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY substring(md5(pack_key), 1, 1)
+       |           ORDER BY md5(pack_key), pack_key
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |       FROM pk)
+       |SELECT doc_id, copy_id, source, round(quality_score, 4) AS quality_score,
+       |       shard, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       |       CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+       |       CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+       |FROM po ORDER BY doc_id, copy_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "x53_curation_pipeline" -> curationPipelineSql,
     "x01_exact_dedup" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

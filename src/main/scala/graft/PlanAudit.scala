@@ -146,7 +146,12 @@ object PlanAudit {
     "x44_ppl_buckets" -> 1,
     // corpus x broadcast(benchmark-set) exhaustive decontam scoring —
     // class (b), the banned side is bounded by contract
-    "x50_semantic_decontam" -> 1)
+    "x50_semantic_decontam" -> 1,
+    // class (a) again: the resample stage's mixWeights normalizer — the
+    // only BNLJ the composed curation chain's FINAL plan may contain
+    // (upstream stages sit behind persist boundaries and are audited via
+    // their standalone queries x33/x03/x25/x01/x24/x22)
+    "x53_curation_pipeline" -> 1)
 
   /** Queries whose top-k is REQUIRED to compile to WindowGroupLimitExec:
     * every ANN query (and the rank-capped text queries) bounds its

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the single composed query a
+  * 100 TB pretraining-data pipeline actually runs, chaining the
+  * individually-verified operators into ONE lineage —
+  *
+  *   1. [[TextOps.capPerSource]] — C4-style per-source document cap
+  *      (no single crawl domain dominates the mix);
+  *   2. [[TextOps.qualityScore]] + [[TextOps.repetitionStats]] — drop
+  *      low-quality and templated/looping documents (Gopher-style
+  *      dup-line and modal-bigram rules);
+  *   3. [[Dedup.dropExactDuplicates]] — exact content dedup on the
+  *      fixed-width sha2 key;
+  *   4. [[Dedup.jaccardNearDups]] + [[Dedup.dropNearDuplicatesBy]] —
+  *      exact n-gram near-dup pairs, then quality-aware retention (keep
+  *      the CLEANEST member of each connected component, not the
+  *      smallest id);
+  *   5. [[TextOps.contamination]] — benchmark decontamination against a
+  *      banned document set;
+  *   6. [[TextOps.resampleByTemperature]] — deterministic alpha-sampled
+  *      source rebalancing (docs replicate or drop by the md5-uniform
+  *      Bernoulli rule);
+  *   7. [[Splits.packSequences]] on the doc+copy composite key — the
+  *      concat-then-cut token layout a loader consumes.
+  *
+  * The reference pipeline has none of this (brief-extension surface);
+  * each stage's semantics are pinned individually by the x01/x03/x25/
+  * x24/x22/x36/x40 oracle rows, and the COMPOSITION is pinned by the
+  * x53 oracle — a single chained-CTE DuckDB query over the same parquet.
+  *
+  * Scale posture: one lineage, no driver-side data movement. The corpus
+  * flows through a per-source window (stage 1), per-doc projections +
+  * one content-hash aggregate (2-3), the df-capped ONE-shuffle shingle
+  * index (4 — pair work is bounded by the df cap, never all-pairs), a
+  * semi-join against the banned shingle set (5), a broadcast weight join
+  * + explode (6), and one per-shard running-sum window (7). Every
+  * multi-consumer intermediate is a lazy `persist()` (cache boundary, no
+  * eager job barrier — the localCheckpoint-vs-persist note in
+  * [[Similarity.ivfPqTopK]] applies): the surviving-doc frames are
+  * corpus-shaped, and without the boundary each downstream stage would
+  * re-run the whole upstream chain.
+  */
+object Curation {
+
+  /** Run the full curation chain over `docs` (doc_id, source, text).
+    *
+    * Output, one row per retained (doc_id, copy_id) training-corpus
+    * member: (doc_id, copy_id, source, quality_score, shard, n_tokens,
+    * tok_offset, seq_first, seq_last).
+    *
+    * Thresholds compare ROUNDED values on both engine and oracle sides
+    * (the x44 both-sides-rounded recipe) so ulp drift cannot flip a
+    * keep/drop decision: `quality_score` is 6-dp-rounded at source, and
+    * the repetition fractions round through [[CrossRound.r]] at the
+    * comparison.
+    */
+  def pipeline(
+      docs: DataFrame,
+      banned: DataFrame,
+      maxDocsPerSource: Int = 20,
+      minQuality: Double = 0.65,
+      maxDupLineFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.1,
+      jaccardThreshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      decontamMinShared: Int = 10,
+      alpha: Double = 0.7,
+      seqLen: Int = 512,
+      hexChars: Int = 1): DataFrame = {
+
+    // 1. per-source cap. persist: quality, repetition, and the score
+    // join below each consume this frame — lazily each would re-run the
+    // per-source ranking window over the full corpus.
+    val capped = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
+      .select(col("doc_id"), col("source"), col("text"))
+      .persist()
+
+    // 2. quality + repetition gates. quality_score stays attached — the
+    // near-dup retention (stage 4) ranks components by it.
+    val filt = capped
+      .join(TextOps.qualityScore(capped), Seq("doc_id"))
+      .join(
+        TextOps.repetitionStats(capped)
+          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
+        Seq("doc_id"))
+      .filter(
+        col("quality_score") >= minQuality &&
+          CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
+          CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
+      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+      .persist()
+
+    // 3. exact dedup (smallest doc_id per content hash survives)
+    val exd = Dedup.dropExactDuplicates(filt).persist()
+
+    // 4. near-dup pairs over the SURVIVING set, then quality-aware
+    // retention: the component argmax keeps the cleanest member.
+    val pairs = Dedup
+      .jaccardNearDups(exd, jaccardThreshold, minShared, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+    val nd = Dedup.dropNearDuplicatesBy(exd, pairs, "quality_score").persist()
+
+    // 5. benchmark decontamination: drop docs sharing >= decontamMinShared
+    // shingles with the banned set
+    val clean = nd
+      .join(
+        TextOps.contamination(nd, banned, decontamMinShared)
+          .filter(!col("contaminated"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .persist()
+
+    // 6. temperature resampling over the cleaned corpus; text and score
+    // ride the explode (carryCols) so packing needs no re-join
+    val resampled = TextOps
+      .resampleByTemperature(clean, alpha, carryCols = Seq("text", "quality_score"))
+      .withColumn("copy_id", col("copy_id").cast("long"))
+
+    // 7. pack on the doc#copy composite key so replicas spread across
+    // shards (identical text, different shard/offset)
+    Splits
+      .packSequences(
+        resampled.withColumn(
+          "pack_key",
+          concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
+        seqLen, hexChars, idCol = "pack_key",
+        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
+      .select(
+        col("doc_id"), col("copy_id"), col("source"),
+        CrossRound.r(col("quality_score"), 4).as("quality_score"),
+        col("shard"), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"))
+  }
+}

@@ -122,25 +122,39 @@ object Splits {
     * function of the keys and token counts: reproducible run-over-run
     * and engine-over-engine, like the shard layout itself. All integer
     * math — no rounding drift anywhere.
+    *
+    * `idCol` is the packing key (defaults to `doc_id`; a resampled corpus
+    * packs on a doc+copy composite so replicas land in different shards),
+    * and `carryCols` ride through the projection unchanged so a caller
+    * does not need a join to re-attach source/score metadata.
     */
-  def packSequences(docs: DataFrame, seqLen: Int, hexChars: Int = 1): DataFrame = {
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Int,
+      hexChars: Int = 1,
+      idCol: String = "doc_id",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
-      .orderBy(col("ord"), col("doc_id"))
+      .orderBy(col("ord"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .filter(col("text").isNotNull)
       .select(
-        col("doc_id"),
-        shardOf(col("doc_id"), hexChars).as("shard"),
-        md5(col("doc_id").cast("string")).as("ord"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        Seq(
+          col(idCol),
+          shardOf(col(idCol), hexChars).as("shard"),
+          md5(col(idCol).cast("string")).as("ord"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")) ++
+          carryCols.map(col): _*)
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer DIV, not fp division: offsets are exact at any corpus size
       .select(
-        col("doc_id"), col("shard"), col("n_tokens"), col("tok_offset"),
-        expr(s"tok_offset DIV $seqLen").as("seq_first"),
-        expr(s"(tok_offset + n_tokens - 1) DIV $seqLen").as("seq_last"))
+        Seq(
+          col(idCol), col("shard"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset DIV $seqLen").as("seq_first"),
+          expr(s"(tok_offset + n_tokens - 1) DIV $seqLen").as("seq_last")) ++
+          carryCols.map(col): _*)
   }
 }

@@ -410,7 +410,8 @@ object TextOps {
     * cheap column arithmetic, not a derived-array HOF (the
     * InferFiltersFromGenerate trap does not apply).
     */
-  def resampleByTemperature(docs: DataFrame, alpha: Double): DataFrame = {
+  def resampleByTemperature(
+      docs: DataFrame, alpha: Double, carryCols: Seq[String] = Nil): DataFrame = {
     val w = mixWeights(docs, alpha)
       .select(col("source").as("__mix_source"), col("upsample_factor"))
     // uniform in [0,1) from the first 8 md5 hex digits of the key
@@ -424,10 +425,14 @@ object TextOps {
       // explode of an empty sequence drops the row — exactly the
       // downsample semantics for n_copies = 0
       .select(
-        col("doc_id"), col("source"),
-        explode(when(col("__n_copies") > 0,
-          sequence(lit(1), col("__n_copies"))).otherwise(array().cast("array<int>")))
-          .as("copy_id"))
+        Seq(
+          col("doc_id"), col("source"),
+          explode(when(col("__n_copies") > 0,
+            sequence(lit(1), col("__n_copies"))).otherwise(array().cast("array<int>")))
+            .as("copy_id")) ++
+          // carryCols ride the explode so a downstream packer does not
+          // need a join to re-attach payload columns to each copy
+          carryCols.map(col): _*)
   }
 
   /** C4-style per-source document cap: rank each source's docs by
