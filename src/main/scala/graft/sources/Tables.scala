@@ -112,25 +112,38 @@ object Tables {
         lit(1.0).as("cnt"))
 
   /** Year-windowed events with a PUSHABLE pre-filter: `year(ts) BETWEEN`
-    * is a function of the column and never reaches the parquet scan, but
-    * the equivalent epoch range on the RAW nanos long column does (UTC
-    * session, so year boundaries are exact epoch instants) — at 100 TB
-    * this is the difference between row-group min/max pruning and a full
-    * scan. The semantic year filter stays on top for engines/readers where
-    * `ts` is already a timestamp (then Spark pushes the timestamp range
-    * itself after optimization).
+    * is a function of the column and never reaches the parquet scan
+    * (Catalyst has no year→range rewrite), but the equivalent half-open
+    * range `[Jan 1 yearLo, Jan 1 yearHi+1)` compared against a literal of
+    * the COLUMN'S OWN type does — at 100 TB this is the difference between
+    * row-group min/max pruning and a full scan. One branch per physical
+    * shape the table ships in: raw epoch-nanos longs (legacy
+    * TIMESTAMP(NANOS) read with nanosAsLong), TIMESTAMP_NTZ (plain
+    * micros, the current testdata), and session-tz TIMESTAMP. The
+    * session is pinned UTC (GraftSession), so year boundaries are exact
+    * instants in every branch. The semantic year filter stays on top —
+    * it is subsumed by the range, costs one codegen'd comparison, and
+    * keeps the view's meaning self-evident.
     */
   def eventsInYears(spark: SparkSession, dir: String, yearLo: Int, yearHi: Int): DataFrame = {
     val raw = table(spark, dir, "events")
+    val loDate = java.time.LocalDate.of(yearLo, 1, 1)
+    val hiDate = java.time.LocalDate.of(yearHi + 1, 1, 1)
     val pre = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val loNanos = java.time.LocalDate.of(yearLo, 1, 1)
+        val loNanos = loDate
           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
-        val hiNanos = java.time.LocalDate.of(yearHi + 1, 1, 1)
+        val hiNanos = hiDate
           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
         raw.filter(col("ts") >= loNanos && col("ts") < hiNanos)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.filter(
+          col("ts") >= lit(loDate.atStartOfDay()) && col("ts") < lit(hiDate.atStartOfDay()))
+      case _ =>
+        raw.filter(
+          col("ts") >= lit(loDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant) &&
+            col("ts") < lit(hiDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
     }
     pre.filter(year(col("ts")).between(yearLo, yearHi))
   }

@@ -251,8 +251,13 @@ object Ingest {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn(
         "is_start",
+        // cast("timestamp") first: unix_millis rejects TIMESTAMP_NTZ (the
+        // current testdata's physical shape) and the cast is a no-op on
+        // session-tz input; the session is pinned UTC so NTZ values map
+        // to the same instant either way
         (col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= gapMs)).cast("long"))
+          (unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) >= gapMs)).cast("long"))
       .withColumn("session_seq", sum(col("is_start")).over(
         byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     withStart
