@@ -76,4 +76,20 @@ object CrossRound {
     * `round(round(x, scale + 4), scale)`.
     */
   def ra(c: Column, scale: Int): Column = r(r(c, scale + 4), scale)
+
+  /** Driver-side twin of [[r]] for bounded model state computed on the
+    * driver (sample-trained centroids / codebooks): the same
+    * multiply-then-HALF_UP arithmetic Spark's `round(x * 10^s) / 10^s`
+    * performs (Round on DoubleType goes through
+    * `BigDecimal.valueOf(v).setScale(0, HALF_UP)`), so driver- and
+    * cluster-computed values round through the same lattice.
+    */
+  def rD(x: Double, scale: Int): Double = {
+    val f = math.pow(10, scale)
+    java.math.BigDecimal.valueOf(x * f)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / f
+  }
+
+  /** Driver-side twin of [[ra]]. */
+  def raD(x: Double, scale: Int): Double = rD(rD(x, scale + 4), scale)
 }

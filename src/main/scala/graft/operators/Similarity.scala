@@ -220,23 +220,175 @@ object Similarity {
       .reduce(_ + _)
   }
 
-  /** Train per-subspace PQ codebooks with distributed Lloyd iterations.
+  /** Default model-fitting sample size: FAISS's ballpark (max_points_per_
+    * centroid x the largest ksub this engine uses) — big enough that the
+    * tiny harness corpora are sampled in FULL (training is then identical
+    * to full-corpus training), small enough that driver Lloyd is
+    * millisecond arithmetic at any corpus size.
+    */
+  val DefaultTrainSample = 16384
+
+  /** Bounded deterministic model-fitting sample: the `maxTrain` corpus
+    * vectors with smallest (xxhash64(vec_id), vec_id) — ONE TakeOrdered
+    * job, the same ordering as [[ivfCentroids]] and the codebook seeding
+    * rule, so the first c (ksub) sample rows ARE the coarse-centroid
+    * (seed) choice the distributed recipes make. This is the FAISS
+    * posture: model fitting reads a fixed-size sample no matter the
+    * corpus size. At 100 TB the sample costs one scan + top-maxTrain
+    * (combinable per partition), and every Lloyd iteration is driver
+    * arithmetic over maxTrain x dim floats instead of a corpus-wide
+    * shuffle per iteration; at harness scale it collapses ~20 scheduling
+    * barriers per ANN query into one job (measured: the entire gap
+    * between IVFADC and the other ANN paths was fixed per-job overhead,
+    * not data).
+    */
+  def trainingSample(
+      corpus: DataFrame, maxTrain: Int = DefaultTrainSample): Array[Array[Float]] =
+    corpus
+      // cast up front: codebooks are float by contract (PQ is lossy);
+      // for the float testdata the cast is a no-op
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Driver-side per-subspace PQ Lloyd over a bounded sample — the same
+    * math the distributed loop ran, in sample (hash) order: seeds are the
+    * first min(ksub, n) sample rows' subvectors; assignment is
+    * argmin |c|^2 - 2 sv.c in double with ties to the smallest code
+    * (exactly [[pqEncodeCol]]'s rule, so encode reproduces training
+    * assignments bit-for-bit); non-empty cells re-center on the member
+    * mean pre-rounded through CrossRound.raD(7) before the float cast
+    * (the same drift collapse the distributed aggregation used — here it
+    * keeps driver- and cluster-trained codebooks on one lattice); empty
+    * cells keep their centroid. Subspaces are independent, so the
+    * per-sub loop equals the old all-subs-per-shuffle schedule.
+    */
+  private def lloydCodebooksLocal(
+      sample: Array[Array[Float]],
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      dim: Int): Array[Array[Array[Float]]] = {
+    val dsub = dim / m
+    val k = math.min(ksub, sample.length)
+    val cb: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => Array.tabulate(k)(i => sample(i).slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters; s <- 0 until m) {
+      val sums = Array.fill(k, dsub)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val cent = cb(s)(c)
+          var cn2 = 0.0
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val x = cent(t).toDouble
+            cn2 += x * x
+            d += v(s * dsub + t).toDouble * x
+            t += 1
+          }
+          val score = cn2 - 2.0 * d
+          if (score < bestD) { bestD = score; best = c } // strict: ties keep the smaller code
+          c += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dsub) { sums(best)(t) += v(s * dsub + t).toDouble; t += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; t <- 0 until dsub)
+        cb(s)(c)(t) = CrossRound.raD(sums(c)(t) / counts(c), 7).toFloat
+    }
+    cb
+  }
+
+  /** Driver-side cosine k-means over a bounded sample (the coarse-
+    * quantizer twin of [[lloydCodebooksLocal]]): init is the first
+    * min(c, n) sample rows ([[ivfCentroids]]' choice), assignment is
+    * argmax cosine with ties to the smaller centroid id, means
+    * pre-round through raD(7) before the float cast, empty cells keep
+    * their centroid.
+    */
+  private def lloydRefineLocal(
+      sample: Array[Array[Float]], c: Int, iters: Int): Array[Array[Float]] = {
+    val k = math.min(c, sample.length)
+    val cents = Array.tabulate(k)(i => sample(i).clone())
+    val dim = if (sample.isEmpty) 0 else sample(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < k) {
+          val sim = cosineLocal(v, cents(i))
+          if (sim > bestSim) { bestSim = sim; best = i } // strict: ties keep the smaller id
+          i += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dim) { sums(best)(t) += v(t).toDouble; t += 1 }
+      }
+      for (i <- 0 until k if counts(i) > 0; t <- 0 until dim)
+        cents(i)(t) = CrossRound.raD(sums(i)(t) / counts(i), 7).toFloat
+    }
+    cents
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Driver-built centroid relation: (centroid_id, centroid) as a
+    * LocalRelation, ordinal ids in sample (hash) order. Broadcasting a
+    * LocalRelation is a driver-side copy — NO Spark job — so every
+    * downstream broadcast argmax join costs zero scheduling barriers.
+    */
+  private def centroidsDF(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Float]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    cents.zipWithIndex.foreach { case (v, i) =>
+      rows.add(org.apache.spark.sql.Row(i.toLong, v.toSeq))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Train per-subspace PQ codebooks on a bounded deterministic sample.
     *
-    * Init is the [[ivfCentroids]] recipe per subspace (the ksub corpus
-    * rows with smallest xxhash64(vec_id) seed ALL m subspaces — stable,
-    * uniform); each iteration assigns every subvector to its nearest
-    * centroid by squared L2 (the PQ metric; cosine is wrong on
-    * subvectors, whose norms carry signal) and recomputes non-empty
-    * cells' means, empty cells keeping their previous centroid. The loop
-    * is keyed by (sub, code) so ALL m subspaces train in the SAME two
-    * shuffles per iteration, not m sequential jobs. Mean drift across
-    * partition orders is collapsed by the same CrossRound.ra(7) pre-round
-    * as [[kmeansCentroids]].
+    * Fitting = [[trainingSample]] (one TakeOrdered job) +
+    * [[lloydCodebooksLocal]] (driver arithmetic): the distributed
+    * two-shuffles-per-iteration Lloyd this replaces spent its whole cost
+    * on scheduling at harness scale and would spend it on corpus-wide
+    * shuffles at 100 TB — sample-trained codebooks with one full encode
+    * pass are the standard recipe (FAISS trains on a bounded sample
+    * regardless of index size). Squared L2 is the PQ metric (cosine is
+    * wrong on subvectors, whose norms carry signal). Training is
+    * trivially width-deterministic: the sample is hash-ordered and the
+    * driver loop is sequential.
     *
-    * The return is driver-side — bounded MODEL state (m x ksub x dim/m
-    * floats, the same class as [[hyperplanes]]' literals), not data; the
-    * corpus itself never leaves the executors. At 100 TB train on a
-    * sampled subset and run one full encode pass, the standard recipe.
+    * The return is bounded MODEL state (m x ksub x dim/m floats, the
+    * same class as [[hyperplanes]]' literals), not data.
     *
     * @return codebooks(sub)(code) = centroid of length dim/m
     */
@@ -245,76 +397,14 @@ object Similarity {
       m: Int,
       ksub: Int,
       iters: Int = 2,
-      dim: Int = 64): Array[Array[Array[Float]]] = {
+      dim: Int = 64,
+      maxTrain: Int = DefaultTrainSample): Array[Array[Array[Float]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 128, "ksub must fit a tinyint code in [1, 128]")
-    val dsub = dim / m
-    // cast up front: PqEncodeExpr accepts array<double> too, and without
-    // this an array<double> corpus trains Double centroid rows that the
-    // float-typed collect below would CCE on. Codebooks are float by
-    // contract (PQ is lossy); for float input the cast is a no-op.
-    val subs = corpus.select(
-      col("vec_id"),
-      posexplode(array((0 until m).map(s =>
-        slice(col("embedding").cast("array<float>"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
-    // bounded: ksub rows; the un-partitioned window runs AFTER the limit
-    val seedW = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = corpus
-      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(ksub)
-      .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
-      .select("vec_id", "code")
-    var cb = subs
-      .join(broadcast(seeds), Seq("vec_id"))
-      .select(col("sub"), col("code"), col("sv").as("centroid"))
-      // bounded: m x ksub rows. Lazy persist, not localCheckpoint — the
-      // first iteration's broadcast job materializes it, so seeding costs
-      // no extra barrier (each eager job ~0.15-0.2 s at local[32]). The
-      // PER-ITERATION checkpoints below stay eager: they also truncate
-      // lineage, which persist does not.
-      .persist()
-    for (it <- 0 until iters) {
-      // argmin_c |sv - c|^2 = argmin_c (|c|^2 - 2 sv.c): |sv|^2 is
-      // constant across codes, so it never needs computing, and the
-      // remaining terms run through the codegen'd dot instead of an
-      // interpreted zip_with lambda per (subvector, code) pair
-      val assigned = subs
-        .join(
-          broadcast(cb.withColumn("cn2", dot(col("centroid"), col("centroid")))),
-          Seq("sub"))
-        .withColumn("d", col("cn2") - lit(2.0) * dot(col("sv"), col("centroid")))
-        // argmin per subvector: smallest distance, ties to the smallest
-        // code — one map-combinable aggregate, no window over the corpus
-        .groupBy(col("vec_id"), col("sub"), col("sv"))
-        .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
-      val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "code", "pos")
-        .agg(CrossRound.ra(avg(col("v")), 7).as("mv"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
-        .select(
-          col("sub"), col("code"),
-          transform(col("pm"), x => x.getField("mv")).cast("array<float>").as("refined"))
-      cb = cb
-        .join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("refined"), col("centroid")).as("centroid"))
-      // intermediate iterations checkpoint (the next loop round consumes
-      // cb twice — broadcast + coalesce join); the LAST stays lazy so the
-      // final collect() is the job that runs it, saving a checkpoint job
-      // + broadcast round per training call
-      if (it < iters - 1) cb = cb.localCheckpoint()
-    }
-    val rows = cb.collect() // bounded model state: m x ksub rows
-    require(rows.nonEmpty,
+    val sample = trainingSample(corpus, maxTrain)
+    require(sample.nonEmpty,
       "PQ training requires a non-empty corpus (no codebook seeds found)")
-    val out = Array.ofDim[Array[Array[Float]]](m)
-    for (s <- 0 until m) {
-      val cell = rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
-      out(s) = cell.map(_.getSeq[Float](2).toArray)
-    }
-    out
+    lloydCodebooksLocal(sample, m, ksub, iters, dim)
   }
 
   /** PQ-encode an embedding column: per subspace, the argmin code over
@@ -424,12 +514,10 @@ object Similarity {
     * computed once at encode time and stored beside the codes.
     *
     * At-rest state: the coded corpus (cell, vec_id, codes, nrm — the
-    * checkpoint below; a production pipeline persists it as a table) plus
-    * bounded model state (c coarse centroids + m x ksub residual
-    * codebooks). The residual frame is materialized before training
-    * because [[pqCodebooks]] scans its input per iteration and the
-    * residuals hang off an assignment cross-join — same recurring
-    * multi-consumer rule as semanticDedup's assignment.
+    * lazy-persisted frame below; a production pipeline persists it as a
+    * table) plus bounded model state (c coarse centroids + m x ksub
+    * residual codebooks), all fit driver-side from one bounded sample
+    * job — see [[trainingSample]] for the 100 TB argument.
     */
   def ivfPqTopK(
       probes: DataFrame,
@@ -441,53 +529,112 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 1,
       refineIters: Int = 0,
-      dim: Int = 64): DataFrame = {
-    // persist(), NOT localCheckpoint, for every multi-consumer frame here:
-    // both pin re-used lineage to one evaluation, but a localCheckpoint is
-    // an EAGER job — at local[32] each round-trip costs ~0.15-0.2 s of pure
-    // scheduling, and this operator had three of them (measured as the
-    // whole gap to the other ANN paths). A lazy persist materializes
-    // inside the FIRST consuming job (the codebook fit below), so the
-    // barrier count drops without giving up single-evaluation.
-    // Trade-off (the TextOps.tfidfTopTerms note, inverted): cache entries
-    // outlive the returned frame until clearCache()/unpersist — fine for
-    // the query-at-a-time harness (Bench drops caches between queries)
-    // and for notebooks; a long-lived service materializes the coded
-    // corpus into a VersionedTable instead (the documented at-rest path),
-    // which removes the cache AND the refit.
-    val centroids = // bounded: c rows
-      if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
-      else ivfCentroids(corpus, c).persist()
-    val cellCentroid = centroids
-      .select(col("centroid_id").as("cell"), col("centroid"))
-    val assigned = ivfAssign(corpus, centroids)
-      .join(broadcast(cellCentroid), Seq("cell"))
-      .select(
-        col("cell"), col("vec_id"),
-        zip_with(col("embedding"), col("centroid"), (x, y) => x - y).as("resid"))
-      .persist()
-    val cb = pqCodebooks(
-      assigned.select(col("vec_id"), col("resid").as("embedding")), m, ksub, iters, dim)
-    // the at-rest form: m residual codes + the exact reconstruction norm.
-    // The reconstruction is bound to its OWN projected column before the
-    // norm reads it twice — inlined, dot(recon, recon) would evaluate the
-    // whole decode tree twice per row (the expression-duplication class
-    // pqTopK documents)
-    val reconstructed = zip_with(
-      col("centroid"), pqDecodeCol(col("codes"), cb), (x, y) => x + y)
+      dim: Int = 64,
+      maxTrain: Int = DefaultTrainSample): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 128, "ksub must fit a tinyint code in [1, 128]")
+    val spark = corpus.sparkSession
+    // ALL model state — coarse centroids AND residual codebooks — fits
+    // from ONE bounded sample job (the trainingSample doc has the 100 TB
+    // argument). Driver fitting replays the exact cluster rules: cell
+    // assignment is argmax cosine with ties to the smaller id
+    // (ivfAssign), residuals subtract in FLOAT (the zip_with lattice the
+    // encode pass uses), and PQ seeds are the first ksub hash-ordered
+    // residuals (the old seeding rule, inherited from the sample order).
+    val sample = trainingSample(corpus, maxTrain)
+    require(sample.nonEmpty,
+      "PQ training requires a non-empty corpus (no codebook seeds found)")
+    val cents: Array[Array[Float]] =
+      if (refineIters > 0) lloydRefineLocal(sample, c, refineIters)
+      else sample.take(c).map(_.clone())
+    val resid: Array[Array[Float]] = sample.map { v =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val sim = cosineLocal(v, cents(i))
+        if (sim > bestSim) { bestSim = sim; best = i }
+        i += 1
+      }
+      val r = new Array[Float](v.length)
+      var t = 0
+      while (t < v.length) { r(t) = v(t) - cents(best)(t); t += 1 }
+      r
+    }
+    val cb = lloydCodebooksLocal(resid, m, ksub, iters, dim)
+    val stride = cb(0).length
+    val dsub = dim / m
+    // |x̂|^2 decomposed along the residual split, all terms precomputable
+    // from bounded model state: |x̂|^2 = |centroid|^2
+    //   + 2 Σ_s dot(centroid_s, c_{s,code_s})   (per-cell m x ksub table)
+    //   + Σ_s |c_{s,code_s}|^2                  (cell-independent table)
+    // — so the at-rest norm assembles from the codes by table lookups and
+    // the reconstruction (the 64-wide decode the old path materialized
+    // per row) never exists.
+    val n2Table: Array[Double] = cb.flatMap(book => book.map(norm2Lit))
+    val cdotTables: Array[Array[Double]] = cents.map { ctr =>
+      cb.indices.flatMap { s =>
+        cb(s).map { code =>
+          var d = 0.0
+          var t = 0
+          while (t < dsub) { d += ctr(s * dsub + t).toDouble * code(t).toDouble; t += 1 }
+          d
+        }
+      }.toArray
+    }
+    val centroids = centroidsDF(spark, cents)
+    // per-cell meta beside the centroid, one LocalRelation (broadcast =
+    // driver-side copy, no job): the centroid feeds the residual
+    // projection, cn2c/cdot feed the norm assembly
+    val cellMeta = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("cell", LongType, nullable = false),
+        StructField("centroid", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("cn2c", DoubleType, nullable = false),
+        StructField("cdot", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      cents.zipWithIndex.foreach { case (v, i) =>
+        rows.add(org.apache.spark.sql.Row(i.toLong, v.toSeq, norm2Lit(v), cdotTables(i).toSeq))
+      }
+      spark.createDataFrame(rows, schema)
+    }
+    val n2Lit = array(n2Table.toIndexedSeq.map(lit): _*)
+    // Σ_s table[s * stride + code_s]: an m-element lookup fold over the
+    // codes column against either the literal norm table or the row's
+    // cell table
+    def codeTableSum(table: Column): Column =
+      aggregate(
+        transform(col("codes"), (cd, s) =>
+          element_at(table, s * stride + cd.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    // the at-rest form: m residual codes + the reconstruction norm.
     // persist (lazy) rather than checkpoint (eager): the cache boundary
     // still pins the encode to ONE evaluation per corpus row — an
     // InMemoryRelation cannot be projection-collapsed into the per-pair
     // score references above the join (the 5x duplication class pqTopK
-    // documents) — but the materialization now happens inside the final
-    // query job instead of its own barrier.
-    val coded = assigned
-      .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), cb).as("codes"))
-      .join(broadcast(cellCentroid), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("codes"), reconstructed.as("recon"))
+    // documents) — but the materialization happens inside the final
+    // query job instead of its own barrier. Cache-lifetime trade-off
+    // (the TextOps.tfidfTopTerms note, inverted): entries outlive the
+    // returned frame until clearCache()/unpersist — fine for the
+    // query-at-a-time harness and notebooks; a long-lived service
+    // materializes the coded corpus into a VersionedTable instead (the
+    // documented at-rest path), which removes the cache AND the refit.
+    val coded = ivfAssign(corpus, centroids)
+      .join(broadcast(cellMeta), Seq("cell"))
+      .select(
+        col("cell"), col("vec_id"),
+        pqEncodeCol(
+          zip_with(col("embedding"), col("centroid"), (x, y) => x - y), cb).as("codes"),
+        col("cn2c"), col("cdot"))
       .select(
         col("cell"), col("vec_id"), col("codes"),
-        sqrt(dot(col("recon"), col("recon"))).as("nrm_c"))
+        // clamp before sqrt: the analytic value is >= 0 but the regrouped
+        // table sum can land at -1ulp for a zero reconstruction, and
+        // sqrt(-1e-18) = NaN would rank FIRST under the desc window
+        sqrt(greatest(
+          lit(0.0),
+          col("cn2c") + lit(2.0) * codeTableSum(col("cdot")) + codeTableSum(n2Lit))).as("nrm_c"))
       .persist()
     val probeCells = nearestCells(probes, centroids, nprobe)
       .select(
@@ -556,41 +703,30 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
   /** Lloyd refinement of the hash-sampled centroids — the standard IVF
-    * training step (the sample is the init, k-means tightens it). Each
-    * iteration assigns every vector to its nearest centroid (the same
-    * broadcast argmax as [[ivfAssign]]) and recomputes each non-empty
-    * cell's centroid as its mean vector; empty cells keep their previous
-    * centroid so c never shrinks. Per-iteration state is BOUNDED
-    * (c x dim values, localCheckpoint'ed like connectedComponents' loop);
-    * the corpus is scanned once per iteration — at 100 TB train on a
-    * sampled subset and do one final full assignment, the standard
-    * recipe. Deterministic end to end: hash-ordered init, argmax ties
-    * break on centroid_id, and the mean aggregation's partition-order
-    * drift is collapsed by an explicit CrossRound.ra pre-round BEFORE the
-    * float cast (the cast alone is only probabilistic: a mean landing
-    * within the ~1e-12 drift of a float rounding boundary still flips
-    * bits across partition counts; 7 dp is within float's precision near
-    * unit-scale embeddings, so the round costs no real signal).
+    * training step (the sample is the init, k-means tightens it), fit
+    * driver-side from [[trainingSample]]'s bounded sample (one job; the
+    * doc there has the 100 TB argument — sampled training + one full
+    * assignment pass is the standard recipe, and the distributed
+    * corpus-scan-per-iteration loop this replaces paid a localCheckpoint
+    * barrier per iteration). Assignment is argmax cosine with ties to
+    * the smaller centroid id, empty cells keep their previous centroid
+    * so c never shrinks, and means pre-round through CrossRound.raD(7)
+    * BEFORE the float cast — the same drift-collapse lattice the
+    * distributed aggregation used, kept so sample-trained and any
+    * cluster-trained centroids stay comparable (the cast alone is only
+    * probabilistic: a mean within ~1e-12 of a float rounding boundary
+    * flips bits; 7 dp is within float precision near unit-scale
+    * embeddings, so the round costs no real signal). Returns a
+    * LocalRelation — broadcasting it downstream is job-free.
     */
-  def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int = 3): DataFrame = {
-    var centroids = ivfCentroids(corpus, c).localCheckpoint()
-    for (_ <- 0 until iters) {
-      val means = ivfAssign(corpus, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(CrossRound.ra(avg(col("v")), 7).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(
-          col("cell").as("centroid_id"),
-          transform(col("pm"), x => x.getField("m")).cast("array<float>").as("refined"))
-      centroids = centroids
-        .join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("refined"), col("centroid")).as("centroid"))
-        .localCheckpoint()
-    }
-    centroids
-  }
+  def kmeansCentroids(
+      corpus: DataFrame,
+      c: Int,
+      iters: Int = 3,
+      maxTrain: Int = DefaultTrainSample): DataFrame =
+    centroidsDF(
+      corpus.sparkSession,
+      lloydRefineLocal(trainingSample(corpus, maxTrain), c, iters))
 
   /** The nprobe nearest centroids per probe (broadcast argmax, the probe-
     * side mirror of [[ivfAssign]]): (cell, q_id, q_emb, centroid) — shared
@@ -634,9 +770,13 @@ object Similarity {
       c: Int = 16,
       nprobe: Int = 4,
       refineIters: Int = 0): DataFrame = {
-    val centroids = // bounded: c rows
+    // bounded: c rows, fit driver-side (one sample job; a LocalRelation,
+    // so the assignment broadcasts below are job-free — trainingSample
+    // has the 100 TB argument). The unrefined path samples exactly c
+    // vectors: the first c of the hash order ARE ivfCentroids' choice.
+    val centroids =
       if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
-      else ivfCentroids(corpus, c).localCheckpoint()
+      else centroidsDF(corpus.sparkSession, trainingSample(corpus, c))
     val cells = ivfAssign(corpus, centroids)
     val probeCells = nearestCells(probes, centroids, nprobe)
       .select("cell", "q_id", "q_emb")
