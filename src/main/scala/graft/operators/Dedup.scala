@@ -581,6 +581,7 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
@@ -590,12 +591,20 @@ object Dedup {
         .groupBy("node")
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev"))
-        .count()
+      // Convergence by the label-sum invariant: min-label propagation
+      // only ever DECREASES a node's label (next = min(own, neighbors')),
+      // so Σ label is strictly monotone until the fixpoint and "sum
+      // unchanged" == "no label changed". One cheap scan of the
+      // just-checkpointed blocks replaces the old labels-vs-next join
+      // (a shuffle per iteration). decimal(38,0) keeps the sum exact
+      // where sum(long) could wrap at large node counts.
+      val sumNow = next
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged =
+        sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)
+      prevSum = sumNow
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations " +
