@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Media, Similarity, Splits, TextOps}
+import graft.operators.{Curation, Dedup, Media, Similarity, Splits, TemporalJoins, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -431,6 +431,53 @@ object ExtensionQueries {
       val docs = Tables.documents(s, dir)
       Curation.pipeline(docs, banned = docs.filter(col("doc_id") < 50))
         .orderBy("doc_id", "copy_id")
+    }),
+
+    // Backward as-of join (x54): every event aligned to the FRESHEST
+    // forecasting_data row at-or-before its date for the same branch —
+    // the latest-snapshot feature lookup every time-series training
+    // pipeline runs. ONE shuffle on branch via the tagged-union window
+    // (TemporalJoins.asofJoinBackward — never a per-key theta-join
+    // product); the oracle is DuckDB's native ASOF LEFT JOIN, pinning
+    // the inclusive-tie / left-rows-never-dropped semantics
+    // engine-to-engine.
+    "x54_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(
+          col("user_id"), col("ts"),
+          concat(
+            lit("B"),
+            pmod(col("user_id"), lit(Tables.BranchCount.toLong)).cast("string")).as("branch"))
+        .withColumn("ets", to_date(col("ts")))
+      val fc = Tables.forecastingData(s, dir)
+        .select(col("branch"), col("ds").as("ets"), col("cnt"))
+      TemporalJoins.asofJoinBackward(ev, fc, Seq("branch"), "ets")
+        .select(
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("branch"),
+          date_format(col("asof_ets"), "yyyy-MM-dd").as("asof_ds"),
+          r4(col("cnt")).as("cnt"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // Interval-containment join (x55): every event attributed to the
+    // session window containing it — point-in-interval attribution via
+    // the time-bucketized equi-join (TemporalJoins.intervalJoin: a plain
+    // shuffle join on (user, hour-bucket) plus one exact BETWEEN filter,
+    // never a nested-loop theta join); the oracle is DuckDB's inequality
+    // join over the SAME session CTE the green s02 oracle uses.
+    "x55_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val sess = Ingest.sessionizeBatch(ev, 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_seq"), col("start"), col("end"))
+      TemporalJoins.intervalJoin(ev, sess, Seq("user_id"), "ts", "start", "end")
+        .select(
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("session_seq"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "ts", "session_seq")
     }),
 
     // Benchmark-contamination check: shingle overlap against a banned set
@@ -869,6 +916,50 @@ object ExtensionQueries {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end",
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x54: DuckDB's NATIVE ASOF LEFT JOIN against the same filtered
+    // forecasting_data view — pins the inclusive-tie (l.ets >= r.ets)
+    // and left-rows-never-dropped semantics of the Spark union-window
+    // implementation engine-to-engine.
+    "x54_asof_join" ->
+      s"""${Tables.FactCtes},
+         |ev AS (
+         |  SELECT user_id, ts,
+         |         'B' || CAST(user_id % ${Tables.BranchCount} AS VARCHAR) AS branch,
+         |         CAST(ts AS DATE) AS ets
+         |  FROM events)
+         |SELECT ev.user_id,
+         |       strftime(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         |       ev.branch,
+         |       strftime(fc.ets, '%Y-%m-%d') AS asof_ds,
+         |       round(fc.cnt, 4) AS cnt
+         |FROM ev ASOF LEFT JOIN
+         |  (SELECT branch, ds AS ets, cnt FROM forecasting_data) fc
+         |  ON ev.branch = fc.branch AND ev.ets >= fc.ets
+         |ORDER BY 1, 2""".stripMargin,
+    // x55: the s02 session CTE plus DuckDB's inequality (IEJoin) range
+    // join — each event lands in exactly its own session's [start, end].
+    "x55_interval_join" ->
+      """WITH w AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM w),
+        |sess AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |         MIN(ts) AS s_start, MAX(ts) AS s_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       sess.session_seq,
+        |       strftime(sess.s_start, '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM events e
+        |JOIN sess ON e.user_id = sess.user_id AND e.ts BETWEEN sess.s_start AND sess.s_end
+        |ORDER BY 1, 2, 3""".stripMargin,
     // x49: the bucket CASE ladder re-derived in SQL; waste on the padded
     // total, overflow rows (bucket 0) report zero waste.
     "x49_length_buckets" ->

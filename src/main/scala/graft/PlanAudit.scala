@@ -117,7 +117,11 @@ object PlanAudit {
     // producing plan's partitioning, re-established by the join)
     "x24t_jaccard_table" -> 3,
     // asymmetric batch-vs-corpus variant of the same shape
-    "x29_incremental_neardups" -> 2)
+    "x29_incremental_neardups" -> 2,
+    // bucketized interval join: events vs sessions — BOTH corpus-scale
+    // (one session row per activity burst), so shuffle join is the
+    // correct plan; AQE may still demote to broadcast at fixture scale
+    "x55_interval_join" -> 1)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of (latest-at-or-
+  * before) and interval-containment joins — the two custom-operator
+  * classes the extension brief names. Both are built by COMPOSING
+  * existing shuffle-parallel operators (preference (a) of the brief's
+  * custom-operator ladder): no BroadcastNestedLoopJoin, no theta-join
+  * row explosion, at any scale.
+  *
+  * The reference itself has no temporal joins (SURVEY.md §2.3 "not
+  * present"); these serve the time-series side of a training-data
+  * pipeline — aligning events to the freshest model/feature snapshot
+  * (as-of) and attributing points to sessions/windows (interval).
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the LATEST right row
+    * of the same key with `right.tsCol <= left.tsCol` (inclusive — the
+    * DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics), or nulls when no
+    * right row precedes it. Left rows are never dropped or duplicated.
+    *
+    * Implementation is the published one-shuffle recipe, NOT a range
+    * join: tag both sides, union, and take `last(right_payload,
+    * ignoreNulls)` over a per-key window ordered by (ts, side) with
+    * side sorting right rows BEFORE left rows at equal timestamps so
+    * ties match inclusively. ONE shuffle on `keys` + a per-key sort —
+    * at 100 TB this is the same plan class as sessionization (a
+    * degenerately hot key is AQE/salting territory), where the naive
+    * `l.key = r.key AND r.ts <= l.ts` theta-join degenerates to a
+    * per-key cross product.
+    *
+    * Contract: `right` must be unique per (keys, tsCol) — an as-of
+    * source is a keyed time series; duplicate timestamps would make
+    * "the latest row" ill-defined on every engine.
+    *
+    * @param keys   equi-join key columns present on both sides
+    * @param tsCol  timestamp/ordering column name, present on both sides
+    *               (same type both sides; any orderable type)
+    * @return left columns unchanged, plus every non-key right column
+    *         (its `tsCol` renamed `asof_<tsCol>`), nullable
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    require(
+      leftCols.intersect(rightPayloadCols.filterNot(_ == tsCol)).isEmpty,
+      "rename overlapping right columns before the as-of join")
+    // one struct per side keeps the union schema fixed no matter the
+    // caller's column sets; nulls on the opposite side
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            right.select(rightPayloadCols.map(col): _*).schema.fields)).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            left.select(leftCols.map(col): _*).schema.fields)).as("__l"),
+        struct(rightPayloadCols.map(col): _*).as("__r")): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayloadCols.map(c =>
+          if (c == tsCol) col(s"__match.$c").as(s"asof_$tsCol")
+          else col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Interval-containment join: every (point, interval) pair of the same
+    * key with `startCol <= point.tsCol <= endCol`. Inner semantics;
+    * points in no interval drop out, points in several match each.
+    *
+    * Implementation is time-bucketed equi-join, not a theta join: both
+    * sides map onto integer buckets of `bucketWidth` micros — a point
+    * lands in exactly ONE bucket, an interval explodes onto every
+    * bucket it overlaps — so candidates meet through a plain
+    * shuffle-hash equi-join on (keys, bucket) and one exact BETWEEN
+    * filter finishes the job. Each true pair is produced exactly once
+    * (the point's single bucket), so no distinct pass is needed.
+    *
+    * 100 TB posture: shuffle keyed on (keys, bucket) — adding the
+    * bucket to the key SPREADS a hot key across its time range, the
+    * opposite of the as-of join's hot-key concentration. Interval-side
+    * fan-out is ceil(span / bucketWidth) rows per interval: pick
+    * bucketWidth near the TYPICAL interval span so fan-out stays O(1)
+    * per interval while bucket population stays bounded (the
+    * standard span/selectivity trade of every bucketized range join —
+    * Spark has no IEJoin).
+    *
+    * @param tsCol    point timestamp column (TIMESTAMP/TIMESTAMP_NTZ)
+    * @param startCol interval start column on `intervals`
+    * @param endCol   interval end column (inclusive) on `intervals`
+    * @param bucketWidthMicros bucket size in microseconds (default 1 h)
+    * @return point columns + every non-key interval column
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidthMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equi-key")
+    require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    // NTZ-proof epoch micros (the unix_millis/TIMESTAMP_NTZ lesson):
+    // cast to session-tz timestamp first — a no-op for tz inputs, exact
+    // under the pinned-UTC session for NTZ inputs
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val p = points.withColumn(
+      "__bucket", floor(micros(col(tsCol)) / bucketWidthMicros))
+    val iv = intervals
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(micros(col(startCol)) / bucketWidthMicros),
+          floor(micros(col(endCol)) / bucketWidthMicros))))
+    val intervalPayload = intervals.columns.filterNot(keys.contains).toSeq
+    p.join(iv, keys :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .select(
+        points.columns.filterNot(_ == "__bucket").map(col).toSeq ++
+          intervalPayload.map(col): _*)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // left: (key, ts, tag); right: (key, ts, v) — a keyed time series
+  private def left = Seq(
+    ("a", ts("2020-01-01 00:00:00"), "before-any"),
+    ("a", ts("2020-01-02 00:00:00"), "tie"),
+    ("a", ts("2020-01-03 12:00:00"), "between"),
+    ("a", ts("2020-01-10 00:00:00"), "after-all"),
+    ("b", ts("2020-01-05 00:00:00"), "other-key"),
+    ("c", ts("2020-01-05 00:00:00"), "no-right-key")
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    ("a", ts("2020-01-02 00:00:00"), 10L),
+    ("a", ts("2020-01-03 00:00:00"), 20L),
+    ("a", ts("2020-01-04 00:00:00"), 30L),
+    ("b", ts("2020-01-01 00:00:00"), 99L)
+  ).toDF("k", "t", "v")
+
+  test("asof backward: latest at-or-before per key, inclusive ties, misses are null") {
+    val out = TemporalJoins.asofJoinBackward(left, right, Seq("k"), "t")
+      .select(col("tag"), col("v"), col("asof_t"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out("before-any") === None) // no right row precedes it
+    assert(out("tie") === Some(10L)) // equal timestamps match (>= semantics)
+    assert(out("between") === Some(20L)) // 01-03 00:00 is latest <= 01-03 12:00
+    assert(out("after-all") === Some(30L)) // past the last right row: latest overall
+    assert(out("other-key") === Some(99L)) // keys never cross
+    assert(out("no-right-key") === None) // left key absent from right
+  }
+
+  test("asof backward: left rows are never dropped or duplicated; deterministic across widths") {
+    val a = TemporalJoins.asofJoinBackward(left, right, Seq("k"), "t")
+    assert(a.count() === left.count())
+    val b = TemporalJoins.asofJoinBackward(left.repartition(7), right.repartition(3), Seq("k"), "t")
+    assert(
+      a.orderBy("k", "t").collect().map(_.toString).toSeq ===
+        b.orderBy("k", "t").collect().map(_.toString).toSeq)
+  }
+
+  private def points = Seq(
+    (1L, ts("2020-01-01 10:00:00")), // inside iv1
+    (1L, ts("2020-01-01 12:00:00")), // on iv1's inclusive end boundary
+    (1L, ts("2020-01-01 13:00:00")), // in no interval
+    (1L, ts("2020-01-02 09:00:00")), // inside iv2 (multi-bucket span)
+    (2L, ts("2020-01-01 10:00:00")) // other key: iv1's window must not leak
+  ).toDF("k", "t")
+
+  private def intervals = Seq(
+    (1L, 1L, ts("2020-01-01 09:00:00"), ts("2020-01-01 12:00:00")),
+    (1L, 2L, ts("2020-01-02 00:00:00"), ts("2020-01-02 23:00:00"))
+  ).toDF("k", "iv", "s", "e")
+
+  test("interval join: inclusive containment, no cross-key leaks, one row per true pair") {
+    val out = TemporalJoins.intervalJoin(points, intervals, Seq("k"), "t", "s", "e")
+      .select("k", "t", "iv")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.length === 3) // 13:00 point and key-2 point match nothing
+    val byPoint = out.map { case (k, t, iv) => (k, t) -> iv }.toMap
+    assert(byPoint((1L, ts("2020-01-01 10:00:00"))) === 1L)
+    assert(byPoint((1L, ts("2020-01-01 12:00:00"))) === 1L) // end inclusive
+    assert(byPoint((1L, ts("2020-01-02 09:00:00"))) === 2L) // 24-bucket span, exactly once
+  }
+
+  test("interval join: overlapping intervals both match; bucket width does not change results") {
+    val overlapping = intervals.unionByName(
+      Seq((1L, 3L, ts("2020-01-01 09:30:00"), ts("2020-01-01 10:30:00"))).toDF("k", "iv", "s", "e"))
+    def run(widthMicros: Long) =
+      TemporalJoins.intervalJoin(points, overlapping, Seq("k"), "t", "s", "e", widthMicros)
+        .select("k", "t", "iv")
+        .orderBy("k", "t", "iv")
+        .collect()
+        .map(_.toString)
+        .toSeq
+    val hourly = run(3600L * 1000000L)
+    // the key-1 10:00 point now sits in iv1 AND iv3 (two rows); the
+    // key-2 10:00 point still matches nothing
+    assert(hourly.count(_.contains("10:00")) === 2)
+    assert(hourly === run(60L * 1000000L)) // minutely buckets: same pairs
+    assert(hourly === run(7L * 24 * 3600L * 1000000L)) // one giant bucket: same pairs
+  }
+}
