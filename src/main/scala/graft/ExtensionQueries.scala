@@ -480,6 +480,26 @@ object ExtensionQueries {
         .orderBy("user_id", "ts", "session_seq")
     }),
 
+    // Model-based quality filter (x56): distill the heuristic quality
+    // gate into a calibrated logistic keep-probability — the classifier
+    // stage of CCNet/LLaMA-style curation. Fit is driver-side on a
+    // bounded hash-ordered sample (bit-deterministic at any width, the
+    // trainingSample recipe); scoring is one map-only codegen'd
+    // projection. Rows-only: gradient-descent internals are not ANSI
+    // SQL; QualityModelSpec pins separable-data accuracy, weak-label
+    // agreement, fail-fast on single-class labels, and width
+    // determinism of the fitted weights.
+    "x56_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = graft.operators.QualityModel.qualityFeatures(docs)
+        .join(TextOps.qualityScore(docs), Seq("doc_id"))
+        .withColumn("label", (col("quality_score") >= lit(0.65)).cast("int"))
+      val model = graft.operators.QualityModel.fit(labeled)
+      graft.operators.QualityModel.classify(docs, model)
+        .select(col("doc_id"), r4(col("p_keep")).as("p_keep"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check: shingle overlap against a banned set
     // (here: the first 50 docs stand in for an eval benchmark).
     "x22_contamination" -> ((s, dir) => {
