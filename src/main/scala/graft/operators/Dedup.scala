@@ -570,6 +570,17 @@ object Dedup {
       dstCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // the label-sum convergence test below is exact only for integral
+    // ids (cast to decimal is lossless and sums cannot overflow 38
+    // digits at any feasible node count); other id types would cast to
+    // null and silently "converge" after one round — refuse instead
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(fwd.schema("u").dataType),
+      s"connectedComponents needs integral node ids, got ${fwd.schema("u").dataType}; " +
+        "hash non-numeric ids to longs first (xxhash64)")
     val edges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()

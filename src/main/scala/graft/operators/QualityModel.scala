@@ -41,8 +41,10 @@ object QualityModel {
   def qualityFeatures(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t => lower(t).isInCollection(TextOps.Stopwords)))
-      .cast("double") / nTok
+    // TextOps.countIn, not a re-derivation: the classifier's stopword
+    // signal must use the SAME membership rule as the weak-label gate
+    // it distills (case-sensitive, same list)
+    val stopRatio = TextOps.countIn(toks, TextOps.Stopwords).cast("double") / nTok
     docs.select(
       col("doc_id"),
       least(nTok / 50.0, lit(1.0)).as("len_score"),
@@ -109,7 +111,12 @@ object QualityModel {
       mu(j) = s / n
       var v = 0.0; i = 0
       while (i < n) { val c = xs(i)(j) - mu(j); v += c * c; i += 1 }
-      sigma(j) = math.sqrt(v / n) max 1e-12
+      // a (near-)constant feature keeps sigma = 1: its standardized
+      // column is ~0, GD leaves its weight ~0, and the fold-back below
+      // divides by 1 — a tiny true sigma here would instead amplify the
+      // folded weight by 1/sigma and let mu-rounding noise dominate
+      val s0 = math.sqrt(v / n)
+      sigma(j) = if (s0 < 1e-9 * (math.abs(mu(j)) + 1.0)) 1.0 else s0
       j += 1
     }
     val w = new Array[Double](d)

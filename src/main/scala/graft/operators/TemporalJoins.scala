@@ -49,29 +49,39 @@ object TemporalJoins {
       keys: Seq[String],
       tsCol: String): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
-    val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftPayloadCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
     require(
-      leftCols.intersect(rightPayloadCols.filterNot(_ == tsCol)).isEmpty,
+      leftCols.intersect(rightPayloadCols).isEmpty,
       "rename overlapping right columns before the as-of join")
-    // one struct per side keeps the union schema fixed no matter the
-    // caller's column sets; nulls on the opposite side
+    // one payload struct per side keeps the union schema fixed no matter
+    // the caller's column sets (nulls on the opposite side); keys and ts
+    // ride ONCE as the top-level window columns — duplicating them
+    // inside the structs would double the key/ts bytes through the
+    // operator's single (deliberately key-hot) shuffle
+    val rightStructT = org.apache.spark.sql.types.StructType(
+      right.select((rightPayloadCols :+ tsCol).map(col): _*).schema.fields)
+    val leftStructT = org.apache.spark.sql.types.StructType(
+      left.select(leftPayloadCols.map(col): _*).schema.fields)
     val l = left.select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__ts"),
         lit(1).as("__side"),
-        struct(leftCols.map(col): _*).as("__l"),
-        lit(null).cast(
-          org.apache.spark.sql.types.StructType(
-            right.select(rightPayloadCols.map(col): _*).schema.fields)).as("__r")): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(tsCol).as("__ts"),
-        lit(0).as("__side"),
-        lit(null).cast(
-          org.apache.spark.sql.types.StructType(
-            left.select(leftCols.map(col): _*).schema.fields)).as("__l"),
-        struct(rightPayloadCols.map(col): _*).as("__r")): _*)
+        struct(leftPayloadCols.map(col): _*).as("__l"),
+        lit(null).cast(rightStructT).as("__r")): _*)
+    val r = right
+      // a null right timestamp is "no snapshot", not "the earliest
+      // snapshot" (ascending nulls-first would otherwise hand it to
+      // every pre-first left row); DuckDB's ASOF `l.ts >= r.ts` never
+      // matches null either — drop the rows for engine parity
+      .filter(col(tsCol).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(tsCol).as("__ts"),
+          lit(0).as("__side"),
+          lit(null).cast(leftStructT).as("__l"),
+          struct((rightPayloadCols :+ tsCol).map(col): _*).as("__r")): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
@@ -80,10 +90,12 @@ object TemporalJoins {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     matched.select(
-      leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightPayloadCols.map(c =>
-          if (c == tsCol) col(s"__match.$c").as(s"asof_$tsCol")
-          else col(s"__match.$c").as(c)): _*)
+      leftCols.map(c =>
+        if (c == tsCol) col("__ts").as(c)
+        else if (keys.contains(c)) col(c)
+        else col(s"__l.$c").as(c)) ++
+        rightPayloadCols.map(c => col(s"__match.$c").as(c)) :+
+        col(s"__match.$tsCol").as(s"asof_$tsCol"): _*)
   }
 
   /** Interval-containment join: every (point, interval) pair of the same
@@ -123,6 +135,13 @@ object TemporalJoins {
       bucketWidthMicros: Long = 3600L * 1000000L): DataFrame = {
     require(keys.nonEmpty, "interval join needs at least one equi-key")
     require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    // same contract as the as-of join, checked up front: an overlapping
+    // non-key name would otherwise surface as an opaque
+    // AMBIGUOUS_REFERENCE at analysis time
+    require(
+      points.columns.toSeq.intersect(
+        intervals.columns.filterNot(keys.contains).toSeq).isEmpty,
+      "rename overlapping interval columns before the interval join")
     // NTZ-proof epoch micros (the unix_millis/TIMESTAMP_NTZ lesson):
     // cast to session-tz timestamp first — a no-op for tz inputs, exact
     // under the pinned-UTC session for NTZ inputs

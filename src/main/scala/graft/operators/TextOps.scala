@@ -31,7 +31,11 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "est", "du"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
+  /** Shared with [[QualityModel.qualityFeatures]] so the classifier's
+    * stopword feature and the weak-label rule match on the SAME
+    * (case-sensitive) membership test.
+    */
+  private[operators] def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
   /** Per-document token statistics: counts, distinct counts, average token

@@ -234,6 +234,16 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: refuses non-integral node ids up front") {
+    import spark.implicits._
+    // string ids would cast to null in the label-sum convergence test
+    // and silently "converge" after one round — the operator must refuse
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b"))
+    }
+    assert(e.getMessage.contains("integral node ids"))
+  }
+
   test("connected components: refuses to return wrong labels past maxIter") {
     import spark.implicits._
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -54,6 +54,21 @@ class TemporalJoinsSpec extends AnyFunSuite {
         b.orderBy("k", "t").collect().map(_.toString).toSeq)
   }
 
+  test("asof backward: null right timestamps are no-snapshot rows, never matched") {
+    val withNull = right.unionByName(
+      Seq(("a", null.asInstanceOf[Timestamp], 777L)).toDF("k", "t", "v"))
+    val out = TemporalJoins.asofJoinBackward(left, withNull, Seq("k"), "t")
+      .select(col("tag"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // identical to the no-null-row result: the DuckDB ASOF oracle's
+    // l.ts >= r.ts never matches a null timestamp either
+    assert(out("before-any") === None)
+    assert(out("tie") === Some(10L))
+    assert(out("after-all") === Some(30L))
+  }
+
   private def points = Seq(
     (1L, ts("2020-01-01 10:00:00")), // inside iv1
     (1L, ts("2020-01-01 12:00:00")), // on iv1's inclusive end boundary
