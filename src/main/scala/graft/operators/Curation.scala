@@ -56,6 +56,13 @@ object Curation {
     * keep/drop decision: `quality_score` is 6-dp-rounded at source, and
     * the repetition fractions round through [[CrossRound.r]] at the
     * comparison.
+    *
+    * `classifier` (opt-in) inserts the model-based quality stage between
+    * the heuristic gates and exact dedup: docs scoring below the
+    * threshold under the supplied [[QualityModel.LogReg]] drop — the
+    * CCNet-style "rules prefilter, model decides" layering. One extra
+    * map-only sigmoid projection; the default None keeps the oracle'd
+    * seven-stage shape bit-identical.
     */
   def pipeline(
       docs: DataFrame,
@@ -70,7 +77,8 @@ object Curation {
       decontamMinShared: Int = 10,
       alpha: Double = 0.7,
       seqLen: Int = 512,
-      hexChars: Int = 1): DataFrame = {
+      hexChars: Int = 1,
+      classifier: Option[(QualityModel.LogReg, Double)] = None): DataFrame = {
 
     // 1. per-source cap. persist: quality, repetition, and the score
     // join below each consume this frame — lazily each would re-run the
@@ -94,8 +102,21 @@ object Curation {
       .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
       .persist()
 
+    // 2.5 (opt-in): model-based quality gate — a map-only sigmoid over
+    // the per-row features, filtered on the calibrated keep probability
+    val gated = classifier match {
+      case None => filt
+      case Some((model, threshold)) =>
+        filt
+          .join(
+            QualityModel.classify(filt, model, threshold)
+              .filter(col("keep"))
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+    }
+
     // 3. exact dedup (smallest doc_id per content hash survives)
-    val exd = Dedup.dropExactDuplicates(filt).persist()
+    val exd = Dedup.dropExactDuplicates(gated).persist()
 
     // 4. near-dup pairs over the SURVIVING set, then quality-aware
     // retention: the component argmax keeps the cleanest member.

@@ -142,4 +142,35 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.count() === 2L)
     assert(packed.select("shard").distinct().count() >= 1L) // md5-of-key layout
   }
+
+  test("opt-in classifier stage drops model-rejected docs and nothing else changes") {
+    val docs = corpus()
+    // fit on the corpus's own weak labels (the x56 recipe)
+    val labeled = graft.operators.QualityModel.qualityFeatures(docs)
+      .join(TextOps.qualityScore(docs), Seq("doc_id"))
+      .withColumn("label", (col("quality_score") >= 0.65).cast("int"))
+    val model = graft.operators.QualityModel.fit(labeled)
+    val base = run(docs).select("doc_id", "copy_id").collect().map(_.toString).toSet
+    // threshold 0: the stage is active but keeps everything — the
+    // composed output must be IDENTICAL to the classifier-free pipeline
+    val keepAll = Curation.pipeline(
+      docs, banned = docs.filter(col("doc_id") <= 2),
+      maxDocsPerSource = 100, decontamMinShared = 5,
+      classifier = Some((model, 0.0)))
+      .select("doc_id", "copy_id").collect().map(_.toString).toSet
+    assert(keepAll === base)
+    // a real threshold: output is a SUBSET of the baseline (the stage
+    // only ever removes), and the model-rejected doc ids are gone
+    val gated = Curation.pipeline(
+      docs, banned = docs.filter(col("doc_id") <= 2),
+      maxDocsPerSource = 100, decontamMinShared = 5,
+      classifier = Some((model, 0.5)))
+      .select("doc_id", "copy_id").collect().map(_.toString).toSet
+    assert(gated.subsetOf(base))
+    val rejected = graft.operators.QualityModel.classify(docs, model, 0.5)
+      .filter(!col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(rejected.nonEmpty) // the planted junk gives the model real work
+    val gatedIds = gated.map(_.split(",")(0).drop(1)) // "[id,copy]" -> id
+    rejected.foreach(id => assert(!gatedIds.contains(id.toString), s"rejected $id survived"))
+  }
 }
