@@ -573,14 +573,20 @@ object Dedup {
     // the label-sum convergence test below is exact only for integral
     // ids (cast to decimal is lossless and sums cannot overflow 38
     // digits at any feasible node count); other id types would cast to
-    // null and silently "converge" after one round — refuse instead
-    require(
-      Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(fwd.schema("u").dataType),
-      s"connectedComponents needs integral node ids, got ${fwd.schema("u").dataType}; " +
-        "hash non-numeric ids to longs first (xxhash64)")
+    // null and silently "converge" after one round — refuse instead.
+    // BOTH endpoint columns must be integral: an integral src with a
+    // string dst would coerce the reversed-edge union to string and
+    // null the decimal cast just the same.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    Seq("u", "v").foreach { c =>
+      require(
+        integral.contains(fwd.schema(c).dataType),
+        s"connectedComponents needs integral node ids, got ${fwd.schema(c).dataType} " +
+          s"for ${if (c == "u") srcCol else dstCol}; " +
+          "hash non-numeric ids to longs first (xxhash64)")
+    }
     val edges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -590,9 +596,27 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // (count, Σ label) in one scan of a checkpointed labels frame. A null
+    // sum over a NON-empty frame means the invariant broke (it cannot,
+    // with the integral-id guard above, but a silent wrong-labels return
+    // is the one failure mode this method must refuse) — throw, never
+    // treat it as convergence. A null sum over an empty frame is the
+    // legitimate no-edges case.
+    def labelSum(frame: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = frame
+        .agg(count(lit(1)).as("n"), sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head
+      val (n, s) = (row.getLong(0), row.getDecimal(1))
+      require(n == 0L || s != null,
+        "connectedComponents label sum is null over a non-empty labels frame — " +
+          "label column lost its integral type")
+      (n, s)
+    }
     var iter = 0
     var converged = false
-    var prevSum: java.math.BigDecimal = null
+    // seed with the initial labels' sum so a graph already at its
+    // fixpoint (next_1 == labels_0) is detected on iteration 1, not 2
+    var prevSum: java.math.BigDecimal = labelSum(labels)._2
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
@@ -609,12 +633,10 @@ object Dedup {
       // just-checkpointed blocks replaces the old labels-vs-next join
       // (a shuffle per iteration). decimal(38,0) keeps the sum exact
       // where sum(long) could wrap at large node counts.
-      val sumNow = next
-        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+      val (nNow, sumNow) = labelSum(next)
       labels = next
       converged =
-        sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)
+        nNow == 0L || (prevSum != null && sumNow.compareTo(prevSum) == 0)
       prevSum = sumNow
       iter += 1
     }

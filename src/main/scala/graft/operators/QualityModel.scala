@@ -45,14 +45,21 @@ object QualityModel {
     // signal must use the SAME membership rule as the weak-label gate
     // it distills (case-sensitive, same list)
     val stopRatio = TextOps.countIn(toks, TextOps.Stopwords).cast("double") / nTok
+    // degenerate docs (null or zero-token text) take defined 0.0
+    // features instead of null-propagating ratios: the classifier then
+    // gates them DELIBERATELY through the sigmoid, and threshold 0.0
+    // keeps everything — the pipeline-identity invariant Curation
+    // documents. (nTok > 0 is null for null text; when() routes both
+    // the false and null cases to the 0.0 default.)
+    def safe(c: Column): Column = when(nTok > 0, c).otherwise(lit(0.0))
     docs.select(
       col("doc_id"),
-      least(nTok / 50.0, lit(1.0)).as("len_score"),
-      (size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio"),
-      (lit(1.0) - stopRatio).as("nonstop_ratio"),
-      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      safe(least(nTok / 50.0, lit(1.0))).as("len_score"),
+      safe(size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio"),
+      safe(lit(1.0) - stopRatio).as("nonstop_ratio"),
+      safe(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
         .as("mean_word_len"),
-      (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok)
+      safe(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok)
         .as("alpha_word_frac"))
   }
 

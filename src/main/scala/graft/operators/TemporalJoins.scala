@@ -76,6 +76,12 @@ object TemporalJoins {
       // every pre-first left row); DuckDB's ASOF `l.ts >= r.ts` never
       // matches null either — drop the rows for engine parity
       .filter(col(tsCol).isNotNull)
+      // same for a null KEY: the equi-key part of an ASOF join is
+      // NULL-never-matches (SQL equality), but Window.partitionBy groups
+      // nulls into one partition and would let a null-key left row adopt
+      // a null-key right row — drop null-key right rows so null-key left
+      // rows surface with null matches, exactly the oracle's answer
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(tsCol).as("__ts"),

@@ -244,6 +244,26 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral node ids"))
   }
 
+  test("connected components: refuses integral-src / non-integral-dst pairs too") {
+    import spark.implicits._
+    // with only the src column checked, unionByName would coerce the
+    // reversed edges to string and the decimal cast would null the sum
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq((1L, "b"), (2L, "c")).toDF("doc_a", "doc_b"))
+    }
+    assert(e.getMessage.contains("integral node ids"))
+  }
+
+  test("connected components: a fixpoint-at-init graph converges on iteration 1") {
+    import spark.implicits._
+    // self-loop graph: no label ever changes, so the seeded initial sum
+    // must let maxIter = 1 suffice (unseeded, detection needed iter 2)
+    val comps = Dedup
+      .connectedComponents(Seq((5L, 5L)).toDF("doc_a", "doc_b"), maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(5L -> 5L))
+  }
+
   test("connected components: refuses to return wrong labels past maxIter") {
     import spark.implicits._
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -66,6 +66,30 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate docs take defined 0.0 features; threshold 0 keeps everything") {
+    // zero-token and null text must NOT null-propagate through the ratio
+    // features: p_keep stays defined and threshold 0.0 keeps every doc —
+    // the pipeline-identity invariant Curation documents
+    val docs = Seq(
+      (1L, Option("several ordinary words appear here")),
+      (2L, Option("")),
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val feats = QualityModel.qualityFeatures(docs).collect()
+    feats.foreach { r =>
+      (1 until r.length).foreach(i => assert(!r.isNullAt(i), s"null feature at $r"))
+    }
+    val labeled = QualityModel.qualityFeatures(planted)
+      .join(planted.select("doc_id", "label"), Seq("doc_id"))
+    val model = QualityModel.fit(labeled)
+    val out = QualityModel.classify(docs, model, threshold = 0.0).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"null p_keep/keep at $r")
+      assert(r.getBoolean(2), "threshold 0.0 must keep every doc")
+    }
+  }
+
   test("agreement with the weak-label rule on the documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val weak = graft.operators.TextOps.qualityScore(docs)

@@ -69,6 +69,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out("after-all") === Some(30L))
   }
 
+  test("asof backward: null keys never match — SQL equality, not window-partition grouping") {
+    // a null-key right row must not become "the snapshot" for null-key
+    // left rows (Window.partitionBy groups nulls together; the DuckDB
+    // ASOF equi-key never matches NULL = NULL)
+    val l = Seq(
+      (Option("a"), ts("2020-01-05 00:00:00"), "keyed"),
+      (Option.empty[String], ts("2020-01-05 00:00:00"), "nullkey")
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (Option("a"), ts("2020-01-01 00:00:00"), 1L),
+      (Option.empty[String], ts("2020-01-01 00:00:00"), 99L)
+    ).toDF("k", "t", "v")
+    val out = TemporalJoins.asofJoinBackward(l, r, Seq("k"), "t")
+      .collect()
+      .map(row => row.getString(2) -> (if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      .toMap
+    assert(out("keyed") === Some(1L))
+    assert(out("nullkey") === None) // surfaced, but with a null match
+  }
+
   private def points = Seq(
     (1L, ts("2020-01-01 10:00:00")), // inside iv1
     (1L, ts("2020-01-01 12:00:00")), // on iv1's inclusive end boundary
