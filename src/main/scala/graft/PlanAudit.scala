@@ -155,7 +155,10 @@ object PlanAudit {
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via
     // their standalone queries x33/x03/x25/x01/x24/x22)
-    "x53_curation_pipeline" -> 1)
+    "x53_curation_pipeline" -> 1,
+    // identical composed chain with the classifier gate (one extra
+    // map-only projection — no new join shapes)
+    "x57_curation_classified" -> 1)
 
   /** Queries whose top-k is REQUIRED to compile to WindowGroupLimitExec:
     * every ANN query (and the rank-capped text queries) bounds its

@@ -166,7 +166,14 @@ object QualityModel {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
-  /** The end-to-end stage: features → score → (doc_id, p_keep, keep). */
+  /** The end-to-end stage: features → score → (doc_id, p_keep, keep).
+    *
+    * The keep decision compares the 6-dp-ROUNDED probability against the
+    * threshold (the x44 both-sides-rounded recipe, mirrored by the x56
+    * oracle's `round(p, 6) >= t`): `exp` may differ by an ulp across
+    * engines/libms, and a raw compare would let that flip a keep at the
+    * exact boundary.
+    */
   def classify(
       docs: DataFrame,
       model: LogReg,
@@ -175,5 +182,5 @@ object QualityModel {
       .withColumn("p_keep", score(model))
       .select(
         col("doc_id"), col("p_keep"),
-        (col("p_keep") >= threshold).as("keep"))
+        (CrossRound.r(col("p_keep"), 6) >= threshold).as("keep"))
 }

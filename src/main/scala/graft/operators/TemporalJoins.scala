@@ -43,11 +43,19 @@ object TemporalJoins {
     * @return left columns unchanged, plus every non-key right column
     *         (its `tsCol` renamed `asof_<tsCol>`), nullable
     */
+  /** @param blockWidthMicros opt-in hot-key hatch: 0 (default) runs the
+    *        one-window plan above; > 0 splits every key's timeline into
+    *        time blocks of this many microseconds and windows per
+    *        (key, block), with one bounded carry pass stitching block
+    *        boundaries — see [[asofJoinBackwardBlocked]]. Results are
+    *        identical; requires a temporal (timestamp/date) `tsCol`.
+    */
   def asofJoinBackward(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      blockWidthMicros: Long = 0L): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val leftPayloadCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
@@ -88,13 +96,16 @@ object TemporalJoins {
           lit(0).as("__side"),
           lit(null).cast(leftStructT).as("__l"),
           struct((rightPayloadCols :+ tsCol).map(col): _*).as("__r")): _*)
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val matched =
+      if (blockWidthMicros <= 0L) {
+        val w = Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        l.unionByName(r)
+          .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+      } else asofJoinBackwardBlocked(l, r, keys, blockWidthMicros)
     matched.select(
       leftCols.map(c =>
         if (c == tsCol) col("__ts").as(c)
@@ -102,6 +113,74 @@ object TemporalJoins {
         else col(s"__l.$c").as(c)) ++
         rightPayloadCols.map(c => col(s"__match.$c").as(c)) :+
         col(s"__match.$tsCol").as(s"asof_$tsCol"): _*)
+  }
+
+  /** The hot-key hatch behind `asofJoinBackward(blockWidthMicros > 0)`:
+    * the one-window plan concentrates each key on one task (the same
+    * plan class as sessionization), so a degenerately hot key — a
+    * null-like sentinel branch, a default user id — serializes its whole
+    * timeline. This path splits every key's timeline into fixed-width
+    * time BLOCKS and windows per (key, block), spreading the hot key
+    * across ceil(span / blockWidth) tasks, then stitches block
+    * boundaries with a carry pass:
+    *
+    *   1. one aggregate per (key, block): the block's latest right
+    *      payload (`max_by` over right-side rows) — bounded by
+    *      #keys x #blocks, far below the row count, on the SAME spread
+    *      key as the windows;
+    *   2. a per-key window over that bounded seed frame computes each
+    *      block's carry-in = the latest right payload of any EARLIER
+    *      block (hot-key cost here: #blocks rows, not #rows);
+    *   3. carries re-enter the union as synthetic right-tagged rows
+    *      sorted BEFORE their block's real rows (`__ord` 0 vs 1) — no
+    *      equality join back (which would drop null-key left rows), and
+    *      the per-(key, block) window then resolves exactly the
+    *      backward as-of semantics: latest in-block right at-or-before,
+    *      else the carry.
+    *
+    * Block assignment is any monotone function of the timestamp, so
+    * floor(micros / width) boundary behavior cannot change results —
+    * only the spread. Null timestamps take a sentinel block that sorts
+    * first and never carries. Requires a temporal `tsCol` (cast to
+    * timestamp must be defined); width trades spread against per-block
+    * carry overhead exactly like [[intervalJoin]]'s bucketWidth.
+    */
+  private def asofJoinBackwardBlocked(
+      l: DataFrame,
+      r: DataFrame,
+      keys: Seq[String],
+      blockWidthMicros: Long): DataFrame = {
+    val blk = coalesce(
+      floor(unix_micros(col("__ts").cast("timestamp")) / blockWidthMicros).cast("long"),
+      lit(Long.MinValue))
+    val u = l.unionByName(r)
+      .withColumn("__blk", blk)
+      .withColumn("__ord", lit(1))
+    val seeds = u
+      .groupBy((keys :+ "__blk").map(col): _*)
+      .agg(max_by(col("__r"), when(col("__side") === 0, col("__ts"))).as("__blkLast"))
+    val wCarry = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val synthetic = seeds
+      .withColumn("__carry", last(col("__blkLast"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          lit(null).cast(u.schema("__ts").dataType).as("__ts"),
+          lit(0).as("__side"),
+          lit(null).cast(u.schema("__l").dataType).as("__l"),
+          col("__carry").as("__r"),
+          col("__blk"),
+          lit(0).as("__ord")): _*)
+    val w = Window
+      .partitionBy((keys :+ "__blk").map(col): _*)
+      .orderBy(col("__ord"), col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.unionByName(synthetic)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
   }
 
   /** Interval-containment join: every (point, interval) pair of the same

@@ -62,7 +62,9 @@ class QualityModelSpec extends AnyFunSuite {
     rows.foreach { r =>
       val p = r.getDouble(1)
       assert(p >= 0.0 && p <= 1.0)
-      assert(r.getBoolean(2) === (p >= 0.7))
+      // keep thresholds the 6-dp-rounded probability (the oracle-parity
+      // recipe) — compare against the same rounding here
+      assert(r.getBoolean(2) === (graft.operators.CrossRound.rD(p, 6) >= 0.7))
     }
   }
 

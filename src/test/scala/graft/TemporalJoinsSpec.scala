@@ -89,6 +89,39 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out("nullkey") === None) // surfaced, but with a null match
   }
 
+  test("asof blocked hatch: byte-identical to the one-window plan on a planted hot key, spread across blocks") {
+    // one key carries 90% of rows — the degenerate shape that serializes
+    // the one-window plan onto a single task
+    val base = ts("2020-01-01 00:00:00").getTime
+    def at(minutes: Long) = new Timestamp(base + minutes * 60000L)
+    val hotLeft = (0L until 900L).map(i => (Option("hot"), Option(at(i * 37)), s"h$i"))
+    val coldLeft = (0L until 80L).map(i => (Option(s"k${i % 8}"), Option(at(i * 211)), s"c$i"))
+    val edgeLeft = Seq(
+      (Option("hot"), Option(at(6 * 60)), "tie"), // exactly on a right row
+      (Option.empty[String], Option(at(100)), "nullkey"),
+      (Option("hot"), Option.empty[Timestamp], "nullts"))
+    val lhs = (hotLeft ++ coldLeft ++ edgeLeft).toDF("k", "t", "tag")
+    val rhs = ((0L until 90L).map(i => (Option("hot"), Option(at(i * 6 * 60)), i)) ++
+      (0L until 8L).map(i => (Option(s"k$i"), Option(at(i * 97)), 1000L + i)) ++
+      Seq((Option.empty[String], Option(at(0)), 9999L)))
+      .toDF("k", "t", "v")
+    def run(width: Long) =
+      TemporalJoins.asofJoinBackward(lhs, rhs, Seq("k"), "t", width)
+        .orderBy("tag")
+        .collect()
+        .map(_.toString)
+        .toSeq
+    val plain = run(0L)
+    // one-hour blocks: the hot key's ~23-day timeline spans >500 blocks,
+    // so the windows run per (key, block) instead of one hot task
+    assert(run(3600L * 1000000L) === plain)
+    // and a coarse width (one day) must stitch across blocks identically
+    assert(run(24L * 3600L * 1000000L) === plain)
+    // spread proof: distinct hour-blocks actually cover the hot timeline
+    val hotBlocks = hotLeft.flatMap(_._2).map(t => t.getTime / 3600000L).distinct.size
+    assert(hotBlocks > 500, s"hot key spans only $hotBlocks blocks")
+  }
+
   private def points = Seq(
     (1L, ts("2020-01-01 10:00:00")), // inside iv1
     (1L, ts("2020-01-01 12:00:00")), // on iv1's inclusive end boundary
