@@ -174,32 +174,78 @@ object PlanAudit {
     "x09_topk_cosine", "x10_ann_lsh", "x14_ivf_topk", "x21_tfidf_topterms",
     "x30_quantized_topk", "x33_source_cap", "x38_pq_topk", "x41_ivfpq_topk")
 
+  /** The gate itself, factored so the per-stage audit (and its spec) can
+    * run the same rules with stage-level allowances.
+    */
+  def violations(
+      name: String,
+      c: Counts,
+      allowedSmj: Int,
+      allowedBnlj: Int,
+      requireWgl: Boolean): List[String] = {
+    var bad = List.empty[String]
+    if (c.cartesian > 0) bad ::= s"$name: cartesian product"
+    if (c.bnlj > allowedBnlj)
+      bad ::= s"$name: BroadcastNestedLoopJoin above allowance " +
+        "(a join condition likely became non-equi — only the documented " +
+        "exhaustive ADC/brute-force baselines may BNLJ)"
+    if (c.smj > allowedSmj)
+      bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
+    if (requireWgl && c.windowGroupLimits == 0)
+      bad ::= s"$name: top-k lost its WindowGroupLimit " +
+        "(filter-over-row_number no longer matches InferWindowGroupLimit; " +
+        "the rank shuffle is back to sorting every candidate per probe)"
+    if (c.hofFilters > 0)
+      bad ::= s"$name: higher-order function inside a Filter condition " +
+        "(pushed-down filter re-evaluates an inlined array expression per element — " +
+        "guard inside the projection with when/otherwise instead; " +
+        "this class caused 22x regressions twice: TextOps r1, winnowFingerprints r2)"
+    bad
+  }
+
+  /** Per-stage allowances for the composed curation pipeline's
+    * lineage-cut stage audit (Curation.auditStages). gates/near-dup SMJ:
+    * corpus-frame joined with its own per-doc aggregates — both sides
+    * corpus-scale at 100 TB, same class as the x24 allowance (AQE may
+    * still demote to broadcast at fixture scale; the pin is a ceiling).
+    * resample BNLJ 1: the 1-row mixWeights normalizer crossJoin.
+    */
+  private[graft] val StageAllowedSmj: Map[String, Int] =
+    Map("gates" -> 2, "near_dup_pairs" -> 2, "near_dup_retention" -> 1, "decontam" -> 1)
+  private[graft] val StageAllowedBnlj: Map[String, Int] = Map("resample" -> 1)
+  /** Stages whose per-group top-k must keep its WindowGroupLimit. */
+  private[graft] val StageRequiredWgl: Set[String] = Set("cap")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.getOrCreate(s"local[8]")
     var bad = List.empty[String]
     println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter | BNLJ | window group limits |")
     println("|---|---|---|---|---|---|---|---|")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val c = auditExecuted(fn(spark, dir))
+    def auditRow(name: String, df: DataFrame, smj: Int, bnlj: Int, wgl: Boolean): Unit = {
+      val c = auditExecuted(df)
       println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} | ${c.bnlj} | ${c.windowGroupLimits} |")
-      if (c.cartesian > 0) bad ::= s"$name: cartesian product"
-      if (c.bnlj > AllowedBnlj.getOrElse(name, 0))
-        bad ::= s"$name: BroadcastNestedLoopJoin above allowance " +
-          "(a join condition likely became non-equi — only the documented " +
-          "exhaustive ADC/brute-force baselines may BNLJ)"
-      if (c.smj > AllowedSmj.getOrElse(name, 0))
-        bad ::= s"$name: sort-merge join (expected broadcast at this scale)"
-      if (RequiredWindowGroupLimit.contains(name) && c.windowGroupLimits == 0)
-        bad ::= s"$name: top-k lost its WindowGroupLimit " +
-          "(filter-over-row_number no longer matches InferWindowGroupLimit; " +
-          "the rank shuffle is back to sorting every candidate per probe)"
-      if (c.hofFilters > 0)
-        bad ::= s"$name: higher-order function inside a Filter condition " +
-          "(pushed-down filter re-evaluates an inlined array expression per element — " +
-          "guard inside the projection with when/otherwise instead; " +
-          "this class caused 22x regressions twice: TextOps r1, winnowFingerprints r2)"
+      bad :::= violations(name, c, smj, bnlj, wgl)
     }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      auditRow(
+        name, fn(spark, dir),
+        AllowedSmj.getOrElse(name, 0), AllowedBnlj.getOrElse(name, 0),
+        RequiredWindowGroupLimit.contains(name))
+    }
+    // Per-stage audit of the composed curation pipeline: each stage
+    // rebuilt lineage-cut (Curation.auditStages) so the stage's own
+    // operators are visible — the composed x53/x57 rows above audit only
+    // the final plan behind the persist boundaries.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    graft.operators.Curation
+      .auditStages(docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50))
+      .foreach { case (stage, df) =>
+        auditRow(
+          s"x53/$stage", df,
+          StageAllowedSmj.getOrElse(stage, 0), StageAllowedBnlj.getOrElse(stage, 0),
+          StageRequiredWgl.contains(stage))
+      }
     spark.stop()
     bad.foreach(b => System.err.println(s"[plan-audit] REGRESSION: $b"))
     if (bad.nonEmpty) sys.exit(1)

@@ -45,6 +45,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** A pipeline invocation: the output frame plus a cleanup hook
+    * releasing every frame the run cached — the named persist boundaries
+    * AND the operators' internal localCheckpoints (shingle candidate
+    * frames, CC labels), which a snapshot-diff of the context's
+    * persistent RDDs catches without each operator having to export its
+    * internals. Call [[cleanup]] once the terminal action on [[output]]
+    * (write, collect) completes and the frame is no longer needed: a
+    * long-lived session invoking the pipeline repeatedly — the actual
+    * serving shape — would otherwise accumulate cached corpus-scale RDDs
+    * until eviction pressure. After cleanup, do NOT re-execute
+    * [[output]]: lineage-truncated internal checkpoints (the CC labels)
+    * have nothing to recompute from once their blocks are dropped —
+    * run the pipeline again instead.
+    */
+  final case class PipelineRun(output: DataFrame, cleanup: () => Unit)
+
   /** Run the full curation chain over `docs` (doc_id, source, text).
     *
     * Output, one row per retained (doc_id, copy_id) training-corpus
@@ -78,19 +94,57 @@ object Curation {
       alpha: Double = 0.7,
       seqLen: Int = 512,
       hexChars: Int = 1,
-      classifier: Option[(QualityModel.LogReg, Double)] = None): DataFrame = {
+      classifier: Option[(QualityModel.LogReg, Double)] = None): DataFrame =
+    pipelineRun(
+      docs, banned, maxDocsPerSource, minQuality, maxDupLineFrac,
+      maxTopBigramFrac, jaccardThreshold, minShared, maxShingleDf,
+      decontamMinShared, alpha, seqLen, hexChars, classifier).output
 
-    // 1. per-source cap. persist: quality, repetition, and the score
-    // join below each consume this frame — lazily each would re-run the
-    // per-source ranking window over the full corpus.
+  /** [[pipeline]] returning the full [[PipelineRun]] handle. */
+  def pipelineRun(
+      docs: DataFrame,
+      banned: DataFrame,
+      maxDocsPerSource: Int = 20,
+      minQuality: Double = 0.65,
+      maxDupLineFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.1,
+      jaccardThreshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      decontamMinShared: Int = 10,
+      alpha: Double = 0.7,
+      seqLen: Int = 512,
+      hexChars: Int = 1,
+      classifier: Option[(QualityModel.LogReg, Double)] = None): PipelineRun = {
+
+    // snapshot for the cleanup diff: anything persisted from here on —
+    // named boundary or operator-internal checkpoint — belongs to this run
+    val sc = docs.sparkSession.sparkContext
+    val preIds = sc.getPersistentRDDs.keySet
+
+    // 1. per-source cap, with quality_score computed IN this projection:
+    // the persist boundary below then makes the stage-2 threshold a
+    // plain-attribute filter. Filtering on a lazily-joined score column
+    // instead lets PushDownPredicate inline the quality formula — whose
+    // stopword term is an ArrayFilter HOF — into the pushed Filter,
+    // re-evaluating the tokenization per row on top of the projection's
+    // own copy (the plan-audit HOF rule; caught by the round-8 per-stage
+    // audit the moment the persist blind spot was lifted). persist:
+    // repetition and the gate below both consume this frame.
     val capped = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score"))
       .persist()
 
     // 2. quality + repetition gates. quality_score stays attached — the
-    // near-dup retention (stage 4) ranks components by it.
-    val filt = capped
-      .join(TextOps.qualityScore(capped), Seq("doc_id"))
+    // near-dup retention (stage 4) ranks components by it. Persisted
+    // ONLY on the classifier path (two consumers there: the feature pass
+    // and the semi join back); with the classifier off, exact dedup is
+    // filt's single consumer and `exd`'s own cache boundary already
+    // stops re-execution — a filt persist would be one corpus-shaped
+    // materialization of pure overhead (round-7 x53 barrier finding).
+    val filt0 = capped
       .join(
         TextOps.repetitionStats(capped)
           .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
@@ -100,7 +154,7 @@ object Curation {
           CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
       .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
-      .persist()
+    val filt = if (classifier.isDefined) filt0.persist() else filt0
 
     // 2.5 (opt-in): model-based quality gate — a map-only sigmoid over
     // the per-row features, filtered on the calibrated keep probability
@@ -126,14 +180,16 @@ object Curation {
     val nd = Dedup.dropNearDuplicatesBy(exd, pairs, "quality_score").persist()
 
     // 5. benchmark decontamination: drop docs sharing >= decontamMinShared
-    // shingles with the banned set
-    val clean = nd
-      .join(
-        TextOps.contamination(nd, banned, decontamMinShared)
-          .filter(!col("contaminated"))
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    // shingles with the banned set. Persist the ID LIST, not the joined
+    // corpus frame: the list is decontam-bounded (doc_ids only), so the
+    // two downstream consumers re-run just a broadcast semi join over
+    // cached `nd` instead of materializing a second corpus-shaped cache
+    // (round-7 x53 barrier finding).
+    val cleanIds = TextOps.contamination(nd, banned, decontamMinShared)
+      .filter(!col("contaminated"))
+      .select("doc_id")
       .persist()
+    val clean = nd.join(cleanIds, Seq("doc_id"), "left_semi")
 
     // 6. temperature resampling over the cleaned corpus; text and score
     // ride the explode (carryCols) so packing needs no re-join
@@ -143,7 +199,7 @@ object Curation {
 
     // 7. pack on the doc#copy composite key so replicas spread across
     // shards (identical text, different shard/offset)
-    Splits
+    val packed = Splits
       .packSequences(
         resampled.withColumn(
           "pack_key",
@@ -155,5 +211,109 @@ object Curation {
         CrossRound.r(col("quality_score"), 4).as("quality_score"),
         col("shard"), col("n_tokens"), col("tok_offset"),
         col("seq_first"), col("seq_last"))
+
+    val named =
+      Seq(capped) ++ (if (classifier.isDefined) Seq(filt) else Nil) ++
+        Seq(exd, nd, cleanIds)
+    PipelineRun(
+      output = packed,
+      cleanup = () => {
+        // DataFrame.unpersist for the named boundaries (also clears their
+        // cacheManager plan entries, so a later identical plan does not
+        // rebuild a half-dropped cache) ...
+        named.foreach(_.unpersist())
+        // ... then the snapshot diff for operator-internal checkpoints,
+        // which never register with the cacheManager
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preIds.contains(id)) rdd.unpersist()
+        }
+      })
+  }
+
+  /** Stage-isolated frames for per-stage plan auditing (closes the x53
+    * blind spot PlanAudit documents: the composed pipeline's persist
+    * boundaries hide every stage behind an InMemoryTableScan, so a
+    * regression INSIDE a stage never reached the gate). Each stage here
+    * is rebuilt on a lineage-CUT (`localCheckpoint`) copy of its
+    * predecessor, so each returned frame's plan contains exactly that
+    * stage's own operators over an opaque RDD scan. Builds eagerly (one
+    * materialization per stage) — an audit/CI tool, not the serving
+    * path; parameters mirror [[pipelineRun]].
+    */
+  def auditStages(
+      docs: DataFrame,
+      banned: DataFrame,
+      maxDocsPerSource: Int = 20,
+      minQuality: Double = 0.65,
+      maxDupLineFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.1,
+      jaccardThreshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      decontamMinShared: Int = 10,
+      alpha: Double = 0.7,
+      seqLen: Int = 512,
+      hexChars: Int = 1,
+      classifier: Option[(QualityModel.LogReg, Double)] = None): Seq[(String, DataFrame)] = {
+    val cap = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score"))
+    val capC = cap.localCheckpoint()
+    val gates = capC
+      .join(
+        TextOps.repetitionStats(capC)
+          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
+        Seq("doc_id"))
+      .filter(
+        col("quality_score") >= minQuality &&
+          CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
+          CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
+      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+    val gatesC = gates.localCheckpoint()
+    val (clsStage, gatedC) = classifier match {
+      case None => (Nil, gatesC)
+      case Some((model, threshold)) =>
+        val g = gatesC.join(
+          QualityModel.classify(gatesC, model, threshold)
+            .filter(col("keep"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        (Seq("classifier" -> g), g.localCheckpoint())
+    }
+    val exd = Dedup.dropExactDuplicates(gatedC)
+    val exdC = exd.localCheckpoint()
+    val pairs = Dedup
+      .jaccardNearDups(exdC, jaccardThreshold, minShared, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+    val pairsC = pairs.localCheckpoint()
+    val nd = Dedup.dropNearDuplicatesBy(exdC, pairsC, "quality_score")
+    val ndC = nd.localCheckpoint()
+    val clean = ndC.join(
+      TextOps.contamination(ndC, banned, decontamMinShared)
+        .filter(!col("contaminated"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cleanC = clean.localCheckpoint()
+    val resampled = TextOps
+      .resampleByTemperature(cleanC, alpha, carryCols = Seq("text", "quality_score"))
+      .withColumn("copy_id", col("copy_id").cast("long"))
+    val resampledC = resampled.localCheckpoint()
+    val pack = Splits
+      .packSequences(
+        resampledC.withColumn(
+          "pack_key",
+          concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
+        seqLen, hexChars, idCol = "pack_key",
+        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
+      .select(
+        col("doc_id"), col("copy_id"), col("source"),
+        CrossRound.r(col("quality_score"), 4).as("quality_score"),
+        col("shard"), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"))
+    Seq("cap" -> cap, "gates" -> gates) ++ clsStage ++ Seq(
+      "exact_dedup" -> exd, "near_dup_pairs" -> pairs,
+      "near_dup_retention" -> nd, "decontam" -> clean,
+      "resample" -> resampled, "pack" -> pack)
   }
 }

@@ -634,6 +634,12 @@ object Dedup {
       // (a shuffle per iteration). decimal(38,0) keeps the sum exact
       // where sum(long) could wrap at large node counts.
       val (nNow, sumNow) = labelSum(next)
+      // `next` is materialized (labelSum ran on its checkpointed blocks),
+      // so the superseded generation's cache is dead weight — unpersist
+      // it here to bound the loop's footprint at TWO checkpointed frames
+      // (edges + current labels) instead of one per iteration; a serving
+      // session invoking dedup repeatedly would otherwise accumulate them
+      labels.unpersist()
       labels = next
       converged =
         nNow == 0L || (prevSum != null && sumNow.compareTo(prevSum) == 0)
@@ -642,6 +648,7 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations " +
       "(graph diameter exceeds the cap — raise maxIter)")
+    edges.unpersist() // final labels stay cached — the caller consumes them
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -151,7 +151,7 @@ object TextOps {
     * [[qualityScore]] and [[sourceMix]]); rounded at 6 dp per row so the
     * score is a stable cross-engine value before any aggregation.
     */
-  private def qualityCol(toks: Column): Column = {
+  private[operators] def qualityCol(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = countIn(toks, Stopwords).cast("double") / nTok

@@ -143,6 +143,25 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.select("shard").distinct().count() >= 1L) // md5-of-key layout
   }
 
+  test("pipelineRun cleanup releases every RDD the run cached") {
+    val sc = spark.sparkContext
+    // clean slate so the snapshot diff below is exact (other suites share
+    // the session; their leftovers would blur the assertion)
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+    val pre = sc.getPersistentRDDs.keySet
+    val run = Curation.pipelineRun(
+      corpus(), banned = corpus().filter(col("doc_id") <= 2),
+      maxDocsPerSource = 100, decontamMinShared = 5)
+    run.output.count()
+    assert(sc.getPersistentRDDs.size > pre.size, "the live run should hold cached frames")
+    run.cleanup()
+    assert(sc.getPersistentRDDs.keySet === pre,
+      s"persistent RDDs remain after cleanup: ${(sc.getPersistentRDDs.keySet -- pre).toSeq.sorted}")
+    run.cleanup() // idempotent
+    assert(sc.getPersistentRDDs.keySet === pre)
+  }
+
   test("opt-in classifier stage drops model-rejected docs and nothing else changes") {
     val docs = corpus()
     // fit on the corpus's own weak labels (the x56 recipe)

@@ -53,4 +53,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans === 2)
     assert(c.cartesian === 0 && c.smj === 0)
   }
+
+  test("per-stage gate: a stage regressed to a cartesian or excess BNLJ fails") {
+    // a stage whose join degenerated to a cartesian product must trip the
+    // same violations() the main per-query gate runs
+    val burst = PlanAudit.auditExecuted(
+      docs.limit(20).crossJoin(docs.limit(20).select(col("doc_id").as("other"))))
+    assert(
+      PlanAudit.violations("x53/gates", burst, allowedSmj = 2, allowedBnlj = 0, requireWgl = false)
+        .exists(v => v.contains("cartesian") || v.contains("BroadcastNestedLoopJoin")),
+      s"regressed stage not flagged: $burst")
+    // and a clean equi-join shape passes
+    val ok = PlanAudit.auditExecuted(docs.join(broadcast(docs.select("doc_id").limit(5)), Seq("doc_id")))
+    assert(PlanAudit.violations("x53/gates", ok, 2, 0, requireWgl = false).isEmpty)
+  }
+
+  test("curation stage audit: every lineage-cut stage sits inside its pinned allowances") {
+    val stages = graft.operators.Curation.auditStages(
+      docs, banned = docs.filter(col("doc_id") < 50))
+    assert(stages.map(_._1) === Seq(
+      "cap", "gates", "exact_dedup", "near_dup_pairs",
+      "near_dup_retention", "decontam", "resample", "pack"))
+    stages.foreach { case (stage, df) =>
+      val c = PlanAudit.auditExecuted(df)
+      val v = PlanAudit.violations(
+        s"x53/$stage", c,
+        PlanAudit.StageAllowedSmj.getOrElse(stage, 0),
+        PlanAudit.StageAllowedBnlj.getOrElse(stage, 0),
+        PlanAudit.StageRequiredWgl.contains(stage))
+      assert(v.isEmpty, s"stage $stage violates its pin: $v ($c)")
+    }
+  }
 }
