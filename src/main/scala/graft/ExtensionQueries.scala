@@ -644,6 +644,29 @@ object ExtensionQueries {
           col("n_events"))
         .orderBy("user_id", "session_seq")),
 
+    // Batch restatement of ONE streamDedupedCorpus cycle (§2.7): the
+    // SAME operators the stream's foreachBatch body runs — in-batch
+    // exact dedup, asymmetric near-dup filter against the committed
+    // corpus, append — over the x29 split (doc_id < 100 = today's batch,
+    // >= 100 = committed corpus). HASH-GATED against the x01+x29 chained
+    // CTEs + anti-join + union: the strongest streaming claim (the
+    // dedup-then-append cycle itself) under the hard DuckDB signal;
+    // IngestSpec separately pins that the streaming loop drives exactly
+    // these operators with exactly-once commits.
+    "s03_stream_corpus_cycle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") < 100)
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val fresh = Dedup.dropExactDuplicates(batch)
+      val dupIds = Dedup
+        .jaccardNearDupsAgainst(fresh, corpus, threshold = 0.5, minShared = 2, maxShingleDf = 100)
+        .select(col("batch_id").as("doc_id")).distinct()
+      corpus
+        .unionByName(fresh.join(dupIds, Seq("doc_id"), "left_anti"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Audio quality features over REAL decoded 16-bit PCM (rows-only:
     // DSP is not ANSI SQL; MediaSpec pins the analytic goldens — sine
     // RMS = A/sqrt(2), ZCR = 2f/rate, clipping and silence fractions).
@@ -1075,6 +1098,48 @@ object ExtensionQueries {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS "end",
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s03: one stream-corpus cycle restated relationally — in-batch
+    // exact dedup (the x01 MIN-per-text rule), the x29 asymmetric
+    // near-dup chain with the BATCH side deduped first, anti-join, and
+    // the append union.
+    "s03_stream_corpus_cycle" ->
+      """WITH fr0 AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents WHERE doc_id < 100 GROUP BY text),
+        |fresh AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN fr0 USING (doc_id)),
+        |tb AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM fresh),
+        |gb AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM tb WHERE len(toks) >= 3),
+        |b AS (SELECT doc_id, unnest(grams) AS shingle FROM gb),
+        |tc AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents WHERE doc_id >= 100),
+        |gc AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM tc WHERE len(toks) >= 3),
+        |c AS (SELECT doc_id, unnest(grams) AS shingle FROM gc),
+        |dfc AS (SELECT shingle, COUNT(*) AS df FROM c GROUP BY 1),
+        |idxc AS (SELECT c.* FROM c JOIN dfc USING (shingle) WHERE df <= 100),
+        |cand AS (
+        |  SELECT b.doc_id AS batch_id, idxc.doc_id AS corpus_id
+        |  FROM b JOIN idxc USING (shingle)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |inter AS (
+        |  SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS n_inter
+        |  FROM cand JOIN b ON b.doc_id = cand.batch_id
+        |  JOIN c ON c.doc_id = cand.corpus_id AND c.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+        |nc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1),
+        |dup AS (
+        |  SELECT DISTINCT i.batch_id AS doc_id
+        |  FROM inter i
+        |  JOIN nb ON nb.doc_id = i.batch_id
+        |  JOIN nc ON nc.doc_id = i.corpus_id
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5)
+        |SELECT doc_id, source, text FROM documents WHERE doc_id >= 100
+        |UNION ALL
+        |SELECT doc_id, source, text FROM fresh
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     // x54: DuckDB's NATIVE ASOF LEFT JOIN against the same filtered
     // forecasting_data view — pins the inclusive-tie (l.ets >= r.ets)
     // and left-rows-never-dropped semantics of the Spark union-window

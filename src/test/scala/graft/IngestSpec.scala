@@ -336,6 +336,35 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamDedupedCorpus: one streamed cycle equals the s03 batch restatement") {
+    // the s03 correctness row restates the foreachBatch body relationally
+    // (DuckDB-oracled); this test closes the loop by running the ACTUAL
+    // stream over the same fixture split and comparing byte-for-byte
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_s03_corpus").toString + "/t")
+    corpus.commit(docs.filter(col("doc_id") >= 100))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s03_ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Ingest.streamDedupedCorpus(
+      mem.toDF().toDF("doc_id", "source", "text"), corpus, ckpt)
+    try {
+      val batchRows = docs.filter(col("doc_id") < 100)
+        .as[(Long, String, String)].collect()
+      mem.addData(batchRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = corpus.read(spark)
+      .select("doc_id", "source", "text").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val restated = SparkEntry.queries("s03_stream_corpus_cycle")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === restated)
+  }
+
   test("streamDedupedCorpus: incremental shingle index — fast path, mirror tags, heal") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_corpus_ckpt2").toString
