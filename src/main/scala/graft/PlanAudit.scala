@@ -118,6 +118,10 @@ object PlanAudit {
     "x24t_jaccard_table" -> 3,
     // asymmetric batch-vs-corpus variant of the same shape
     "x29_incremental_neardups" -> 2,
+    // the stream-cycle restatement runs the x29 shape on the deduped
+    // batch — same corpus×corpus class (AQE may broadcast at fixture
+    // scale; the pin is a ceiling)
+    "s03_stream_corpus_cycle" -> 2,
     // bucketized interval join: events vs sessions — BOTH corpus-scale
     // (one session row per activity burst), so shuffle join is the
     // correct plan; AQE may still demote to broadcast at fixture scale
@@ -236,7 +240,14 @@ object PlanAudit {
     // Per-stage audit of the composed curation pipeline: each stage
     // rebuilt lineage-cut (Curation.auditStages) so the stage's own
     // operators are visible — the composed x53/x57 rows above audit only
-    // the final plan behind the persist boundaries.
+    // the final plan behind the persist boundaries. Drop every cache the
+    // query loop left first: x53/x57's persisted frames share analyzed
+    // plans with the stage frames, and the cacheManager would otherwise
+    // substitute InMemoryTableScans for the very operators this audit
+    // exists to see (stage 1 audited as a bare cache read, hiding its
+    // window — caught when the WGL pin fired on a cached plan).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
     val docs = graft.sources.Tables.documents(spark, dir)
     graft.operators.Curation
       .auditStages(docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50))

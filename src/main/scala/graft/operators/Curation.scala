@@ -144,6 +144,12 @@ object Curation {
     // filt's single consumer and `exd`'s own cache boundary already
     // stops re-execution — a filt persist would be one corpus-shaped
     // materialization of pure overhead (round-7 x53 barrier finding).
+    // On the classifier path, the model's feature columns ride THIS
+    // projection (the quality_score trick again): the gate below then
+    // filters a sigmoid of plain attributes — no second tokenization
+    // pass over filt, no join back, no HOF in a pushed Filter.
+    val classifierFeats = classifier.toSeq.flatMap(_ =>
+      QualityModel.featureCols(col("text")).map { case (n, c) => c.as(n) })
     val filt0 = capped
       .join(
         TextOps.repetitionStats(capped)
@@ -153,20 +159,21 @@ object Curation {
         col("quality_score") >= minQuality &&
           CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
-      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+      .select(
+        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
+          classifierFeats: _*)
     val filt = if (classifier.isDefined) filt0.persist() else filt0
 
-    // 2.5 (opt-in): model-based quality gate — a map-only sigmoid over
-    // the per-row features, filtered on the calibrated keep probability
+    // 2.5 (opt-in): model-based quality gate — the sigmoid over the
+    // feature attributes computed above, thresholded on the 6-dp-rounded
+    // probability (the classify() contract), then the feature columns
+    // drop so the downstream schema matches the classifier-off shape
     val gated = classifier match {
       case None => filt
       case Some((model, threshold)) =>
         filt
-          .join(
-            QualityModel.classify(filt, model, threshold)
-              .filter(col("keep"))
-              .select("doc_id"),
-            Seq("doc_id"), "left_semi")
+          .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
+          .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
     }
 
     // 3. exact dedup (smallest doc_id per content hash survives)
@@ -260,6 +267,8 @@ object Curation {
         col("doc_id"), col("source"), col("text"),
         TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score"))
     val capC = cap.localCheckpoint()
+    val classifierFeats = classifier.toSeq.flatMap(_ =>
+      QualityModel.featureCols(col("text")).map { case (n, c) => c.as(n) })
     val gates = capC
       .join(
         TextOps.repetitionStats(capC)
@@ -269,16 +278,16 @@ object Curation {
         col("quality_score") >= minQuality &&
           CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
-      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+      .select(
+        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
+          classifierFeats: _*)
     val gatesC = gates.localCheckpoint()
     val (clsStage, gatedC) = classifier match {
       case None => (Nil, gatesC)
       case Some((model, threshold)) =>
-        val g = gatesC.join(
-          QualityModel.classify(gatesC, model, threshold)
-            .filter(col("keep"))
-            .select("doc_id"),
-          Seq("doc_id"), "left_semi")
+        val g = gatesC
+          .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
+          .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
         (Seq("classifier" -> g), g.localCheckpoint())
     }
     val exd = Dedup.dropExactDuplicates(gatedC)

@@ -30,9 +30,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
-  /** The surviving rows (smallest doc_id per content key) with all columns. */
-  def dropExactDuplicates(docs: DataFrame): DataFrame =
-    docs.join(exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+  /** The surviving rows (smallest doc_id per content key) with all columns.
+    *
+    * ONE shuffle (row_number over the content-hash partition, keep rank 1)
+    * instead of the agg + semi-join restatement (two corpus shuffles plus
+    * a join): `filter(rn = 1)` compiles to a WindowGroupLimit, so each map
+    * task pre-prunes to one row per hash before the exchange — the same
+    * map-side-combine behavior the groupBy had, minus the join back.
+    */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256))
+      .orderBy(col("doc_id"))
+    docs
+      .withColumn("__dedup_rn", row_number().over(w))
+      .filter(col("__dedup_rn") === 1)
+      .drop("__dedup_rn")
+  }
 
   /** C4-style corpus-wide LINE dedup (Raffel et al. 2020 §2.2): any line
     * occurring at least `minOccurrences` times across the whole corpus is
@@ -561,8 +575,9 @@ object Dedup {
     * Scale posture: per iteration ONE shuffle join of labels against the
     * edge list (already bounded: pairs are threshold-filtered candidates,
     * not the corpus), plus a grouped min. Labels are localCheckpoint'ed
-    * every iteration — iterative lineage otherwise re-executes all prior
-    * rounds at every action and overwhelms the planner.
+    * every iteration with the superseded generation unpersisted —
+    * iterative lineage otherwise re-executes all prior rounds at every
+    * action and overwhelms the planner.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -587,6 +602,12 @@ object Dedup {
           s"for ${if (c == "u") srcCol else dstCol}; " +
           "hash non-numeric ids to longs first (xxhash64)")
     }
+    // localCheckpoint over persist, measured deliberately (round 8): a
+    // persist-based loop halves the job count (the sum job doubles as
+    // cache fill) but lands 40-70% SLOWER end-to-end — columnar
+    // InMemoryRelation encode/decode on these string-free but wide-ish
+    // label frames plus per-iteration growth of the analyzed plan cost
+    // more than the extra materialization job saves.
     val edges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -634,9 +655,9 @@ object Dedup {
       // (a shuffle per iteration). decimal(38,0) keeps the sum exact
       // where sum(long) could wrap at large node counts.
       val (nNow, sumNow) = labelSum(next)
-      // `next` is materialized (labelSum ran on its checkpointed blocks),
-      // so the superseded generation's cache is dead weight — unpersist
-      // it here to bound the loop's footprint at TWO checkpointed frames
+      // `next` is materialized (its checkpoint is eager), so the
+      // superseded generation's blocks are dead weight — unpersist them
+      // here to bound the loop's footprint at TWO checkpointed frames
       // (edges + current labels) instead of one per iteration; a serving
       // session invoking dedup repeatedly would otherwise accumulate them
       labels.unpersist()

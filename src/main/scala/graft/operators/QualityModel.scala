@@ -38,8 +38,14 @@ object QualityModel {
     * length, alphabetic-word fraction — the signal families the
     * published quality filters (Gopher A1.1, C4, CCNet) all draw from.
     */
-  def qualityFeatures(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+  /** The feature expressions over a text column, in [[DefaultFeatures]]
+    * order — exposed so a pipeline can compute them INSIDE an existing
+    * projection (behind its own cache boundary) and gate on plain
+    * attributes, instead of paying a second tokenization pass plus a
+    * join back (the Curation classifier stage does exactly this).
+    */
+  def featureCols(text: Column): Seq[(String, Column)] = {
+    val toks = TextOps.tokens(text)
     val nTok = size(toks).cast("double")
     // TextOps.countIn, not a re-derivation: the classifier's stopword
     // signal must use the SAME membership rule as the weak-label gate
@@ -52,16 +58,19 @@ object QualityModel {
     // documents. (nTok > 0 is null for null text; when() routes both
     // the false and null cases to the 0.0 default.)
     def safe(c: Column): Column = when(nTok > 0, c).otherwise(lit(0.0))
-    docs.select(
-      col("doc_id"),
-      safe(least(nTok / 50.0, lit(1.0))).as("len_score"),
-      safe(size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio"),
-      safe(lit(1.0) - stopRatio).as("nonstop_ratio"),
-      safe(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
-        .as("mean_word_len"),
-      safe(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok)
-        .as("alpha_word_frac"))
+    Seq(
+      "len_score" -> safe(least(nTok / 50.0, lit(1.0))),
+      "distinct_ratio" -> safe(size(array_distinct(toks)).cast("double") / nTok),
+      "nonstop_ratio" -> safe(lit(1.0) - stopRatio),
+      "mean_word_len" ->
+        safe(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok),
+      "alpha_word_frac" ->
+        safe(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok))
   }
+
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id") +: featureCols(col("text")).map { case (n, c) => c.as(n) }: _*)
 
   /** Fit a logistic regression driver-side on a bounded deterministic
     * sample of `labeled` (the [[Similarity.trainingSample]] recipe: the
