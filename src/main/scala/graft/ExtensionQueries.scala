@@ -113,6 +113,34 @@ object ExtensionQueries {
     s"1.0 / (1.0 + exp(-$z))"
   }
 
+  // -------------------------------------------------------------------
+  // ANN model state for x14/x34/x38/x41 — the FittedQualityModels
+  // pattern applied to the embedding-side models: centroids and
+  // codebooks are deterministic driver arrays (bounded sample fit, the
+  // Similarity.trainingSample determinism argument), so the query
+  // lambdas capture the exact state they ran with and `oracleSql`
+  // interpolates it into the DuckDB restatement as literals. The
+  // hyperplane models (x10/x15) need no cache at all: the planes are a
+  // pure function of the seed, computable at SQL-build time.
+  // -------------------------------------------------------------------
+
+  private val FittedKmeans =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private val FittedIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private val FittedPq =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
+  private val FittedIvfPq = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
+
+  /** The cached state, iff unambiguous — exactly one sf dir fitted this
+    * JVM (the cachedQualityModel rule).
+    */
+  private def cachedOne[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] = {
+    val vs = m.values()
+    if (vs.size == 1) Some(vs.iterator().next()) else None
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, keep smallest doc_id (shuffle key is the
     // fixed-width content hash — scale-safe for MB-size docs).
@@ -172,8 +200,9 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-k (rows-only: hyperplane hashing is
-    // engine-internal; recall vs the exact baseline is property-tested).
+    // LSH-bucketed approximate top-k (oracle: the seeded hyperplanes are
+    // deterministic constants, interpolated into the DuckDB restatement
+    // as literals; recall vs the exact baseline stays property-tested).
     "x10_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
@@ -184,9 +213,9 @@ object ExtensionQueries {
     }),
 
     // Exact top-k over the int8-QUANTIZED corpus — the 4x-compressed form
-    // an ANN pipeline serves from at 100 TB (rows-only: quantized sims
-    // are engine-internal floats; SimilaritySpec pins codes-in-range,
-    // cosine drift < 0.01, and top-k recall vs the float corpus).
+    // an ANN pipeline serves from at 100 TB (oracle: quantize→dequantize
+    // is closed-form per vector, restated in SQL; SimilaritySpec pins
+    // codes-in-range, cosine drift < 0.01, and top-k recall).
     "x30_quantized_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
@@ -197,28 +226,35 @@ object ExtensionQueries {
     }),
 
     // Exact top-k over the PRODUCT-QUANTIZED corpus — x30's 32x sibling:
-    // dim*4 bytes/vector become m=8 codes + a shared codebook (rows-only:
-    // codebook training is engine-internal; SimilaritySpec pins codes in
-    // range, encode/training agreement, reconstruction quality, top-k
-    // recall vs the float corpus, and partition-width determinism).
+    // dim*4 bytes/vector become m=8 codes + a shared codebook (oracle:
+    // the fitted codebooks are bounded deterministic driver state,
+    // interpolated as literals into a full ADC restatement; SimilaritySpec
+    // keeps codes-in-range, encode/training agreement, reconstruction
+    // quality, top-k recall, and partition-width determinism).
     "x38_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.pqTopK(probes, emb, 5, m = 8, ksub = 16, iters = 1)
+      val cb = FittedPq.computeIfAbsent(
+        dir, _ => Similarity.pqCodebooks(emb, 8, 16, iters = 1))
+      Similarity.pqTopKWith(probes, emb, 5, cb)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
     // IVF+PQ composite (IVFADC, the billion-vector layout): coarse cells
     // bound the candidate set, residual PQ codes bound the bytes per
-    // candidate (rows-only: cells and codebooks are engine-internal;
-    // SimilaritySpec pins twin recall and width determinism).
+    // candidate (oracle: coarse centroids + residual codebooks captured
+    // at fit time and interpolated as literals — assignment, float
+    // residuals, encode, norm assembly, and the split ADC all restate in
+    // SQL; SimilaritySpec keeps twin recall and width determinism).
     "x41_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.ivfPqTopK(probes, emb, 5, c = 16, nprobe = 4, m = 8, ksub = 16, iters = 1)
+      val (cents, cb) = FittedIvfPq.computeIfAbsent(
+        dir, _ => Similarity.ivfPqModel(emb, 16, 8, 16, iters = 1))
+      Similarity.ivfPqTopKWith(probes, emb, 5, cents, cb, nprobe = 4)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
@@ -239,31 +275,39 @@ object ExtensionQueries {
     "x13_token_counts" -> ((s, dir) =>
       TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
 
-    // IVF approximate top-k (rows-only: centroid sampling is engine-
-    // internal; recall vs exact is property-tested in SimilaritySpec).
+    // IVF approximate top-k (oracle: the sampled centroids are captured
+    // at fit time and interpolated as literals; recall vs exact stays
+    // property-tested in SimilaritySpec).
     "x14_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.ivfTopK(probes, emb, 5, c = 16, nprobe = 4)
+      // model state captured for the oracle (ivfTopK's unrefined default:
+      // the first c = 16 hash-ordered vectors ARE the centroids)
+      val cents = FittedIvf.computeIfAbsent(dir, _ => Similarity.trainingSample(emb, 16))
+      Similarity.ivfTopKWith(probes, emb, 5, cents, nprobe = 4)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
-    // SemDeDup semantic dedup (rows-only: the k-means cells are engine-
-    // internal; planted-twin retention and width-determinism are
-    // property-tested in SimilaritySpec). x11/x15 FIND embedding
-    // near-dup pairs; this applies the retention rule — cluster, score
-    // within cluster, keep the smallest id of each similar pair.
-    "x34_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(
-        Tables.embeddings(s, dir).select("vec_id", "embedding"),
-        threshold = 0.45, c = 16, iters = 2)
+    // SemDeDup semantic dedup (oracle: the fitted k-means centroids are
+    // captured and interpolated as literals — assignment, within-cell
+    // pairing, and retention all restate in SQL; planted-twin retention
+    // and width-determinism stay property-tested in SimilaritySpec).
+    // x11/x15 FIND embedding near-dup pairs; this applies the retention
+    // rule — cluster, score within cluster, keep the smallest id of each
+    // similar pair.
+    "x34_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = FittedKmeans.computeIfAbsent(
+        dir, _ => Similarity.kmeansCentroidArrays(emb, 16, 2))
+      Similarity.semanticDedupWith(emb, threshold = 0.45, cents)
         .select("vec_id")
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
-    // LSH-bucketed embedding near-dup pairs (rows-only; the exact blocked
-    // variant x11 is the oracle-verified baseline).
+    // LSH-bucketed embedding near-dup pairs (oracle: seeded hyperplanes
+    // as literals; the exact blocked variant x11 is the baseline).
     "x15_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(
         Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.4)
@@ -1673,12 +1717,22 @@ object ExtensionQueries {
          |SELECT label, vec_a, vec_b, round(sim, 4) + 0.0 AS sim
          |FROM scored WHERE sim >= 0.45
          |ORDER BY 1, 2, 3""".stripMargin,
+    "x30_quantized_topk" -> x30QuantizedSql,
+    "x10_ann_lsh" -> x10AnnLshSql,
+    "x15_lsh_neardup" -> x15LshNearDupSql,
   ) ++ cachedQualityModel.map(m => Map(
     // rendered only when the fit ran this JVM (Verify runs queries before
     // dumping oracles); otherwise these fall back to rows-only
     "x56_quality_classifier" -> qualityClassifierSql(m),
     "x57_curation_classified" -> curationPipelineSql(Some(m)),
-  )).getOrElse(Map.empty)
+  )).getOrElse(Map.empty) ++
+    // ANN model-state oracles: rendered only when the matching query ran
+    // this JVM and cached its fitted state (the x56 rule) — otherwise the
+    // driver records the weaker rows-only check instead of a wrong compare
+    cachedOne(FittedKmeans).map(c => Map("x34_semantic_dedup" -> x34SemanticDedupSql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedIvf).map(c => Map("x14_ivf_topk" -> x14IvfTopKSql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedPq).map(c => Map("x38_pq_topk" -> x38PqTopKSql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedIvfPq).map { case (c, b) => Map("x41_ivfpq_topk" -> x41IvfPqSql(c, b)) }.getOrElse(Map.empty)
 
   /** Double-precision sequential dot product in DuckDB SQL — elements cast
     * to double BEFORE multiplying, summed in list order, matching
@@ -1689,4 +1743,313 @@ object ExtensionQueries {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // -------------------------------------------------------------------
+  // ANN oracle SQL: the engine's model state (centroids / codebooks /
+  // hyperplanes — bounded driver arrays) interpolated as literals, the
+  // search arithmetic restated CTE by CTE with the exact fold orders the
+  // Spark expressions use (dotSql's sequential double sum; explicit
+  // left-associative + chains where the Scala used reduce(_ + _)).
+  // Float literals go through ::FLOAT[] casts so the parse recovers the
+  // exact float32 bits (a bare decimal would stay DECIMAL/DOUBLE).
+  // -------------------------------------------------------------------
+
+  /** A float array as a DuckDB FLOAT[] literal (exact round-trip:
+    * Float.toString is the shortest decimal that re-parses to the same
+    * float, and decimal → FLOAT casting is correctly rounded).
+    */
+  private def fArrLit(v: Array[Float]): String =
+    v.mkString("([", ", ", "]::FLOAT[])")
+
+  /** A double array as a DuckDB DOUBLE[] literal (Double.toString
+    * round-trips; long/E-notation literals parse as DOUBLE).
+    */
+  private def dArrLit(v: Array[Double]): String =
+    v.mkString("([", ", ", "]::DOUBLE[])")
+
+  /** |v|^2 folded in index order — the mirror of Similarity's norm2Lit
+    * (and of pqEncode's in-loop |c|^2), precomputed driver-side so the
+    * oracle's norm-table lookups carry the exact same doubles.
+    */
+  private def orderedSumSq(v: Array[Float]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+
+  /** (centroid_id, centroid FLOAT[]) VALUES relation from driver arrays. */
+  private def centsValues(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${fArrLit(v)})" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** x30: int8 quantize→dequantize is closed-form per vector (scale =
+    * max|x|/127 in double, codes = round half-away — Spark round and
+    * DuckDB round agree on doubles), so the whole chain restates with no
+    * model state at all; then the x09 exact-top-k shape over the
+    * dequantized corpus.
+    */
+  private[graft] def x30QuantizedSql: String = {
+    val maxAbs = "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+    s"""WITH deq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(CASE WHEN $maxAbs = 0.0 THEN 0.0
+       |                          ELSE round(CAST(x AS DOUBLE) / ($maxAbs / 127.0)) * ($maxAbs / 127.0)
+       |                     END AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id, ${cosSql("p.q_emb", "e.embedding")} AS sim
+       |  FROM p CROSS JOIN deq e WHERE p.q_id <> e.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** One LSH table's packed sign-bit bucket: Σ_i (dot(emb, plane_i) >= 0)
+    * << i — Similarity.bucketCol with the plane literals inlined.
+    */
+  private def lshBucketExpr(emb: String, tablePlanes: Seq[Array[Double]]): String =
+    tablePlanes.zipWithIndex
+      .map { case (p, i) =>
+        val d = s"list_sum(list_transform(generate_series(1, len($emb)), i -> " +
+          s"CAST($emb[i] AS DOUBLE) * ${dArrLit(p)}[i]))"
+        s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  /** All embeddings bucketed across T tables (UNION ALL, one arm per
+    * table) — the bucketize mirror; probes filter out of the same CTE.
+    */
+  private def lshBucketedCte(planes: Seq[Seq[Array[Double]]]): String =
+    planes.zipWithIndex
+      .map { case (tp, t) =>
+        s"SELECT vec_id, embedding, $t AS table_id, ${lshBucketExpr("embedding", tp)} AS bucket FROM embeddings"
+      }
+      .mkString(" UNION ALL ")
+
+  /** x10: annTopK restated — candidates share a (table, bucket) cell with
+    * the probe (DISTINCT across tables), then exact cosine top-k. The
+    * planes are a pure function of the seed (hyperplanes(4, 8, 64)), so
+    * no fitted-state cache is needed.
+    */
+  private[graft] lazy val x10AnnLshSql: String =
+    s"""WITH bucketed AS (${lshBucketedCte(Similarity.hyperplanes(4, 8, 64))}),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS q_id, c.vec_id
+       |  FROM bucketed p JOIN bucketed c ON p.table_id = c.table_id AND p.bucket = c.bucket
+       |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id, ${cosSql("pe.embedding", "ce.embedding")} AS sim
+       |  FROM cand
+       |  JOIN embeddings pe ON pe.vec_id = cand.q_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** x15: lshNearDupPairs restated — bucket-collision pairs (vec_a <
+    * vec_b, DISTINCT across tables), exact cosine, raw-double threshold
+    * (the blockedThresholdPairs convention x11 already pins).
+    */
+  private[graft] lazy val x15LshNearDupSql: String =
+    s"""WITH bucketed AS (${lshBucketedCte(Similarity.hyperplanes(4, 10, 64))}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bucketed a JOIN bucketed b ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT p.vec_a, p.vec_b, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
+       |SELECT vec_a, vec_b, round(sim, 4) + 0.0 AS sim
+       |FROM scored WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
+
+  /** x34: semanticDedupWith restated — argmax-cosine cell assignment
+    * against the FITTED centroid literals (raw-double ordering, ties to
+    * the smaller centroid id — ivfAssign's window), within-cell pairs at
+    * the raw threshold, survivors = NOT IN (distinct right sides).
+    */
+  private def x34SemanticDedupSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
+       |scoredc AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cells AS (SELECT centroid_id AS cell, vec_id, embedding FROM scoredc WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45)
+       |SELECT e.vec_id FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
+  /** x14: ivfTopKWith restated — corpus assignment and probe nprobe-cell
+    * probing against the same centroid literals, then the x09 rank shape
+    * over within-cell candidates.
+    */
+  private def x14IvfTopKSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cells AS (SELECT centroid_id AS cell, vec_id, embedding FROM assigned WHERE rn = 1),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |pcells AS (
+       |  SELECT cell, q_id, q_emb FROM (
+       |    SELECT c.centroid_id AS cell, p.q_id, p.q_emb,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |                              ORDER BY ${cosSql("p.q_emb", "c.centroid")} DESC, c.centroid_id) AS rn
+       |    FROM p CROSS JOIN cents c) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pc.q_id, ce.vec_id, ${cosSql("pc.q_emb", "ce.embedding")} AS sim
+       |  FROM pcells pc JOIN cells ce ON pc.cell = ce.cell
+       |  WHERE pc.q_id <> ce.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** (s, c, arr FLOAT[], cn2 DOUBLE) VALUES relation for a PQ codebook —
+    * cn2 precomputed with norm2Lit's fold so encode scores and norm
+    * tables carry identical doubles on both engines.
+    */
+  private def pqCbValues(cb: Array[Array[Array[Float]]]): String = {
+    val rows = for (s <- cb.indices; c <- cb(s).indices)
+      yield s"($s, $c, ${fArrLit(cb(s)(c))}, ${dlit(orderedSumSq(cb(s)(c)))})"
+    rows.mkString("(VALUES ", ", ", ")")
+  }
+
+  /** x38: pqTopKWith restated — per-subspace argmin encode (|c|^2 − 2
+    * sv·c, strict less = ties to the smaller code), codes pivoted wide,
+    * |x̂| from the norm-table lookups summed in subspace order, ADC via
+    * per-subspace query-slice dots, NaN sunk to -infinity (the zero-
+    * reconstruction guard).
+    */
+  private def x38PqTopKSql(cb: Array[Array[Array[Float]]]): String = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val subdot = s"list_sum(list_transform(generate_series(1, $dsub), t -> " +
+      s"CAST(e.embedding[cb.s * $dsub + t] AS DOUBLE) * CAST(cb.arr[t] AS DOUBLE)))"
+    val pivot = (0 until m).map(s =>
+      s"any_value(CASE WHEN s = $s THEN c END) AS c$s, " +
+        s"any_value(CASE WHEN s = $s THEN cn2 END) AS n$s, " +
+        s"any_value(CASE WHEN s = $s THEN arr END) AS a$s").mkString(", ")
+    val nrm2 = (0 until m).map(s => s"n$s").mkString(" + ")
+    val adc = (0 until m).map(s =>
+      s"list_sum(list_transform(generate_series(1, $dsub), t -> " +
+        s"CAST(p.q_emb[$s * $dsub + t] AS DOUBLE) * CAST(coded.a$s[t] AS DOUBLE)))")
+      .mkString(" + ")
+    s"""WITH cb(s, c, arr, cn2) AS ${pqCbValues(cb)},
+       |enc AS (
+       |  SELECT vec_id, s, c, arr, cn2 FROM (
+       |    SELECT e.vec_id, cb.s, cb.c, cb.arr, cb.cn2,
+       |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+       |                              ORDER BY cb.cn2 - 2.0 * $subdot ASC, cb.c ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |coded AS (SELECT vec_id, $pivot FROM enc GROUP BY vec_id),
+       |codedn AS (SELECT *, sqrt($nrm2) AS nrm_c FROM coded),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm_q
+       |      FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.q_id, coded.vec_id,
+       |         CASE WHEN p.nrm_q * coded.nrm_c > 0
+       |              THEN ($adc) / (p.nrm_q * coded.nrm_c)
+       |              ELSE CAST('-infinity' AS DOUBLE) END AS sim
+       |  FROM codedn coded CROSS JOIN p WHERE p.q_id <> coded.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** x41: ivfPqTopKWith restated — coarse assignment against the centroid
+    * literals, residuals subtracted IN FLOAT (CAST(double-sub AS FLOAT) =
+    * Java float subtraction exactly), residual-codebook argmin encode,
+    * |x̂| assembled from cn2c + 2·Σcdot + Σ|code|^2 in the codeTableSum
+    * fold order, and ADC split as qc_dot + residual-LUT dots.
+    */
+  private def x41IvfPqSql(
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]]): String = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val dim = cents.head.length
+    val centRows = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${fArrLit(v)}, ${dlit(orderedSumSq(v))})" }
+      .mkString("(VALUES ", ", ", ")")
+    val subdotRes = s"list_sum(list_transform(generate_series(1, $dsub), t -> " +
+      s"CAST(er.resid[cb.s * $dsub + t] AS DOUBLE) * CAST(cb.arr[t] AS DOUBLE)))"
+    val cdot = s"list_sum(list_transform(generate_series(1, $dsub), t -> " +
+      s"CAST(er.centroid[cb.s * $dsub + t] AS DOUBLE) * CAST(cb.arr[t] AS DOUBLE)))"
+    val pivot = (0 until m).map(s =>
+      s"any_value(CASE WHEN s = $s THEN cn2 END) AS n$s, " +
+        s"any_value(CASE WHEN s = $s THEN cd END) AS cd$s, " +
+        s"any_value(CASE WHEN s = $s THEN arr END) AS a$s").mkString(", ")
+    val sumCdot = (0 until m).map(s => s"cd$s").mkString(" + ")
+    val sumN2 = (0 until m).map(s => s"n$s").mkString(" + ")
+    val adc = (0 until m).map(s =>
+      s"list_sum(list_transform(generate_series(1, $dsub), t -> " +
+        s"CAST(pc.q_emb[$s * $dsub + t] AS DOUBLE) * CAST(coded.a$s[t] AS DOUBLE)))")
+      .mkString(" + ")
+    s"""WITH cents(cell, centroid, cn2c) AS $centRows,
+       |cb(s, c, arr, cn2) AS ${pqCbValues(cb)},
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell, centroid, cn2c FROM (
+       |    SELECT e.vec_id, e.embedding, ct.cell, ct.centroid, ct.cn2c,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e.embedding", "ct.centroid")} DESC, ct.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cents ct) WHERE rn = 1),
+       |er AS (
+       |  SELECT a.vec_id, a.cell, a.centroid, a.cn2c,
+       |         list_transform(generate_series(1, $dim), i ->
+       |           CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(a.centroid[i] AS DOUBLE) AS FLOAT)) AS resid
+       |  FROM assigned a),
+       |enc AS (
+       |  SELECT vec_id, cell, cn2c, s, c, arr, cn2, cd FROM (
+       |    SELECT er.vec_id, er.cell, er.cn2c, cb.s, cb.c, cb.arr, cb.cn2,
+       |           $cdot AS cd,
+       |           row_number() OVER (PARTITION BY er.vec_id, cb.s
+       |                              ORDER BY cb.cn2 - 2.0 * $subdotRes ASC, cb.c ASC) AS rn
+       |    FROM er CROSS JOIN cb) WHERE rn = 1),
+       |coded AS (
+       |  SELECT vec_id, cell, any_value(cn2c) AS cn2c, $pivot
+       |  FROM enc GROUP BY vec_id, cell),
+       |codedn AS (
+       |  SELECT *, sqrt(greatest(0.0, cn2c + 2.0 * ($sumCdot) + ($sumN2))) AS nrm_c FROM coded),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |pcells AS (
+       |  SELECT cell, q_id, q_emb, qc_dot, nrm_q FROM (
+       |    SELECT ct.cell, p.q_id, p.q_emb,
+       |           ${dotSql("p.q_emb", "ct.centroid")} AS qc_dot,
+       |           sqrt(${dotSql("p.q_emb", "p.q_emb")}) AS nrm_q,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |                              ORDER BY ${cosSql("p.q_emb", "ct.centroid")} DESC, ct.cell) AS rn
+       |    FROM p CROSS JOIN cents ct) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pc.q_id, coded.vec_id,
+       |         CASE WHEN pc.nrm_q * coded.nrm_c > 0
+       |              THEN (pc.qc_dot + ($adc)) / (pc.nrm_q * coded.nrm_c)
+       |              ELSE CAST('-infinity' AS DOUBLE) END AS sim
+       |  FROM pcells pc JOIN codedn coded ON pc.cell = coded.cell
+       |  WHERE pc.q_id <> coded.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+  }
 }

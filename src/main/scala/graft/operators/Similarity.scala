@@ -465,8 +465,19 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       iters: Int = 2,
-      dim: Int = 64): DataFrame = {
-    val cb = pqCodebooks(corpus, m, ksub, iters, dim)
+      dim: Int = 64): DataFrame =
+    pqTopKWith(probes, corpus, k, pqCodebooks(corpus, m, ksub, iters, dim))
+
+  /** [[pqTopK]] against PRECOMPUTED codebooks — the model-state split
+    * ([[ivfTopKWith]]'s rationale): the ADC search plan is identical,
+    * the codebooks are whatever the caller fitted or loaded.
+    */
+  def pqTopKWith(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
+    val m = cb.length
     val norm2Tables = cb.map(book =>
       array(book.map(c => lit(norm2Lit(c))).toIndexedSeq: _*))
     val codedN = corpus
@@ -531,16 +542,31 @@ object Similarity {
       refineIters: Int = 0,
       dim: Int = 64,
       maxTrain: Int = DefaultTrainSample): DataFrame = {
+    val (cents, cb) = ivfPqModel(corpus, c, m, ksub, iters, refineIters, dim, maxTrain)
+    ivfPqTopKWith(probes, corpus, k, cents, cb, nprobe)
+  }
+
+  /** Fit the IVFADC model state — coarse centroids + RESIDUAL codebooks
+    * — from ONE bounded sample job (the [[trainingSample]] doc has the
+    * 100 TB argument). Driver fitting replays the exact cluster rules:
+    * cell assignment is argmax cosine with ties to the smaller id
+    * ([[ivfAssign]]), residuals subtract in FLOAT (the zip_with lattice
+    * the encode pass uses), and PQ seeds are the first ksub hash-ordered
+    * residuals (the old seeding rule, inherited from the sample order).
+    * Exposed (the [[kmeansCentroidArrays]] pattern) so a caller or an
+    * external oracle can capture the exact state a search ran with.
+    */
+  def ivfPqModel(
+      corpus: DataFrame,
+      c: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1,
+      refineIters: Int = 0,
+      dim: Int = 64,
+      maxTrain: Int = DefaultTrainSample): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 128, "ksub must fit a tinyint code in [1, 128]")
-    val spark = corpus.sparkSession
-    // ALL model state — coarse centroids AND residual codebooks — fits
-    // from ONE bounded sample job (the trainingSample doc has the 100 TB
-    // argument). Driver fitting replays the exact cluster rules: cell
-    // assignment is argmax cosine with ties to the smaller id
-    // (ivfAssign), residuals subtract in FLOAT (the zip_with lattice the
-    // encode pass uses), and PQ seeds are the first ksub hash-ordered
-    // residuals (the old seeding rule, inherited from the sample order).
     val sample = trainingSample(corpus, maxTrain)
     require(sample.nonEmpty,
       "PQ training requires a non-empty corpus (no codebook seeds found)")
@@ -561,9 +587,23 @@ object Similarity {
       while (t < v.length) { r(t) = v(t) - cents(best)(t); t += 1 }
       r
     }
-    val cb = lloydCodebooksLocal(resid, m, ksub, iters, dim)
+    (cents, lloydCodebooksLocal(resid, m, ksub, iters, dim))
+  }
+
+  /** [[ivfPqTopK]] against PRECOMPUTED model state from [[ivfPqModel]]
+    * — the same split as [[pqTopKWith]]; the search plan is identical.
+    */
+  def ivfPqTopKWith(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cents: Array[Array[Float]],
+      cb: Array[Array[Array[Float]]],
+      nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = cb.length
     val stride = cb(0).length
-    val dsub = dim / m
+    val dsub = cb.head.head.length
     // |x̂|^2 decomposed along the residual split, all terms precomputable
     // from bounded model state: |x̂|^2 = |centroid|^2
     //   + 2 Σ_s dot(centroid_s, c_{s,code_s})   (per-cell m x ksub table)
@@ -726,7 +766,20 @@ object Similarity {
       maxTrain: Int = DefaultTrainSample): DataFrame =
     centroidsDF(
       corpus.sparkSession,
-      lloydRefineLocal(trainingSample(corpus, maxTrain), c, iters))
+      kmeansCentroidArrays(corpus, c, iters, maxTrain))
+
+  /** The fitted centroids as driver arrays — the bounded MODEL STATE
+    * behind [[kmeansCentroids]], exposed so a caller (or a correctness
+    * oracle) can capture the exact values a query ran with and restate
+    * the assignment arithmetic outside Spark. Same fit, same
+    * determinism arguments.
+    */
+  def kmeansCentroidArrays(
+      corpus: DataFrame,
+      c: Int,
+      iters: Int = 3,
+      maxTrain: Int = DefaultTrainSample): Array[Array[Float]] =
+    lloydRefineLocal(trainingSample(corpus, maxTrain), c, iters)
 
   /** The nprobe nearest centroids per probe (broadcast argmax, the probe-
     * side mirror of [[ivfAssign]]): (cell, q_id, q_emb, centroid) — shared
@@ -774,9 +827,24 @@ object Similarity {
     // so the assignment broadcasts below are job-free — trainingSample
     // has the 100 TB argument). The unrefined path samples exactly c
     // vectors: the first c of the hash order ARE ivfCentroids' choice.
-    val centroids =
-      if (refineIters > 0) kmeansCentroids(corpus, c, refineIters)
-      else centroidsDF(corpus.sparkSession, trainingSample(corpus, c))
+    val cents =
+      if (refineIters > 0) kmeansCentroidArrays(corpus, c, refineIters)
+      else trainingSample(corpus, c)
+    ivfTopKWith(probes, corpus, k, cents, nprobe)
+  }
+
+  /** [[ivfTopK]] against PRECOMPUTED coarse centroids — the split that
+    * lets a caller capture the fitted model state (for reuse across
+    * queries, persistence, or an external oracle restating the search
+    * from the same literals) while the search plan stays identical.
+    */
+  def ivfTopKWith(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    val centroids = centroidsDF(corpus.sparkSession, cents)
     val cells = ivfAssign(corpus, centroids)
     val probeCells = nearestCells(probes, centroids, nprobe)
       .select("cell", "q_id", "q_emb")
@@ -822,6 +890,17 @@ object Similarity {
       threshold: Double,
       c: Int = 16,
       iters: Int = 2,
+      maxCellSize: Option[Int] = None): DataFrame =
+    semanticDedupWith(emb, threshold, kmeansCentroidArrays(emb, c, iters), maxCellSize)
+
+  /** [[semanticDedup]] against PRECOMPUTED k-means centroids — the same
+    * model-state split as [[ivfTopKWith]]: capture the fitted cells once,
+    * dedup (and oracle-restate) against exactly those.
+    */
+  def semanticDedupWith(
+      emb: DataFrame,
+      threshold: Double,
+      cents: Array[Array[Float]],
       maxCellSize: Option[Int] = None): DataFrame = {
     // materialized: blockedThresholdPairs self-joins this frame, and an
     // unmaterialized frame with two consumers re-executes the whole
@@ -829,7 +908,7 @@ object Similarity {
     // executed plan — the recurring multi-consumer rule). Corpus-scale
     // like x24's shingle frame; a production pipeline persists the
     // assignment as a table instead (VersionedTable sink pattern).
-    val assigned = ivfAssign(emb, kmeansCentroids(emb, c, iters))
+    val assigned = ivfAssign(emb, centroidsDF(emb.sparkSession, cents))
       .select(col("cell"), col("vec_id"), col("embedding"))
       .localCheckpoint()
     // pair work is sum of SQUARED cell sizes, so one degenerate cluster
