@@ -32,6 +32,58 @@ object ServingQueries {
   val FixtureModelSpec: SeasonalModel.Spec =
     SeasonalModel.Spec(yearlyOrder = 2, weeklyOrder = 2, nChangepoints = 3, ridgeLambda = 1.0)
 
+  /** One fitted seasonal model row — the bounded MODEL STATE f01/f02 run
+    * with (one row per branch), captured so (a) the fit runs ONCE per sf
+    * dir per JVM — the model-store serving posture, where inference reads
+    * a stored coefficient table instead of re-fitting per request — and
+    * (b) `oracleSql` can interpolate the exact coefficients into a DuckDB
+    * restatement of the PREDICTION arithmetic (the FittedQualityModels
+    * pattern; the fit itself — distributed normal equations + an approx
+    * residual quantile — is not SQL-restatable, but its output is).
+    */
+  case class SeasModel(
+      branch: String, coef: Seq[Double], n: Long, residQ: Double,
+      tStart: java.sql.Date, tDays: Double)
+
+  private val FittedSeasonal =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[SeasModel]]()
+
+  /** Fit-once-per-dir, then serve the model table as a LocalRelation —
+    * downstream broadcast joins become job-free driver copies (the
+    * centroidsDF argument), and the doubles round-trip exactly through
+    * collect, so results are bit-identical to joining the fitted frame.
+    */
+  private def seasonalModelsFor(s: SparkSession, dir: String): DataFrame = {
+    val rows = FittedSeasonal.computeIfAbsent(dir, _ => {
+      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
+      SeasonalModel
+        .fit(daily, FixtureModelSpec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+        .collect().toSeq
+        .map(r => SeasModel(
+          r.getAs[String]("branch"), r.getSeq[Double](r.fieldIndex("coef")).toSeq,
+          r.getAs[Long]("n"), r.getAs[Double]("resid_q"),
+          r.getAs[java.sql.Date]("t_start"), r.getAs[Double]("t_days")))
+    })
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("coef", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("resid_q", DoubleType, nullable = false),
+      StructField("t_start", DateType, nullable = false),
+      StructField("t_days", DoubleType, nullable = false)))
+    val jrows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    rows.foreach(m =>
+      jrows.add(org.apache.spark.sql.Row(m.branch, m.coef, m.n, m.residQ, m.tStart, m.tDays)))
+    s.createDataFrame(jrows, schema)
+  }
+
+  /** The cached fit, iff unambiguous (the cachedQualityModel rule). */
+  private def cachedSeasonal: Option[Seq[SeasModel]] = {
+    val vs = FittedSeasonal.values()
+    if (vs.size == 1) Some(vs.iterator().next()) else None
+  }
+
   val TrendsToday: LocalDate = LocalDate.parse("2024-01-10")
   val TrendsInput: LocalDate = LocalDate.parse("2024-01-15")
   val TrendsBranch = "B7"
@@ -231,14 +283,17 @@ object ServingQueries {
     "o35_count" -> ((s, dir) =>
       Percentages.percentages(s, dir).agg(count(lit(1)).as("n_rows"))),
 
-    // §2.9 (f-queries, rows-only: a fitted model is not ANSI-SQL-expressible;
-    // covered by SeasonalModelSpec property tests instead — FIXTURES.md §4).
+    // §2.9 (f-queries): the FIT (distributed normal equations + approx
+    // residual quantile) is not ANSI-SQL-expressible — SeasonalModelSpec
+    // property-tests it — but the fitted coefficient table is bounded
+    // deterministic state, so PREDICTION oracles hash-green with the
+    // coefficients interpolated as literals (seasonalModelsFor captures
+    // them; fit runs once per dir — the model-store serving posture).
     // Fixture spec is sized to the one-month data span: small Fourier order,
     // few changepoints; the engine default Spec() mirrors Prophet's config.
     "f01_forecast" -> ((s, dir) => {
-      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
       val spec = FixtureModelSpec
-      val models = SeasonalModel.fit(daily, spec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+      val models = seasonalModelsFor(s, dir)
       val days = Forecast.explodeWindow(
         models.select("branch"), d(winStart), d(winEnd))
       SeasonalModel.predict(models, days, spec)
@@ -252,9 +307,8 @@ object ServingQueries {
     // model-agnostic — swap baselineUpper for SeasonalModel.predict and the
     // same pipeline serves (model dispatch = the coefficient-table join).
     "f02_forecast_serving" -> ((s, dir) => {
-      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
       val spec = FixtureModelSpec
-      val models = SeasonalModel.fit(daily, spec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+      val models = seasonalModelsFor(s, dir)
       val days = Forecast.explodeWindow(models.select("branch"), d(winStart), d(winEnd))
       val perDay = SeasonalModel.predict(models, days, spec).select("branch", "ds", "yhat_upper")
       val pct = Percentages.percentages(s, dir)
@@ -311,23 +365,18 @@ object ServingQueries {
        |  SELECT CAST(u AS DATE) AS ds FROM (
        |    SELECT unnest(generate_series(${dl(winStart)}, ${dl(winEnd)}, INTERVAL 1 DAY)) AS u))""".stripMargin
 
-  /** Shared assembly CTEs for o42/o36 (stand-in model + scaling + per-day
-    * hist lookup), mirroring Forecast.dailyForecast step for step.
+  /** Assembly CTEs shared by the baseline (o42/o36/o43) and seasonal (f02)
+    * serving oracles — input-pct scaling + per-day hist lookup, mirroring
+    * Forecast.dailyForecast step for step. The caller supplies the
+    * per-day `base` CTE (branch, ds, branch_forecast) and the relation
+    * enumerating branches, which is the ONLY place the two model shapes
+    * differ.
     */
-  private val dailyCtes: String =
-    s"""$monthlyCte,
-       |$windowDaysCte,
-       |model AS (
-       |  SELECT branch,
-       |         AVG(cnt) + ${Forecast.Z80} * COALESCE(stddev_samp(cnt), 0) AS yhat_upper
-       |  FROM forecasting_data GROUP BY 1),
-       |base AS (
-       |  SELECT model.branch, wdays.ds,
-       |         CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT) AS branch_forecast
-       |  FROM model CROSS JOIN wdays),
+  private def assemblyCtes(baseCte: String, branchSrc: String): String =
+    s"""$baseCte,
        |inputpct AS (
        |  SELECT b.branch, COALESCE(p.avg_percentage, m.month_pct, 1.0) AS input_pct
-       |  FROM (SELECT DISTINCT branch FROM model) b
+       |  FROM (SELECT DISTINCT branch FROM $branchSrc) b
        |  LEFT JOIN pct p ON p.branch = b.branch AND p.move_type = '$MoveType'
        |                 AND p.month = ${InputDate.getMonthValue} AND p.day = ${InputDate.getDayOfMonth}
        |  LEFT JOIN monthly m ON m.branch = b.branch AND m.move_type = '$MoveType'
@@ -346,6 +395,112 @@ object ServingQueries {
        |                 AND p.month = EXTRACT(MONTH FROM scaled.ds) AND p.day = EXTRACT(DAY FROM scaled.ds)
        |  LEFT JOIN monthly m ON m.branch = scaled.branch AND m.move_type = '$MoveType'
        |                     AND m.month = EXTRACT(MONTH FROM scaled.ds))""".stripMargin
+
+  private val baselineBaseCte: String =
+    s"""base AS (
+       |  SELECT model.branch, wdays.ds,
+       |         CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT) AS branch_forecast
+       |  FROM model CROSS JOIN wdays)""".stripMargin
+
+  private val dailyCtes: String =
+    s"""$monthlyCte,
+       |$windowDaysCte,
+       |model AS (
+       |  SELECT branch,
+       |         AVG(cnt) + ${Forecast.Z80} * COALESCE(stddev_samp(cnt), 0) AS yhat_upper
+       |  FROM forecasting_data GROUP BY 1),
+       |${assemblyCtes(baselineBaseCte, "model")}""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Seasonal-model oracles (f01/f02): the fitted coefficient table as a
+  // VALUES literal, prediction restated feature-for-feature. The Fourier
+  // constants and changepoints are computed HERE with the same Scala
+  // arithmetic featureCol uses, so both engines multiply absDays by the
+  // same double; sin/cos/exp are each engine's libm — their ulp drift is
+  // absorbed by the r4a / 6-dp pre-rounds every consumer applies (the
+  // sigmoidSql/exp argument, FIXTURES.md §4). expm1(x) mirrors as
+  // exp(x) - 1: the absolute gap is < 1e-16, far inside the pre-rounds.
+  // -------------------------------------------------------------------
+
+  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  private def seasModelValues(ms: Seq[SeasModel]): String =
+    ms.map { m =>
+      val coef = m.coef.map(dlit).mkString("[", ", ", "]")
+      s"('${m.branch}', $coef, ${dlit(m.residQ)}, DATE '${m.tStart}', ${dlit(m.tDays)})"
+    }.mkString("(VALUES ", ", ", ")")
+
+  /** dot(features(ds), coef) with the feature list inlined in featureCol's
+    * exact order — the dotSql sequential-sum mirror (aliases: smodel s,
+    * wdays w).
+    */
+  private def predLogSql(spec: SeasonalModel.Spec): String = {
+    val t = "(CAST(w.ds - s.t_start AS DOUBLE) / s.t_days)"
+    val absDays = "CAST(w.ds - DATE '1970-01-01' AS DOUBLE)"
+    val twoPi = 2.0 * math.Pi
+    val yearly = (1 to spec.yearlyOrder).flatMap { k =>
+      val c = twoPi * k / 365.25
+      Seq(s"sin($absDays * ${dlit(c)})", s"cos($absDays * ${dlit(c)})")
+    }
+    val weekly = (1 to spec.weeklyOrder).flatMap { k =>
+      val c = twoPi * k / 7.0
+      Seq(s"sin($absDays * ${dlit(c)})", s"cos($absDays * ${dlit(c)})")
+    }
+    val hinges = spec.changepoints.map(c => s"greatest($t - ${dlit(c)}, 0.0)")
+    val feats = (Seq("1.0", t) ++ yearly ++ weekly ++ hinges).mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, ${spec.k}), i -> ($feats)[i] * s.coef[i]))"
+  }
+
+  private def f01Sql(ms: Seq[SeasModel]): String =
+    s"""WITH $windowDaysCte,
+       |smodel(branch, coef, resid_q, t_start, t_days) AS ${seasModelValues(ms)},
+       |pred AS (
+       |  SELECT s.branch, w.ds, ${predLogSql(FixtureModelSpec)} AS pred_log, s.resid_q
+       |  FROM smodel s CROSS JOIN wdays w)
+       |SELECT branch, strftime(ds, '%Y-%m-%d') AS ds,
+       |       round(round(greatest(exp(pred_log) - 1.0, 0.0), 8), 4) AS yhat,
+       |       round(round(greatest(exp(pred_log + resid_q) - 1.0, 0.0), 8), 4) AS yhat_upper
+       |FROM pred ORDER BY 1, 2""".stripMargin
+
+  private def f02Sql(ms: Seq[SeasModel]): String = {
+    val seasonalBase =
+      s"""smodel(branch, coef, resid_q, t_start, t_days) AS ${seasModelValues(ms)},
+         |pmodel AS (
+         |  SELECT s.branch, w.ds,
+         |         greatest(exp(${predLogSql(FixtureModelSpec)} + s.resid_q) - 1.0, 0.0) AS yhat_upper
+         |  FROM smodel s CROSS JOIN wdays w),
+         |base AS (
+         |  SELECT branch, ds,
+         |         CAST(round_even(round(greatest(yhat_upper, 0), 6), 0) AS BIGINT) AS branch_forecast
+         |  FROM pmodel)""".stripMargin
+    s"""${Tables.FactCtes},
+       |${SparkEntry.DensePctCtes},
+       |$monthlyCte,
+       |$windowDaysCte,
+       |${assemblyCtes(seasonalBase, "smodel")},
+       |lab AS (
+       |  SELECT daily.*,
+       |         CASE WHEN abs(round(implied_pct - hist_avg, 6)) <= 5 THEN 'consistent'
+       |              WHEN round(implied_pct - hist_avg, 6) > 5 THEN 'stronger'
+       |              ELSE 'weaker' END AS comment_class,
+       |         (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
+       |  FROM daily)
+       |SELECT branch, strftime(ds, '%Y-%m-%d') AS ds, branch_forecast, predicted_moves,
+       |       round(round(hist_avg, 8), 4) AS hist_avg, comment_class,
+       |       CASE $commentCases
+       |            END AS comment
+       |FROM lab ORDER BY 1, 2""".stripMargin
+  }
+
+  /** The phrase-bank CASE arms shared by o43 and f02 (%.1f parity rules —
+    * see the o43 comment below).
+    */
+  private lazy val commentCases: String = (for {
+    (cls, phrases) <- Forecast.DailyPhrases.toSeq
+    (p, i) <- phrases.zipWithIndex
+  } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
+    s"THEN printf('$p', '$MoveType', round_even(round(hist_avg, 6) * 10, 0) / 10, round_even(round(implied_pct, 6) * 10, 0) / 10)")
+    .mkString("\n         |            ".stripMargin)
 
   private def trendsOracle(moveTypeFilter: String): String = {
     val ranges = (Tables.YearLo to Tables.YearHi)
@@ -445,13 +600,7 @@ object ServingQueries {
     // printf rounds the exact binary value (12.35 -> "12.3") while Java's
     // Formatter rounds the shortest repr half-up (12.35 -> "12.4") — see
     // Forecast.dailyForecast.
-    "o43_comments" -> {
-      val cases = (for {
-        (cls, phrases) <- Forecast.DailyPhrases.toSeq
-        (p, i) <- phrases.zipWithIndex
-      } yield s"WHEN comment_class = '$cls' AND phrase_id = $i " +
-        s"THEN printf('$p', '$MoveType', round_even(round(hist_avg, 6) * 10, 0) / 10, round_even(round(implied_pct, 6) * 10, 0) / 10)")
-        .mkString("\n         |            ")
+    "o43_comments" ->
       s"""${Tables.FactCtes},
          |${SparkEntry.DensePctCtes},
          |$dailyCtes,
@@ -463,10 +612,9 @@ object ServingQueries {
          |         (EXTRACT(MONTH FROM ds) + EXTRACT(DAY FROM ds) + length(branch)) % 3 AS phrase_id
          |  FROM daily)
          |SELECT branch, strftime(ds, '%Y-%m-%d') AS ds,
-         |       CASE $cases
+         |       CASE $commentCases
          |            END AS comment
-         |FROM lab ORDER BY 1, 2""".stripMargin
-    },
+         |FROM lab ORDER BY 1, 2""".stripMargin,
     "o12_forecast_no_move_type" ->
       s"""${Tables.FactCtes},
          |$windowDaysCte,
@@ -531,5 +679,10 @@ object ServingQueries {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM pct""".stripMargin,
     "o32_trends" -> trendsOracle(""),
     "o32_trends_mt" -> trendsOracle(s" AND move_type = '$MoveType'"),
-  )
+  ) ++ cachedSeasonal.map(ms => Map(
+    // rendered only when the fit ran this JVM (Verify runs queries before
+    // dumping oracles); otherwise f01/f02 fall back to rows-only
+    "f01_forecast" -> f01Sql(ms),
+    "f02_forecast_serving" -> f02Sql(ms),
+  )).getOrElse(Map.empty)
 }
