@@ -76,6 +76,28 @@ object ExtensionQueries {
     if (vs.size == 1) Some(vs.iterator().next()) else None
   }
 
+  // -------------------------------------------------------------------
+  // BPE merge state for x43 — the FittedQualityModels pattern applied to
+  // the tokenizer: the merge list fits driver-side deterministically
+  // (TextOps.bpeMerges — one corpus scan, then driver arithmetic), the
+  // query lambda caches it per dir, and the oracle interpolates it as a
+  // VALUES literal whose APPLICATION it then re-runs entirely in SQL
+  // (recursive CTE over merge rank, greedy-leftmost fold per word) — so
+  // the encode side is recomputed, not trusted.
+  // -------------------------------------------------------------------
+
+  private val FittedBpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[TextOps.BpeMerge]]()
+
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[TextOps.BpeMerge] =
+    FittedBpeMerges.computeIfAbsent(
+      dir, _ => TextOps.bpeMerges(Tables.documents(s, dir), numMerges = 20))
+
+  private def cachedBpeMerges: Option[Seq[TextOps.BpeMerge]] = {
+    val vs = FittedBpeMerges.values()
+    if (vs.size == 1) Some(vs.iterator().next()) else None
+  }
+
   /** A double as a DuckDB DOUBLE literal: string-cast form, so the parse
     * is the correctly-rounded round-trip of Double.toString (a bare
     * decimal literal would go through DuckDB's DECIMAL type instead).
@@ -453,12 +475,15 @@ object ExtensionQueries {
 
     // BPE segmentation (the encode side): per-document subword counts
     // under the 20-merge tokenizer — fertility (subwords per word) is the
-    // standard tokenizer-fit metric (rows-only: the trained merges are
-    // engine-internal; TextOpsSpec pins golden segmentations, the
-    // no-mergeable-pair-remains invariant, and open-vocabulary behavior).
+    // standard tokenizer-fit metric. Hash-gated: the fitted merges are
+    // interpolated into the oracle as literals and the DuckDB side
+    // re-applies them per word with the same greedy-leftmost fold
+    // (recursive CTE over rank); TextOpsSpec additionally pins golden
+    // segmentations, the no-mergeable-pair-remains invariant, and
+    // open-vocabulary behavior.
     "x43_bpe_segments" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextOps.bpeMerges(docs, numMerges = 20)
+      val merges = bpeMergesFor(s, dir)
       TextOps.bpeSegments(docs, merges)
         .groupBy("doc_id")
         .agg(
@@ -652,9 +677,12 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rank"), col("token"), r4(col("score")).as("score"))
         .orderBy("doc_id", "rank")),
 
-    // Deterministic train/val/test split (rows-only: the xxhash64 fold
-    // assignment is engine-internal; determinism, partitioning-independence
-    // and fraction accuracy are property-tested in SplitsSpec).
+    // Deterministic train/val/test split. Hash-gated end-to-end: the
+    // oracle recomputes Spark's xxhash64 fold hash IN DUCKDB SQL
+    // (XxHash64Sql's wrap-arithmetic CTE chain) and re-derives the same
+    // fold boundaries from Splits.upperBounds — nothing about the
+    // assignment is trusted; SplitsSpec additionally property-tests
+    // determinism, partitioning-independence and fraction accuracy.
     "x20_train_split" -> ((s, dir) =>
       Splits.splitByHash(
         Tables.documents(s, dir).select("doc_id"), "doc_id",
@@ -1027,6 +1055,73 @@ object ExtensionQueries {
        |p AS (SELECT doc_id, ${sigmoidSql(model)} AS p_keep FROM f)
        |SELECT doc_id, round(p_keep, 4) AS p_keep, round(p_keep, 6) >= 0.5 AS keep
        |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** x20 oracle: recompute the ENGINE'S fold hash in SQL. The
+    * XxHash64Sql CTE chain reproduces Spark's `xxhash64(lit(42), doc_id)`
+    * bit-for-bit in DuckDB, `signedPmod` reproduces `pmod(h, Buckets)`,
+    * and the fold boundaries come from the same Splits.upperBounds the
+    * engine compares against — end-to-end recomputation, zero trusted
+    * state.
+    */
+  private def trainSplitSql(): String = {
+    val folds = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val uppers = Splits.upperBounds(folds)
+    val (ctes, last) = XxHash64Sql.xxhash64LongCtes("documents", "doc_id", "xxh", 42L, "xx")
+    val bucket = XxHash64Sql.signedPmod("xxh", Splits.Buckets)
+    val cases = folds.map(_._1).zip(uppers).init
+      .map { case (n, ub) => s"WHEN bucket < $ub THEN '$n'" }
+      .mkString(" ")
+    s"""WITH $ctes,
+       |b AS (SELECT $bucket AS bucket FROM $last)
+       |SELECT CASE $cases ELSE '${folds.last._1}' END AS fold,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** x43 oracle: re-APPLY the fitted merges in SQL. Merges interpolate as
+    * a VALUES literal (bounded model state, the ANN-oracle rule); the
+    * recursive CTE then walks rank 0..N-1, applying merge `i` to every
+    * distinct word's symbol list with the exact greedy-leftmost fold of
+    * TextOps.bpeMerges/BpeApplyExpr — `list_reduce` over singleton lists,
+    * where a merged symbol immediately becomes the fold's new tail (so it
+    * can serve as the left side of the next occurrence), and DuckDB's
+    * inclusive negative slice means "drop the tail" is `acc[:-2]`.
+    * Initial symbols are code points (`regexp_extract_all(word, '.')` —
+    * RE2 '.' is one code point, matching the engine's supplementary-
+    * plane-safe split). Distinct words segment once, then join back to
+    * occurrences for the per-doc counts — the oracle-side mirror of the
+    * engine's scan-speed scalar expression.
+    */
+  private def bpeSegmentsSql(merges: Seq[TextOps.BpeMerge]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values = merges
+      .map(m => s"(${m.rank}, '${esc(m.left)}', '${esc(m.right)}')")
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |merges(rank, l, r) AS (SELECT * FROM (VALUES $values)),
+       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS ws
+       |         FROM documents),
+       |occ AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+       |dw AS (SELECT DISTINCT word FROM occ),
+       |seg AS (
+       |  SELECT word, regexp_extract_all(word, '.') AS syms, 0 AS i FROM dw
+       |  UNION ALL
+       |  SELECT s.word,
+       |         list_reduce(list_transform(s.syms, x -> [x]),
+       |           (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+       |                            THEN acc[:-2] || [m.l || m.r]
+       |                            ELSE acc || x END) AS syms,
+       |         s.i + 1 AS i
+       |  FROM seg s JOIN merges m ON m.rank = s.i),
+       |pw AS (SELECT word, len(syms) AS n_sub FROM seg WHERE i = ${merges.length}),
+       |agg AS (SELECT doc_id,
+       |               CAST(COUNT(*) AS BIGINT) AS n_words,
+       |               CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       |        FROM occ JOIN pw USING (word) GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_subwords,
+       |       round(CAST(n_subwords AS DOUBLE) / n_words, 4) AS fertility
+       |FROM agg ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1720,7 +1815,12 @@ object ExtensionQueries {
     "x30_quantized_topk" -> x30QuantizedSql,
     "x10_ann_lsh" -> x10AnnLshSql,
     "x15_lsh_neardup" -> x15LshNearDupSql,
-  ) ++ cachedQualityModel.map(m => Map(
+    "x20_train_split" -> trainSplitSql(),
+  ) ++ cachedBpeMerges.filter(_.nonEmpty).map(m => Map(
+    // rendered only when the fit ran this JVM (the x56 rule below) and
+    // produced at least one merge (an empty VALUES list cannot parse)
+    "x43_bpe_segments" -> bpeSegmentsSql(m),
+  )).getOrElse(Map.empty) ++ cachedQualityModel.map(m => Map(
     // rendered only when the fit ran this JVM (Verify runs queries before
     // dumping oracles); otherwise these fall back to rows-only
     "x56_quality_classifier" -> qualityClassifierSql(m),

@@ -1,0 +1,131 @@
+package graft
+
+/** DuckDB-SQL mirror of Spark's `xxhash64` over LongType inputs — the
+  * oracle-side recomputation that lets hash-partitioned operators (fold
+  * splits, hash buckets) graduate from rows-only to the hard DuckDB
+  * hash-gate without changing the engine-side hash.
+  *
+  * Spark's `xxhash64(c1, .., cn)` (seed 42) folds XXH64's 8-byte-input
+  * path over the children: `h = hashLong(c_i, h)` starting from the seed
+  * (org.apache.spark.sql.catalyst.expressions.XxHash64 — itself the
+  * published xxHash spec, Y. Collet, github.com/Cyan4973/xxHash). The
+  * 8-byte path is a short fixed sequence of wrap-multiplies, rotations
+  * and xor-shifts mod 2^64, all of which DuckDB can express exactly:
+  *
+  *   - UBIGINT carries the unsigned 64-bit state; `>>` on UBIGINT is the
+  *     logical shift (= Java's `>>>`), `xor`/`|`/`&` are bitwise;
+  *   - wrap-multiply CANNOT go through HUGEINT products directly (a
+  *     64x64 product reaches 2^128 > INT128 max, probed: DuckDB raises
+  *     "Overflow in multiplication of INT128"), so [[mulc]] splits the
+  *     constant into 32-bit halves — every intermediate stays <= 2^65;
+  *   - left-rotate = mask-then-multiply-by-2^s (never `<<`, which range-
+  *     errors on UBIGINT overflow) OR'd with the complementary `>>`.
+  *
+  * Literal children constant-fold in Scala through [[hashLong]], so the
+  * emitted chain spends CTE steps only on the data-dependent input.
+  * Differentially validated against `F.xxhash64(lit(42L), col)` on 5001
+  * ids including full-avalanche (>= 2^63) hashes — zero mismatches.
+  */
+object XxHash64Sql {
+
+  private val M: BigInt = BigInt(1) << 64
+  private val Mask: BigInt = M - 1
+  private val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+  private val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+  private val P3 = BigInt("1609587929392839161") // 0x165667B19E3779F9
+  private val P4 = BigInt("9650029242287828579") // 0x85EBCA77C2B2AE63
+  private val P5 = BigInt("2870177450012600261") // 0x27D4EB2F165667C5
+
+  /** XXH64.hashLong on unsigned-64 BigInts — the Scala-side copy of the
+    * spec, used to constant-fold literal children (and unit-testable
+    * against Spark's expression directly).
+    */
+  def hashLong(input: BigInt, seed: BigInt): BigInt = {
+    def rotl(x: BigInt, s: Int): BigInt = ((x << s) | (x >> (64 - s))) & Mask
+    var h = (seed + P5 + 8) & Mask
+    h ^= (rotl((input * P2) & Mask, 31) * P1) & Mask
+    h = ((rotl(h, 27) * P1) + P4) & Mask
+    h ^= h >> 33
+    h = (h * P2) & Mask
+    h ^= h >> 29
+    h = (h * P3) & Mask
+    h ^= h >> 32
+    h
+  }
+
+  /** The bit pattern of a signed long as unsigned BigInt. */
+  def toU64(v: Long): BigInt = BigInt(v) & Mask
+
+  // ---- SQL fragment builders (input exprs must be UBIGINT) ----
+
+  /** Wrap-multiply by a constant via 32-bit halves:
+    * a*c mod 2^64 = ((a_hi*c_lo + a_lo*c_hi) mod 2^32)*2^32 + a_lo*c_lo
+    * (mod 2^64) — every HUGEINT intermediate <= 2^65.
+    */
+  private def mulc(a: String, c: BigInt): String = {
+    val ch = c >> 32
+    val cl = c & 0xFFFFFFFFL
+    val hi = s"((CAST(($a >> 32) AS HUGEINT) * $cl + CAST(($a & 4294967295::UBIGINT) AS HUGEINT) * $ch) % 4294967296)"
+    s"CAST((($hi * 4294967296 + CAST(($a & 4294967295::UBIGINT) AS HUGEINT) * $cl) % 18446744073709551616) AS UBIGINT)"
+  }
+
+  private def addc(a: String, c: BigInt): String =
+    s"CAST((CAST($a AS HUGEINT) + $c) % 18446744073709551616 AS UBIGINT)"
+
+  /** a << s mod 2^64 without `<<` (UBIGINT shift overflow is a range
+    * error): mask to the low 64-s bits, then multiply — the product is
+    * < 2^64 by construction, so no wrap step is needed.
+    */
+  private def shl(a: String, s: Int): String =
+    s"CAST((CAST(($a & ${(BigInt(1) << (64 - s)) - 1}::UBIGINT) AS HUGEINT) * ${BigInt(1) << s}) AS UBIGINT)"
+
+  private def rotl(a: String, s: Int): String = s"(${shl(a, s)} | ($a >> ${64 - s}))"
+
+  /** CTE chain computing `outCol` = Spark `xxhash64(lit(seedLit), key)`
+    * as UBIGINT. Returns (cteFragment, lastCteName): the fragment is a
+    * comma-joined list of CTE definitions to splice into a WITH clause;
+    * the last CTE exposes all of `srcCte`'s columns plus `outCol` (the
+    * intermediate step columns are EXCLUDEd).
+    *
+    * @param srcCte  name of the table/CTE carrying the key
+    * @param keyCol  BIGINT key column (any sign)
+    * @param seedLit the literal first child (Splits.bucketOf's seed)
+    * @param pfx     unique prefix for CTE/step names
+    */
+  def xxhash64LongCtes(
+      srcCte: String,
+      keyCol: String,
+      outCol: String,
+      seedLit: Long,
+      pfx: String): (String, String) = {
+    // constant-fold hashLong(seedLit, 42) and the subsequent + P5 + 8
+    val chainedSeed = hashLong(toU64(seedLit), BigInt(42))
+    val acc0 = (chainedSeed + P5 + 8) & Mask
+    val in = s"${pfx}_in"
+    val steps = Seq(
+      s"${pfx}_j" -> mulc(in, P2),
+      s"${pfx}_k" -> mulc(rotl(s"${pfx}_j", 31), P1),
+      s"${pfx}_b" -> s"xor($acc0::UBIGINT, ${pfx}_k)",
+      s"${pfx}_c" -> addc(mulc(rotl(s"${pfx}_b", 27), P1), P4),
+      s"${pfx}_d" -> mulc(s"xor(${pfx}_c, (${pfx}_c >> 33))", P2),
+      s"${pfx}_e" -> mulc(s"xor(${pfx}_d, (${pfx}_d >> 29))", P3))
+    val bits =
+      s"CAST((CAST($keyCol AS HUGEINT) + CASE WHEN $keyCol < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS UBIGINT)"
+    val c0 = s"${pfx}0 AS (SELECT *, $bits AS $in FROM $srcCte)"
+    val mids = steps.zipWithIndex.map { case ((col, sql), i) =>
+      s"${pfx}${i + 1} AS (SELECT *, $sql AS $col FROM ${pfx}$i)"
+    }
+    val temps = (in +: steps.map(_._1)).mkString(", ")
+    val last = s"${pfx}f"
+    val cN =
+      s"$last AS (SELECT * EXCLUDE ($temps), xor(${pfx}_e, (${pfx}_e >> 32)) AS $outCol FROM ${pfx}${steps.size})"
+    ((c0 +: mids :+ cN).mkString(", "), last)
+  }
+
+  /** Spark `pmod(<signed view of hashCol>, m)` as BIGINT: reinterpret the
+    * UBIGINT hash as the signed long Spark holds, then the non-negative
+    * mod (Java pmod = mathematical mod for positive m).
+    */
+  def signedPmod(hashCol: String, m: Long): String =
+    s"CAST((((CAST($hashCol AS HUGEINT) - CASE WHEN $hashCol >= 9223372036854775808::UBIGINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % $m) + $m) % $m AS BIGINT)"
+}

@@ -36,18 +36,26 @@ object Splits {
     * @param folds ordered (name, weight) list, e.g.
     *              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     */
+  /** Cumulative fold upper bounds in bucket space — the exact boundaries
+    * [[splitByHash]] compares against, exposed (with [[bucketOf]]) so an
+    * oracle or auditing tool can re-derive the assignment rule without
+    * re-running the engine. The last bound is forced to Buckets so float
+    * accumulation can never leave a key unassigned.
+    */
+  def upperBounds(folds: Seq[(String, Double)]): Seq[Long] = {
+    require(folds.nonEmpty && folds.forall(_._2 > 0), "fold weights must be positive")
+    val total = folds.map(_._2).sum
+    folds.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w / total * Buckets))
+      .dropRight(1) :+ Buckets
+  }
+
   def splitByHash(
       df: DataFrame,
       keyCol: String,
       folds: Seq[(String, Double)],
       seed: Long = 42L): DataFrame = {
-    require(folds.nonEmpty && folds.forall(_._2 > 0), "fold weights must be positive")
-    val total = folds.map(_._2).sum
-    // cumulative upper bounds in bucket space; the last bound is forced to
-    // Buckets so float accumulation can never leave a key unassigned
-    val uppers = folds.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(w => math.round(w / total * Buckets))
-      .dropRight(1) :+ Buckets
+    val uppers = upperBounds(folds)
     val h = bucketOf(col(keyCol), seed)
     val fold = folds.map(_._1).zip(uppers).init.foldRight(lit(folds.last._1): Column) {
       case ((name, ub), els) => when(h < ub, name).otherwise(els)

@@ -137,4 +137,29 @@ class SplitsSpec extends AnyFunSuite {
     val b = run(texts.toDF("doc_id", "text").repartition(17))
     assert(a === b)
   }
+
+  test("XxHash64Sql.hashLong reproduces Spark's xxhash64 chain bit-for-bit") {
+    // the Scala reference that constant-folds literal children in the x20
+    // oracle's SQL chain must equal the engine's own expression — on
+    // negative keys, 0, and values whose hash lands >= 2^63 (where the
+    // signed-pmod reinterpretation matters)
+    val keys = Seq(0L, 1L, 7L, -1L, -42L, Long.MaxValue, Long.MinValue, 999999999999L)
+    val fromSpark = keys.toDF("k")
+      .select(col("k"), xxhash64(lit(42L), col("k")).as("h"), pmod(xxhash64(lit(42L), col("k")), lit(Splits.Buckets)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val seed = XxHash64Sql.hashLong(XxHash64Sql.toU64(42L), BigInt(42))
+    fromSpark.foreach { case (k, h, b) =>
+      val u = XxHash64Sql.hashLong(XxHash64Sql.toU64(k), seed)
+      assert(u === XxHash64Sql.toU64(h), s"hash of $k")
+      val signed = u.toLong // BigInt.toLong keeps the low-64 bit pattern
+      assert(((signed % Splits.Buckets) + Splits.Buckets) % Splits.Buckets === b, s"pmod of $k")
+    }
+  }
+
+  test("upperBounds: exact boundaries, last forced to Buckets, weights needn't sum to 1") {
+    assert(Splits.upperBounds(Seq("a" -> 0.8, "b" -> 0.1, "c" -> 0.1)) ===
+      Seq(800000L, 900000L, Splits.Buckets))
+    assert(Splits.upperBounds(Seq("a" -> 2.0, "b" -> 2.0)) === Seq(500000L, Splits.Buckets))
+    assertThrows[IllegalArgumentException](Splits.upperBounds(Seq("a" -> 0.0)))
+  }
 }
