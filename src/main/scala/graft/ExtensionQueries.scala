@@ -9,9 +9,9 @@ import graft.streaming.Ingest
 
 /** Extension query surface: the large-scale training-data-pipeline
   * operators (dedup, text analysis) over the `documents` table.
-  * x-prefixed keys; SQL-expressible ones carry DuckDB oracles, hash-family
-  * internals (MinHash/SimHash signatures use xxhash64) are rows-only +
-  * property-tested in DedupSpec.
+  * x-prefixed keys; SQL-expressible ones carry DuckDB oracles — including
+  * the hash-family queries (MinHash/SimHash/winnowing), whose xxhash64
+  * token hash the oracles recompute bit-for-bit via XxHash64Sql.
   */
 object ExtensionQueries {
 
@@ -195,9 +195,10 @@ object ExtensionQueries {
     "x07_shingle_stats" -> ((s, dir) =>
       TextOps.shingleStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
-    // MinHash signature layer (rows-only: xxhash64 is engine-internal).
-    // Banded-LSH pair generation + planted-near-dup behavior is covered by
-    // DedupSpec property tests.
+    // MinHash signature layer. Hash-gated: the oracle recomputes the
+    // engine's exact token hash (XxHash64Sql string mirror), gram
+    // polynomial, and affine minima in DuckDB SQL. Banded-LSH pair
+    // generation + planted-near-dup behavior is covered by DedupSpec.
     "x06_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignaturesRowwise(Tables.documents(s, dir))
         .select(
@@ -207,7 +208,9 @@ object ExtensionQueries {
           size(col("sig")).as("sig_len"))
         .orderBy("doc_id")),
 
-    // SimHash signatures (rows-only, same reason).
+    // SimHash signatures. Hash-gated end-to-end: the oracle recomputes
+    // the raw signed token hashes, the 64 per-bit +/-1 sums, and the
+    // sign-bit assembly in SQL (see simhashSql).
     "x08_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -377,8 +380,10 @@ object ExtensionQueries {
         .orderBy("branch", "ds")
     }),
 
-    // Winnowing (rolling-hash) fingerprints (rows-only: long-space gram
-    // hashes are engine-internal; overlap behavior property-tested).
+    // Winnowing (rolling-hash) fingerprints. Hash-gated: the oracle
+    // re-derives the gram hashes and re-runs the 4-wide window minima
+    // over first-occurrence-ordered distinct grams (see winnowSql);
+    // overlap behavior additionally property-tested in DedupSpec.
     "x16_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnowFingerprints(Tables.documents(s, dir))
         .groupBy(col("doc_id"))
@@ -464,11 +469,13 @@ object ExtensionQueries {
           r4(col("top_bigram_frac")).as("top_bigram_frac"))
         .orderBy("doc_id")),
 
-    // BPE merge training (tokenizer induction — rows-only: the iterative
-    // argmax loop is not ANSI-expressible; TextOpsSpec cross-checks the
-    // merge sequence against an independent reference implementation).
-    // One corpus scan; every iteration runs on the vocabulary-scale
-    // word-frequency table.
+    // BPE merge training (tokenizer induction). Hash-gated by a FULLY
+    // INDEPENDENT recomputation: the oracle re-runs the whole merge loop
+    // in DuckDB as a recursive CTE over single-row vocabulary state (see
+    // bpeMergesTrainSql) — no interpolated model state; TextOpsSpec
+    // additionally cross-checks against an in-JVM reference
+    // implementation. One corpus scan; every iteration runs on the
+    // vocabulary-scale word-frequency table.
     "x42_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMergeTable(Tables.documents(s, dir), numMerges = 20)
         .orderBy("rank")),
@@ -551,6 +558,20 @@ object ExtensionQueries {
         .select(col("batch_id"), col("corpus_id"), r4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     }),
+
+    // x29 over a shingle-BUCKETED corpus postings table (sources/
+    // Bucketed): the 100 TB side reads pre-partitioned, so the df window
+    // and candidate join add ZERO corpus-side exchanges per batch — only
+    // the batch shuffles (BucketingSpec pins the plan; the layout job
+    // runs once per dir, like a nightly compaction). Results must be
+    // layout-invariant: gated against the SAME oracle as x29.
+    "x29b_incremental_bucketed" -> ((s, dir) =>
+      Dedup.jaccardNearDupsAgainstPostings(
+        Tables.documents(s, dir).filter(col("doc_id") < 100),
+        bucketedPostingsFor(s, dir),
+        threshold = 0.5, minShared = 2, maxShingleDf = 100)
+        .select(col("batch_id"), col("corpus_id"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")),
 
     // Duplicated-span removal (ExactSubstr at word grain): rewrite every
     // document, deleting 15-word spans that occur verbatim elsewhere in
@@ -852,6 +873,29 @@ object ExtensionQueries {
         .orderBy("media_id")),
   )
 
+  /** One shingle-bucketed corpus postings table per (JVM, sf dir) for
+    * x29b — built once (the nightly-layout job) and reused by every
+    * evaluation, exactly the incremental-ingest read pattern the layout
+    * exists for. Table name is dir-keyed so the two sweep widths of one
+    * JVM never collide; data lives in a temp dir (external table), the
+    * bucket metadata in the session catalog.
+    */
+  private val BucketedPostingsTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bucketedPostingsFor(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tbl = BucketedPostingsTables.computeIfAbsent(dir, _ => {
+      val name = "graft_x29b_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+      val path = java.nio.file.Files.createTempDirectory("graft_x29b_").toString + "/t"
+      graft.sources.Bucketed.save(
+        TextOps.shingles(Tables.documents(s, dir).filter(col("doc_id") >= 100), 3),
+        name, path, Seq("shingle"), 8)
+      name
+    })
+    graft.sources.Bucketed.table(s, tbl)
+  }
+
   /** One JVM-wide sink for x24t: the harness evaluates query lambdas
     * repeatedly (sweeps at two widths, warm bench iterations, plan
     * audits), and a fresh temp directory per evaluation would leak one
@@ -896,6 +940,39 @@ object ExtensionQueries {
     })
     s.read.parquet(path).as[Media.AudioPayload]
   }
+
+  /** Shared by x29 (text-derived postings) and x29b (shingle-BUCKETED
+    * postings table): a storage layout must never change results, so both
+    * gate against one oracle.
+    */
+  private val IncrementalNearDupsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+      |b AS (SELECT * FROM sh WHERE doc_id < 100),
+      |c AS (SELECT * FROM sh WHERE doc_id >= 100),
+      |dfc AS (SELECT shingle, COUNT(*) AS df FROM c GROUP BY 1),
+      |idxc AS (SELECT c.* FROM c JOIN dfc USING (shingle) WHERE df <= 100),
+      |cand AS (
+      |  SELECT b.doc_id AS batch_id, idxc.doc_id AS corpus_id
+      |  FROM b JOIN idxc USING (shingle)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |inter AS (
+      |  SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS n_inter
+      |  FROM cand JOIN b ON b.doc_id = cand.batch_id
+      |  JOIN c ON c.doc_id = cand.corpus_id AND c.shingle = b.shingle
+      |  GROUP BY 1, 2),
+      |nb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+      |nc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1)
+      |SELECT i.batch_id, i.corpus_id,
+      |       round(CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter), 4) AS jaccard
+      |FROM inter i
+      |JOIN nb ON nb.doc_id = i.batch_id
+      |JOIN nc ON nc.doc_id = i.corpus_id
+      |WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
 
   /** Shared by x24 (localCheckpoint path) and x24t (VersionedTable path):
     * the two plans must be row/schema/hash-identical, so they gate against
@@ -1056,6 +1133,163 @@ object ExtensionQueries {
        |SELECT doc_id, round(p_keep, 4) AS p_keep, round(p_keep, 6) >= 0.5 AS keep
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Hash-family oracles (x06/x08/x16): the engine's token hash is
+  // pmod(xxhash64(token), P) — previously "engine-internal, rows-only".
+  // XxHash64Sql.xxhash64StringCtes recomputes that exact hash in DuckDB
+  // (short-input XXH64 path over the UTF-8 bytes), so the MinHash,
+  // SimHash, and winnowing surfaces are now gated end-to-end: tokenize →
+  // hash each DISTINCT token once (the engine's own hash-once shape) →
+  // join back by position → grams/bit-sums/window-mins in plain SQL.
+  // -------------------------------------------------------------------
+
+  /** Shared fragment ending in `occ`(doc_id, w, pos) and `wx`(w, xh):
+    * engine tokenization (raw `\s+` split, empties kept — TextOps.tokens
+    * has no empty filter) and the exact string hash per distinct token.
+    */
+  private def tokenHashCtes(minTokens: Int): String = {
+    val filter = if (minTokens > 0) s" WHERE len(ws) >= $minTokens" else ""
+    val (hashCtes, lastH) = XxHash64Sql.xxhash64StringCtes("dw", "w", "xh", "xs")
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+       |gd AS (SELECT doc_id, ws FROM toks$filter),
+       |occ AS (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS pos FROM gd),
+       |dw AS (SELECT DISTINCT w FROM occ),
+       |$hashCtes,
+       |wx AS (SELECT w, xh FROM $lastH)""".stripMargin
+  }
+
+  /** Token-hash arrays in document order, then the gram polynomial —
+    * Dedup.gramHashesFromTokenHashes' exact fold ((t1*Mix + t2) pmod P,
+    * then *Mix + t3, pmod P) over n=3 windows. Ends in `gr`(doc_id,
+    * grams) with grams in construction order (winnowing needs it).
+    */
+  private def gramCtes: String = {
+    val P = Dedup.MinHashPrime
+    val mix = Dedup.GramMix
+    s"""${tokenHashCtes(3)},
+       |th AS (SELECT w, ${XxHash64Sql.signedPmod("xh", P)} AS t FROM wx),
+       |arr AS (SELECT o.doc_id, list(t ORDER BY o.pos) AS ths
+       |        FROM occ o JOIN th USING (w) GROUP BY o.doc_id),
+       |gr AS (SELECT doc_id,
+       |         list_transform(generate_series(1, len(ths) - 2),
+       |           i -> (((ths[i] * $mix + ths[i+1]) % $P) * $mix + ths[i+2]) % $P) AS grams
+       |       FROM arr)""".stripMargin
+  }
+
+  /** x06: per-doc minima of the first two affine transforms over the gram
+    * set (minima are invariant to array_distinct, so the oracle skips
+    * it); (a_i, b_i) come from the SAME deterministic family the engine
+    * uses (Dedup.defaultHashParams).
+    */
+  private def minhashSigsSql: String = {
+    val P = Dedup.MinHashPrime
+    val params = Dedup.defaultHashParams(32)
+    val (a0, b0) = params(0)
+    val (a1, b1) = params(1)
+    s"""WITH ${gramCtes}
+       |SELECT doc_id,
+       |       list_min(list_transform(grams, h -> (h * $a0 + $b0) % $P)) AS sig0,
+       |       list_min(list_transform(grams, h -> (h * $a1 + $b1) % $P)) AS sig1,
+       |       32 AS sig_len
+       |FROM gr ORDER BY doc_id""".stripMargin
+  }
+
+  /** x16: MOSS winnowing over FIRST-OCCURRENCE-ordered distinct grams
+    * (DuckDB's list_distinct does not preserve order — the indexed
+    * list_filter does), 4-wide window minima, distinct fingerprints.
+    */
+  private def winnowSql: String =
+    s"""WITH ${gramCtes},
+       |hs AS (SELECT doc_id,
+       |         list_filter(grams, (x, i) -> list_position(grams[1:i-1], x) = 0) AS hsl
+       |       FROM gr),
+       |fp AS (SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(hsl) - 3),
+       |           i -> list_min(hsl[i:i+3]))) AS fps
+       |       FROM hs WHERE len(hsl) >= 4)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS min_fp
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** x08: SimHash — per (doc, bit) the +1/-1 sum over RAW signed token
+    * hashes (no pmod; arithmetic vs logical shift agree on bit
+    * extraction), sign picks the bit, bits assemble in HUGEINT and
+    * reinterpret to the signed long Spark emits.
+    */
+  private def simhashSql: String =
+    s"""WITH ${tokenHashCtes(0)},
+       |bits AS (SELECT o.doc_id, t.b,
+       |           SUM(CASE WHEN (xh >> t.b) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS s
+       |         FROM occ o JOIN wx USING (w) CROSS JOIN range(64) t(b)
+       |         GROUP BY o.doc_id, t.b),
+       |tot AS (SELECT doc_id,
+       |          SUM(CASE WHEN s > 0 THEN CAST((1::UBIGINT << b) AS HUGEINT) ELSE 0::HUGEINT END) AS u
+       |        FROM bits GROUP BY doc_id)
+       |SELECT doc_id,
+       |       CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+       |FROM tot ORDER BY doc_id""".stripMargin
+
+  /** x42 oracle: the ENTIRE BPE merge-training loop recomputed in SQL —
+    * no interpolated model state, a fully independent second
+    * implementation. The iterative argmax ("not ANSI-expressible" as
+    * row-space aggregation over a recursive table) becomes expressible by
+    * carrying the whole bounded vocabulary as ONE row of list state: a
+    * recursive CTE holds (i, vocab LIST<(syms, freq)>, merges), and each
+    * step builds adjacent pairs, dedups them (list_sort + adjacent-filter
+    * — DuckDB 1.0's list_distinct can't hash structs), scores each pair
+    * by a list_sum, picks the argmax with the engine's exact tie-break
+    * (count desc, then (l, r) lexicographic — struct sort on (nc, l, r)
+    * with nc = -count), and re-segments the vocab with the same
+    * greedy-leftmost fold as the x43 oracle. Terminates like the engine:
+    * at numMerges, or when no pair occurs twice (ok = false ends the
+    * recursion).
+    */
+  private def bpeMergesTrainSql(numMerges: Int): String =
+    s"""WITH RECURSIVE
+       |wf AS (
+       |  SELECT w AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS w
+       |    FROM documents) t
+       |  GROUP BY w ORDER BY freq DESC, word LIMIT 100000),
+       |init AS (
+       |  SELECT 0 AS i,
+       |         list({'syms': regexp_extract_all(word, '.'), 'freq': freq} ORDER BY freq DESC, word) AS vocab,
+       |         CAST([] AS STRUCT(rank INT, l VARCHAR, r VARCHAR, cnt BIGINT)[]) AS merges
+       |  FROM wf),
+       |bpe AS (
+       |  SELECT * FROM init
+       |  UNION ALL
+       |  SELECT i + 1 AS i,
+       |         CASE WHEN ok THEN list_transform(vocab, wv -> {
+       |           'syms': CASE WHEN len(wv.syms) <= 1 THEN wv.syms ELSE
+       |             list_reduce(list_transform(wv.syms, x -> [x]),
+       |               (acc, x) -> CASE WHEN acc[-1] = best.l AND x[1] = best.r
+       |                                THEN acc[:-2] || [best.l || best.r]
+       |                                ELSE acc || x END) END,
+       |           'freq': wv.freq}) ELSE vocab END AS vocab,
+       |         CASE WHEN ok THEN merges || [{'rank': i, 'l': best.l, 'r': best.r, 'cnt': -best.nc}] ELSE merges END AS merges
+       |  FROM (
+       |    SELECT i, vocab, merges, best, (best IS NOT NULL AND -best.nc >= 2) AS ok
+       |    FROM (
+       |      SELECT i, vocab, merges,
+       |             list_sort(list_transform(dp, p -> {'nc': -list_sum(list_transform(ap, q -> CASE WHEN q.l = p.l AND q.r = p.r THEN q.f ELSE 0 END)), 'l': p.l, 'r': p.r}))[1] AS best
+       |      FROM (
+       |        SELECT i, vocab, merges, ap,
+       |               list_filter(sp, (x, i2) -> i2 = 1 OR x != sp[i2-1]) AS dp
+       |        FROM (
+       |          SELECT i, vocab, merges, ap, list_sort(list_transform(ap, q -> {'l': q.l, 'r': q.r})) AS sp
+       |          FROM (
+       |            SELECT i, vocab, merges,
+       |                   flatten(list_transform(vocab, wv ->
+       |                     list_transform(generate_series(1, len(wv.syms) - 1),
+       |                       j -> {'l': wv.syms[j], 'r': wv.syms[j+1], 'f': wv.freq}))) AS ap
+       |            FROM bpe WHERE i < $numMerges) t0) t1) t2) t3) t4
+       |  WHERE ok),
+       |fin AS (SELECT merges FROM bpe ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(m.rank AS BIGINT) AS rank, m.l AS "left", m.r AS "right",
+       |       m.l || m.r AS merged, m.cnt AS pair_count
+       |FROM (SELECT unnest(merges) AS m FROM fin) t5
+       |ORDER BY rank""".stripMargin
 
   /** x20 oracle: recompute the ENGINE'S fold hash in SQL. The
     * XxHash64Sql CTE chain reproduces Spark's `xxhash64(lit(42), doc_id)`
@@ -1701,34 +1935,10 @@ object ExtensionQueries {
     "x24t_jaccard_table" -> JaccardNearDupsSql,
     // same recall contract as x24: candidates need >= 2 shingles under
     // the CORPUS df cap; the intersection itself is the full exact one
-    "x29_incremental_neardups" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |      FROM t WHERE len(toks) >= 3),
-        |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
-        |b AS (SELECT * FROM sh WHERE doc_id < 100),
-        |c AS (SELECT * FROM sh WHERE doc_id >= 100),
-        |dfc AS (SELECT shingle, COUNT(*) AS df FROM c GROUP BY 1),
-        |idxc AS (SELECT c.* FROM c JOIN dfc USING (shingle) WHERE df <= 100),
-        |cand AS (
-        |  SELECT b.doc_id AS batch_id, idxc.doc_id AS corpus_id
-        |  FROM b JOIN idxc USING (shingle)
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |inter AS (
-        |  SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS n_inter
-        |  FROM cand JOIN b ON b.doc_id = cand.batch_id
-        |  JOIN c ON c.doc_id = cand.corpus_id AND c.shingle = b.shingle
-        |  GROUP BY 1, 2),
-        |nb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
-        |nc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1)
-        |SELECT i.batch_id, i.corpus_id,
-        |       round(CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter), 4) AS jaccard
-        |FROM inter i
-        |JOIN nb ON nb.doc_id = i.batch_id
-        |JOIN nc ON nc.doc_id = i.corpus_id
-        |WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+    "x29_incremental_neardups" -> IncrementalNearDupsSql,
+    // x29b runs the SAME computation over the bucketed postings layout —
+    // layout invariance is gated by sharing x29's oracle verbatim
+    "x29b_incremental_bucketed" -> IncrementalNearDupsSql,
     // duplicated-span removal: DuckDB restates the interval-cover rule
     // relationally (covered positions as DISTINCT unnested ranges); list
     // slices are 1-based INCLUSIVE, so ws[i+1:i+15] is Spark's
@@ -1816,6 +2026,10 @@ object ExtensionQueries {
     "x10_ann_lsh" -> x10AnnLshSql,
     "x15_lsh_neardup" -> x15LshNearDupSql,
     "x20_train_split" -> trainSplitSql(),
+    "x06_minhash_sigs" -> minhashSigsSql,
+    "x08_simhash" -> simhashSql,
+    "x16_winnow_fingerprints" -> winnowSql,
+    "x42_bpe_merges" -> bpeMergesTrainSql(numMerges = 20),
   ) ++ cachedBpeMerges.filter(_.nonEmpty).map(m => Map(
     // rendered only when the fit ran this JVM (the x56 rule below) and
     // produced at least one merge (an empty VALUES list cannot parse)

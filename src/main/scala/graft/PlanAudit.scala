@@ -118,6 +118,10 @@ object PlanAudit {
     "x24t_jaccard_table" -> 3,
     // asymmetric batch-vs-corpus variant of the same shape
     "x29_incremental_neardups" -> 2,
+    // same shape over the shingle-BUCKETED postings table: the SMJs stay
+    // (corpus-scale sides), but the bucketed scan feeds them without a
+    // corpus exchange — BucketingSpec pins that plan property
+    "x29b_incremental_bucketed" -> 2,
     // the stream-cycle restatement runs the x29 shape on the deduped
     // batch — same corpus×corpus class (AQE may broadcast at fixture
     // scale; the pin is a ceiling)

@@ -128,4 +128,82 @@ object XxHash64Sql {
     */
   def signedPmod(hashCol: String, m: Long): String =
     s"CAST((((CAST($hashCol AS HUGEINT) - CASE WHEN $hashCol >= 9223372036854775808::UBIGINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % $m) + $m) % $m AS BIGINT)"
+
+  // ---- variable-length (string) inputs ----
+
+  /** Byte `pos` (1-based) of the UTF-8 encoding, decoded from its hex
+    * dump: DuckDB has no direct blob-byte accessor, but `hex(encode(s))`
+    * is two uppercase digits per byte and strpos inverts them exactly.
+    */
+  private def byteAt(hx: String, pos: String): String =
+    s"CAST(((strpos('0123456789ABCDEF', substr($hx, 2*($pos)-1, 1)) - 1) * 16 + " +
+      s"strpos('0123456789ABCDEF', substr($hx, 2*($pos), 1)) - 1) AS UBIGINT)"
+
+  /** Little-endian 8-byte lane starting at 0-based byte offset `base`. The
+    * byte*256^j products stay < 2^64 and their sum is <= 2^64-1, so plain
+    * UBIGINT addition cannot overflow.
+    */
+  private def lane8(hx: String, base: String): String =
+    (0 until 8)
+      .map(j => s"${byteAt(hx, s"($base)+${j + 1}")} * ${BigInt(256).pow(j)}::UBIGINT")
+      .mkString("(", " + ", ")")
+
+  /** CTE chain computing `outCol` = Spark `xxhash64(<string col>)` (seed
+    * 42) as UBIGINT for every row of `srcCte` — the engine's token-hash
+    * recomputed oracle-side, so MinHash/SimHash/winnowing queries can be
+    * hash-gated end-to-end instead of trusted rows-only.
+    *
+    * Mirrors XXH64.hashUnsafeBytesBlock's SHORT path (< 32 bytes: seeded
+    * accumulator + length, 8-byte lanes via `list_reduce` so any lane
+    * count works, one optional 4-byte lane, up to three tail bytes,
+    * avalanche). Inputs >= 32 bytes would take the 4-accumulator stripe
+    * path the chain does not model — they yield NULL, so a future corpus
+    * with long tokens fails the gate LOUDLY (hash mismatch) rather than
+    * silently agreeing. Differentially validated against
+    * `F.xxhash64(col)` on empty/1..16-byte/multibyte-UTF-8 inputs.
+    */
+  def xxhash64StringCtes(
+      srcCte: String,
+      strCol: String,
+      outCol: String,
+      pfx: String): (String, String) = {
+    val hx = s"${pfx}_hx"
+    val len = s"${pfx}_len"
+    def laneStep(acc: String, k: String): String =
+      addc(mulc(rotl(s"xor($acc, ${mulc(rotl(mulc(k, P2), 31), P1)})", 27), P1), P4)
+    def byteStep(h: String, b: String): String =
+      mulc(rotl(s"xor($h, ${mulc(b, P5)})", 11), P1)
+    val acc0Const = (BigInt(42) + P5) & Mask
+    val steps = Seq(
+      hx -> s"hex(encode($strCol))",
+      len -> s"octet_length(encode($strCol))",
+      s"${pfx}_lanes" ->
+        s"list_transform(generate_series(1, $len // 8), ${pfx}_w -> ${lane8(hx, s"(${pfx}_w-1)*8")})",
+      s"${pfx}_a0" -> addc(s"CAST($len AS UBIGINT)", acc0Const),
+      s"${pfx}_h1" ->
+        s"list_reduce([${pfx}_a0] || ${pfx}_lanes, (${pfx}_ac, ${pfx}_k) -> ${laneStep(s"${pfx}_ac", s"${pfx}_k")})",
+      s"${pfx}_off" -> s"($len // 8) * 8",
+      s"${pfx}_c4" -> s"$len - ${pfx}_off >= 4",
+      s"${pfx}_w32" ->
+        s"CASE WHEN ${pfx}_c4 THEN ${byteAt(hx, s"${pfx}_off+1")} + ${byteAt(hx, s"${pfx}_off+2")} * 256::UBIGINT + ${byteAt(hx, s"${pfx}_off+3")} * 65536::UBIGINT + ${byteAt(hx, s"${pfx}_off+4")} * 16777216::UBIGINT ELSE 0::UBIGINT END",
+      s"${pfx}_h2" ->
+        s"CASE WHEN ${pfx}_c4 THEN ${addc(mulc(rotl(s"xor(${pfx}_h1, ${mulc(s"${pfx}_w32", P1)})", 23), P2), P3)} ELSE ${pfx}_h1 END",
+      s"${pfx}_o2" -> s"${pfx}_off + CASE WHEN ${pfx}_c4 THEN 4 ELSE 0 END") ++
+      (0 until 3).map { k =>
+        val prev = if (k == 0) s"${pfx}_h2" else s"${pfx}_h${2 + k}"
+        s"${pfx}_h${3 + k}" ->
+          s"CASE WHEN ${pfx}_o2 + $k < $len THEN ${byteStep(prev, byteAt(hx, s"${pfx}_o2+${k + 1}"))} ELSE $prev END"
+      } ++ Seq(
+        s"${pfx}_d" -> mulc(s"xor(${pfx}_h5, (${pfx}_h5 >> 33))", P2),
+        s"${pfx}_e" -> mulc(s"xor(${pfx}_d, (${pfx}_d >> 29))", P3))
+    val c0 = s"${pfx}0 AS (SELECT * FROM $srcCte)"
+    val mids = steps.zipWithIndex.map { case ((col, sql), i) =>
+      s"${pfx}${i + 1} AS (SELECT *, $sql AS $col FROM ${pfx}$i)"
+    }
+    val temps = steps.map(_._1).mkString(", ")
+    val last = s"${pfx}f"
+    val cN =
+      s"$last AS (SELECT * EXCLUDE ($temps), CASE WHEN $len >= 32 THEN NULL ELSE xor(${pfx}_e, (${pfx}_e >> 32)) END AS $outCol FROM ${pfx}${steps.size})"
+    ((c0 +: mids :+ cN).mkString(", "), last)
+  }
 }

@@ -133,8 +133,10 @@ object Dedup {
 
   /** Polynomial mixing constant for combining token hashes into gram
     * hashes (odd, large — multiplication wraps mod 2^64, deterministic).
+    * Public (like [[MinHashPrime]] and [[defaultHashParams]]) so the
+    * oracle side can recompute the exact gram polynomial.
     */
-  private val GramMix = 1000003L
+  val GramMix = 1000003L
 
   /** Distinct n-gram hashes per document WITHOUT materializing shingle
     * strings: hash each token once (xxhash64), then combine n consecutive

@@ -16,24 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Co-located join via bucketing (brief: "repartition()/bucketing for
-    * co-located joins"): both sides written bucketed by the join key so
-    * repeated joins read pre-partitioned data and skip the shuffle
-    * entirely — the right layout for fact tables joined on the same key
-    * every day at 100 TB. Requires a catalog table (bucket metadata lives
-    * in the metastore, not the parquet files).
-    */
-  def writeBucketed(
-      df: org.apache.spark.sql.DataFrame,
-      tableName: String,
-      buckets: Int,
-      keys: Seq[String]): Unit =
-    df.write
-      .mode("overwrite")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(tableName)
+  // Co-located joins via bucketed LAYOUT are a storage contract, not a
+  // skew mitigation — they live in [[graft.sources.Bucketed]] (external
+  // path + append support); BucketingSpec pins the exchange elimination.
 
   /** Salted equi-join: semantically identical to
     * `big.join(small, keys, joinType)` for inner/left joins, with the big
