@@ -559,6 +559,22 @@ object ExtensionQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Standing differential gate for the XxHash64Sql STRING mirror: the
+    // corpus tokens are all short, so the >= 32-byte stripe path would
+    // otherwise be exercised only by builder-side ad-hoc checks. This
+    // fixture hashes every structural length class (0, 1..9, 4/8-byte
+    // boundaries, 31/32/33, 39/40, 63/64/65, 100, 127/128, multibyte
+    // UTF-8 crossing a stripe boundary) through the ENGINE's xxhash64;
+    // the oracle recomputes each through the emitted CTE chain — any
+    // divergence between Spark's XXH64 and the SQL mirror turns this row
+    // red before it can silently corrupt a hash-family oracle.
+    "x58_hash_mirror" -> ((s, dir) => {
+      import s.implicits._
+      HashMirrorFixture.toDF("w")
+        .select(col("w"), xxhash64(col("w")).as("h"))
+        .orderBy("w")
+    }),
+
     // x29 over a shingle-BUCKETED corpus postings table (sources/
     // Bucketed): the 100 TB side reads pre-partitioned, so the df window
     // and candidate join add ZERO corpus-side exchanges per batch — only
@@ -1143,6 +1159,36 @@ object ExtensionQueries {
   // hash each DISTINCT token once (the engine's own hash-once shape) →
   // join back by position → grams/bit-sums/window-mins in plain SQL.
   // -------------------------------------------------------------------
+
+  /** The x58 differential fixture: one string per structural length
+    * class of XXH64 (stripe count x tail-lane combinations), plus
+    * multibyte code points straddling a 32-byte stripe boundary. Unique
+    * ASCII-leading strings so ORDER BY w agrees between Spark's binary
+    * UTF8String ordering and DuckDB's binary collation.
+    */
+  private val HashMirrorFixture: Seq[String] = {
+    val lengths = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 15, 16, 17, 23, 24,
+      31, 32, 33, 39, 40, 47, 63, 64, 65, 95, 100, 127, 128)
+    lengths.map(n => ("abcdefghijklmnopqrstuvwxyz0123456789" * 4).take(n)) ++
+      Seq("q" * 30 + "éé", // 2-byte code points over the 32 boundary
+        "r" * 31 + "😀", // 4-byte emoji straddling byte 32
+        "s" * 62 + "中文", // CJK over the second stripe boundary
+        "t mixed spaces and\ttabs", "u\nnewline")
+  }
+
+  /** x58 oracle: the same fixture as a VALUES list, hashed through the
+    * emitted XxHash64Sql chain, reinterpreted to Spark's signed long.
+    */
+  private def hashMirrorSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values = HashMirrorFixture.map(w => s"('${esc(w)}')").mkString(", ")
+    val (ctes, last) = XxHash64Sql.xxhash64StringCtes("words", "w", "xh", "xs")
+    s"""WITH words(w) AS (SELECT * FROM (VALUES $values)),
+       |$ctes
+       |SELECT w,
+       |       CAST(CAST(xh AS HUGEINT) - CASE WHEN xh >= 9223372036854775808::UBIGINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h
+       |FROM $last ORDER BY w""".stripMargin
+  }
 
   /** Shared fragment ending in `occ`(doc_id, w, pos) and `wx`(w, xh):
     * engine tokenization (raw `\s+` split, empties kept — TextOps.tokens
@@ -2030,6 +2076,7 @@ object ExtensionQueries {
     "x08_simhash" -> simhashSql,
     "x16_winnow_fingerprints" -> winnowSql,
     "x42_bpe_merges" -> bpeMergesTrainSql(numMerges = 20),
+    "x58_hash_mirror" -> hashMirrorSql,
   ) ++ cachedBpeMerges.filter(_.nonEmpty).map(m => Map(
     // rendered only when the fit ran this JVM (the x56 rule below) and
     // produced at least one merge (an empty VALUES list cannot parse)

@@ -148,19 +148,25 @@ object XxHash64Sql {
       .map(j => s"${byteAt(hx, s"($base)+${j + 1}")} * ${BigInt(256).pow(j)}::UBIGINT")
       .mkString("(", " + ", ")")
 
+  /** Wrap-add of two variable UBIGINTs (sum < 2^65 fits HUGEINT). */
+  private def addv(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % 18446744073709551616 AS UBIGINT)"
+
   /** CTE chain computing `outCol` = Spark `xxhash64(<string col>)` (seed
     * 42) as UBIGINT for every row of `srcCte` — the engine's token-hash
     * recomputed oracle-side, so MinHash/SimHash/winnowing queries can be
     * hash-gated end-to-end instead of trusted rows-only.
     *
-    * Mirrors XXH64.hashUnsafeBytesBlock's SHORT path (< 32 bytes: seeded
-    * accumulator + length, 8-byte lanes via `list_reduce` so any lane
-    * count works, one optional 4-byte lane, up to three tail bytes,
-    * avalanche). Inputs >= 32 bytes would take the 4-accumulator stripe
-    * path the chain does not model — they yield NULL, so a future corpus
-    * with long tokens fails the gate LOUDLY (hash mismatch) rather than
-    * silently agreeing. Differentially validated against
-    * `F.xxhash64(col)` on empty/1..16-byte/multibyte-UTF-8 inputs.
+    * Mirrors XXH64.hashUnsafeBytesBlock COMPLETELY: inputs >= 32 bytes
+    * run the 4-accumulator stripe path (one STRUCT(a,b,c,d) per 32-byte
+    * stripe folded through `list_reduce` — the accumulator struct has the
+    * same shape, which is exactly what list_reduce's acc-type = elem-type
+    * rule needs — then the rotl(1,7,12,18) merge and four merge rounds),
+    * shorter inputs seed directly; both continue through the shared tail
+    * (8-byte lanes from the last stripe boundary, one optional 4-byte
+    * lane, up to three tail bytes, avalanche). Differentially validated
+    * against `F.xxhash64(col)` on empty/1..16/32/33/39/40/63/64/65/95/
+    * 100/127/128-byte and multibyte-UTF-8 inputs — zero mismatches.
     */
   def xxhash64StringCtes(
       srcCte: String,
@@ -173,13 +179,45 @@ object XxHash64Sql {
       addc(mulc(rotl(s"xor($acc, ${mulc(rotl(mulc(k, P2), 31), P1)})", 27), P1), P4)
     def byteStep(h: String, b: String): String =
       mulc(rotl(s"xor($h, ${mulc(b, P5)})", 11), P1)
+    // stripe-path accumulator update: acc' = rotl(acc + lane*P2, 31) * P1
+    def vRound(acc: String, lane: String): String =
+      mulc(rotl(addv(acc, mulc(lane, P2)), 31), P1)
+    def mergeRound(h: String, v: String): String =
+      addc(mulc(s"xor($h, ${mulc(rotl(mulc(v, P2), 31), P1)})", P1), P4)
     val acc0Const = (BigInt(42) + P5) & Mask
+    val v1 = (BigInt(42) + P1 + P2) & Mask
+    val v2 = (BigInt(42) + P2) & Mask
+    val v3 = BigInt(42)
+    val v4 = (BigInt(42) - P1) & Mask
+    val fields = Seq("a", "b", "c", "d")
+    val stripeLit = fields.zipWithIndex
+      .map { case (f, i) => s"'$f': ${lane8(hx, s"(${pfx}_st-1)*32+${8 * i}")}" }
+      .mkString("{", ", ", "}")
+    val accLit = fields
+      .map(f => s"'$f': ${vRound(s"${pfx}_vc.$f", s"${pfx}_sx.$f")}")
+      .mkString("{", ", ", "}")
+    val vInit =
+      s"{'a': $v1::UBIGINT, 'b': $v2::UBIGINT, 'c': $v3::UBIGINT, 'd': $v4::UBIGINT}"
+    val mergeInit =
+      s"CAST((CAST(${rotl(s"${pfx}_va.a", 1)} AS HUGEINT) + CAST(${rotl(s"${pfx}_va.b", 7)} AS HUGEINT) + " +
+        s"CAST(${rotl(s"${pfx}_va.c", 12)} AS HUGEINT) + CAST(${rotl(s"${pfx}_va.d", 18)} AS HUGEINT)) " +
+        "% 18446744073709551616 AS UBIGINT)"
     val steps = Seq(
       hx -> s"hex(encode($strCol))",
       len -> s"octet_length(encode($strCol))",
+      s"${pfx}_sts" ->
+        s"list_transform(generate_series(1, $len // 32), ${pfx}_st -> $stripeLit)",
+      s"${pfx}_va" ->
+        s"list_reduce([$vInit] || ${pfx}_sts, (${pfx}_vc, ${pfx}_sx) -> $accLit)",
+      s"${pfx}_m0" -> mergeInit,
+      s"${pfx}_m1" -> mergeRound(s"${pfx}_m0", s"${pfx}_va.a"),
+      s"${pfx}_m2" -> mergeRound(s"${pfx}_m1", s"${pfx}_va.b"),
+      s"${pfx}_m3" -> mergeRound(s"${pfx}_m2", s"${pfx}_va.c"),
+      s"${pfx}_m4" -> mergeRound(s"${pfx}_m3", s"${pfx}_va.d"),
+      s"${pfx}_a0" ->
+        s"CASE WHEN $len < 32 THEN ${addc(s"CAST($len AS UBIGINT)", acc0Const)} ELSE ${addv(s"${pfx}_m4", s"CAST($len AS UBIGINT)")} END",
       s"${pfx}_lanes" ->
-        s"list_transform(generate_series(1, $len // 8), ${pfx}_w -> ${lane8(hx, s"(${pfx}_w-1)*8")})",
-      s"${pfx}_a0" -> addc(s"CAST($len AS UBIGINT)", acc0Const),
+        s"list_transform(generate_series(($len // 32) * 4 + 1, $len // 8), ${pfx}_w -> ${lane8(hx, s"(${pfx}_w-1)*8")})",
       s"${pfx}_h1" ->
         s"list_reduce([${pfx}_a0] || ${pfx}_lanes, (${pfx}_ac, ${pfx}_k) -> ${laneStep(s"${pfx}_ac", s"${pfx}_k")})",
       s"${pfx}_off" -> s"($len // 8) * 8",
@@ -203,7 +241,7 @@ object XxHash64Sql {
     val temps = steps.map(_._1).mkString(", ")
     val last = s"${pfx}f"
     val cN =
-      s"$last AS (SELECT * EXCLUDE ($temps), CASE WHEN $len >= 32 THEN NULL ELSE xor(${pfx}_e, (${pfx}_e >> 32)) END AS $outCol FROM ${pfx}${steps.size})"
+      s"$last AS (SELECT * EXCLUDE ($temps), xor(${pfx}_e, (${pfx}_e >> 32)) AS $outCol FROM ${pfx}${steps.size})"
     ((c0 +: mids :+ cN).mkString(", "), last)
   }
 }

@@ -84,4 +84,25 @@ object Bucketed {
     * into the plan.
     */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Rewrite the table into a fresh layout at `newPath` and swap the
+    * catalog name — the compaction cadence [[append]]'s per-batch file
+    * growth calls for. The rewrite is staged COMPLETELY (written
+    * bucketed under a staging name) before the original drops, so a
+    * crash leaves the old table or both, never neither; the name swap
+    * itself is not atomic under the in-memory catalog (a production
+    * metastore commits the rename), so racing readers should pin paths,
+    * the same contract VersionedTable solves with version dirs.
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      newPath: String,
+      keys: Seq[String],
+      buckets: Int): Unit = {
+    val staging = table + "__compacting"
+    save(spark.table(table), staging, newPath, keys, buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
 }

@@ -96,4 +96,34 @@ class BucketingSpec extends AnyFunSuite {
       assert(Bucketed.table(spark, "bkt_grow").count() === all.count())
     } finally spark.sql("DROP TABLE IF EXISTS bkt_grow")
   }
+
+  test("compact: fewer files, same rows, layout still exchange-free after the swap") {
+    def parquetFiles(path: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = TextOps.shingles(docs.filter(col("doc_id") >= 100), 3)
+    val growPath = tmp("cgrow")
+    val compactPath = tmp("ccomp")
+    Bucketed.save(all.filter(col("doc_id") < 200), "bkt_cmp", growPath, Seq("shingle"), 4)
+    Bucketed.append(
+      all.filter(col("doc_id") >= 200 && col("doc_id") < 350), "bkt_cmp", Seq("shingle"), 4)
+    Bucketed.append(all.filter(col("doc_id") >= 350), "bkt_cmp", Seq("shingle"), 4)
+    try {
+      val before = parquetFiles(growPath)
+      val n = Bucketed.table(spark, "bkt_cmp").count()
+      Bucketed.compact(spark, "bkt_cmp", compactPath, Seq("shingle"), 4)
+      val after = parquetFiles(compactPath)
+      assert(after < before, s"compaction should shrink the file count ($before -> $after)")
+      assert(Bucketed.table(spark, "bkt_cmp").count() === n)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      val win = Bucketed.table(spark, "bkt_cmp").withColumn("df", count(lit(1)).over(w))
+      assert(exchanges(win) === 0, "compacted table must keep the bucketed layout")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_cmp")
+      spark.sql("DROP TABLE IF EXISTS bkt_cmp__compacting")
+    }
+  }
 }

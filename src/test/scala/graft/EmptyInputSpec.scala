@@ -101,4 +101,25 @@ class EmptyInputSpec extends AnyFunSuite {
       .toDF("branch", "ds", "branch_forecast", "predicted_moves", "input_pct", "hist_avg")
     assert(Forecast.summarize(daily, Some("click")).count() === 0)
   }
+
+  test("round-8 operators handle empty inputs") {
+    // an empty bucketed table round-trips and joins cleanly — the
+    // day-zero ingest state before any corpus exists
+    val emptyPostings = Seq.empty[(Long, String)].toDF("doc_id", "shingle")
+    val path = java.nio.file.Files.createTempDirectory("graft_bkt_empty").toString + "/t"
+    graft.sources.Bucketed.save(emptyPostings, "bkt_empty", path, Seq("shingle"), 4)
+    try {
+      assert(graft.sources.Bucketed.table(spark, "bkt_empty").count() === 0)
+      val batch = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      assert(
+        Dedup.jaccardNearDupsAgainstPostings(
+          batch, graft.sources.Bucketed.table(spark, "bkt_empty")).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_empty")
+    // BPE merge training on an empty corpus: no merges, segmentation
+    // falls back to code points
+    assert(TextOps.bpeMerges(emptyDocs, numMerges = 5).isEmpty)
+    assert(
+      TextOps.bpeSegments(Seq((1L, "ab")).toDF("doc_id", "text"), Seq.empty)
+        .head().getSeq[String](3) === Seq("a", "b"))
+  }
 }
