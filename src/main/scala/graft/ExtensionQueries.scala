@@ -559,6 +559,14 @@ object ExtensionQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Fuzzy (edit-distance) title dedup — the character-level,
+    // order-sensitive similarity class the shingle/hash/embedding
+    // families cannot see (typo and OCR variants). Prefix-blocking join,
+    // never all-pairs; oracled against DuckDB's own levenshtein.
+    "x59_fuzzy_titles" -> ((s, dir) =>
+      Dedup.fuzzyTitlePairs(Tables.documents(s, dir), maxEdits = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // Standing differential gate for the XxHash64Sql STRING mirror: the
     // corpus tokens are all short, so the >= 32-byte stripe path would
     // otherwise be exercised only by builder-side ad-hoc checks. This
@@ -2077,6 +2085,21 @@ object ExtensionQueries {
     "x16_winnow_fingerprints" -> winnowSql,
     "x42_bpe_merges" -> bpeMergesTrainSql(numMerges = 20),
     "x58_hash_mirror" -> hashMirrorSql,
+    // engine slice(toks, 1, 5) == DuckDB toks[1:5] (1-based INCLUSIVE);
+    // both levenshteins are the plain unit-cost DP over code points —
+    // identical on this ASCII corpus (the x58-style fixture caveat:
+    // multibyte counting differences would surface as a red row, not
+    // silent agreement)
+    "x59_fuzzy_titles" ->
+      """WITH tt AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |t0 AS (SELECT doc_id, lower(array_to_string(toks[1:5], ' ')) AS title FROM tt),
+        |k AS (SELECT doc_id, title, substr(title, 1, 4) AS blk FROM t0 WHERE len(title) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.title, b.title) AS BIGINT) AS edits
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(len(a.title) - len(b.title)) <= 2
+        |  AND levenshtein(a.title, b.title) <= 2
+        |ORDER BY 1, 2""".stripMargin,
   ) ++ cachedBpeMerges.filter(_.nonEmpty).map(m => Map(
     // rendered only when the fit ran this JVM (the x56 rule below) and
     // produced at least one merge (an empty VALUES list cannot parse)

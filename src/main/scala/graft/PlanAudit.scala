@@ -122,6 +122,9 @@ object PlanAudit {
     // (corpus-scale sides), but the bucketed scan feeds them without a
     // corpus exchange — BucketingSpec pins that plan property
     "x29b_incremental_bucketed" -> 2,
+    // prefix-blocking self-join: both sides are the corpus title frame
+    // (AQE may demote to broadcast at fixture scale; ceiling of 1)
+    "x59_fuzzy_titles" -> 1,
     // the stream-cycle restatement runs the x29 shape on the deduped
     // batch — same corpus×corpus class (AQE may broadcast at fixture
     // scale; the pin is a ceiling)

@@ -122,35 +122,42 @@ object Curation {
     val sc = docs.sparkSession.sparkContext
     val preIds = sc.getPersistentRDDs.keySet
 
-    // 1. per-source cap, with quality_score computed IN this projection:
-    // the persist boundary below then makes the stage-2 threshold a
-    // plain-attribute filter. Filtering on a lazily-joined score column
-    // instead lets PushDownPredicate inline the quality formula — whose
-    // stopword term is an ArrayFilter HOF — into the pushed Filter,
-    // re-evaluating the tokenization per row on top of the projection's
-    // own copy (the plan-audit HOF rule; caught by the round-8 per-stage
-    // audit the moment the persist blind spot was lifted). persist:
+    // 1. per-source cap, with quality_score — and, on the classifier
+    // path, the model's five feature columns — computed IN this
+    // projection: the persist boundary below then makes every downstream
+    // threshold (stage 2's gates AND stage 2.5's sigmoid) a
+    // plain-attribute filter over InMemoryRelation leaves. Filtering on
+    // a lazily-computed score/feature column instead lets
+    // PushDownPredicate inline the formula — whose stopword terms are
+    // ArrayFilter HOFs — into the pushed Filter, re-evaluating the
+    // tokenization per row on top of the projection's own copy (the
+    // plan-audit HOF rule; caught by the round-8 per-stage audit the
+    // moment the persist blind spot was lifted). Features for ALL capped
+    // docs instead of just gate-passers is one cheap projection pass
+    // over rows this stage caches anyway — a round-8 session finding
+    // replacing the earlier classifier-path filt.persist(), which was a
+    // SECOND corpus-shaped materialization serving only as this same
+    // inlining barrier (x57 pays one corpus cache, like x53). persist:
     // repetition and the gate below both consume this frame.
+    val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
+      QualityModel.featureCols(col("text")))
+    val classifierFeats = classifierFeatPairs.map { case (n, c) => c.as(n) }
+    val featNames = classifierFeatPairs.map(_._1)
     val capped = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
       .select(
-        col("doc_id"), col("source"), col("text"),
-        TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score"))
+        Seq(
+          col("doc_id"), col("source"), col("text"),
+          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
+          classifierFeats: _*)
       .persist()
 
     // 2. quality + repetition gates. quality_score stays attached — the
-    // near-dup retention (stage 4) ranks components by it. Persisted
-    // ONLY on the classifier path (two consumers there: the feature pass
-    // and the semi join back); with the classifier off, exact dedup is
-    // filt's single consumer and `exd`'s own cache boundary already
-    // stops re-execution — a filt persist would be one corpus-shaped
-    // materialization of pure overhead (round-7 x53 barrier finding).
-    // On the classifier path, the model's feature columns ride THIS
-    // projection (the quality_score trick again): the gate below then
-    // filters a sigmoid of plain attributes — no second tokenization
-    // pass over filt, no join back, no HOF in a pushed Filter.
-    val classifierFeats = classifier.toSeq.flatMap(_ =>
-      QualityModel.featureCols(col("text")).map { case (n, c) => c.as(n) })
-    val filt0 = capped
+    // near-dup retention (stage 4) ranks components by it — and the
+    // feature attributes ride through for the classifier gate; exact
+    // dedup is the single consumer either way, and `exd`'s own cache
+    // boundary stops re-execution, so no persist here (round-7 x53
+    // barrier finding).
+    val filt = capped
       .join(
         TextOps.repetitionStats(capped)
           .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
@@ -161,13 +168,13 @@ object Curation {
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
       .select(
         Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
-          classifierFeats: _*)
-    val filt = if (classifier.isDefined) filt0.persist() else filt0
+          featNames.map(col): _*)
 
     // 2.5 (opt-in): model-based quality gate — the sigmoid over the
-    // feature attributes computed above, thresholded on the 6-dp-rounded
-    // probability (the classify() contract), then the feature columns
-    // drop so the downstream schema matches the classifier-off shape
+    // feature attributes computed in stage 1, thresholded on the
+    // 6-dp-rounded probability (the classify() contract), then the
+    // feature columns drop so the downstream schema matches the
+    // classifier-off shape
     val gated = classifier match {
       case None => filt
       case Some((model, threshold)) =>
@@ -219,9 +226,7 @@ object Curation {
         col("shard"), col("n_tokens"), col("tok_offset"),
         col("seq_first"), col("seq_last"))
 
-    val named =
-      Seq(capped) ++ (if (classifier.isDefined) Seq(filt) else Nil) ++
-        Seq(exd, nd, cleanIds)
+    val named = Seq(capped, exd, nd, cleanIds)
     PipelineRun(
       output = packed,
       cleanup = () => {
@@ -262,13 +267,18 @@ object Curation {
       seqLen: Int = 512,
       hexChars: Int = 1,
       classifier: Option[(QualityModel.LogReg, Double)] = None): Seq[(String, DataFrame)] = {
+    // features ride the cap projection, mirroring pipelineRun's stage-1
+    // shape (the persist there / the checkpoint here is the same
+    // attribute barrier)
+    val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
+      QualityModel.featureCols(col("text")))
     val cap = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
       .select(
-        col("doc_id"), col("source"), col("text"),
-        TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score"))
+        Seq(
+          col("doc_id"), col("source"), col("text"),
+          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
+          classifierFeatPairs.map { case (n, c) => c.as(n) }: _*)
     val capC = cap.localCheckpoint()
-    val classifierFeats = classifier.toSeq.flatMap(_ =>
-      QualityModel.featureCols(col("text")).map { case (n, c) => c.as(n) })
     val gates = capC
       .join(
         TextOps.repetitionStats(capC)
@@ -280,7 +290,7 @@ object Curation {
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
       .select(
         Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
-          classifierFeats: _*)
+          classifierFeatPairs.map(p => col(p._1)): _*)
     val gatesC = gates.localCheckpoint()
     val (clsStage, gatedC) = classifier match {
       case None => (Nil, gatesC)

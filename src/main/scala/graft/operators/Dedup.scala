@@ -833,4 +833,65 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------------------------------
+  // Fuzzy (edit-distance) dedup for SHORT keys — titles, headers, URLs.
+  // A different similarity class from everything above: character-level
+  // and order-sensitive, so it catches typo/OCR variants ("Teh Anual
+  // Report") that token-shingle Jaccard calls disjoint and embedding
+  // cosine calls unrelated-magnitude noise.
+  // -------------------------------------------------------------------
+
+  /** The normalized short key: first `nTokens` whitespace tokens,
+    * lowercased, space-joined — the standard title normalization.
+    */
+  def titleKey(text: Column, nTokens: Int = 5): Column =
+    lower(concat_ws(" ", slice(TextOps.tokens(text), 1, nTokens)))
+
+  /** Fuzzy near-dup pairs: documents whose [[titleKey]]s are within
+    * `maxEdits` Levenshtein edits. Candidates come from a BLOCKING
+    * equi-join on the title's first `prefixLen` characters — never
+    * all-pairs; the shuffle is keyed on the block and each block's pair
+    * work is quadratic only in ITS size (the standard record-linkage
+    * blocking design). `levenshtein` evaluates inside codegen on the
+    * candidate pairs only, and a cheap length-difference filter (length
+    * delta > maxEdits implies edit distance > maxEdits) prunes before
+    * the DP runs.
+    *
+    * Recall contract, stated not hidden: an edit INSIDE the blocking
+    * prefix escapes its block (the classic blocking tradeoff) — lower
+    * `prefixLen` or union a second pass on a different key (e.g. a
+    * suffix block) when prefix typos matter. A degenerately hot block
+    * (boilerplate titles) is the same salting territory as
+    * [[candidatePairs]]: `saltBuckets > 1` routes the block self-join
+    * through [[Skew.saltedJoinSkewed]], spreading only blocks past
+    * `saltHotThreshold`.
+    *
+    * @return (doc_a, doc_b, edits), doc_a < doc_b, edits <= maxEdits
+    */
+  def fuzzyTitlePairs(
+      docs: DataFrame,
+      maxEdits: Int = 2,
+      prefixLen: Int = 4,
+      nTokens: Int = 5,
+      saltBuckets: Int = 0,
+      saltHotThreshold: Long = 1000L): DataFrame = {
+    require(maxEdits >= 0 && prefixLen >= 1, "maxEdits >= 0, prefixLen >= 1")
+    val keyed = docs
+      .select(col("doc_id"), titleKey(col("text"), nTokens).as("title"))
+      .filter(length(col("title")) > 0)
+      .withColumn("blk", substring(col("title"), 1, prefixLen))
+    val a = keyed.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a"))
+    val b = keyed.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))
+    val joined =
+      if (saltBuckets > 1) Skew.saltedJoinSkewed(a, b, Seq("blk"), saltBuckets, saltHotThreshold)
+      else a.join(b, Seq("blk"))
+    joined
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(length(col("title_a")) - length(col("title_b"))) <= maxEdits)
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
+      .filter(col("edits") <= maxEdits)
+  }
 }

@@ -377,4 +377,39 @@ class DedupSpec extends AnyFunSuite {
       minOccurrences = 3).collect()
     assert(out2.forall(_.getAs[Long]("n_lines_kept") === 2L))
   }
+
+  test("fuzzy title pairs: planted typos found with exact edit counts; blocking contract pinned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the annual report volume nine extra words here"),
+      (2L, "the anual report volume nine different tail"), // 1 deletion
+      (3L, "the annuel report volume nine"), // 1 substitution
+      (4L, "The ANNUAL Report Volume Nine"), // case only -> 0 edits
+      (5L, "qhe annual report volume nine"), // typo in the BLOCKING prefix
+      (6L, "completely unrelated title text"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.fuzzyTitlePairs(docs, maxEdits = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("edits")).toMap
+    assert(pairs((1L, 2L)) === 1L)
+    assert(pairs((1L, 3L)) === 1L)
+    assert(pairs((1L, 4L)) === 0L)
+    assert(pairs((2L, 3L)) === 2L)
+    // the blocking contract, stated in the scaladoc: a prefix edit
+    // escapes the block — doc 5 pairs with nothing despite edit
+    // distance 1 to doc 1's title
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    assert(!pairs.keySet.exists { case (a, b) => a == 6L || b == 6L })
+    // canonical orientation, no self-pairs
+    assert(pairs.keySet.forall { case (a, b) => a < b })
+    // the salt hatch changes physical placement only: a planted hot
+    // block (every doc shares the prefix) yields byte-identical pairs
+    // with salting on
+    val hot = (1L to 60L).map(i => (i, s"the title number $i plus tail")).toDF("doc_id", "text")
+    def run(salt: Int) = graft.operators.Dedup
+      .fuzzyTitlePairs(hot, maxEdits = 2, saltBuckets = salt, saltHotThreshold = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(0) === run(8))
+    assert(run(0).nonEmpty)
+  }
 }
