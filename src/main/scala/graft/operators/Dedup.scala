@@ -858,6 +858,18 @@ object Dedup {
     * delta > maxEdits implies edit distance > maxEdits) prunes before
     * the DP runs.
     *
+    * `dedupeTitles = true` runs the quadratic stage over DISTINCT titles
+    * instead of documents — the dedup-before-quadratic-work move the
+    * gram pipeline makes with distinct shingles: boilerplate corpora
+    * repeat a small title set across many documents, and title-level
+    * pairs expand back to document pairs through two equi-joins
+    * (identical-title documents pair through the title's 0-edit
+    * self-pair), cutting DP work by the square of the repetition factor.
+    * The default is the direct doc-level join: on a mostly-unique-title
+    * corpus the distinct pass plus two expansion joins is pure overhead
+    * (measured ~2x slower on the near-unique fixture corpus). Both paths
+    * are result-identical — DedupSpec pins byte-equality.
+    *
     * Recall contract, stated not hidden: an edit INSIDE the blocking
     * prefix escapes its block (the classic blocking tradeoff) — lower
     * `prefixLen` or union a second pass on a different key (e.g. a
@@ -875,23 +887,52 @@ object Dedup {
       prefixLen: Int = 4,
       nTokens: Int = 5,
       saltBuckets: Int = 0,
-      saltHotThreshold: Long = 1000L): DataFrame = {
+      saltHotThreshold: Long = 1000L,
+      dedupeTitles: Boolean = false): DataFrame = {
     require(maxEdits >= 0 && prefixLen >= 1, "maxEdits >= 0, prefixLen >= 1")
     val keyed = docs
       .select(col("doc_id"), titleKey(col("text"), nTokens).as("title"))
       .filter(length(col("title")) > 0)
       .withColumn("blk", substring(col("title"), 1, prefixLen))
-    val a = keyed.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a"))
-    val b = keyed.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))
-    val joined =
+    def blockJoin(a: DataFrame, b: DataFrame): DataFrame =
       if (saltBuckets > 1) Skew.saltedJoinSkewed(a, b, Seq("blk"), saltBuckets, saltHotThreshold)
       else a.join(b, Seq("blk"))
-    joined
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(abs(length(col("title_a")) - length(col("title_b"))) <= maxEdits)
-      .select(
-        col("doc_a"), col("doc_b"),
-        levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
-      .filter(col("edits") <= maxEdits)
+    def lenPrune(df: DataFrame): DataFrame =
+      df.filter(abs(length(col("title_a")) - length(col("title_b"))) <= maxEdits)
+    if (!dedupeTitles) {
+      lenPrune(blockJoin(
+        keyed.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a")),
+        keyed.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
+        .filter(col("edits") <= maxEdits)
+    } else {
+      val titles = keyed.select("blk", "title").distinct()
+      // unordered distinct-title pairs, INCLUDING the 0-edit self-pair
+      // (title_a = title_b) — that row is what pairs identical-title docs
+      val titlePairs = lenPrune(blockJoin(
+        titles.select(col("blk"), col("title").as("title_a")),
+        titles.select(col("blk"), col("title").as("title_b"))))
+        .filter(col("title_a") <= col("title_b"))
+        .select(
+          col("title_a"), col("title_b"),
+          levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
+        .filter(col("edits") <= maxEdits)
+      // expand titles back to documents. Orientation is exact, no
+      // distinct pass needed: across DIFFERENT titles each unordered doc
+      // pair appears once (a document has ONE title) and least/greatest
+      // canonicalizes it; within the self-pair, doc_a < doc_b dedups the
+      // symmetric expansion
+      titlePairs
+        .join(keyed.select(col("title").as("title_a"), col("doc_id").as("da")), Seq("title_a"))
+        .join(keyed.select(col("title").as("title_b"), col("doc_id").as("db")), Seq("title_b"))
+        .filter(col("title_a") < col("title_b") || col("da") < col("db"))
+        .select(
+          least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("edits"))
+    }
   }
 }

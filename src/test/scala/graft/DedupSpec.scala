@@ -406,10 +406,24 @@ class DedupSpec extends AnyFunSuite {
     // block (every doc shares the prefix) yields byte-identical pairs
     // with salting on
     val hot = (1L to 60L).map(i => (i, s"the title number $i plus tail")).toDF("doc_id", "text")
-    def run(salt: Int) = graft.operators.Dedup
-      .fuzzyTitlePairs(hot, maxEdits = 2, saltBuckets = salt, saltHotThreshold = 10L)
+    def run(salt: Int, dedupe: Boolean = false) = graft.operators.Dedup
+      .fuzzyTitlePairs(hot, maxEdits = 2, saltBuckets = salt, saltHotThreshold = 10L,
+        dedupeTitles = dedupe)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(0) === run(8))
     assert(run(0).nonEmpty)
+    // the distinct-title path (boilerplate-corpus optimization) is
+    // result-identical — including identical-title docs pairing at 0
+    // edits through the title self-pair
+    val repeated = ((1L to 40L).map(i => (i, "the same boilerplate title everywhere")) ++
+      Seq((41L, "the same boilerplate titel everywhere"), (42L, "unrelated thing entirely")))
+      .toDF("doc_id", "text")
+    def runRep(dedupe: Boolean) = graft.operators.Dedup
+      .fuzzyTitlePairs(repeated, maxEdits = 2, dedupeTitles = dedupe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = runRep(false)
+    assert(runRep(true) === direct)
+    // title -> titel is a transposition = 2 plain-Levenshtein edits
+    assert(direct.contains((1L, 2L, 0L)) && direct.contains((1L, 41L, 2L)))
   }
 }
