@@ -904,10 +904,13 @@ object Dedup {
         keyed.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a")),
         keyed.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))))
         .filter(col("doc_a") < col("doc_b"))
+        // banded DP: the threshold overload early-exits (returns -1) once
+        // the distance provably exceeds maxEdits — O(maxEdits * len)
+        // instead of O(len^2) per candidate pair
         .select(
           col("doc_a"), col("doc_b"),
-          levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
-        .filter(col("edits") <= maxEdits)
+          levenshtein(col("title_a"), col("title_b"), maxEdits).cast("long").as("edits"))
+        .filter(col("edits") >= 0 && col("edits") <= maxEdits)
     } else {
       val titles = keyed.select("blk", "title").distinct()
       // unordered distinct-title pairs, INCLUDING the 0-edit self-pair
@@ -918,8 +921,8 @@ object Dedup {
         .filter(col("title_a") <= col("title_b"))
         .select(
           col("title_a"), col("title_b"),
-          levenshtein(col("title_a"), col("title_b")).cast("long").as("edits"))
-        .filter(col("edits") <= maxEdits)
+          levenshtein(col("title_a"), col("title_b"), maxEdits).cast("long").as("edits"))
+        .filter(col("edits") >= 0 && col("edits") <= maxEdits)
       // expand titles back to documents. Orientation is exact, no
       // distinct pass needed: across DIFFERENT titles each unordered doc
       // pair appears once (a document has ONE title) and least/greatest
