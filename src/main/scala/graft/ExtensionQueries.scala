@@ -71,10 +71,8 @@ object ExtensionQueries {
     })
 
   /** The cached model, iff unambiguous (exactly one sf dir fitted). */
-  private def cachedQualityModel: Option[graft.operators.QualityModel.LogReg] = {
-    val vs = FittedQualityModels.values()
-    if (vs.size == 1) Some(vs.iterator().next()) else None
-  }
+  private def cachedQualityModel: Option[graft.operators.QualityModel.LogReg] =
+    cachedOne(FittedQualityModels)
 
   // -------------------------------------------------------------------
   // BPE merge state for x43 — the FittedQualityModels pattern applied to
@@ -93,10 +91,8 @@ object ExtensionQueries {
     FittedBpeMerges.computeIfAbsent(
       dir, _ => TextOps.bpeMerges(Tables.documents(s, dir), numMerges = 20))
 
-  private def cachedBpeMerges: Option[Seq[TextOps.BpeMerge]] = {
-    val vs = FittedBpeMerges.values()
-    if (vs.size == 1) Some(vs.iterator().next()) else None
-  }
+  private def cachedBpeMerges: Option[Seq[TextOps.BpeMerge]] =
+    cachedOne(FittedBpeMerges)
 
   /** A double as a DuckDB DOUBLE literal: string-cast form, so the parse
     * is the correctly-rounded round-trip of Double.toString (a bare
@@ -1256,7 +1252,7 @@ object ExtensionQueries {
   private def winnowSql: String =
     s"""WITH ${gramCtes},
        |hs AS (SELECT doc_id,
-       |         list_filter(grams, (x, i) -> list_position(grams[1:i-1], x) = 0) AS hsl
+       |         list_filter(grams, (x, i) -> coalesce(list_position(grams[1:i-1], x), 0) = 0) AS hsl
        |       FROM gr),
        |fp AS (SELECT doc_id,
        |         list_distinct(list_transform(generate_series(1, len(hsl) - 3),

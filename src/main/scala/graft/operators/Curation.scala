@@ -59,7 +59,16 @@ object Curation {
     * have nothing to recompute from once their blocks are dropped —
     * run the pipeline again instead.
     */
-  final case class PipelineRun(output: DataFrame, cleanup: () => Unit)
+  /** `stages` exposes the run's OWN named persist boundaries in lineage
+    * order (cap, exd, nd, clean_ids) so a timing/debug harness can
+    * materialize them incrementally and attribute cost to exactly the
+    * barriers the shipped pipeline pays — no hand-copied restatement of
+    * the chain to drift out of sync (the round-8 TimePipeline finding).
+    */
+  final case class PipelineRun(
+      output: DataFrame,
+      cleanup: () => Unit,
+      stages: Seq[(String, DataFrame)] = Nil)
 
   /** Run the full curation chain over `docs` (doc_id, source, text).
     *
@@ -227,9 +236,20 @@ object Curation {
         col("seq_first"), col("seq_last"))
 
     val named = Seq(capped, exd, nd, cleanIds)
+    // one-shot latch: the snapshot diff is computed at the FIRST cleanup
+    // and never again — a second call must be a no-op, not a re-diff that
+    // would sweep up whatever the session cached since (the diff is a
+    // time-window heuristic, so the run's terminal action should not
+    // overlap other persisting work in the same session; concurrent
+    // pipelines belong in separate sessions, the streaming module's
+    // isolation rule)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     PipelineRun(
       output = packed,
-      cleanup = () => {
+      stages = Seq(
+        "cap" -> capped, "exact_dedup" -> exd,
+        "near_dup_retention" -> nd, "clean_ids" -> cleanIds),
+      cleanup = () => if (done.compareAndSet(false, true)) {
         // DataFrame.unpersist for the named boundaries (also clears their
         // cacheManager plan entries, so a later identical plan does not
         // rebuild a half-dropped cache) ...

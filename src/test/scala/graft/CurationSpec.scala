@@ -158,8 +158,39 @@ class CurationSpec extends AnyFunSuite {
     run.cleanup()
     assert(sc.getPersistentRDDs.keySet === pre,
       s"persistent RDDs remain after cleanup: ${(sc.getPersistentRDDs.keySet -- pre).toSeq.sorted}")
-    run.cleanup() // idempotent
-    assert(sc.getPersistentRDDs.keySet === pre)
+    // truly one-shot: a frame cached AFTER the first cleanup must survive
+    // a second call — the latch prevents a re-diff from sweeping up
+    // unrelated session caches (round-8 review finding)
+    val later = corpus().localCheckpoint()
+    later.count()
+    val afterFirst = sc.getPersistentRDDs.keySet
+    assert(afterFirst.size > pre.size)
+    run.cleanup() // idempotent no-op
+    assert(sc.getPersistentRDDs.keySet === afterFirst,
+      "second cleanup must not touch caches created after the first")
+    later.unpersist()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("auditStages mirrors the shipped pipeline: final stage row-identical, classifier on and off") {
+    // the audit harness restates the chain on lineage-cut copies — this
+    // pin makes the restatement structurally falsifiable: any drift
+    // between auditStages and pipeline() (the round-8 TimePipeline class
+    // of bug) shows up as a row diff here
+    def rows(df: DataFrame) =
+      df.collect().map(r => r.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted.toSeq
+    val banned = corpus().filter(col("doc_id") <= 2)
+    val model = graft.operators.QualityModel.fit(
+      graft.operators.QualityModel.qualityFeatures(corpus())
+        .join(TextOps.qualityScore(corpus()), Seq("doc_id"))
+        .withColumn("label", (col("quality_score") >= 0.65).cast("int")))
+    for (cls <- Seq(None, Some((model, 0.5)))) {
+      val full = rows(Curation.pipeline(
+        corpus(), banned, maxDocsPerSource = 100, decontamMinShared = 5, classifier = cls))
+      val staged = Curation.auditStages(
+        corpus(), banned, maxDocsPerSource = 100, decontamMinShared = 5, classifier = cls)
+      assert(rows(staged.last._2) === full, s"classifier=$cls")
+    }
   }
 
   test("opt-in classifier stage drops model-rejected docs and nothing else changes") {
