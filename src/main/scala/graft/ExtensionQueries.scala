@@ -704,7 +704,10 @@ object ExtensionQueries {
     // the FP bound are property-tested in PiiSpec). The 100 TB path: the
     // banned set compresses to a scalar-subquery bit array, so corpus
     // membership testing needs ZERO shuffle where x22's semi join
-    // shuffles every corpus shingle.
+    // shuffles every corpus shingle. Hash-gated — the LAST query to
+    // leave rows-only: the oracle recomputes bloom membership
+    // relationally (Murmur3Sql V2 positions, banned-position-set
+    // containment), reproducing even the false positives bit-for-bit.
     "x35_contamination_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.contaminationBloom(docs, docs.filter(col("doc_id") < 50), minShared = 2)
@@ -1340,6 +1343,48 @@ object ExtensionQueries {
        |       m.l || m.r AS merged, m.cnt AS pair_count
        |FROM (SELECT unnest(merges) AS m FROM fin) t5
        |ORDER BY rank""".stripMargin
+
+  /** x35 oracle: the bloom SKETCH recomputed relationally — the last
+    * rows-only row falls. The filter's bit array is never materialized;
+    * instead, "might contain x" is restated as set containment: all k of
+    * x's bit positions (pure arithmetic over the Murmur3 hash pair of
+    * xxhash64(shingle) — Murmur3Sql's V2 scheme, matching Spark 4's
+    * bloom_filter_agg exactly) must fall inside the UNION of the banned
+    * items' positions. False positives reproduce bit-for-bit, because
+    * they are a deterministic function of the same positions. Sizing
+    * mirrors contaminationBloom's formulas (numBits from fpp, k from the
+    * bits/item ratio, BitArray's whole-word rounding for the modulus).
+    */
+  private def bloomContaminationSql(
+      minShared: Int, expectedItems: Long, fpp: Double): String = {
+    val numBits = math.max(
+      64L, math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val k = math.max(1L, math.round(numBits.toDouble / expectedItems * math.log(2)))
+    val bitSize = math.ceil(numBits / 64.0).toLong * 64L
+    val (xsCtes, xsLast) = XxHash64Sql.xxhash64StringCtes("dw", "w", "xh", "xs")
+    val (mmCtes, mmLast) = Murmur3Sql.hashLongPairCtes(xsLast, "xh", "mm")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+       |      FROM t WHERE len(toks) >= 3),
+       |ds AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+       |ban AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 50),
+       |dw AS (SELECT DISTINCT shingle AS w FROM ds),
+       |$xsCtes,
+       |$mmCtes,
+       |pos AS (SELECT w, t.i, ${Murmur3Sql.v2Position("t.i", bitSize)} AS p
+       |        FROM $mmLast CROSS JOIN range(1, ${k + 1}) t(i)),
+       |bpos AS (SELECT DISTINCT p FROM pos JOIN ban ON ban.shingle = pos.w),
+       |hits AS (SELECT ds.doc_id, ds.shingle
+       |         FROM ds JOIN pos ON pos.w = ds.shingle
+       |         LEFT JOIN bpos ON bpos.p = pos.p
+       |         GROUP BY 1, 2 HAVING COUNT(*) = COUNT(bpos.p)),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(cnt.n, 0) AS n_maybe_shared,
+       |       COALESCE(cnt.n, 0) >= $minShared AS maybe_contaminated
+       |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+  }
 
   /** x20 oracle: recompute the ENGINE'S fold hash in SQL. The
     * XxHash64Sql CTE chain reproduces Spark's `xxhash64(lit(42), doc_id)`
@@ -2081,6 +2126,8 @@ object ExtensionQueries {
     "x16_winnow_fingerprints" -> winnowSql,
     "x42_bpe_merges" -> bpeMergesTrainSql(numMerges = 20),
     "x58_hash_mirror" -> hashMirrorSql,
+    "x35_contamination_bloom" ->
+      bloomContaminationSql(minShared = 2, expectedItems = 4096L, fpp = 0.01),
     // engine slice(toks, 1, 5) == DuckDB toks[1:5] (1-based INCLUSIVE);
     // both levenshteins are the plain unit-cost DP over code points —
     // identical on this ASCII corpus (the x58-style fixture caveat:

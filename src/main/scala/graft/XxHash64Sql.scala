@@ -245,3 +245,75 @@ object XxHash64Sql {
     ((c0 +: mids :+ cN).mkString(", "), last)
   }
 }
+
+/** DuckDB-SQL mirror of Murmur3_x86_32.hashLong — the hash pair behind
+  * Spark's BloomFilterImpl, so bloom-sketch membership (x35) can be
+  * recomputed relationally: an item is "might contain" exactly when all
+  * k of its bit positions fall inside the union of the banned items'
+  * positions, and the positions are pure arithmetic over (h1, h2).
+  *
+  * Spark 4's `bloom_filter_agg` builds a V2 filter
+  * (BloomFilter.create(items, bits) → Version.V2, seed 0 — read from the
+  * shipped spark-sketch bytecode, as was the V2 scatter below):
+  *   h1 = Murmur3_x86_32.hashLong(item, 0); h2 = hashLong(item, h1);
+  *   acc = h1 * Int.MaxValue (SIGNED 64-bit — V2 dropped V1's 32-bit
+  *   wrap); then per round i: acc += h2; pos = acc < 0 ? ~acc : acc;
+  *   bit = pos % bitSize, with bitSize = ceil(numBits/64)*64 (BitArray
+  *   rounds up to whole words).
+  *
+  * Murmur3_x86_32 itself is all 32-bit wrap arithmetic, which UBIGINT
+  * handles directly: every product is < 2^64 and `% 4294967296`
+  * truncates exactly. Differentially validated against `F.hash()` (the
+  * same hashLong, seed 42) and end-to-end against the engine's own
+  * bloom query output — zero mismatches including false positives.
+  */
+object Murmur3Sql {
+
+  private val M32 = "4294967296"
+
+  private def rot(x: String, s: Int): String =
+    s"((($x << $s) % $M32) | ($x >> ${32 - s}))"
+
+  private def mixK1(v: String): String =
+    s"((${rot(s"(($v * 3432918353::UBIGINT) % $M32)", 15)} * 461845907::UBIGINT) % $M32)"
+
+  private def mixH1(h: String, k: String): String =
+    s"(((${rot(s"xor($h, $k)", 13)} * 5::UBIGINT) + 3864292196::UBIGINT) % $M32)"
+
+  /** CTE chain computing the bloom hash pair (`mh1`, `mh2`, UBIGINT
+    * 32-bit values) for every row of `srcCte`, whose `itemCol` is the
+    * UBIGINT bit pattern of the hashed long (e.g. XxHash64Sql's output).
+    */
+  def hashLongPairCtes(srcCte: String, itemCol: String, pfx: String): (String, String) = {
+    def fmixSteps(tag: String, seed: String): Seq[(String, String)] = Seq(
+      s"${pfx}_${tag}a" -> mixH1(seed, mixK1(s"${pfx}_lo")),
+      s"${pfx}_${tag}b" -> mixH1(s"${pfx}_${tag}a", mixK1(s"${pfx}_hi")),
+      s"${pfx}_${tag}c" -> s"xor(${pfx}_${tag}b, 8::UBIGINT)",
+      s"${pfx}_${tag}d" -> s"xor(${pfx}_${tag}c, (${pfx}_${tag}c >> 16))",
+      s"${pfx}_${tag}e" -> s"((${pfx}_${tag}d * 2246822507::UBIGINT) % $M32)",
+      s"${pfx}_${tag}f" -> s"xor(${pfx}_${tag}e, (${pfx}_${tag}e >> 13))",
+      s"${pfx}_${tag}g" -> s"((${pfx}_${tag}f * 3266489909::UBIGINT) % $M32)",
+      (if (tag == "p") "mh1" else "mh2") -> s"xor(${pfx}_${tag}g, (${pfx}_${tag}g >> 16))")
+    val steps = Seq(
+      s"${pfx}_lo" -> s"$itemCol & 4294967295::UBIGINT",
+      s"${pfx}_hi" -> s"$itemCol >> 32") ++
+      fmixSteps("p", "0::UBIGINT") ++ fmixSteps("q", "mh1")
+    val mids = steps.zipWithIndex.map { case ((col, sql), i) =>
+      s"$pfx${i + 1} AS (SELECT *, $sql AS $col FROM ${if (i == 0) srcCte else s"$pfx$i"})"
+    }
+    val temps = steps.map(_._1).filterNot(c => c == "mh1" || c == "mh2").mkString(", ")
+    val last = s"${pfx}f"
+    (mids.mkString(", ") + s", $last AS (SELECT * EXCLUDE ($temps) FROM $pfx${steps.size})", last)
+  }
+
+  /** The V2 bit position for hash round `i` as a BIGINT SQL expression:
+    * signed-32 reinterpretation of the pair, the signed-64 accumulator,
+    * the negative-flip, then the modulus.
+    */
+  def v2Position(iExpr: String, bitSize: Long): String = {
+    def s32(u: String) =
+      s"(CAST($u AS BIGINT) - CASE WHEN $u >= 2147483648::UBIGINT THEN 4294967296 ELSE 0 END)"
+    val acc = s"(${s32("mh1")} * 2147483647 + CAST($iExpr AS BIGINT) * ${s32("mh2")})"
+    s"(CASE WHEN $acc < 0 THEN -$acc - 1 ELSE $acc END) % $bitSize"
+  }
+}
