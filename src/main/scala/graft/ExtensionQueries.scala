@@ -94,11 +94,7 @@ object ExtensionQueries {
   private def cachedBpeMerges: Option[Seq[TextOps.BpeMerge]] =
     cachedOne(FittedBpeMerges)
 
-  /** A double as a DuckDB DOUBLE literal: string-cast form, so the parse
-    * is the correctly-rounded round-trip of Double.toString (a bare
-    * decimal literal would go through DuckDB's DECIMAL type instead).
-    */
-  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+  private def dlit(x: Double): String = OracleSqlUtil.dlit(x)
 
   /** The five classifier features in DuckDB SQL over a token-list column —
     * the oracle-side mirror of [[graft.operators.QualityModel
@@ -151,13 +147,8 @@ object ExtensionQueries {
   private val FittedIvfPq = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
 
-  /** The cached state, iff unambiguous — exactly one sf dir fitted this
-    * JVM (the cachedQualityModel rule).
-    */
-  private def cachedOne[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] = {
-    val vs = m.values()
-    if (vs.size == 1) Some(vs.iterator().next()) else None
-  }
+  private def cachedOne[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] =
+    OracleSqlUtil.cachedOne(m)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, keep smallest doc_id (shuffle key is the

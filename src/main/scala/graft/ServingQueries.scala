@@ -79,10 +79,8 @@ object ServingQueries {
   }
 
   /** The cached fit, iff unambiguous (the cachedQualityModel rule). */
-  private def cachedSeasonal: Option[Seq[SeasModel]] = {
-    val vs = FittedSeasonal.values()
-    if (vs.size == 1) Some(vs.iterator().next()) else None
-  }
+  private def cachedSeasonal: Option[Seq[SeasModel]] =
+    OracleSqlUtil.cachedOne(FittedSeasonal)
 
   val TrendsToday: LocalDate = LocalDate.parse("2024-01-10")
   val TrendsInput: LocalDate = LocalDate.parse("2024-01-15")
@@ -422,7 +420,7 @@ object ServingQueries {
   // exp(x) - 1: the absolute gap is < 1e-16, far inside the pre-rounds.
   // -------------------------------------------------------------------
 
-  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+  private def dlit(x: Double): String = OracleSqlUtil.dlit(x)
 
   private def seasModelValues(ms: Seq[SeasModel]): String =
     ms.map { m =>
