@@ -690,15 +690,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
-    // Bloom-sketch decontamination (rows-only: the bloom bit layout is
-    // engine-internal; the no-false-negative containment of exact x22 and
-    // the FP bound are property-tested in PiiSpec). The 100 TB path: the
-    // banned set compresses to a scalar-subquery bit array, so corpus
-    // membership testing needs ZERO shuffle where x22's semi join
-    // shuffles every corpus shingle. Hash-gated — the LAST query to
-    // leave rows-only: the oracle recomputes bloom membership
-    // relationally (Murmur3Sql V2 positions, banned-position-set
-    // containment), reproducing even the false positives bit-for-bit.
+    // Bloom-sketch decontamination — the 100 TB path: the banned set
+    // compresses to a scalar-subquery bit array, so corpus membership
+    // testing needs ZERO shuffle where x22's semi join shuffles every
+    // corpus shingle. Hash-gated (the LAST query to leave rows-only):
+    // the oracle recomputes bloom membership relationally (Murmur3Sql
+    // V2 positions, banned-position-set containment), reproducing even
+    // the false positives bit-for-bit; the no-false-negative
+    // containment of exact x22 and the FP bound are additionally
+    // property-tested in PiiSpec.
     "x35_contamination_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.contaminationBloom(docs, docs.filter(col("doc_id") < 50), minShared = 2)
@@ -1335,6 +1335,21 @@ object ExtensionQueries {
        |FROM (SELECT unnest(merges) AS m FROM fin) t5
        |ORDER BY rank""".stripMargin
 
+  /** Shingle-domain CTE prefix shared by the x22 (exact) and x35
+    * (bloom) decontamination oracles — ONE definition, because x35's
+    * no-false-negative containment versus its exact twin only holds if
+    * both oracles compute the identical shingle domain. Ends in
+    * `ds`(doc_id, shingle) and `ban`(shingle).
+    */
+  private val ShingleDomainCtes: String =
+    """t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      FROM t WHERE len(toks) >= 3),
+      |ds AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+      |ban AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 50)""".stripMargin
+
   /** x35 oracle: the bloom SKETCH recomputed relationally — the last
     * rows-only row falls. The filter's bit array is never materialized;
     * instead, "might contain x" is restated as set containment: all k of
@@ -1354,12 +1369,7 @@ object ExtensionQueries {
     val bitSize = math.ceil(numBits / 64.0).toLong * 64L
     val (xsCtes, xsLast) = XxHash64Sql.xxhash64StringCtes("dw", "w", "xh", "xs")
     val (mmCtes, mmLast) = Murmur3Sql.hashLongPairCtes(xsLast, "xh", "mm")
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
-       |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-       |      FROM t WHERE len(toks) >= 3),
-       |ds AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
-       |ban AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 50),
+    s"""WITH $ShingleDomainCtes,
        |dw AS (SELECT DISTINCT shingle AS w FROM ds),
        |$xsCtes,
        |$mmCtes,
@@ -2056,13 +2066,7 @@ object ExtensionQueries {
         |GROUP BY w.doc_id
         |ORDER BY w.doc_id""".stripMargin,
     "x22_contamination" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id,
-        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |      FROM t WHERE len(toks) >= 3),
-        |ds AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
-        |ban AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 50),
+      s"""WITH $ShingleDomainCtes,
         |sh AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n
         |       FROM ds JOIN ban USING (shingle) GROUP BY 1)
         |SELECT d.doc_id,
