@@ -269,6 +269,38 @@ object XxHash64Sql {
   */
 object Murmur3Sql {
 
+  /** Murmur3_x86_32.hashLong on unsigned-32 ints — the executable spec
+    * the SQL emission mirrors, pinned against Spark's own `hash()`
+    * expression (same hashLong, seed 42) in HashMirrorSpec so a Spark
+    * hashing change breaks the build immediately instead of surfacing
+    * as a red oracle at verification time.
+    */
+  def hashLongRef(input: Long, seed: Int): Int = {
+    val m = 0xFFFFFFFFL
+    def rotl(x: Long, s: Int): Long = ((x << s) | (x >>> (32 - s))) & m
+    def mixK1(k0: Long): Long = {
+      var k = (k0 * 0xcc9e2d51L) & m
+      k = rotl(k, 15)
+      (k * 0x1b873593L) & m
+    }
+    def mixH1(h0: Long, k: Long): Long = {
+      var h = h0 ^ k
+      h = rotl(h, 13)
+      (h * 5L + 0xe6546b64L) & m
+    }
+    val lo = input & m
+    val hi = (input >>> 32) & m
+    var h = mixH1(seed.toLong & m, mixK1(lo))
+    h = mixH1(h, mixK1(hi))
+    h ^= 8L
+    h ^= h >>> 16
+    h = (h * 0x85ebca6bL) & m
+    h ^= h >>> 13
+    h = (h * 0xc2b2ae35L) & m
+    h ^= h >>> 16
+    h.toInt
+  }
+
   private val M32 = "4294967296"
 
   private def rot(x: String, s: Int): String =
