@@ -900,7 +900,14 @@ object ExtensionQueries {
   private def bucketedPostingsFor(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val tbl = BucketedPostingsTables.computeIfAbsent(dir, _ => {
-      val name = "graft_x29b_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+      // collision-resistant name: 16 hex chars of SHA-256(dir). The old
+      // 32-bit dir.hashCode could collide across two sf dirs in one JVM,
+      // silently overwriting the first dir's table while both cache
+      // entries kept pointing at it (round-8 ADVICE finding).
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val name = "graft_x29b_" +
+        digest.take(8).map(b => f"${b & 0xFF}%02x").mkString
       val path = java.nio.file.Files.createTempDirectory("graft_x29b_").toString + "/t"
       graft.sources.Bucketed.save(
         TextOps.shingles(Tables.documents(s, dir).filter(col("doc_id") >= 100), 3),

@@ -196,11 +196,17 @@ object Curation {
     val exd = Dedup.dropExactDuplicates(gated).persist()
 
     // 4. near-dup pairs over the SURVIVING set, then quality-aware
-    // retention: the component argmax keeps the cleanest member.
+    // retention: the component argmax keeps the cleanest member. NO
+    // persist on `nd` (round-9 job-count cut): nd = anti-join of CACHED
+    // exd against the pair-bounded loser set, whose own inputs (the CC
+    // label checkpoint, the candidate checkpoint) are already
+    // materialized — so nd's two consumers each re-run one cheap
+    // broadcast anti-join over cached blocks instead of the pipeline
+    // paying a THIRD corpus-shaped cache materialization pass.
     val pairs = Dedup
       .jaccardNearDups(exd, jaccardThreshold, minShared, maxShingleDf)
       .select(col("doc_a"), col("doc_b"))
-    val nd = Dedup.dropNearDuplicatesBy(exd, pairs, "quality_score").persist()
+    val nd = Dedup.dropNearDuplicatesBy(exd, pairs, "quality_score")
 
     // 5. benchmark decontamination: drop docs sharing >= decontamMinShared
     // shingles with the banned set. Persist the ID LIST, not the joined
@@ -235,7 +241,7 @@ object Curation {
         col("shard"), col("n_tokens"), col("tok_offset"),
         col("seq_first"), col("seq_last"))
 
-    val named = Seq(capped, exd, nd, cleanIds)
+    val named = Seq(capped, exd, cleanIds)
     // one-shot latch: the snapshot diff is computed at the FIRST cleanup
     // and never again — a second call must be a no-op, not a re-diff that
     // would sweep up whatever the session cached since (the diff is a

@@ -581,11 +581,68 @@ object Dedup {
     * iterative lineage otherwise re-executes all prior rounds at every
     * action and overwhelms the planner.
     */
+  /** Driver-side union-find over an ALREADY-BOUNDED edge frame (the
+    * small-graph fast path of [[connectedComponents]]; the caller
+    * enforces the edge cap before collecting). Union always keeps the
+    * SMALLER root as the parent, so after all unions each tree's root is
+    * exactly the minimum id of its component — the same labeling the
+    * distributed min-label loop converges to. Returns a LocalRelation
+    * (node, component) in the caller's original integral id type.
+    */
+  private def smallGraphComponents(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .collect() // bounded: caller dispatches here only under the edge cap
+      .foreach { row =>
+        val u = row.getLong(0)
+        val v = row.getLong(1)
+        parent.putIfAbsent(u, u)
+        parent.putIfAbsent(v, v)
+        val ru = find(u)
+        val rv = find(v)
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+    val spark = edges.sparkSession
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val nodes = parent.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue).sorted
+    nodes.foreach(n => rows.add(org.apache.spark.sql.Row(n, find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .select(
+        col("node").cast(idType).as("node"),
+        col("component").cast(idType).as("component"))
+  }
+
+  /** `smallGraphMaxEdges`: when the deduplicated edge list is at most
+    * this many rows, skip the distributed loop and solve with ONE
+    * driver-side union-find over a bounded collect — the labels come
+    * back as a LocalRelation, so every downstream label join broadcasts
+    * for free and the per-iteration checkpoint barriers (2 + diameter
+    * jobs) collapse to two jobs total. The default (2^20 edges = 16 MB
+    * of longs) is bounded model-state-sized driver data, same class as
+    * the ANN trainingSample; near-dup pair sets are threshold-filtered
+    * candidates, so even 100 TB corpora commonly land under it. Larger
+    * graphs take the loop path unchanged; 0 disables the fast path.
+    * Both paths return the identical (node, min-reachable-id) labeling.
+    */
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String = "doc_a",
       dstCol: String = "doc_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // the label-sum convergence test below is exact only for integral
     // ids (cast to decimal is lossless and sums cannot overflow 38
@@ -610,53 +667,84 @@ object Dedup {
     // InMemoryRelation encode/decode on these string-free but wide-ish
     // label frames plus per-iteration growth of the analyzed plan cost
     // more than the extra materialization job saves.
-    val edges = fwd
+    // the edge count rides the checkpoint job via `observe` (same
+    // synchronous-accumulator trick as ckptWithSum below), deciding the
+    // small-graph dispatch without a separate count job
+    val obsEdges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint() // reused every iteration; bounded by 2|pairs|
-    var labels = edges
-      .select(col("u").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    // (count, Σ label) in one scan of a checkpointed labels frame. A null
-    // sum over a NON-empty frame means the invariant broke (it cannot,
-    // with the integral-id guard above, but a silent wrong-labels return
-    // is the one failure mode this method must refuse) — throw, never
-    // treat it as convergence. A null sum over an empty frame is the
-    // legitimate no-edges case.
-    def labelSum(frame: DataFrame): (Long, java.math.BigDecimal) = {
-      val row = frame
-        .agg(count(lit(1)).as("n"), sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head
-      val (n, s) = (row.getLong(0), row.getDecimal(1))
+      .observe("cc_edge_count", count(lit(1)).as("n"))
+    val edges = obsEdges.localCheckpoint() // reused every iteration; bounded by 2|pairs|
+    val edgeCount =
+      obsEdges.queryExecution.observedMetrics.get("cc_edge_count") match {
+        case Some(r) => r.getLong(0)
+        case None => edges.count()
+      }
+    if (edgeCount <= smallGraphMaxEdges) {
+      val labels = smallGraphComponents(edges, fwd.schema("u").dataType)
+      edges.unpersist()
+      return labels
+    }
+    // (checkpointed frame, count, Σ label) in ONE job: the (n, Σ) pair
+    // rides the checkpoint's own materialization via a named `observe`
+    // node — CollectMetricsExec accumulates while the rows stream into
+    // the checkpoint blocks, and `queryExecution.observedMetrics` reads
+    // the accumulators SYNCHRONOUSLY after the action (no listener-bus
+    // wait). The loop thus pays one job per iteration where a separate
+    // post-checkpoint aggregate scan would pay two (the x53/x57
+    // job-count finding: every extra barrier is scheduler-contention and
+    // straggler surface). If the metric is ever absent (a future Spark
+    // moving the node out of the checkpointed subtree), fall back to an
+    // explicit aggregate over the checkpointed blocks — slower by one
+    // cheap job, never wrong.
+    //
+    // A null sum over a NON-empty frame means the invariant broke (it
+    // cannot, with the integral-id guard above, but a silent wrong-labels
+    // return is the one failure mode this method must refuse) — throw,
+    // never treat it as convergence. A null sum over an empty frame is
+    // the legitimate no-edges case.
+    def ckptWithSum(frame: DataFrame): (DataFrame, Long, java.math.BigDecimal) = {
+      val observed = frame.observe(
+        "cc_label_sum",
+        count(lit(1)).as("n"),
+        sum(col("label").cast("decimal(38,0)")).as("s"))
+      val ck = observed.localCheckpoint()
+      val (n, s) = observed.queryExecution.observedMetrics.get("cc_label_sum") match {
+        case Some(r) => (r.getLong(0), r.getDecimal(1))
+        case None =>
+          val r = ck
+            .agg(count(lit(1)).as("n"), sum(col("label").cast("decimal(38,0)")).as("s"))
+            .head()
+          (r.getLong(0), r.getDecimal(1))
+      }
       require(n == 0L || s != null,
         "connectedComponents label sum is null over a non-empty labels frame — " +
           "label column lost its integral type")
-      (n, s)
+      (ck, n, s)
     }
-    var iter = 0
-    var converged = false
     // seed with the initial labels' sum so a graph already at its
     // fixpoint (next_1 == labels_0) is detected on iteration 1, not 2
-    var prevSum: java.math.BigDecimal = labelSum(labels)._2
+    var (labels, nInit, prevSum) = ckptWithSum(
+      edges
+        .select(col("u").as("node"))
+        .distinct()
+        .withColumn("label", col("node")))
+    var iter = 0
+    var converged = nInit == 0L
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .select(col("u").as("node"), col("label"))
-      val next = labels
-        .unionByName(viaNeighbor)
-        .groupBy("node")
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint()
       // Convergence by the label-sum invariant: min-label propagation
       // only ever DECREASES a node's label (next = min(own, neighbors')),
       // so Σ label is strictly monotone until the fixpoint and "sum
-      // unchanged" == "no label changed". One cheap scan of the
-      // just-checkpointed blocks replaces the old labels-vs-next join
-      // (a shuffle per iteration). decimal(38,0) keeps the sum exact
-      // where sum(long) could wrap at large node counts.
-      val (nNow, sumNow) = labelSum(next)
+      // unchanged" == "no label changed". decimal(38,0) keeps the sum
+      // exact where sum(long) could wrap at large node counts.
+      val (next, nNow, sumNow) = ckptWithSum(
+        labels
+          .unionByName(viaNeighbor)
+          .groupBy("node")
+          .agg(min(col("label")).as("label")))
       // `next` is materialized (its checkpoint is eager), so the
       // superseded generation's blocks are dead weight — unpersist them
       // here to bound the loop's footprint at TWO checkpointed frames

@@ -30,12 +30,6 @@ object Splits {
   def bucketOf(key: Column, seed: Long): Column =
     pmod(xxhash64(lit(seed), key), lit(Buckets))
 
-  /** Add a `fold` column: each row lands in one of the named folds with
-    * probability proportional to its weight (weights need not sum to 1).
-    *
-    * @param folds ordered (name, weight) list, e.g.
-    *              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    */
   /** Cumulative fold upper bounds in bucket space — the exact boundaries
     * [[splitByHash]] compares against, exposed (with [[bucketOf]]) so an
     * oracle or auditing tool can re-derive the assignment rule without
@@ -50,6 +44,12 @@ object Splits {
       .dropRight(1) :+ Buckets
   }
 
+  /** Add a `fold` column: each row lands in one of the named folds with
+    * probability proportional to its weight (weights need not sum to 1).
+    *
+    * @param folds ordered (name, weight) list, e.g.
+    *              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    */
   def splitByHash(
       df: DataFrame,
       keyCol: String,

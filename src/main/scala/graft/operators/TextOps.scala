@@ -580,6 +580,27 @@ object TextOps {
     * the left side of the next occurrence). Stops early when no pair
     * occurs twice.
     */
+  /** Code-point lexicographic string order — identical to comparing the
+    * UTF-8 encodings byte by byte, which is what both Spark's UTF8String
+    * sort and DuckDB's string/struct sort do. Used wherever a driver-side
+    * tie-break must agree with an engine- or oracle-side sort.
+    */
+  private[operators] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(x: String, y: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < x.length && j < y.length) {
+          val cx = x.codePointAt(i)
+          val cy = y.codePointAt(j)
+          if (cx != cy) return Integer.compare(cx, cy)
+          i += Character.charCount(cx)
+          j += Character.charCount(cy)
+        }
+        Integer.compare(x.length - i, y.length - j)
+      }
+    }
+
   def bpeMerges(docs: DataFrame, numMerges: Int, maxVocab: Int = 100000): Seq[BpeMerge] = {
     require(numMerges >= 1, "numMerges must be positive")
     val words = docs
@@ -617,7 +638,15 @@ object TextOps {
           i += 1
         }
       }
-      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      // tie-break by CODE-POINT order (== UTF-8 byte order), matching the
+      // x42 oracle's DuckDB struct sort. Java String ordering compares
+      // UTF-16 code units, which sorts supplementary-plane symbols
+      // (surrogates 0xD800-0xDFFF) BELOW BMP symbols in [U+E000, U+FFFF] —
+      // a tie between "𝄞x" and "私x" would pick differently per side.
+      val pairOrd = Ordering.Tuple3(Ordering.Long, codePointOrdering, codePointOrdering)
+      val best =
+        if (counts.isEmpty) None
+        else Some(counts.minBy { case ((a, b), n) => (-n, a, b) }(pairOrd))
       best match {
         case Some(((l, r), cnt)) if cnt >= 2 =>
           merges += BpeMerge(rank, l, r, cnt)

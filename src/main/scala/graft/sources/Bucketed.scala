@@ -101,8 +101,25 @@ object Bucketed {
       keys: Seq[String],
       buckets: Int): Unit = {
     val staging = table + "__compacting"
+    // capture the OLD external location before the catalog entry drops:
+    // DROP TABLE on an external table removes only metadata, so without
+    // an explicit delete every compaction would leak the previous path's
+    // parquet files on disk (round-8 ADVICE finding)
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
     save(spark.table(table), staging, newPath, keys, buckets)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    // reclaim the superseded data only AFTER the swap committed, and only
+    // if the caller really moved the table (same-path compaction would
+    // have already overwritten in place via save's mode("overwrite"))
+    val newLoc = new org.apache.hadoop.fs.Path(newPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(newPath)).toUri
+    if (oldLoc != newLoc) {
+      val p = new org.apache.hadoop.fs.Path(oldLoc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 }

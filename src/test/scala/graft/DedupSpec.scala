@@ -226,12 +226,19 @@ class DedupSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
       (20L, 21L)).toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps === Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    // default dispatch (small graph -> driver union-find) ...
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === expected)
+    // ... and the distributed min-label loop must produce the IDENTICAL
+    // labeling (the fast path's equivalence contract)
+    val loop = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop === expected)
   }
 
   test("connected components: refuses non-integral node ids up front") {
@@ -259,7 +266,8 @@ class DedupSpec extends AnyFunSuite {
     // self-loop graph: no label ever changes, so the seeded initial sum
     // must let maxIter = 1 suffice (unseeded, detection needed iter 2)
     val comps = Dedup
-      .connectedComponents(Seq((5L, 5L)).toDF("doc_a", "doc_b"), maxIter = 1)
+      .connectedComponents(
+        Seq((5L, 5L)).toDF("doc_a", "doc_b"), maxIter = 1, smallGraphMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps === Map(5L -> 5L))
   }
@@ -268,10 +276,11 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
+      Dedup.connectedComponents(chain, maxIter = 2, smallGraphMaxEdges = 0)
     }
     // and with enough iterations the same chain is one component
-    val ok = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    val ok = Dedup.connectedComponents(chain, smallGraphMaxEdges = 0)
+      .collect().map(_.getLong(1)).distinct
     assert(ok.toSeq === Seq(0L))
   }
 
