@@ -62,13 +62,15 @@ object ExtensionQueries {
     * at 0.65 distilled into the logistic model).
     */
   private def qualityModelFor(s: SparkSession, dir: String): graft.operators.QualityModel.LogReg =
-    FittedQualityModels.computeIfAbsent(dir, _ => {
-      val docs = Tables.documents(s, dir)
-      val labeled = graft.operators.QualityModel.qualityFeatures(docs)
-        .join(TextOps.qualityScore(docs), Seq("doc_id"))
-        .withColumn("label", (col("quality_score") >= lit(0.65)).cast("int"))
-      graft.operators.QualityModel.fit(labeled)
-    })
+    FittedQualityModels.computeIfAbsent(dir, _ =>
+      graft.sources.ModelStore.loadOrFit(
+        s, "quality_lr", dir, graft.sources.ModelStore.LogRegCodec) {
+        val docs = Tables.documents(s, dir)
+        val labeled = graft.operators.QualityModel.qualityFeatures(docs)
+          .join(TextOps.qualityScore(docs), Seq("doc_id"))
+          .withColumn("label", (col("quality_score") >= lit(0.65)).cast("int"))
+        graft.operators.QualityModel.fit(labeled)
+      })
 
   /** The cached model, iff unambiguous (exactly one sf dir fitted). */
   private def cachedQualityModel: Option[graft.operators.QualityModel.LogReg] =
@@ -88,8 +90,10 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[TextOps.BpeMerge]]()
 
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[TextOps.BpeMerge] =
-    FittedBpeMerges.computeIfAbsent(
-      dir, _ => TextOps.bpeMerges(Tables.documents(s, dir), numMerges = 20))
+    FittedBpeMerges.computeIfAbsent(dir, _ =>
+      graft.sources.ModelStore.loadOrFit(
+        s, "bpe_merges20", dir, graft.sources.ModelStore.BpeMerges)(
+        TextOps.bpeMerges(Tables.documents(s, dir), numMerges = 20)))
 
   private def cachedBpeMerges: Option[Seq[TextOps.BpeMerge]] =
     cachedOne(FittedBpeMerges)
@@ -149,6 +153,40 @@ object ExtensionQueries {
 
   private def cachedOne[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] =
     OracleSqlUtil.cachedOne(m)
+
+  /** Fit-once / serve-from-snapshot k-means cell state, shared by x34
+    * (whole-corpus SemDeDup) and x61 (incremental SemDeDup) — both
+    * queries and both oracles run against the SAME committed centroids.
+    */
+  private def kmeansFor(s: SparkSession, dir: String): Array[Array[Float]] =
+    FittedKmeans.computeIfAbsent(dir, _ =>
+      graft.sources.ModelStore.loadOrFit(
+        s, "kmeans_16x2", dir, graft.sources.ModelStore.FloatMatrix)(
+        Similarity.kmeansCentroidArrays(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), 16, 2)))
+
+  /** x61's committed corpus: the non-batch vectors WITH their cell
+    * assignment under the committed centroids, published once per
+    * (JVM, sf dir) as a VersionedTable snapshot — the state an
+    * incremental ingest pipeline maintains across batches. Every x61
+    * evaluation reads the snapshot; the corpus is never re-assigned.
+    */
+  private val X61CorpusTables =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.VersionedTable]()
+
+  private def x61CorpusAssigned(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val vt = X61CorpusTables.computeIfAbsent(dir, _ => {
+      val t = graft.sources.VersionedTable(
+        java.nio.file.Files.createTempDirectory("graft_x61_").toString + "/corpus")
+      t.commit(Similarity.assignCells(
+        Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .filter(col("vec_id") % 50 =!= 1),
+        kmeansFor(s, dir)))
+      t
+    })
+    vt.read(s)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, keep smallest doc_id (shuffle key is the
@@ -247,8 +285,10 @@ object ExtensionQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val cb = FittedPq.computeIfAbsent(
-        dir, _ => Similarity.pqCodebooks(emb, 8, 16, iters = 1))
+      val cb = FittedPq.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "pq_8x16", dir, graft.sources.ModelStore.Codebooks)(
+          Similarity.pqCodebooks(emb, 8, 16, iters = 1)))
       Similarity.pqTopKWith(probes, emb, 5, cb)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
@@ -264,8 +304,10 @@ object ExtensionQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val (cents, cb) = FittedIvfPq.computeIfAbsent(
-        dir, _ => Similarity.ivfPqModel(emb, 16, 8, 16, iters = 1))
+      val (cents, cb) = FittedIvfPq.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "ivfpq_16_8x16", dir, graft.sources.ModelStore.IvfPq)(
+          Similarity.ivfPqModel(emb, 16, 8, 16, iters = 1)))
       Similarity.ivfPqTopKWith(probes, emb, 5, cents, cb, nprobe = 4)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
@@ -296,7 +338,10 @@ object ExtensionQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       // model state captured for the oracle (ivfTopK's unrefined default:
       // the first c = 16 hash-ordered vectors ARE the centroids)
-      val cents = FittedIvf.computeIfAbsent(dir, _ => Similarity.trainingSample(emb, 16))
+      val cents = FittedIvf.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "ivf_sample16", dir, graft.sources.ModelStore.FloatMatrix)(
+          Similarity.trainingSample(emb, 16)))
       Similarity.ivfTopKWith(probes, emb, 5, cents, nprobe = 4)
         .select(col("q_id"), col("rank"), col("vec_id"), r4z(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
@@ -311,9 +356,28 @@ object ExtensionQueries {
     // similar pair.
     "x34_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val cents = FittedKmeans.computeIfAbsent(
-        dir, _ => Similarity.kmeansCentroidArrays(emb, 16, 2))
-      Similarity.semanticDedupWith(emb, threshold = 0.45, cents)
+      Similarity.semanticDedupWith(emb, threshold = 0.45, kmeansFor(s, dir))
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // Incremental SemDeDup (x61) — the x29b analog for embeddings: the
+    // daily batch (every 50th vector, offset 1 — disjoint from x50's
+    // benchmark set) is assigned against COMMITTED k-means centroids
+    // (ModelStore snapshot — the same fitted state x34 runs with) and
+    // paired against the COMMITTED cell-assigned corpus within cells
+    // only; committed rows always win, in-batch pairs keep the smallest
+    // id. The corpus is scanned, never shuffled (the batch broadcasts),
+    // and never re-assigned. Oracle: centroids as literals, assignment +
+    // both drop rules restated in SQL; SimilaritySpec pins the
+    // batch-union-corpus == whole-corpus-SemDeDup equivalence.
+    "x61_incremental_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.semanticDedupIncremental(
+        emb.filter(col("vec_id") % 50 === 1),
+        x61CorpusAssigned(s, dir),
+        threshold = 0.45,
+        kmeansFor(s, dir))
         .select("vec_id")
         .orderBy("vec_id")
     }),
@@ -552,6 +616,31 @@ object ExtensionQueries {
     // never all-pairs; oracled against DuckDB's own levenshtein.
     "x59_fuzzy_titles" -> ((s, dir) =>
       Dedup.fuzzyTitlePairs(Tables.documents(s, dir), maxEdits = 2)
+        .orderBy("doc_a", "doc_b")),
+
+    // x59's recall-hardened variant: a SECOND blocking pass on the
+    // reversed-title prefix (suffix block) unions in pairs whose edits
+    // all sit inside the primary prefix — the blocking blind spot the
+    // x59 scaladoc names, closed as an opt-in. Oracle: the same two
+    // candidate joins unioned before the shared edit-distance filter.
+    "x59b_fuzzy_titles_suffix" -> ((s, dir) =>
+      Dedup.fuzzyTitlePairs(Tables.documents(s, dir), maxEdits = 2, suffixBlock = true)
+        .orderBy("doc_a", "doc_b")),
+
+    // Perceptual image near-dup dedup (x60): REAL BMP decode -> dHash
+    // over the 9x8 luma grid -> hamming-banded candidate pairs -> exact
+    // hamming filter — the LAION-style image dedup composed from the
+    // in-tree decode and band machinery. HASH-GATED the x46 way:
+    // payloads are closed-form synthetic 9x8 gray BMPs keyed by doc_id
+    // (groups of 4 share a base pattern; variants perturb 1 pixel in
+    // row 0), so the oracle recomputes the generator's luma grid, the
+    // dHash bits, the band-agreement candidate rule AND the hamming
+    // threshold in SQL — the decoder must recover exactly what was
+    // encoded for this row to stay green.
+    "x60_image_neardups" -> ((s, dir) =>
+      Dedup.hammingNearDupPairs(
+        Media.perceptualHashes(imagePayloads(s, dir)).filter(col("decoded")).toDF(),
+        idCol = "media_id", hashCol = "phash", maxHamming = 4)
         .orderBy("doc_a", "doc_b")),
 
     // Standing differential gate for the XxHash64Sql STRING mirror: the
@@ -960,6 +1049,50 @@ object ExtensionQueries {
       p
     })
     s.read.parquet(path).as[Media.AudioPayload]
+  }
+
+  /** x60's closed-form pixel gray, mirrored verbatim in the oracle SQL:
+    * groups of 4 doc_ids share a base pattern whose 72 cells come from a
+    * 32-bit multiply/xorshift/multiply mixer (all intermediates < 2^63,
+    * so plain BIGINT arithmetic computes the identical value in DuckDB);
+    * variants v = doc_id % 4 > 0 overwrite ONE row-0 pixel (p = 2v-1)
+    * with 255 — within-group dHashes differ in <= 4 bits, all inside
+    * band 0, so bands 1-3 agree and the banded join finds every planted
+    * pair structurally.
+    */
+  private[graft] def imageGray(id: Long, p: Int): Int = {
+    val v = (id % 4).toInt
+    if (v > 0 && p == 2 * v - 1) 255
+    else {
+      val k = (id / 4) * 128 + p
+      val m1 = (k * 2654435761L) % 4294967296L
+      val m2 = m1 ^ (m1 >> 15)
+      val m3 = ((m2 >> 1) * 2246822519L) % 4294967296L
+      (m3 >> 24).toInt
+    }
+  }
+
+  /** x60's synthesized BMP payloads, materialized once per (JVM, sf dir)
+    * to a temp parquet — same rationale as [[mp3Payloads]]: the timed
+    * path must measure decode + hash + pairing, not payload synthesis.
+    */
+  private val ImagePayloadDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def imagePayloads(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Media.ImagePayload] = {
+    import s.implicits._
+    val path = ImagePayloadDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_img_").toString + "/payloads"
+      Tables.documents(s, dir).select("doc_id").as[Long].map { id =>
+        Media.ImagePayload(id, Media.encodeBmp24(9, 8, Array.tabulate(72) { px =>
+          val g = imageGray(id, px)
+          (g << 16) | (g << 8) | g
+        }))
+      }.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path).as[Media.ImagePayload]
   }
 
   /** Shared by x29 (text-derived postings) and x29b (shingle-BUCKETED
@@ -2145,6 +2278,66 @@ object ExtensionQueries {
         |WHERE abs(len(a.title) - len(b.title)) <= 2
         |  AND levenshtein(a.title, b.title) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    // x59b: the same title normalization, candidates from the prefix
+    // block UNIONed with the reversed-prefix (suffix) block, then the
+    // shared length-prune + edit-distance filter — filters commute with
+    // the union because edits are a pure pair function
+    "x59b_fuzzy_titles_suffix" ->
+      """WITH tt AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |t0 AS (SELECT doc_id, lower(array_to_string(toks[1:5], ' ')) AS title FROM tt),
+        |k AS (SELECT doc_id, title, substr(title, 1, 4) AS blk,
+        |             substr(reverse(title), 1, 4) AS blk2
+        |      FROM t0 WHERE len(title) > 0),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.title AS ta, b.title AS tb
+        |  FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.title, b.title
+        |  FROM k a JOIN k b ON a.blk2 = b.blk2 AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edits
+        |FROM cand
+        |WHERE abs(len(ta) - len(tb)) <= 2 AND levenshtein(ta, tb) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // x60: the generator's luma grid (ExtensionQueries.imageGray — the
+    // same BIGINT-safe mixer, every intermediate < 2^63), the dHash bits
+    // (one horizontal comparison per grid cell), the band-agreement
+    // candidate rule (16-bit bands restated as 0/1 strings over list
+    // slices), and the exact hamming threshold — the BMP encoder,
+    // decoder, luma, hash packing, band split and popcount must all
+    // round-trip for this row to stay green.
+    "x60_image_neardups" ->
+      """WITH grid AS (
+        |  SELECT d.doc_id, t.p, ((d.doc_id // 4) * 128 + t.p) AS k
+        |  FROM documents d CROSS JOIN generate_series(0, 71) AS t(p)),
+        |mx1 AS (SELECT doc_id, p, (k * 2654435761) % 4294967296 AS m1 FROM grid),
+        |mx2 AS (SELECT doc_id, p, xor(m1, m1 >> 15) AS m2 FROM mx1),
+        |px AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN doc_id % 4 > 0 AND p = 2 * (doc_id % 4) - 1 THEN 255
+        |              ELSE (((m2 >> 1) * 2246822519) % 4294967296) >> 24 END AS g
+        |  FROM mx2),
+        |bits AS (
+        |  SELECT a.doc_id, (a.p // 9) * 8 + (a.p % 9) AS bi,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.p % 9 < 8),
+        |sig AS (SELECT doc_id, list(bit ORDER BY bi) AS bits FROM bits GROUP BY doc_id),
+        |sb AS (SELECT doc_id, bits,
+        |       array_to_string(bits[1:16], '') AS b0, array_to_string(bits[17:32], '') AS b1,
+        |       array_to_string(bits[33:48], '') AS b2, array_to_string(bits[49:64], '') AS b3
+        |       FROM sig),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sb a JOIN sb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM sb a JOIN sb b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM sb a JOIN sb b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM sb a JOIN sb b ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_filter(generate_series(1, 64), i -> sa.bits[i] <> sc.bits[i])) AS hamming
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sc ON sc.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin,
   ) ++ cachedBpeMerges.filter(_.nonEmpty).map(m => Map(
     // rendered only when the fit ran this JVM (the x56 rule below) and
     // produced at least one merge (an empty VALUES list cannot parse)
@@ -2158,7 +2351,9 @@ object ExtensionQueries {
     // ANN model-state oracles: rendered only when the matching query ran
     // this JVM and cached its fitted state (the x56 rule) — otherwise the
     // driver records the weaker rows-only check instead of a wrong compare
-    cachedOne(FittedKmeans).map(c => Map("x34_semantic_dedup" -> x34SemanticDedupSql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedKmeans).map(c => Map(
+      "x34_semantic_dedup" -> x34SemanticDedupSql(c),
+      "x61_incremental_semdedup" -> x61IncrementalSemDedupSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedIvf).map(c => Map("x14_ivf_topk" -> x14IvfTopKSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedPq).map(c => Map("x38_pq_topk" -> x38PqTopKSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedIvfPq).map { case (c, b) => Map("x41_ivfpq_topk" -> x41IvfPqSql(c, b)) }.getOrElse(Map.empty)
@@ -2317,6 +2512,35 @@ object ExtensionQueries {
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45)
        |SELECT e.vec_id FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
+  /** x61: semanticDedupIncremental restated — ONE assignment CTE over
+    * all embeddings against the committed centroid literals (engine-side
+    * the corpus half is a committed snapshot, but its content is exactly
+    * this assignment), then the two drop rules: batch row vs ANY
+    * committed corpus row in its cell, and batch row vs a LOWER-id batch
+    * row in its cell; survivors = batch NOT IN dropped.
+    */
+  private def x61IncrementalSemDedupSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
+       |scoredc AS (
+       |  SELECT e.vec_id, e.embedding, (e.vec_id % 50 = 1) AS is_batch, c.centroid_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cells AS (SELECT centroid_id AS cell, vec_id, embedding, is_batch FROM scoredc WHERE rn = 1),
+       |bt AS (SELECT * FROM cells WHERE is_batch),
+       |cp AS (SELECT * FROM cells WHERE NOT is_batch),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM bt b JOIN cp c ON b.cell = c.cell
+       |  WHERE ${cosSql("b.embedding", "c.embedding")} >= 0.45
+       |  UNION
+       |  SELECT DISTINCT hi.vec_id
+       |  FROM bt lo JOIN bt hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  WHERE ${cosSql("lo.embedding", "hi.embedding")} >= 0.45)
+       |SELECT e.vec_id FROM embeddings e
+       |WHERE e.vec_id % 50 = 1 AND e.vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id""".stripMargin
 
   /** x14: ivfTopKWith restated — corpus assignment and probe nprobe-cell

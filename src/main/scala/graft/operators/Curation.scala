@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the single composed query a
@@ -69,6 +69,101 @@ object Curation {
       output: DataFrame,
       cleanup: () => Unit,
       stages: Seq[(String, DataFrame)] = Nil)
+
+  // -------------------------------------------------------------------
+  // Stage builders — ONE definition per stage, shared by the serving
+  // chain ([[pipelineRun]], persist boundaries) and the audit chain
+  // ([[auditStages]], lineage-cut checkpoints). Folding these closed the
+  // last hand-synchronized copy in the tree (round-8 VERDICT defect 3):
+  // the two chains can no longer drift; CurationSpec's row-identity pin
+  // remains as the regression gate for the WIRING (boundary placement),
+  // which is all that still differs.
+  // -------------------------------------------------------------------
+
+  /** Stage 1: per-source cap with quality score — and, on the classifier
+    * path, the model's feature columns — computed IN this projection so
+    * the boundary placed on it makes every downstream threshold a
+    * plain-attribute filter (the HOF-inlining rule; see [[pipelineRun]]).
+    */
+  private def capStage(
+      docs: DataFrame, maxDocsPerSource: Int,
+      featPairs: Seq[(String, Column)]): DataFrame =
+    TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
+      .select(
+        Seq(
+          col("doc_id"), col("source"), col("text"),
+          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
+          featPairs.map { case (n, c) => c.as(n) }: _*)
+
+  /** Stage 2: heuristic quality + repetition gates (rounded thresholds —
+    * the x44 both-sides-rounded recipe); feature attributes ride through
+    * for the optional classifier gate.
+    */
+  private def gateStage(
+      capped: DataFrame, minQuality: Double, maxDupLineFrac: Double,
+      maxTopBigramFrac: Double, featNames: Seq[String]): DataFrame =
+    capped
+      .join(
+        TextOps.repetitionStats(capped)
+          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
+        Seq("doc_id"))
+      .filter(
+        col("quality_score") >= minQuality &&
+          CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
+          CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
+      .select(
+        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
+          featNames.map(col): _*)
+
+  /** Stage 2.5 (opt-in): model sigmoid over the stage-1 feature
+    * attributes, 6-dp-rounded threshold, feature columns dropped.
+    */
+  private def classifierStage(
+      filt: DataFrame, model: QualityModel.LogReg, threshold: Double): DataFrame =
+    filt
+      .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
+      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+
+  /** Stage 4a: near-dup candidate pairs over the exact-dedup survivors. */
+  private def pairStage(
+      exd: DataFrame, jaccardThreshold: Double, minShared: Int,
+      maxShingleDf: Int): DataFrame =
+    Dedup.jaccardNearDups(exd, jaccardThreshold, minShared, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Stage 5a: surviving (non-contaminated) doc ids — decontam-bounded,
+    * the cheap frame the serving chain persists instead of the corpus.
+    */
+  private def cleanIdsStage(
+      nd: DataFrame, banned: DataFrame, decontamMinShared: Int): DataFrame =
+    TextOps.contamination(nd, banned, decontamMinShared)
+      .filter(!col("contaminated"))
+      .select("doc_id")
+
+  /** Stage 6: temperature resampling; text and score ride the explode so
+    * packing needs no re-join.
+    */
+  private def resampleStage(clean: DataFrame, alpha: Double): DataFrame =
+    TextOps
+      .resampleByTemperature(clean, alpha, carryCols = Seq("text", "quality_score"))
+      .withColumn("copy_id", col("copy_id").cast("long"))
+
+  /** Stage 7: pack on the doc#copy composite key so replicas spread
+    * across shards; final output projection.
+    */
+  private def packStage(resampled: DataFrame, seqLen: Int, hexChars: Int): DataFrame =
+    Splits
+      .packSequences(
+        resampled.withColumn(
+          "pack_key",
+          concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
+        seqLen, hexChars, idCol = "pack_key",
+        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
+      .select(
+        col("doc_id"), col("copy_id"), col("source"),
+        CrossRound.r(col("quality_score"), 4).as("quality_score"),
+        col("shard"), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"))
 
   /** Run the full curation chain over `docs` (doc_id, source, text).
     *
@@ -150,46 +245,25 @@ object Curation {
     // repetition and the gate below both consume this frame.
     val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
       QualityModel.featureCols(col("text")))
-    val classifierFeats = classifierFeatPairs.map { case (n, c) => c.as(n) }
-    val featNames = classifierFeatPairs.map(_._1)
-    val capped = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
-      .select(
-        Seq(
-          col("doc_id"), col("source"), col("text"),
-          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
-          classifierFeats: _*)
-      .persist()
 
-    // 2. quality + repetition gates. quality_score stays attached — the
-    // near-dup retention (stage 4) ranks components by it — and the
-    // feature attributes ride through for the classifier gate; exact
-    // dedup is the single consumer either way, and `exd`'s own cache
-    // boundary stops re-execution, so no persist here (round-7 x53
-    // barrier finding).
-    val filt = capped
-      .join(
-        TextOps.repetitionStats(capped)
-          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
-        Seq("doc_id"))
-      .filter(
-        col("quality_score") >= minQuality &&
-          CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
-          CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
-      .select(
-        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
-          featNames.map(col): _*)
+    // 1. cap + scores/features, persisted: repetition and the gate both
+    // consume this frame, and the boundary is the HOF-inlining barrier
+    // (see capStage).
+    val capped = capStage(docs, maxDocsPerSource, classifierFeatPairs).persist()
 
-    // 2.5 (opt-in): model-based quality gate — the sigmoid over the
-    // feature attributes computed in stage 1, thresholded on the
-    // 6-dp-rounded probability (the classify() contract), then the
-    // feature columns drop so the downstream schema matches the
-    // classifier-off shape
+    // 2. gates. quality_score stays attached — the near-dup retention
+    // (stage 4) ranks components by it; exact dedup is the single
+    // consumer either way, and `exd`'s own cache boundary stops
+    // re-execution, so no persist here (round-7 x53 barrier finding).
+    val filt = gateStage(
+      capped, minQuality, maxDupLineFrac, maxTopBigramFrac,
+      classifierFeatPairs.map(_._1))
+
+    // 2.5 (opt-in): model gate; default None keeps the oracle'd
+    // seven-stage shape bit-identical.
     val gated = classifier match {
       case None => filt
-      case Some((model, threshold)) =>
-        filt
-          .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
-          .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+      case Some((model, threshold)) => classifierStage(filt, model, threshold)
     }
 
     // 3. exact dedup (smallest doc_id per content hash survives)
@@ -203,43 +277,19 @@ object Curation {
     // materialized — so nd's two consumers each re-run one cheap
     // broadcast anti-join over cached blocks instead of the pipeline
     // paying a THIRD corpus-shaped cache materialization pass.
-    val pairs = Dedup
-      .jaccardNearDups(exd, jaccardThreshold, minShared, maxShingleDf)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairStage(exd, jaccardThreshold, minShared, maxShingleDf)
     val nd = Dedup.dropNearDuplicatesBy(exd, pairs, "quality_score")
 
-    // 5. benchmark decontamination: drop docs sharing >= decontamMinShared
-    // shingles with the banned set. Persist the ID LIST, not the joined
+    // 5. benchmark decontamination. Persist the ID LIST, not the joined
     // corpus frame: the list is decontam-bounded (doc_ids only), so the
     // two downstream consumers re-run just a broadcast semi join over
     // cached `nd` instead of materializing a second corpus-shaped cache
     // (round-7 x53 barrier finding).
-    val cleanIds = TextOps.contamination(nd, banned, decontamMinShared)
-      .filter(!col("contaminated"))
-      .select("doc_id")
-      .persist()
+    val cleanIds = cleanIdsStage(nd, banned, decontamMinShared).persist()
     val clean = nd.join(cleanIds, Seq("doc_id"), "left_semi")
 
-    // 6. temperature resampling over the cleaned corpus; text and score
-    // ride the explode (carryCols) so packing needs no re-join
-    val resampled = TextOps
-      .resampleByTemperature(clean, alpha, carryCols = Seq("text", "quality_score"))
-      .withColumn("copy_id", col("copy_id").cast("long"))
-
-    // 7. pack on the doc#copy composite key so replicas spread across
-    // shards (identical text, different shard/offset)
-    val packed = Splits
-      .packSequences(
-        resampled.withColumn(
-          "pack_key",
-          concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
-        seqLen, hexChars, idCol = "pack_key",
-        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
-      .select(
-        col("doc_id"), col("copy_id"), col("source"),
-        CrossRound.r(col("quality_score"), 4).as("quality_score"),
-        col("shard"), col("n_tokens"), col("tok_offset"),
-        col("seq_first"), col("seq_last"))
+    // 6-7. resample, then pack.
+    val packed = packStage(resampleStage(clean, alpha), seqLen, hexChars)
 
     val named = Seq(capped, exd, cleanIds)
     // one-shot latch: the snapshot diff is computed at the FIRST cleanup
@@ -293,69 +343,34 @@ object Curation {
       seqLen: Int = 512,
       hexChars: Int = 1,
       classifier: Option[(QualityModel.LogReg, Double)] = None): Seq[(String, DataFrame)] = {
-    // features ride the cap projection, mirroring pipelineRun's stage-1
-    // shape (the persist there / the checkpoint here is the same
-    // attribute barrier)
+    // the SAME stage builders as pipelineRun — only the boundary kind
+    // differs (persist there, lineage-cut checkpoint here)
     val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
       QualityModel.featureCols(col("text")))
-    val cap = TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
-      .select(
-        Seq(
-          col("doc_id"), col("source"), col("text"),
-          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
-          classifierFeatPairs.map { case (n, c) => c.as(n) }: _*)
+    val cap = capStage(docs, maxDocsPerSource, classifierFeatPairs)
     val capC = cap.localCheckpoint()
-    val gates = capC
-      .join(
-        TextOps.repetitionStats(capC)
-          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
-        Seq("doc_id"))
-      .filter(
-        col("quality_score") >= minQuality &&
-          CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
-          CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
-      .select(
-        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
-          classifierFeatPairs.map(p => col(p._1)): _*)
+    val gates = gateStage(
+      capC, minQuality, maxDupLineFrac, maxTopBigramFrac,
+      classifierFeatPairs.map(_._1))
     val gatesC = gates.localCheckpoint()
     val (clsStage, gatedC) = classifier match {
       case None => (Nil, gatesC)
       case Some((model, threshold)) =>
-        val g = gatesC
-          .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
-          .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+        val g = classifierStage(gatesC, model, threshold)
         (Seq("classifier" -> g), g.localCheckpoint())
     }
     val exd = Dedup.dropExactDuplicates(gatedC)
     val exdC = exd.localCheckpoint()
-    val pairs = Dedup
-      .jaccardNearDups(exdC, jaccardThreshold, minShared, maxShingleDf)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairStage(exdC, jaccardThreshold, minShared, maxShingleDf)
     val pairsC = pairs.localCheckpoint()
     val nd = Dedup.dropNearDuplicatesBy(exdC, pairsC, "quality_score")
     val ndC = nd.localCheckpoint()
     val clean = ndC.join(
-      TextOps.contamination(ndC, banned, decontamMinShared)
-        .filter(!col("contaminated"))
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      cleanIdsStage(ndC, banned, decontamMinShared), Seq("doc_id"), "left_semi")
     val cleanC = clean.localCheckpoint()
-    val resampled = TextOps
-      .resampleByTemperature(cleanC, alpha, carryCols = Seq("text", "quality_score"))
-      .withColumn("copy_id", col("copy_id").cast("long"))
+    val resampled = resampleStage(cleanC, alpha)
     val resampledC = resampled.localCheckpoint()
-    val pack = Splits
-      .packSequences(
-        resampledC.withColumn(
-          "pack_key",
-          concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
-        seqLen, hexChars, idCol = "pack_key",
-        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
-      .select(
-        col("doc_id"), col("copy_id"), col("source"),
-        CrossRound.r(col("quality_score"), 4).as("quality_score"),
-        col("shard"), col("n_tokens"), col("tok_offset"),
-        col("seq_first"), col("seq_last"))
+    val pack = packStage(resampledC, seqLen, hexChars)
     Seq("cap" -> cap, "gates" -> gates) ++ clsStage ++ Seq(
       "exact_dedup" -> exd, "near_dup_pairs" -> pairs,
       "near_dup_retention" -> nd, "decontam" -> clean,

@@ -922,6 +922,68 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    * dHash) via hamming-banded candidates: split each signature into
+    * `bands` contiguous bit ranges, self-join on (band, band-value),
+    * then exact-hamming filter — the pigeonhole guarantee that two
+    * signatures within `maxHamming < bands` bits of each other agree on
+    * at least one whole band, so the equi-join misses nothing under the
+    * threshold while never going all-pairs. (For maxHamming >= bands the
+    * guarantee lapses into best-effort recall — the standard
+    * multi-index hamming trade. The candidate rule is part of the
+    * operator's CONTRACT either way: x60's oracle restates band
+    * agreement AND the hamming filter, so engine and oracle agree on
+    * exactly which above-pigeonhole pairs surface.)
+    *
+    * Scale posture: the banded frame is 4 rows per signature keyed by a
+    * 16-bit value + band id; the join shuffles on that compound key and
+    * each bucket's pair work is quadratic only in ITS size. A degenerate
+    * bucket (monochrome images all hashing to 0L is the classic one) is
+    * the same salting territory as [[candidatePairs]]:
+    * `saltBuckets > 1` routes buckets past `saltHotThreshold` through
+    * [[Skew.saltedJoinSkewed]] — results identical, placement spread.
+    *
+    * @param sigs (idCol, hashCol) rows, one 64-bit signature per id
+    * @return (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= maxHamming
+    */
+  def hammingNearDupPairs(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      hashCol: String = "simhash",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      saltBuckets: Int = 0,
+      saltHotThreshold: Long = 1000L): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)))
+    val banded = sigs.select(
+      col(idCol).as("__id"), col(hashCol).as("__sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val left = banded.select(
+      col("band"), col("bv"), col("__id").as("doc_a"), col("__sig").as("sig_a"))
+    val right = banded.select(
+      col("band"), col("bv"), col("__id").as("doc_b"), col("__sig").as("sig_b"))
+    val joined =
+      if (saltBuckets > 1)
+        Skew.saltedJoinSkewed(left, right, Seq("band", "bv"), saltBuckets, saltHotThreshold)
+      else left.join(right, Seq("band", "bv"))
+    joined
+      .filter(col("doc_a") < col("doc_b"))
+      // dedup pairs found in several bands BEFORE the hamming filter so
+      // the popcount runs once per pair; sig cols ride along (id -> sig
+      // is functional, so they don't widen the distinct key space)
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .select(
+        col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------------------------------
   // Fuzzy (edit-distance) dedup for SHORT keys — titles, headers, URLs.
   // A different similarity class from everything above: character-level
@@ -960,12 +1022,18 @@ object Dedup {
     *
     * Recall contract, stated not hidden: an edit INSIDE the blocking
     * prefix escapes its block (the classic blocking tradeoff) — lower
-    * `prefixLen` or union a second pass on a different key (e.g. a
-    * suffix block) when prefix typos matter. A degenerately hot block
-    * (boilerplate titles) is the same salting territory as
-    * [[candidatePairs]]: `saltBuckets > 1` routes the block self-join
-    * through [[Skew.saltedJoinSkewed]], spreading only blocks past
-    * `saltHotThreshold`.
+    * `prefixLen`, or set `suffixBlock = true` to union a SECOND pass
+    * blocked on the title's first `prefixLen` characters REVERSED-from-
+    * the-end (reverse-then-prefix, so titles shorter than the key block
+    * on their whole reversal — no negative-index edge case): a pair
+    * whose edits all sit in the prefix still agrees on the suffix key
+    * and vice versa, so only pairs edited at BOTH ends within maxEdits
+    * of each other remain out of reach. Both passes produce canonical
+    * (doc_a, doc_b, edits) rows and the union dedups exactly. A
+    * degenerately hot block (boilerplate titles) is the same salting
+    * territory as [[candidatePairs]]: `saltBuckets > 1` routes the
+    * block self-join through [[Skew.saltedJoinSkewed]], spreading only
+    * blocks past `saltHotThreshold`.
     *
     * @return (doc_a, doc_b, edits), doc_a < doc_b, edits <= maxEdits
     */
@@ -976,12 +1044,34 @@ object Dedup {
       nTokens: Int = 5,
       saltBuckets: Int = 0,
       saltHotThreshold: Long = 1000L,
-      dedupeTitles: Boolean = false): DataFrame = {
+      dedupeTitles: Boolean = false,
+      suffixBlock: Boolean = false): DataFrame = {
     require(maxEdits >= 0 && prefixLen >= 1, "maxEdits >= 0, prefixLen >= 1")
-    val keyed = docs
+    val titled = docs
       .select(col("doc_id"), titleKey(col("text"), nTokens).as("title"))
       .filter(length(col("title")) > 0)
-      .withColumn("blk", substring(col("title"), 1, prefixLen))
+    val prefixPass = onePassFuzzy(
+      titled.withColumn("blk", substring(col("title"), 1, prefixLen)),
+      maxEdits, saltBuckets, saltHotThreshold, dedupeTitles)
+    if (!suffixBlock) prefixPass
+    else prefixPass
+      .unionByName(onePassFuzzy(
+        titled.withColumn("blk", substring(reverse(col("title")), 1, prefixLen)),
+        maxEdits, saltBuckets, saltHotThreshold, dedupeTitles))
+      // a pair caught by both keys carries identical (doc_a, doc_b,
+      // edits) from each pass — set union, nothing weaker
+      .distinct()
+  }
+
+  /** One blocked fuzzy pass over pre-keyed (doc_id, title, blk) rows —
+    * the body [[fuzzyTitlePairs]] runs once per blocking key.
+    */
+  private def onePassFuzzy(
+      keyed: DataFrame,
+      maxEdits: Int,
+      saltBuckets: Int,
+      saltHotThreshold: Long,
+      dedupeTitles: Boolean): DataFrame = {
     def blockJoin(a: DataFrame, b: DataFrame): DataFrame =
       if (saltBuckets > 1) Skew.saltedJoinSkewed(a, b, Seq("blk"), saltBuckets, saltHotThreshold)
       else a.join(b, Seq("blk"))

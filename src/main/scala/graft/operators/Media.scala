@@ -916,4 +916,108 @@ object Media {
       dim(col("width")).as("target_width"),
       dim(col("height")).as("target_height"))
   }
+
+  // -------------------------------------------------------------------
+  // Perceptual image hashing (dHash — difference hash over a downsampled
+  // luma grid; the LAION/img2dataset-style near-dup key). Public
+  // knowledge: the dHash construction is the widely-published
+  // gradient-hash (Krawetz, hackerfactor 2013-class blog literature);
+  // nothing here decodes beyond the existing format decoders above.
+  // -------------------------------------------------------------------
+
+  case class ImagePayload(media_id: Long, bytes: Array[Byte])
+
+  /** Encode row-major top-down packed 0xRRGGBB pixels as an uncompressed
+    * 24-bit BI_RGB Windows BMP — the exact inverse of
+    * [[decodeBmpPixels]] (bottom-up row storage, 4-byte row padding),
+    * pinned by a roundtrip test in MediaSpec. Payload-synthesis tool for
+    * the multimodal fixtures (the WAV/MP3 encoders' image sibling).
+    */
+  def encodeBmp24(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "w*h must match px")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def p32(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    p32(2, size); p32(10, 54); p32(14, 40); p32(18, w); p32(22, h)
+    b(26) = 1; b(28) = 24 // planes = 1, bpp = 24; compression stays 0
+    p32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        val i = base + x * 3 // stored B, G, R
+        b(i) = (v & 0xff).toByte
+        b(i + 1) = ((v >> 8) & 0xff).toByte
+        b(i + 2) = ((v >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Integer luma of a packed 0xRRGGBB pixel — the ITU-R BT.601 weights
+    * in exact integer arithmetic ((299R + 587G + 114B) / 1000, floor).
+    * Gray pixels (R = G = B = v) map to exactly v, which is what lets
+    * the x60 oracle restate the hash from the generator's closed form.
+    */
+  def lumaOf(p: Int): Int =
+    (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+
+  /** 64-bit dHash: resample to a 9x8 grid ([[resizePixels]] — identity
+    * when the input already is 9x8), take per-cell luma, then one bit per
+    * horizontally-adjacent comparison: bit (y*8 + x) = 1 iff
+    * luma(x+1, y) > luma(x, y). Near-identical images differ in few
+    * bits; hamming distance is the dedup distance.
+    */
+  def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val g = if (w == 9 && h == 8) px else resizePixels(px, w, h, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lumaOf(g(y * 9 + x + 1)) > lumaOf(g(y * 9 + x)))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  case class PerceptualHash(media_id: Long, decoded: Boolean, phash: Long)
+
+  /** Per-image perceptual hash over decoded pixels: BMP first (cheap
+    * byte math), then PNG, then the ImageIO registry — the same decode
+    * ladder as [[decodeResized]]. Undecodable payloads emit
+    * decoded = false with phash 0 so the output stays total (callers
+    * filter on the flag before pairing). mapPartitions, no shuffle.
+    */
+  def perceptualHashes(df: Dataset[ImagePayload]): Dataset[PerceptualHash] = {
+    implicit val enc = Encoders.product[PerceptualHash]
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = decodeBmpPixels(r.bytes) match {
+          case s @ Some(_) => s
+          case None =>
+            decodePngDetailed(r.bytes) match {
+              case PngOk(w, h, px) => Some((w, h, px))
+              case _ => decodeImageIOPixels(r.bytes)
+            }
+        }
+        decoded match {
+          case Some((w, h, px)) => PerceptualHash(r.media_id, decoded = true, dHash64(w, h, px))
+          case None => PerceptualHash(r.media_id, decoded = false, 0L)
+        }
+      }
+    }
+  }
 }

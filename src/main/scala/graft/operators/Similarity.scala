@@ -799,6 +799,14 @@ object Similarity {
     * nested loop over |corpus| x c, then a per-vector argmax — one shuffle
     * on vec_id at scale, cells come out hash-partitioned by centroid.
     */
+  /** [[ivfAssign]] against captured centroid ARRAYS (committed model
+    * state) — the committed-corpus materialization step of the
+    * incremental SemDeDup shape: (cell, vec_id, embedding).
+    */
+  def assignCells(corpus: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    ivfAssign(corpus, centroidsDF(corpus.sparkSession, cents))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
@@ -941,6 +949,62 @@ object Similarity {
       .select(col("vec_b").as("vec_id"))
       .distinct()
     emb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** Incremental SemDeDup — the daily-ingest shape ([[semanticDedup]] is
+    * the whole-corpus batch job; this is its x29b analog for embeddings):
+    * assign only the NEW batch against COMMITTED k-means centroids
+    * (`cents`, persisted model state — e.g. a
+    * [[graft.sources.ModelStore]] snapshot), pair batch rows against the
+    * COMMITTED cell-assigned corpus within cells only, and dedup within
+    * the batch itself. A batch row is dropped when it is within
+    * `threshold` cosine of ANY committed corpus row in its cell
+    * (committed rows always win — they are already published) or of a
+    * LOWER-id batch row in its cell (the x34 keep-smallest rule applied
+    * inside the batch). Returns the surviving batch rows.
+    *
+    * Equivalence contract (SimilaritySpec pins it): when every corpus id
+    * is below every batch id and the corpus is internally deduped at
+    * `threshold` — both true by construction when the corpus is the
+    * accumulated output of this operator — survivors(batch) ∪ corpus
+    * equals [[semanticDedupWith]] of the union under the same centroids.
+    *
+    * 100 TB posture: the corpus side is a committed (cell, vec_id,
+    * embedding) table that is SCANNED, never shuffled — the batch
+    * (daily-sized by definition) broadcasts into the cell join, so
+    * per-batch cost scales with the batch and the one corpus scan, with
+    * ZERO corpus exchanges; the corpus is never re-assigned and never
+    * self-paired. Centroid state is c x dim driver literals, job-free to
+    * broadcast.
+    *
+    * @param batch          new rows: (vec_id, embedding)
+    * @param corpusAssigned committed corpus WITH its committed cell
+    *                       assignment: (cell, vec_id, embedding)
+    * @return surviving batch rows (schema of `batch`)
+    */
+  def semanticDedupIncremental(
+      batch: DataFrame,
+      corpusAssigned: DataFrame,
+      threshold: Double,
+      cents: Array[Array[Float]]): DataFrame = {
+    // materialized: three consumers (corpus join, in-batch self-join both
+    // sides) — same multi-consumer rule as semanticDedupWith's assignment
+    val b = ivfAssign(batch, centroidsDF(batch.sparkSession, cents))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val vsCorpus = broadcast(b)
+      .join(
+        corpusAssigned.select(col("cell"), col("embedding").as("c_emb")),
+        Seq("cell"))
+      .filter(cosine(col("embedding"), col("c_emb")) >= threshold)
+      .select("vec_id")
+    val lo = b.select(col("cell"), col("vec_id").as("lo_id"), col("embedding").as("lo_emb"))
+    val hi = b.select(col("cell"), col("vec_id").as("hi_id"), col("embedding").as("hi_emb"))
+    val inBatch = lo.join(hi, Seq("cell"))
+      .filter(col("lo_id") < col("hi_id"))
+      .filter(cosine(col("lo_emb"), col("hi_emb")) >= threshold)
+      .select(col("hi_id").as("vec_id"))
+    batch.join(vsCorpus.unionByName(inBatch).distinct(), Seq("vec_id"), "left_anti")
   }
 
   /** Embedding near-dup pairs via LSH buckets (the scale path for

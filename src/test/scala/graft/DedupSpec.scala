@@ -435,4 +435,88 @@ class DedupSpec extends AnyFunSuite {
     // title -> titel is a transposition = 2 plain-Levenshtein edits
     assert(direct.contains((1L, 2L, 0L)) && direct.contains((1L, 41L, 2L)))
   }
+
+  test("fuzzy titles: suffix block catches prefix typos; off-path unchanged") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon tail"),
+      // typo INSIDE the 4-char blocking prefix: 'alpha' -> 'ylpha' — the
+      // prefix pass misses it, the reversed-prefix pass catches it
+      (2L, "ylpha beta gamma delta epsilon tail"),
+      (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    def run(suffix: Boolean) = Dedup
+      .fuzzyTitlePairs(docs, maxEdits = 2, suffixBlock = suffix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!run(false).contains((1L, 2L, 1L)))
+    assert(run(true).contains((1L, 2L, 1L)))
+    // the flag only ADDS the second-key recall: prefix-pass pairs are a
+    // subset, and with no prefix-interior typos both paths agree
+    assert(run(false).subsetOf(run(true)))
+    // a tail typo is caught by the PREFIX pass only (reversed prefix
+    // differs) — the union must carry it exactly once, so both runs are
+    // identical on a corpus with no prefix-interior typos
+    val plain = Seq(
+      (1L, "shared title exactly here on"),
+      (2L, "shared title exactly here ox"),
+      (3L, "different thing entirely")).toDF("doc_id", "text")
+    def runPlain(suffix: Boolean) = Dedup
+      .fuzzyTitlePairs(plain, maxEdits = 2, suffixBlock = suffix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runPlain(false).contains((1L, 2L, 1L)))
+    assert(runPlain(true) === runPlain(false))
+  }
+
+  test("hammingNearDupPairs: planted close signatures pair, distant do not") {
+    val rnd = new scala.util.Random(11)
+    // 30 random 64-bit signatures (pairwise hamming ~32) + a planted pair
+    // differing in 2 bits of band 0 + an identical pair
+    val base = (0 until 30).map(i => (i.toLong, rnd.nextLong()))
+    val sig = base.head._2
+    val sigs = (base ++ Seq(
+      (100L, sig ^ 3L),           // 2 bits off, both in band 0
+      (200L, base(1)._2))).toDF("doc_id", "sig")
+    val pairs = Dedup.hammingNearDupPairs(sigs, hashCol = "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 100L, 2L)))
+    assert(pairs.contains((1L, 200L, 0L)))
+    assert(pairs.size === 2) // nothing else within 3 bits
+  }
+
+  test("hammingNearDupPairs: pigeonhole recall below bands, salt hatch identical") {
+    // exhaustive check at hamming <= 3 with 4 bands: EVERY pair within
+    // threshold must agree on a whole band (pigeonhole), so banded ==
+    // brute force
+    val rnd = new scala.util.Random(5)
+    val anchor = rnd.nextLong()
+    // neighbors at hamming 1..3 with bit flips scattered ACROSS bands
+    val flips = Seq(Seq(0), Seq(5, 20), Seq(1, 17, 33), Seq(60), Seq(15, 16, 47))
+    val rows = (0L, anchor) +: flips.zipWithIndex.map { case (bs, i) =>
+      ((i + 1).toLong, bs.foldLeft(anchor)((s, b) => s ^ (1L << b)))
+    } :+ (99L, ~anchor)
+    val df = rows.toDF("doc_id", "sig")
+    def brute(maxH: Int) = rows.combinations(2).collect {
+      case Seq((a, sa), (b, sb)) if java.lang.Long.bitCount(sa ^ sb) <= maxH =>
+        (math.min(a, b), math.max(a, b), java.lang.Long.bitCount(sa ^ sb).toLong)
+    }.toSet
+    def run(salt: Int) = Dedup
+      .hammingNearDupPairs(df, hashCol = "sig", maxHamming = 3,
+        saltBuckets = salt, saltHotThreshold = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(0) === brute(3))
+    assert(run(0).nonEmpty)
+    assert(run(4) === run(0)) // salting spreads placement, never results
+  }
+
+  test("hammingNearDupPairs composes with simhash: boilerplate variants pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about astrophysics and galactic rotation curves"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.hammingNearDupPairs(
+      Dedup.simhash(docs), hashCol = "simhash", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

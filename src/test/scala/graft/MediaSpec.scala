@@ -598,6 +598,43 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.parseMp3(Array[Byte](0xff.toByte, 0xf9.toByte, 0x90.toByte, 0)).isEmpty)
   }
 
+  test("encodeBmp24 round-trips through decodeBmpPixels, padding included") {
+    // 3-wide rows take 9 data bytes + 3 pad bytes — exercises the 4-byte
+    // row alignment both directions; distinct per-channel values catch a
+    // swapped B/G/R order
+    val px = Array(0x112233, 0x445566, 0x778899, 0xaabbcc, 0xddeeff, 0x010203)
+    val Some((w, h, back)) = Media.decodeBmpPixels(Media.encodeBmp24(3, 2, px))
+    assert(w === 3 && h === 2 && back.toSeq === px.toSeq)
+  }
+
+  test("dHash64: horizontal gradient = all ones, flat = zero, 9x8 is identity") {
+    val inc = Array.tabulate(72)(p => { val g = (p % 9) * 20; (g << 16) | (g << 8) | g })
+    assert(Media.dHash64(9, 8, inc) === -1L) // every comparison rises: 64 set bits
+    assert(Media.dHash64(9, 8, Array.fill(72)(0x808080)) === 0L)
+    // one dark cell at (x=3, y=2) flips exactly bits 18 (2..3 falls) and
+    // 19 (3..4 rises) relative to flat — pins the bit-index packing
+    val one = Array.fill(72)(0x808080); one(2 * 9 + 3) = 0
+    assert(Media.dHash64(9, 8, one) === ((1L << 19))) // bit 18 stays 0 (fall), 19 rises
+  }
+
+  test("dHash64 on a larger image equals dHash of its bilinear 9x8 resize") {
+    val px = Array.tabulate(36 * 16) { i => val g = (i * 37) % 256; (g << 16) | (g << 8) | g }
+    val resized = Media.resizePixels(px, 36, 16, 9, 8)
+    assert(Media.dHash64(36, 16, px) === Media.dHash64(9, 8, resized))
+  }
+
+  test("perceptualHashes: decode ladder is total; BMP and PNG agree on pixels") {
+    val grid = Array.tabulate(72)(p => { val g = (p * 53) % 256 ; (g << 16) | (g << 8) | g })
+    val bmp = Media.encodeBmp24(9, 8, grid)
+    val expected = Media.dHash64(9, 8, grid)
+    val payloads = Seq(
+      Media.ImagePayload(1L, bmp),
+      Media.ImagePayload(2L, Array.fill[Byte](64)(0x7f)))
+    val out = Media.perceptualHashes(payloads.toDS()).collect().map(p => p.media_id -> p).toMap
+    assert(out(1L).decoded && out(1L).phash === expected)
+    assert(!out(2L).decoded && out(2L).phash === 0L)
+  }
+
   test("mp3Meta: distributed parse is total over mixed payloads") {
     val payloads = Seq(
       Media.AudioPayload(1L, Media.encodeMp3(Seq(9, 9))),

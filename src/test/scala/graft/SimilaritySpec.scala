@@ -399,4 +399,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(survivors.contains(9000L)) // NaN cosine must not count as a hit
     assert(!survivors.contains(0L) && !survivors.contains(1000L))
   }
+
+  test("semanticDedupIncremental: committed rows win, planted batch twins drop") {
+    val emb = corpus() // ids 0..59 + twins 1000..1019 of ids 0..19
+    val cents = Similarity.kmeansCentroidArrays(emb, 8, 2)
+    // corpus = the base vectors (low ids, internally non-dup at 0.9);
+    // batch = the twins (high ids) plus one genuinely new vector
+    val corpusSide = emb.filter(col("vec_id") < 100)
+    val rnd = new scala.util.Random(17)
+    val fresh = Seq((5000L, Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") >= 1000).unionByName(fresh)
+    val survivors = Similarity.semanticDedupIncremental(
+      batch, Similarity.assignCells(corpusSide, cents), threshold = 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet
+    // every twin shares its base's cell (cosine ~0.99 >> any other
+    // centroid) and drops against the committed corpus; the fresh
+    // vector survives
+    assert(survivors.contains(5000L))
+    assert((1000L until 1020L).forall(id => !survivors.contains(id)))
+  }
+
+  test("semanticDedupIncremental: in-batch twins dedup to the smallest id") {
+    val rnd = new scala.util.Random(23)
+    val v = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+    val batch = Seq(
+      (10L, v),
+      (11L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)),
+      (12L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)),
+      (20L, Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpusSide = Seq((1L, Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroidArrays(batch.unionByName(corpusSide), 2, 1)
+    val survivors = Similarity.semanticDedupIncremental(
+      batch, Similarity.assignCells(corpusSide, cents), threshold = 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(10L, 20L)) // 11, 12 lose to 10; 20 unrelated
+  }
+
+  test("semanticDedupIncremental: union with corpus equals whole-corpus SemDeDup") {
+    // contract preconditions by construction: corpus ids below batch ids,
+    // corpus internally deduped at the threshold (it IS SemDeDup output)
+    val emb = corpus()
+    val cents = Similarity.kmeansCentroidArrays(emb, 8, 2)
+    val corpusRaw = emb.filter(col("vec_id") < 100)
+    val corpusSide = Similarity.semanticDedupWith(corpusRaw, 0.9, cents)
+    val batch = emb.filter(col("vec_id") >= 1000)
+    val incremental = Similarity.semanticDedupIncremental(
+      batch, Similarity.assignCells(corpusSide, cents), threshold = 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet ++
+      corpusSide.select("vec_id").as[Long].collect().toSet
+    val whole = Similarity.semanticDedupWith(
+      corpusSide.unionByName(batch), 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(incremental === whole)
+  }
 }
