@@ -215,14 +215,18 @@ object PlanAudit {
   }
 
   /** Per-stage allowances for the composed curation pipeline's
-    * lineage-cut stage audit (Curation.auditStages). gates/near-dup SMJ:
+    * lineage-cut stage audit (Curation.auditStages). near-dup SMJ:
     * corpus-frame joined with its own per-doc aggregates — both sides
     * corpus-scale at 100 TB, same class as the x24 allowance (AQE may
     * still demote to broadcast at fixture scale; the pin is a ceiling).
-    * resample BNLJ 1: the 1-row mixWeights normalizer crossJoin.
+    * gates carries NO allowance anymore: the repetition signals moved
+    * into the cap projection (per-row modal-bigram fold), so the stage
+    * is a plain-attribute filter — a join reappearing there is a
+    * regression. resample BNLJ 1: the 1-row mixWeights normalizer
+    * crossJoin.
     */
   private[graft] val StageAllowedSmj: Map[String, Int] =
-    Map("gates" -> 2, "near_dup_pairs" -> 2, "near_dup_retention" -> 1, "decontam" -> 1)
+    Map("near_dup_pairs" -> 2, "near_dup_retention" -> 1, "decontam" -> 1)
   private[graft] val StageAllowedBnlj: Map[String, Int] = Map("resample" -> 1)
   /** Stages whose per-group top-k must keep its WindowGroupLimit. */
   private[graft] val StageRequiredWgl: Set[String] = Set("cap")

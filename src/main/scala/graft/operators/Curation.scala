@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the single composed query a
@@ -87,26 +87,52 @@ object Curation {
     */
   private def capStage(
       docs: DataFrame, maxDocsPerSource: Int,
-      featPairs: Seq[(String, Column)]): DataFrame =
+      withClassifierFeats: Boolean): DataFrame = {
+    // tokenize ONCE into an attribute (then the bigram array likewise):
+    // quality, the repetition signals and the five classifier features
+    // reference these arrays ~16 times between them, and their HOF terms
+    // block codegen subexpression elimination — inline re-derivation
+    // re-ran the split per reference (the featureColsFromTokens note).
+    //
+    // The REPETITION columns live in this projection too (not a join
+    // against TextOps.repetitionStats): since the modal-bigram fold went
+    // per-row (topBigramFracCol) the stats frame is a plain projection,
+    // and a downstream Filter would be pushed THROUGH it with the HOF
+    // fold inlined into the filter condition — the audited 22x trap,
+    // caught by the per-stage gate the moment it was tried. Computing
+    // them here puts them behind the SAME persist boundary as
+    // quality_score, so the gate filters plain attributes — and the
+    // doc_id join + two corpus exchanges the old aggregate-based stats
+    // needed are gone entirely.
+    val feats =
+      if (withClassifierFeats) QualityModel.featureColsFromTokens(col("__toks"))
+      else Nil
     TextOps.capPerSource(docs, "doc_id", maxDocsPerSource)
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"), col("source"), col("text"), col("__toks"),
+        TextOps.shingleArrayFromTokens(col("__toks"), 2, distinct = false).as("__bi"))
       .select(
         Seq(
           col("doc_id"), col("source"), col("text"),
-          TextOps.qualityCol(TextOps.tokens(col("text"))).as("quality_score")) ++
-          featPairs.map { case (n, c) => c.as(n) }: _*)
+          TextOps.qualityCol(col("__toks")).as("quality_score"),
+          TextOps.dupLineFracCol(col("text")).as("dup_line_frac"),
+          TextOps.topBigramFracCol(col("__bi")).as("top_bigram_frac")) ++
+          feats.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Stage 2: heuristic quality + repetition gates (rounded thresholds —
-    * the x44 both-sides-rounded recipe); feature attributes ride through
-    * for the optional classifier gate.
+    * the x44 both-sides-rounded recipe) — a plain-attribute filter over
+    * the cap stage's boundary, every gated signal having been computed
+    * there; feature attributes ride through for the optional classifier
+    * gate.
     */
   private def gateStage(
       capped: DataFrame, minQuality: Double, maxDupLineFrac: Double,
       maxTopBigramFrac: Double, featNames: Seq[String]): DataFrame =
     capped
-      .join(
-        TextOps.repetitionStats(capped)
-          .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac")),
-        Seq("doc_id"))
       .filter(
         col("quality_score") >= minQuality &&
           CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
@@ -243,21 +269,20 @@ object Curation {
     // SECOND corpus-shaped materialization serving only as this same
     // inlining barrier (x57 pays one corpus cache, like x53). persist:
     // repetition and the gate below both consume this frame.
-    val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
-      QualityModel.featureCols(col("text")))
+    val featNames =
+      if (classifier.nonEmpty) QualityModel.DefaultFeatures else Seq.empty[String]
 
     // 1. cap + scores/features, persisted: repetition and the gate both
     // consume this frame, and the boundary is the HOF-inlining barrier
     // (see capStage).
-    val capped = capStage(docs, maxDocsPerSource, classifierFeatPairs).persist()
+    val capped = capStage(docs, maxDocsPerSource, classifier.nonEmpty).persist()
 
     // 2. gates. quality_score stays attached — the near-dup retention
     // (stage 4) ranks components by it; exact dedup is the single
     // consumer either way, and `exd`'s own cache boundary stops
     // re-execution, so no persist here (round-7 x53 barrier finding).
     val filt = gateStage(
-      capped, minQuality, maxDupLineFrac, maxTopBigramFrac,
-      classifierFeatPairs.map(_._1))
+      capped, minQuality, maxDupLineFrac, maxTopBigramFrac, featNames)
 
     // 2.5 (opt-in): model gate; default None keeps the oracle'd
     // seven-stage shape bit-identical.
@@ -345,13 +370,12 @@ object Curation {
       classifier: Option[(QualityModel.LogReg, Double)] = None): Seq[(String, DataFrame)] = {
     // the SAME stage builders as pipelineRun — only the boundary kind
     // differs (persist there, lineage-cut checkpoint here)
-    val classifierFeatPairs = classifier.toSeq.flatMap(_ =>
-      QualityModel.featureCols(col("text")))
-    val cap = capStage(docs, maxDocsPerSource, classifierFeatPairs)
+    val featNames =
+      if (classifier.nonEmpty) QualityModel.DefaultFeatures else Seq.empty[String]
+    val cap = capStage(docs, maxDocsPerSource, classifier.nonEmpty)
     val capC = cap.localCheckpoint()
     val gates = gateStage(
-      capC, minQuality, maxDupLineFrac, maxTopBigramFrac,
-      classifierFeatPairs.map(_._1))
+      capC, minQuality, maxDupLineFrac, maxTopBigramFrac, featNames)
     val gatesC = gates.localCheckpoint()
     val (clsStage, gatedC) = classifier match {
       case None => (Nil, gatesC)

@@ -340,7 +340,7 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= minShared)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // intersection over the capped-out (hot) shingles only — exact
     // complement of the candidate join's rare-shared count
     val hotSh = sh.filter(col("df") > maxShingleDf)

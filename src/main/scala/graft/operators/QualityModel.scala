@@ -44,8 +44,21 @@ object QualityModel {
     * attributes, instead of paying a second tokenization pass plus a
     * join back (the Curation classifier stage does exactly this).
     */
-  def featureCols(text: Column): Seq[(String, Column)] = {
-    val toks = TextOps.tokens(text)
+  def featureCols(text: Column): Seq[(String, Column)] =
+    featureColsFromTokens(TextOps.tokens(text))
+
+  /** [[featureCols]] over an ALREADY-MATERIALIZED token-array column.
+    * The five features reference the array ~10 times between them, and
+    * the stopword/alpha terms are HOFs that keep the projection out of
+    * whole-stage codegen's subexpression elimination — so an inline
+    * `tokens(text)` re-runs the regex split once per reference (the
+    * gramHashesFromTokenHashes finding, resurfacing here: measured ~3x
+    * on the curation cap stage). Callers tokenize ONCE into an attribute
+    * in a prior projection and pass it here; CollapseProject refuses to
+    * inline a non-cheap alias referenced more than once, so the
+    * two-projection shape is stable under optimization.
+    */
+  def featureColsFromTokens(toks: Column): Seq[(String, Column)] = {
     val nTok = size(toks).cast("double")
     // TextOps.countIn, not a re-derivation: the classifier's stopword
     // signal must use the SAME membership rule as the weak-label gate
@@ -69,8 +82,11 @@ object QualityModel {
   }
 
   def qualityFeatures(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id") +: featureCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id") +:
+          featureColsFromTokens(col("__toks")).map { case (n, c) => c.as(n) }: _*)
 
   /** Fit a logistic regression driver-side on a bounded deterministic
     * sample of `labeled` (the [[Similarity.trainingSample]] recipe: the

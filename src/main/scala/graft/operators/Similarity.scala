@@ -998,13 +998,17 @@ object Similarity {
         Seq("cell"))
       .filter(cosine(col("embedding"), col("c_emb")) >= threshold)
       .select("vec_id")
+    // both remaining joins keep a broadcast-sized side by CONTRACT (the
+    // batch is daily-sized; dropped is a subset of its ids) — hint them
+    // so the plan never falls back to shuffling either
     val lo = b.select(col("cell"), col("vec_id").as("lo_id"), col("embedding").as("lo_emb"))
     val hi = b.select(col("cell"), col("vec_id").as("hi_id"), col("embedding").as("hi_emb"))
-    val inBatch = lo.join(hi, Seq("cell"))
+    val inBatch = broadcast(lo).join(hi, Seq("cell"))
       .filter(col("lo_id") < col("hi_id"))
       .filter(cosine(col("lo_emb"), col("hi_emb")) >= threshold)
       .select(col("hi_id").as("vec_id"))
-    batch.join(vsCorpus.unionByName(inBatch).distinct(), Seq("vec_id"), "left_anti")
+    batch.join(
+      broadcast(vsCorpus.unionByName(inBatch).distinct()), Seq("vec_id"), "left_anti")
   }
 
   /** Embedding near-dup pairs via LSH buckets (the scale path for

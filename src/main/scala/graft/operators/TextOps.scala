@@ -114,34 +114,62 @@ object TextOps {
     *   - `dup_line_frac`: 1 - distinct/total over newline-split lines
     *     (pure projection);
     *   - `top_bigram_frac`: occurrences of the modal token bigram / total
-    *     bigrams — computed by explode + two bounded groupBys keyed on
-    *     doc_id (shuffle-parallel; a per-row HOF mode would be quadratic
-    *     in document length).
+    *     bigrams — ALSO a pure projection: sort the bigram array, then
+    *     one O(n) fold for the longest equal-adjacent run (== the modal
+    *     count on a sorted array). O(n log n) per ROW replaces the
+    *     earlier explode + two corpus-keyed groupBys + join-back — same
+    *     values (integer counts, same final division), but zero shuffles
+    *     at any corpus size, and the per-row array is no more memory
+    *     than the explode path materialized before exploding. This cut
+    *     two exchanges and a join out of every x53/x57 evaluation.
     * Docs with < 2 tokens have no bigrams: top_bigram_frac = 0.
     * Bigrams are fixed (not a parameter): the output column name and the
     * x25 oracle are bigram-specific, so a generic n would silently
     * mislabel results.
     */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val lineStats = docs.select(
-      col("doc_id"),
-      size(lines).cast("long").as("n_lines"),
-      (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
-        .as("dup_line_frac"))
-    val grams = shingles(docs.select(col("doc_id"), col("text")), n = 2, distinct = false)
-    val top = grams
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
+  /** 1 - distinct/total over newline-split lines (null text -> null,
+    * matching split's propagation).
+    */
+  private[operators] def dupLineFracCol(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+  }
+
+  /** Modal-bigram mass over a NON-DISTINCT bigram-array ATTRIBUTE (pass a
+    * bound column, not an inline expression — referenced three times, and
+    * the fold is a HOF outside codegen CSE): sort, then one O(n) fold for
+    * the longest equal-adjacent run, which IS the modal count on a sorted
+    * array. `prev` seeds "" which no bigram can equal (concat_ws with a
+    * space separator emits at least one character). Empty/absent bigrams
+    * (docs under 2 tokens, null text) yield 0.0.
+    */
+  private[operators] def topBigramFracCol(bi: Column): Column = {
+    val runBest = aggregate(
+      array_sort(bi),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(
+          x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(bi) >= 1, runBest.cast("double") / size(bi).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"), col("text"),
+        shingleArrayFromTokens(col("__toks"), 2, distinct = false).as("__bi"))
       .select(
         col("doc_id"),
-        (col("top_c").cast("double") / col("total_c")).as("top_bigram_frac"))
-    lineStats
-      .join(top, Seq("doc_id"), "left")
-      .na.fill(0.0, Seq("top_bigram_frac"))
-  }
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        dupLineFracCol(col("text")).as("dup_line_frac"),
+        topBigramFracCol(col("__bi")).as("top_bigram_frac"))
 
   /** Heuristic quality score in [0, 1]: length saturation, lexical
     * diversity, and non-stopword density — the standard cheap pre-filter
@@ -162,8 +190,14 @@ object TextOps {
       6)
   }
 
+  // two projections: tokenize once into an attribute, then score — the
+  // stopword term is a HOF that keeps this out of codegen CSE, so an
+  // inline tokens() re-runs the split per reference (see
+  // QualityModel.featureColsFromTokens)
   def qualityScore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), qualityCol(tokens(col("text"))).as("quality_score"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), qualityCol(col("__toks")).as("quality_score"))
 
   /** The eight Gopher stop words — the rule counts how many DISTINCT
     * members appear in the document (Rae et al. 2021, A1.1).

@@ -340,6 +340,6 @@ object VersionedTable {
       case Some(vt) =>
         val v = vt.commit(frame)
         vt.readVersion(frame.sparkSession, v)
-      case None => frame.localCheckpoint()
+      case None => frame.localCheckpoint(eager = false)
     }
 }
