@@ -801,6 +801,15 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rank"), col("token"), r4(col("score")).as("score"))
         .orderBy("doc_id", "rank")),
 
+    // BM25 keyword retrieval: top-10 docs for a fixed 3-term query.
+    // Hash-gated — idf/tf/length normalization all restate in SQL; the
+    // top-k boundary is tie-stable (6-dp rank rounding + doc_id).
+    "x62_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(
+        Tables.documents(s, dir), Seq("spark", "hash", "merge"), topK = 10)
+        .select(col("doc_id"), r4a(col("score")).as("score"))
+        .orderBy("doc_id")),
+
     // Deterministic train/val/test split. Hash-gated end-to-end: the
     // oracle recomputes Spark's xxhash64 fold hash IN DUCKDB SQL
     // (XxHash64Sql's wrap-arithmetic CTE chain) and re-derives the same
@@ -2230,6 +2239,31 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, round(score, 4) AS score
         |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
+    // BM25: same tokenizer CTE family as x21; the aggregate score uses
+    // the ra() collapse (round(round(.,8),4)) because it is a float SUM,
+    // and the LIMIT boundary orders by round(score,6) then doc_id — the
+    // same tie convention the engine's TakeOrdered applies.
+    "x62_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |qtf AS (
+        |  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl)
+        |  WHERE token IN ('spark', 'hash', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM qtf GROUP BY 1),
+        |w AS (
+        |  SELECT qtf.doc_id,
+        |         ln((st.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5) + 1.0)
+        |           * (qtf.tf * (1.2 + 1.0))
+        |           / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * qtf.dl / st.avgdl)) AS w
+        |  FROM qtf JOIN dfreq USING (token) CROSS JOIN st),
+        |s AS (SELECT doc_id, SUM(w) AS score FROM w GROUP BY 1),
+        |top AS (SELECT doc_id, round(round(score, 8), 4) AS score
+        |        FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 10)
+        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
     "x19_dedup_clusters" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -577,6 +577,58 @@ object TextOps {
       .select("doc_id", "rank", "token", "score")
   }
 
+  /** BM25 keyword retrieval: score every document against a fixed bag of
+    * query terms (Robertson/Spärck Jones probabilistic relevance; the
+    * Lucene-standard formulation with the +1-smoothed non-negative idf)
+    * and return the top-k. The retrieval primitive a corpus-curation
+    * stack uses to pull topic slices out of a 100 TB crawl.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: the ONLY corpus-wide work is one scan (token explode is
+    * filtered to the query terms before the tf groupBy, so the shuffle
+    * carries query-matching postings only — at 100 TB that is the
+    * postings list for |q| terms, not the corpus). Document length and
+    * the (N, avgdl) scalar come from per-row projections; df over the
+    * query terms is a |q|-row broadcast. Top-k is a TakeOrdered, never a
+    * single-partition global sort. Ranking ties break on the 6-dp
+    * rounded score then doc_id ([[tfidfTopTerms]]' cross-engine rank
+    * convention) so ln() ulp drift cannot flip the top-k boundary.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val dl = docs.select(
+      col("doc_id"),
+      tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qtf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("dfreq"))
+    qtf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"))
+      .orderBy(CrossRound.r(col("score"), 6).desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // -------------------------------------------------------------------
   // BPE merge training (Sennrich, Haddow, Birch 2016, "Neural Machine
   // Translation of Rare Words with Subword Units") — tokenizer induction,

@@ -494,4 +494,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) === "a b c")
     assert(out(6L) === "no markup at all")
   }
+
+  test("bm25TopK: planted relevant doc ranks first; scores hand-check; deterministic") {
+    import spark.implicits._
+    // 1 is saturated with the query terms, 2 mentions one, 3-6 are noise
+    // padding so idf is meaningful. Doc 7 matches as often as 2 but is
+    // LONGER — length normalization must rank it below 2.
+    val docs = Seq(
+      (1L, "spark spark merge spark merge"),
+      (2L, "merge alpha beta gamma delta"),
+      (7L, "merge alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "beta gamma delta epsilon zeta"),
+      (5L, "gamma delta epsilon zeta eta"),
+      (6L, "delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq("spark", "merge"), topK = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 7L))
+    // hand-computed: N=7, avgdl=40/7; spark df=1, merge df=3
+    val n = 7.0; val avgdl = 40.0 / 7.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp1 = term(3, 1, 5) + term(2, 3, 5)
+    assert(math.abs(got.head._2 - exp1) < 1e-4)
+    val exp2 = term(1, 3, 5)
+    assert(math.abs(got(1)._2 - exp2) < 1e-4)
+    // shorter doc with identical tf outranks the longer one
+    assert(got(1)._2 > got(2)._2)
+    // partition-layout invariance (the sweep contract)
+    val re = TextOps.bm25TopK(docs.repartition(7), Seq("spark", "merge"), topK = 3)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(re.toSeq === Seq(1L, 2L, 7L))
+  }
 }
