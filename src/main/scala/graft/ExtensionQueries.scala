@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Media, Similarity, Splits, TemporalJoins, TextOps}
+import graft.operators.{Curation, Dedup, Layout, Media, Similarity, Splits, TemporalJoins, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -561,6 +561,18 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"), r4a(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
+    // Bigram LM with stupid backoff (x65): the context-aware fluency
+    // signal — LM trained on the even-doc_id half (the "reference
+    // corpus" of the CCNet recipe), every doc scored against it, so the
+    // backoff leg genuinely fires on odd docs' unseen bigrams/words.
+    // Fully closed-form; hash-gated end-to-end.
+    "x65_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("n_bigrams"), r4a(col("logprob")).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity buckets: head/middle/tail thirds by the
     // unigram LM score — global percentile cuts as a broadcast scalar,
     // never a corpus-wide window.
@@ -810,6 +822,36 @@ object ExtensionQueries {
         .select(col("doc_id"), r4a(col("score")).as("score"))
         .orderBy("doc_id")),
 
+    // The SERVING layout of the same retrieval (x63): score against the
+    // token-bucketed postings index — the corpus text is never read at
+    // query time; the term filter prunes to its own buckets at the
+    // source and df aggregates exchange-free on the stored layout. Same
+    // oracle as x62: two layouts, one result (the x29/x29b convention).
+    "x63_bm25_indexed" -> ((s, dir) => {
+      val (postings, stats) = bm25IndexFor(s, dir)
+      TextOps.bm25TopKIndexed(
+        postings, stats, Seq("spark", "hash", "merge"), topK = 10)
+        .select(col("doc_id"), r4a(col("score")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Z-order layout key (x64): the Morton key the OPTIMIZE job
+    // clusters 100 TB event tables by, derived over (user_id, event
+    // time) — bounded bounds aggregate, exact integral quantization,
+    // bit interleave, all closed-form, so the ENTIRE key derivation
+    // recomputes in the oracle (hash-gated per z-cell). LayoutSpec
+    // measures the pruning contract the key exists for.
+    "x64_zorder_layout" -> ((s, dir) => {
+      // cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ (the
+      // parquet read type); the session tz is UTC so the instant — and
+      // the oracle's epoch_us — is unambiguous
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t_us"))
+      Layout.zOrderKey(ev, Seq("user_id", "t_us"), 8)
+        .groupBy("zval").agg(count(lit(1)).as("n_events"))
+        .orderBy("zval")
+    }),
+
     // Deterministic train/val/test split. Hash-gated end-to-end: the
     // oracle recomputes Spark's xxhash64 fold hash IN DUCKDB SQL
     // (XxHash64Sql's wrap-arithmetic CTE chain) and re-derives the same
@@ -1015,6 +1057,31 @@ object ExtensionQueries {
     graft.sources.Bucketed.table(s, tbl)
   }
 
+  /** One BM25 postings index per (JVM, sf dir) for x63 — the nightly
+    * index build of the retrieval serving path, reused by every
+    * evaluation. Same dir-keyed SHA-256 naming as the x29b postings
+    * (collision-resistant across the sweep's two widths); the postings
+    * live token-bucketed in a temp dir, the (N, avgdl) stats row in a
+    * one-row parquet beside them.
+    */
+  private val Bm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bm25IndexFor(
+      s: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (tbl, root) = Bm25Indexes.computeIfAbsent(dir, _ => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val name = "graft_x63_" +
+        digest.take(8).map(b => f"${b & 0xFF}%02x").mkString
+      val path = java.nio.file.Files.createTempDirectory("graft_x63_").toString + "/idx"
+      TextOps.bm25SaveIndex(Tables.documents(s, dir), name, path, buckets = 8)
+      (name, path)
+    })
+    (graft.sources.Bucketed.table(s, tbl), s.read.parquet(root + "/stats"))
+  }
+
   /** One JVM-wide sink for x24t: the harness evaluates query lambdas
     * repeatedly (sweeps at two widths, warm bench iterations, plan
     * audits), and a fresh temp directory per evaluation would leak one
@@ -1108,6 +1175,57 @@ object ExtensionQueries {
     * postings table): a storage layout must never change results, so both
     * gate against one oracle.
     */
+  /** The BM25 restatement shared by x62 (direct) and x63 (postings-index
+    * layout) — one oracle, two physical layouts, the x29/x29b
+    * layout-invariance convention. Same tokenizer CTE family as x21; the
+    * aggregate score uses the ra() collapse (round(round(.,8),4))
+    * because it is a float SUM, and the LIMIT boundary orders by
+    * round(score,6) then doc_id — the engine's TakeOrdered tie rule.
+    */
+  private val bm25TopKSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qtf AS (
+      |  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl)
+      |  WHERE token IN ('spark', 'hash', 'merge')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM qtf GROUP BY 1),
+      |w AS (
+      |  SELECT qtf.doc_id,
+      |         ln((st.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5) + 1.0)
+      |           * (qtf.tf * (1.2 + 1.0))
+      |           / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * qtf.dl / st.avgdl)) AS w
+      |  FROM qtf JOIN dfreq USING (token) CROSS JOIN st),
+      |s AS (SELECT doc_id, SUM(w) AS score FROM w GROUP BY 1),
+      |top AS (SELECT doc_id, round(round(score, 8), 4) AS score
+      |        FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 10)
+      |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin
+
+  /** x64's restatement: the full z-key derivation — global bounds, the
+    * exact integral quantization `(v - lo) * 256 // (hi - lo + 1)`
+    * (DuckDB `//` == Spark `DIV` on these non-negative operands), and
+    * the generated 16-term bit weave — recomputed from the raw events.
+    * `epoch_us(ts)` mirrors Spark's `unix_micros` microsecond-exactly.
+    */
+  private val zOrderSql: String = {
+    val weave = (0 until 8).flatMap(i => Seq(
+      s"(((q0 >> $i) & 1) << ${2 * i + 1})",
+      s"(((q1 >> $i) & 1) << ${2 * i})")).mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS lo0, MAX(user_id) AS hi0,
+       |         MIN(epoch_us(ts)) AS lo1, MAX(epoch_us(ts)) AS hi1
+       |  FROM events),
+       |q AS (
+       |  SELECT ((user_id - lo0) * 256 // (hi0 - lo0 + 1)) AS q0,
+       |         ((epoch_us(ts) - lo1) * 256 // (hi1 - lo1 + 1)) AS q1
+       |  FROM events CROSS JOIN b),
+       |z AS (SELECT ($weave) AS zval FROM q)
+       |SELECT zval, COUNT(*) AS n_events FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val IncrementalNearDupsSql: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
       |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -2088,6 +2206,36 @@ object ExtensionQueries {
         |            WHEN round(round(s.logprob, 10), 6) >= round(round(c.mid_cut, 10), 6) THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM s CROSS JOIN c ORDER BY s.doc_id""".stripMargin,
+    // x65: stupid backoff restated — LM counts from the even-doc half,
+    // seen bigrams score bc/c(w1), unseen back off to the add-one
+    // unigram times alpha; the aggregate logprob takes the ra()
+    // collapse like x39. n_bigrams stays BIGINT on both engines.
+    "x65_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |      FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
+        |tfd AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2, 3),
+        |lmbg AS (SELECT w1, w2, SUM(tf) AS bc FROM tfd WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |lmuni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+        |          WHERE doc_id % 2 = 0 GROUP BY 1),
+        |st AS (SELECT CAST(SUM(c) AS DOUBLE) AS lm_n, CAST(COUNT(*) AS DOUBLE) AS lm_v FROM lmuni),
+        |s AS (
+        |  SELECT tfd.doc_id, tfd.tf,
+        |         CASE WHEN lmbg.bc IS NOT NULL THEN CAST(lmbg.bc AS DOUBLE) / c1.c
+        |              ELSE 0.4 * (COALESCE(c2.c, 0) + 1.0) / (st.lm_n + st.lm_v) END AS s
+        |  FROM tfd
+        |  LEFT JOIN lmbg ON lmbg.w1 = tfd.w1 AND lmbg.w2 = tfd.w2
+        |  LEFT JOIN lmuni c1 ON c1.token = tfd.w1
+        |  LEFT JOIN lmuni c2 ON c2.token = tfd.w2
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |              SUM(tf * ln(s)) / SUM(tf) AS logprob FROM s GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |       round(round(sc.logprob, 8), 4) AS logprob
+        |FROM d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x39_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
@@ -2243,27 +2391,12 @@ object ExtensionQueries {
     // the ra() collapse (round(round(.,8),4)) because it is a float SUM,
     // and the LIMIT boundary orders by round(score,6) then doc_id — the
     // same tie convention the engine's TakeOrdered applies.
-    "x62_bm25_topk" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
-        |qtf AS (
-        |  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl)
-        |  WHERE token IN ('spark', 'hash', 'merge')
-        |  GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM qtf GROUP BY 1),
-        |w AS (
-        |  SELECT qtf.doc_id,
-        |         ln((st.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5) + 1.0)
-        |           * (qtf.tf * (1.2 + 1.0))
-        |           / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * qtf.dl / st.avgdl)) AS w
-        |  FROM qtf JOIN dfreq USING (token) CROSS JOIN st),
-        |s AS (SELECT doc_id, SUM(w) AS score FROM w GROUP BY 1),
-        |top AS (SELECT doc_id, round(round(score, 8), 4) AS score
-        |        FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 10)
-        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    "x62_bm25_topk" -> bm25TopKSql,
+    // x63 runs the SAME retrieval over the token-bucketed postings
+    // index (corpus text never read at query time) — one oracle, two
+    // layouts, the x29/x29b layout-invariance convention.
+    "x63_bm25_indexed" -> bm25TopKSql,
+    "x64_zorder_layout" -> zOrderSql,
     "x19_dedup_clusters" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

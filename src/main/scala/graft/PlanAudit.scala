@@ -162,6 +162,13 @@ object PlanAudit {
     // corpus x broadcast(benchmark-set) exhaustive decontam scoring —
     // class (b), the banned side is bounded by contract
     "x50_semantic_decontam" -> 1,
+    // class (a): BM25's one-row (N, avgdl) collection-stats crossJoin —
+    // inline aggregate in x62, the persisted stats parquet in x63
+    "x62_bm25_topk" -> 1, "x63_bm25_indexed" -> 1,
+    // class (a): the z-key's one-row global-bounds crossJoin
+    "x64_zorder_layout" -> 1,
+    // class (a): the bigram LM's one-row (N, V) stats crossJoin
+    "x65_bigram_logprob" -> 1,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

@@ -586,13 +586,17 @@ object TextOps {
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
     *
-    * Scale shape: the ONLY corpus-wide work is one scan (token explode is
-    * filtered to the query terms before the tf groupBy, so the shuffle
-    * carries query-matching postings only — at 100 TB that is the
-    * postings list for |q| terms, not the corpus). Document length and
-    * the (N, avgdl) scalar come from per-row projections; df over the
-    * query terms is a |q|-row broadcast. Top-k is a TakeOrdered, never a
-    * single-partition global sort. Ranking ties break on the 6-dp
+    * Scale shape: the corpus-wide work is TWO scans — the (N, avgdl)
+    * stats aggregate and the scoring pass (token explode is filtered to
+    * the query terms before the tf groupBy, so the shuffle carries
+    * query-matching postings only — at 100 TB that is the postings list
+    * for |q| terms, not the corpus); df-per-term rides a window over
+    * those filtered postings rather than a groupBy+join that would
+    * re-derive the explode subtree and pay a third scan. Repeated
+    * queries should not pay even the two: [[bm25SaveIndex]] /
+    * [[bm25TopKIndexed]] is this operator's serving layout, where a
+    * query reads only its own terms' index buckets. Top-k is a
+    * TakeOrdered, never a single-partition global sort. Ranking ties break on the 6-dp
     * rounded score then doc_id ([[tfidfTopTerms]]' cross-engine rank
     * convention) so ln() ulp drift cannot flip the top-k boundary.
     */
@@ -614,9 +618,95 @@ object TextOps {
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("dfreq"))
+    // df-per-term as a window over the ALREADY-FILTERED postings — a
+    // groupBy+join would re-derive qtf's subtree and re-scan (and
+    // re-tokenize) the whole corpus a third time; the window shuffles
+    // only the |q|-term postings
     qtf
-      .join(broadcast(dfreq), Seq("token"))
+      .withColumn("dfreq",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token"))
+          .cast("double"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"))
+      .orderBy(CrossRound.r(col("score"), 6).desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** The BM25 SERVING index — the postings build of the retrieval path.
+    * Row grain is (token, doc_id): term frequency plus the document
+    * length replicated onto every posting, so query-time scoring never
+    * touches (or re-tokenizes) the corpus text again. One tokenize pass,
+    * one shuffle on (token, doc_id, dl) — the nightly indexing job.
+    */
+  def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Persist the BM25 index: postings as a TOKEN-BUCKETED catalog table
+    * (`graft.sources.Bucketed` — the layout contract that makes a query
+    * read only its own terms' buckets) plus the collection-stats pair
+    * (N, avgdl) every BM25 engine stores in its index metadata, as a
+    * one-row parquet beside the postings. Build cost is one corpus
+    * scan; after it, queries are index-only.
+    */
+  def bm25SaveIndex(
+      docs: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int): Unit = {
+    graft.sources.Bucketed.save(
+      bm25Postings(docs), table, path + "/postings", Seq("token"), buckets)
+    docs.select(size(tokens(col("text"))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Query-time BM25 over a prebuilt postings index — the SERVING shape
+    * of [[bm25TopK]] (identical scoring formula and tie convention;
+    * TextOpsSpec pins row agreement). What changes is the per-query
+    * cost model, which is the whole point at 100 TB:
+    *
+    *   - the corpus text is never read: the scan is the postings table
+    *     FILTERED to the query terms, and because the table is bucketed
+    *     by token the filter prunes to ⌈|q|⌉ buckets at the source
+    *     (`SelectedBucketsCount` in the plan — the other buckets' files
+    *     are never opened);
+    *   - df-per-term aggregates exchange-free on the bucketed layout
+    *     (postings arrive already hash-partitioned by token);
+    *   - everything downstream of the filter is |q|-term-postings-sized:
+    *     the only shuffle carries the matched postings to their doc_id
+    *     groups, and top-k is a TakeOrdered.
+    *
+    * `stats` is the one-row (n_docs, avgdl) frame [[bm25SaveIndex]]
+    * wrote — broadcast in, exactly like [[bm25TopK]]'s inline aggregate,
+    * so the float op order (and thus the scores) match the direct path.
+    */
+  def bm25TopKIndexed(
+      postings: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // df-per-term as a window, not a groupBy+join back: the join form
+    // would scan the (pruned) postings twice; on the token-bucketed
+    // layout this window is exchange-free on top of one pruned scan
+    postings.filter(col("token").isin(queryTerms: _*))
+      .withColumn("dfreq",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token"))
+          .cast("double"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
@@ -825,6 +915,76 @@ object TextOps {
         (sum(col("tf").cast("double") *
           log(col("freq").cast("double") / col("total_tokens").cast("double"))) /
           sum(col("tf")).cast("double")).as("logprob"))
+  }
+
+  /** Per-position bigram rows — `(doc_id, w1, w2, tf)` with tf the
+    * within-doc count of the ordered pair. zip_with over two slices:
+    * pure projection + explode, no shuffle until the tf groupBy;
+    * single-token docs produce zero rows (slice(…, 2, 0) is empty).
+    */
+  private def bigramTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Bigram LM fluency scoring with STUPID BACKOFF (Brants et al. 2007
+    * — the web-scale LM smoothing that needs only counts, no held-out
+    * discounting), the context-aware upgrade of [[unigramLogProb]] and
+    * the closest count-based analog of CCNet's KenLM gate: the LM
+    * trains on a REFERENCE corpus (`lmDocs` — the Wikipedia of the
+    * CCNet recipe) and scores a different, usually much larger, corpus.
+    *
+    * S(w₂|w₁) = c(w₁w₂)/c(w₁) when the LM saw the bigram, else
+    * α·(c(w₂)+1)/(N+V) — the backoff leg is the add-one-smoothed
+    * unigram so unseen words (c=0, inevitable when scoring a crawl
+    * against a reference LM) get a finite floor instead of ln 0.
+    * `logprob` = frequency-weighted mean ln S over the doc's bigram
+    * positions; docs with < 2 tokens keep a row (n_bigrams = 0, null
+    * score) so the operator is total.
+    *
+    * Scale shape: LM counts are two bounded aggregates over the
+    * REFERENCE corpus (bigram + unigram tables — Wikipedia-scale, not
+    * crawl-scale); the scored side shuffles once into per-doc bigram
+    * tf, joins the LM tables on their natural keys, and reduces back
+    * to one row per doc. (N, V) ride a broadcast scalar row.
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      lmDocs: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val lmBigrams = bigramTf(lmDocs)
+      .groupBy("w1", "w2").agg(sum(col("tf")).as("bc"))
+    val lmUni = lmDocs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val lmStats = lmUni.agg(
+      sum(col("c")).cast("double").as("lm_n"),
+      count(lit(1)).cast("double").as("lm_v"))
+    val scored = bigramTf(docs)
+      .join(lmBigrams, Seq("w1", "w2"), "left")
+      .join(lmUni.select(col("token").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(lmUni.select(col("token").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(lmStats))
+      .withColumn("s",
+        when(col("bc").isNotNull,
+          col("bc").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+            (col("lm_n") + col("lm_v"))))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        (sum(col("tf").cast("double") * log(col("s"))) /
+          sum(col("tf")).cast("double")).as("logprob"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextOps
@@ -527,5 +528,63 @@ class TextOpsSpec extends AnyFunSuite {
     val re = TextOps.bm25TopK(docs.repartition(7), Seq("spark", "merge"), topK = 3)
       .collect().map(_.getAs[Long]("doc_id"))
     assert(re.toSeq === Seq(1L, 2L, 7L))
+  }
+
+  test("bigramLogProb: seen, backed-off, OOV and degenerate docs hand-check") {
+    import spark.implicits._
+    // LM corpus: "a b a b" -> bigram counts (a,b)=2, (b,a)=1;
+    // unigrams a=2, b=2 -> N=4, V=2
+    val lm = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b a b"),
+      (10L, "a b"),   // seen bigram: S = 2/2 = 1 -> ln 1 = 0
+      (11L, "b b"),   // unseen bigram, seen word: S = 0.4*(2+1)/(4+2)
+      (12L, "z q"),   // unseen everything: S = 0.4*(0+1)/(4+2)
+      (13L, "solo"))  // single token: total row, 0 bigrams, null score
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(10L) === ((1L, Some(0.0))))
+    assert(math.abs(got(11L)._2.get - math.log(0.4 * 3 / 6)) < 1e-12)
+    assert(math.abs(got(12L)._2.get - math.log(0.4 * 1 / 6)) < 1e-12)
+    assert(got(13L) === ((0L, None)))
+    // self-scored LM doc: 3 positions, (a,b) twice at ln(2/2)=0 and
+    // (b,a) once at ln(1/2) -> mean = ln(.5)/3
+    assert(math.abs(got(0L)._2.get - math.log(0.5) / 3) < 1e-12)
+    // fluency ordering: seen context beats backoff beats OOV
+    assert(got(10L)._2.get > got(11L)._2.get && got(11L)._2.get > got(12L)._2.get)
+  }
+
+  test("bm25TopKIndexed: agrees with the direct path; query reads only its terms' buckets") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_").toString + "/idx"
+    TextOps.bm25SaveIndex(docs, "bm25_spec_idx", root, buckets = 8)
+    try {
+      val postings = graft.sources.Bucketed.table(spark, "bm25_spec_idx")
+      val stats = spark.read.parquet(root + "/stats")
+      val q = Seq("spark", "hash", "merge")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          math.rint(r.getAs[Double]("score") * 1e6) / 1e6)).toSeq
+      val indexed = TextOps.bm25TopKIndexed(postings, stats, q, topK = 10)
+      // layout invariance: identical ranking and (6-dp) scores
+      assert(rows(indexed) === rows(TextOps.bm25TopK(docs, q, topK = 10)))
+      // the serving contract: wherever the plan exploits the token
+      // layout (the df-per-term window does; a filter-only scan gets
+      // its bucketed read auto-disabled as useless), the scan is
+      // bucket-PRUNED to the query terms — other tokens' buckets never
+      // open — and the window runs exchange-free on the stored layout
+      val dfW = postings.filter(col("token").isin(q: _*))
+        .withColumn("dfreq", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      val winPlan = dfW.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(winPlan).map(_.group(1).toInt)
+      assert(sel.exists(_ < 8), s"expected a bucket-pruned scan:\n${winPlan.take(1200)}")
+      val nExch = "Exchange hashpartitioning".r.findAllIn(winPlan).length
+      assert(nExch === 0, "df-per-term should window exchange-free on the bucketed layout")
+    } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_idx")
   }
 }
