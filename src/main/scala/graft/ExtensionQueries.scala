@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Layout, Media, Similarity, Splits, TemporalJoins, TextOps}
+import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Splits, TemporalJoins, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -561,6 +561,16 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"), r4a(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
+    // Feature-hashed char-trigram embeddings (x69): the model-free
+    // text→vector bridge (no trained encoder, no versioned state).
+    // Sparse integer cells, so the hash gate is EXACT: the oracle
+    // recomputes every distinct trigram's xxhash64 through the
+    // XxHash64Sql mirror, re-derives sign bit + bucket shift, and
+    // re-sums the cells.
+    "x69_hashed_embedding" -> ((s, dir) =>
+      TextOps.hashedNgramEmbedding(Tables.documents(s, dir), n = 3, dim = 16)
+        .orderBy("doc_id", "bucket")),
+
     // Bigram LM with stupid backoff (x65): the context-aware fluency
     // signal — LM trained on the even-doc_id half (the "reference
     // corpus" of the CCNet recipe), every doc scored against it, so the
@@ -851,6 +861,37 @@ object ExtensionQueries {
         .groupBy("zval").agg(count(lit(1)).as("n_events"))
         .orderBy("zval")
     }),
+
+    // Typed JSON property extraction (x66): schema-on-read over the
+    // event stream's semi-structured payload — from_json with an
+    // explicit schema (never inference), rolled up so every extracted
+    // value participates in the hash gate.
+    "x66_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          EventAnalytics.propsLong(col("props"), "k").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type", "k_mod")),
+
+    // Cohort retention (x67) at day grain (the fixture spans one
+    // month): first-seen cohorts × activity periods, exact distinct
+    // actives, ratio against the cohort size.
+    "x67_retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir), grain = "day")
+        .select(col("cohort"), col("period"), col("n_active"),
+          col("cohort_size"), r4(col("retention")).as("retention"))
+        .orderBy("cohort", "period")),
+
+    // Ordered funnel (x68): signup → view → purchase within 7 days of
+    // the first signup; each step's time is the earliest event at or
+    // after the previous step's conversion.
+    "x68_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(
+        Tables.events(s, dir), Seq("signup", "view", "purchase"), horizonDays = 7)
+        .select(col("step"), col("event_type"), col("n_users"),
+          r4(col("conversion")).as("conversion"))
+        .orderBy("step")),
 
     // Deterministic train/val/test split. Hash-gated end-to-end: the
     // oracle recomputes Spark's xxhash64 fold hash IN DUCKDB SQL
@@ -1224,6 +1265,27 @@ object ExtensionQueries {
        |  FROM events CROSS JOIN b),
        |z AS (SELECT ($weave) AS zval FROM q)
        |SELECT zval, COUNT(*) AS n_events FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** x69's restatement: char trigrams by position, DISTINCT grams
+    * hashed through the emitted XxHash64Sql chain (the x06/x58 pattern),
+    * sign/bucket split on the unsigned bit pattern, integer cell sums.
+    */
+  private val x69HashedEmbeddingSql: String = {
+    val (hashCtes, lastH) = XxHash64Sql.xxhash64StringCtes("dg", "w", "xh", "xg")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 3),
+       |pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i FROM d),
+       |gr AS (SELECT doc_id, substr(text, i, 3) AS w FROM pos),
+       |dg AS (SELECT DISTINCT w FROM gr),
+       |$hashCtes,
+       |gx AS (SELECT w, xh FROM $lastH),
+       |cells AS (
+       |  SELECT gr.doc_id,
+       |         CAST((gx.xh >> 1) % 16 AS BIGINT) AS bucket,
+       |         CASE WHEN (gx.xh & 1) = 1 THEN 1 ELSE -1 END AS sign
+       |  FROM gr JOIN gx USING (w))
+       |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+       |FROM cells GROUP BY 1, 2 HAVING SUM(sign) <> 0 ORDER BY 1, 2""".stripMargin
   }
 
   private val IncrementalNearDupsSql: String =
@@ -2206,6 +2268,11 @@ object ExtensionQueries {
         |            WHEN round(round(s.logprob, 10), 6) >= round(round(c.mid_cut, 10), 6) THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM s CROSS JOIN c ORDER BY s.doc_id""".stripMargin,
+    // x69: every distinct char trigram hashed through the XxHash64Sql
+    // string mirror; bucket = (h >> 1) % dim on the unsigned bit
+    // pattern (== Spark's shiftrightunsigned + pmod), sign = bit 0.
+    // All-integer cells — no rounding anywhere.
+    "x69_hashed_embedding" -> x69HashedEmbeddingSql,
     // x65: stupid backoff restated — LM counts from the even-doc half,
     // seen bigrams score bc/c(w1), unseen back off to the add-one
     // unigram times alpha; the aggregate logprob takes the ra()
@@ -2397,6 +2464,48 @@ object ExtensionQueries {
     // layouts, the x29/x29b layout-invariance convention.
     "x63_bm25_indexed" -> bm25TopKSql,
     "x64_zorder_layout" -> zOrderSql,
+    // x66: DuckDB's native json_extract mirrors from_json field access
+    "x66_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, (k % 10) AS k_mod,
+        |       COUNT(*) AS n, SUM(k) AS sum_k
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x67: first-seen day cohorts × activity days; counts are integral
+    // so plain round(·,4) on the ratio is partition-order-safe
+    "x67_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort
+        |           FROM events GROUP BY 1),
+        |cs AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT e.user_id, f.cohort, strftime(e.ts, '%Y-%m-%d') AS period
+        |      FROM events e JOIN f USING (user_id)),
+        |cell AS (SELECT cohort, period, COUNT(DISTINCT user_id) AS n_active
+        |         FROM a GROUP BY 1, 2)
+        |SELECT cell.cohort, cell.period, cell.n_active, cs.cohort_size,
+        |       round(CAST(cell.n_active AS DOUBLE) / cs.cohort_size, 4) AS retention
+        |FROM cell JOIN cs USING (cohort) ORDER BY 1, 2""".stripMargin,
+    // x68: the iterative earliest-after-previous funnel restated with
+    // FILTERed mins; 7 days = 604800000000 microseconds
+    "x68_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t0 AS (SELECT user_id, MIN(us) AS t_0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (SELECT t0.user_id, t0.t_0,
+        |              MIN(e.us) FILTER (WHERE e.us >= t0.t_0
+        |                                AND e.us - t0.t_0 <= 604800000000) AS t_1
+        |       FROM t0 LEFT JOIN e ON e.user_id = t0.user_id AND e.event_type = 'view'
+        |       GROUP BY 1, 2),
+        |t2 AS (SELECT t1.user_id, t1.t_0, t1.t_1,
+        |              MIN(e.us) FILTER (WHERE e.us >= t1.t_1
+        |                                AND e.us - t1.t_0 <= 604800000000) AS t_2
+        |       FROM t1 LEFT JOIN e ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3),
+        |c AS (SELECT COUNT(t_0) AS n_0, COUNT(t_1) AS n_1, COUNT(t_2) AS n_2 FROM t2)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n_0 AS n_users,
+        |       round(CAST(n_0 AS DOUBLE) / n_0, 4) AS conversion FROM c
+        |UNION ALL SELECT 2, 'view', n_1, round(CAST(n_1 AS DOUBLE) / n_0, 4) FROM c
+        |UNION ALL SELECT 3, 'purchase', n_2, round(CAST(n_2 AS DOUBLE) / n_0, 4) FROM c
+        |ORDER BY step""".stripMargin,
     "x19_dedup_clusters" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

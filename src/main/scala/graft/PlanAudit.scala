@@ -132,7 +132,13 @@ object PlanAudit {
     // bucketized interval join: events vs sessions — BOTH corpus-scale
     // (one session row per activity burst), so shuffle join is the
     // correct plan; AQE may still demote to broadcast at fixture scale
-    "x55_interval_join" -> 1)
+    "x55_interval_join" -> 1,
+    // retention: events × per-user first-seen — both sides
+    // user-cardinality at 100 TB, shuffle join correct (cohort sizes
+    // stay a broadcast); funnel: one user-keyed join per later step
+    // (step-event slice × per-user conversion table), same class
+    "x67_retention_cohorts" -> 1,
+    "x68_funnel" -> 2)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Product-analytics operators over the event stream (`events` table:
+  * event_id, ts, user_id, event_type, value, props) — the classic OLAP
+  * queries an analytics engine serves next to the curation surface:
+  * semi-structured property extraction, cohort retention, and ordered
+  * funnel conversion. All closed-form and ANSI-expressible, so each
+  * carries a DuckDB oracle (x66/x67/x68).
+  *
+  * Scale shapes: everything reduces through per-user or per-cohort
+  * aggregates — one shuffle on user_id for the user-grain rollups, one
+  * on the (cohort, month) cell for retention — and never a corpus-wide
+  * window or sort. The only join (retention's events × first-seen) is
+  * user-keyed equi against a per-user aggregate: both sides are
+  * user-cardinality at 100 TB, so a shuffle join is the correct plan
+  * (the x24-class allowance).
+  */
+object EventAnalytics {
+
+  /** Typed extraction of a JSON properties column — schema-on-read for
+    * the semi-structured payload every event pipeline drags along.
+    * `from_json` with an EXPLICIT schema (never schema inference, which
+    * would scan the corpus twice): malformed or missing fields come
+    * back null (PERMISSIVE), so the operator is total.
+    */
+  def propsLong(props: Column, field: String): Column =
+    from_json(props, new StructType().add(field, LongType)).getField(field)
+
+  /** Calendar-period key for cohort/retention reports over the
+    * (timezone-naive) event time — string-comparable and
+    * engine-portable: "month" → 'yyyy-MM', "day" → 'yyyy-MM-dd'.
+    */
+  private def periodOf(ts: Column, grain: String): Column = grain match {
+    case "month" => date_format(ts, "yyyy-MM")
+    case "day"   => date_format(ts, "yyyy-MM-dd")
+    case other   => throw new IllegalArgumentException(s"unknown grain: $other")
+  }
+
+  /** Cohort retention: users grouped by the period of their FIRST event
+    * (the cohort), each later period scored by how many of them came
+    * back. One row per (cohort, period) with the distinct active count,
+    * the cohort's size, and their ratio.
+    *
+    * Shape: first-seen is one per-user aggregate (shuffle on user_id);
+    * events join it user-keyed (both sides user-cardinality — shuffle
+    * join is the right plan at scale); cells reduce by (cohort, period)
+    * with an exact COUNT(DISTINCT user) — exact is the oracle surface;
+    * swap in approx_count_distinct at the 100 TB scale where a ±2%
+    * cohort cell is acceptable, the x28 convention. Cohort sizes are a
+    * bounded (periods × 1) aggregate, broadcast back.
+    */
+  def retentionCohorts(events: DataFrame, grain: String = "month"): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(periodOf(min(col("ts")), grain).as("cohort"))
+    val cohortSize = firstSeen.groupBy("cohort")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    events
+      .select(col("user_id"), periodOf(col("ts"), grain).as("period"))
+      .join(firstSeen, Seq("user_id"))
+      .groupBy("cohort", "period")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort"))
+      .select(
+        col("cohort"), col("period"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** Ordered funnel conversion: how many users performed `steps` in
+    * order, every later step within `horizonDays` of their FIRST step-1
+    * event. t_0 is the user's earliest step-1 event; t_i is the
+    * EARLIEST step-i event at or after t_(i-1) and inside the horizon —
+    * the strict-sequence semantics of product funnels (a purchase
+    * before the signup does not count, but a later one still does:
+    * each step's time is "earliest AFTER the previous conversion",
+    * not the step's global minimum, which would undercount users whose
+    * first step-i event predates step 1).
+    *
+    * Shape: one per-user aggregate for t_0, then one user-keyed
+    * left-join + per-user min per LATER step — each round shuffles only
+    * the step-i event slice (one event type) against the per-user
+    * conversion table, so cost scales with the funnel's own events,
+    * and the step count is a small constant. The final per-step rows
+    * explode out of a single bounded global aggregate. Never a per-user
+    * sort or an all-events self-join.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      horizonDays: Int): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val horizonUs = horizonDays.toLong * 24L * 3600L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val t0 = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(us).as("t_0"))
+    val conv = steps.indices.tail.foldLeft(t0) { (acc, i) =>
+      val stepEv = events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), us.as("e_us"))
+      val keys = "user_id" +: (0 until i).map(j => s"t_$j")
+      acc.join(stepEv, Seq("user_id"), "left")
+        .groupBy(keys.head, keys.tail: _*)
+        .agg(min(when(
+          col("e_us") >= col(s"t_${i - 1}") &&
+            col("e_us") - col("t_0") <= horizonUs,
+          col("e_us"))).as(s"t_$i"))
+    }
+    val counts = conv.agg(
+      count(col("t_0")).as("n_0"),
+      steps.indices.tail.map(i => count(col(s"t_$i")).as(s"n_$i")): _*)
+    counts
+      .select(explode(array(steps.indices.map(i =>
+        struct(
+          lit(i + 1).cast("long").as("step"),
+          lit(steps(i)).as("event_type"),
+          col(s"n_$i").as("n_users"),
+          (col(s"n_$i").cast("double") / col("n_0").cast("double"))
+            .as("conversion"))): _*))
+        .as("r"))
+      .select("r.step", "r.event_type", "r.n_users", "r.conversion")
+  }
+}

@@ -917,6 +917,58 @@ object TextOps {
           sum(col("tf")).cast("double")).as("logprob"))
   }
 
+  /** Feature-hashed character-n-gram document embeddings (Weinberger
+    * et al. 2009, "Feature Hashing for Large Scale Multitask Learning")
+    * — the MODEL-FREE text→vector bridge: no trained encoder, no
+    * vocabulary table, just one hash per n-gram, so the `documents`
+    * table can feed the embedding-side stack (cosine near-dup,
+    * SemDeDup, ANN) without any fitted state to version.
+    *
+    * Each char n-gram hashes once (xxhash64, Spark's default seed);
+    * bit 0 is the Rademacher sign, the REMAINING bits pick the bucket —
+    * deriving both from one hash is safe exactly because the sign bit
+    * is shifted out of the bucket index (a `h mod 2` sign with an even
+    * `dim` would tie sign to bucket parity and collapse the sketch).
+    * Output is the SPARSE cell grain `(doc_id, bucket, v)` with
+    * v = Σ signs — all-integer, so the whole derivation hash-gates
+    * exactly (x69 recomputes every gram hash through the XxHash64Sql
+    * mirror); zero-sum cells are omitted, and docs shorter than n have
+    * no cells (the zero vector). One projection+explode, one shuffle
+    * on (doc_id, bucket).
+    */
+  def hashedNgramEmbedding(docs: DataFrame, n: Int = 3, dim: Int = 16): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    require(dim >= 2, "dimension must be at least 2")
+    val h = xxhash64(col("w"))
+    docs
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+          .as("w"))
+      .select(col("doc_id"),
+        pmod(shiftrightunsigned(h, 1), lit(dim.toLong)).as("bucket"),
+        when(h.bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** [[hashedNgramEmbedding]] densified to the `embedding` array shape
+    * the Similarity stack consumes (`Array[Float]`, missing cells 0) —
+    * float is exact here (|v| ≤ gram count ≪ 2^24). Adds one per-doc
+    * aggregate over the sparse cells.
+    */
+  def hashedNgramEmbeddingDense(
+      docs: DataFrame, n: Int = 3, dim: Int = 16): DataFrame =
+    hashedNgramEmbedding(docs, n, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("float"))
+          .as("embedding"))
+
   /** Per-position bigram rows — `(doc_id, w1, w2, tf)` with tf the
     * within-doc count of the ordered pair. zip_with over two slices:
     * pure projection + explode, no shuffle until the tf groupBy;

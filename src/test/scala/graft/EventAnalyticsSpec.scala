@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+/** Product-analytics operators: typed JSON extraction totality, cohort
+  * retention cells, and the ordered-funnel semantics — including the
+  * earliest-after-previous case a global-min funnel would get wrong.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("propsLong: well-formed, missing-field and malformed payloads are total") {
+    val df = Seq(
+      (1L, """{"k": 87}"""),
+      (2L, """{"other": 1}"""),
+      (3L, """not json"""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+      .select(col("id"), EventAnalytics.propsLong(col("props"), "k").as("k"))
+    val got = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) === Some(87L))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+
+  test("retentionCohorts: day-grain cells, sizes and ratios hand-check") {
+    // A first-seen day1 (active day1+day3), B day1 only, C first-seen day3
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-03 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (3L, "view", "2024-01-03 12:00:00"))
+    val got = EventAnalytics.retentionCohorts(events, grain = "day")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(("2024-01-01", "2024-01-01")) === ((2L, 2L, 1.0)))
+    assert(got(("2024-01-01", "2024-01-03")) === ((1L, 2L, 0.5)))
+    assert(got(("2024-01-03", "2024-01-03")) === ((1L, 1L, 1.0)))
+    assert(got.size === 3)
+  }
+
+  test("funnel: ordered semantics, horizon, and the pre-step-1 event that must not hide a later one") {
+    val events = ev(
+      // u1: clean signup -> view -> purchase inside the horizon
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      // u2: only view is BEFORE the signup -> stops at step 1
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 01:00:00"),
+      // u3: view after the 7-day horizon -> stops at step 1
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-09 00:00:00"),
+      // u4: a view BEFORE signup AND one after — the later one counts
+      // (a global-min funnel would wrongly drop this user at step 2);
+      // purchase lands between the early view and the valid one -> out
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "signup", "2024-01-02 00:00:00"),
+      (4L, "purchase", "2024-01-02 06:00:00"),
+      (4L, "view", "2024-01-02 12:00:00"),
+      // u5: never signs up -> not in the funnel population
+      (5L, "view", "2024-01-01 00:00:00"),
+      (5L, "purchase", "2024-01-01 01:00:00"))
+    val got = EventAnalytics
+      .funnel(events, Seq("signup", "view", "purchase"), horizonDays = 7)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === (("signup", 4L, 1.0)))
+    assert(got(2L) === (("view", 2L, 0.5)))    // u1 and u4
+    assert(got(3L) === (("purchase", 1L, 0.25))) // u1 only
+  }
+}

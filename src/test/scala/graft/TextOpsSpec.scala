@@ -530,6 +530,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(re.toSeq === Seq(1L, 2L, 7L))
   }
 
+  test("hashedNgramEmbedding: shape, dense/sparse agreement, near-dup utility, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different content about spark aggregation engines"),
+      (4L, "ab")) // shorter than n=3: the zero vector (no cells)
+      .toDF("doc_id", "text")
+    val sparse = TextOps.hashedNgramEmbedding(docs, n = 3, dim = 16)
+    val rows = sparse.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, v) => b >= 0 && b < 16 && v != 0 })
+    assert(!rows.exists(_._1 == 4L), "sub-n doc must have no cells")
+    // dense form agrees cell-for-cell with the sparse grain
+    val dense = TextOps.hashedNgramEmbeddingDense(docs, n = 3, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((d, b, v) <- rows) assert(dense(d)(b.toInt) === v.toFloat)
+    assert(dense(1L).map(math.abs).sum ===
+      rows.filter(_._1 == 1L).map(_._3.toFloat.abs).sum)
+    // the sketch preserves similarity: near-dup pair far above unrelated
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(dense(1L), dense(2L)) > 0.8)
+    assert(cos(dense(1L), dense(2L)) > cos(dense(1L), dense(3L)) + 0.3)
+    // partition-layout invariance (the sweep contract)
+    val re = TextOps.hashedNgramEmbedding(docs.repartition(5), n = 3, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re === rows.toSet)
+  }
+
   test("bigramLogProb: seen, backed-off, OOV and degenerate docs hand-check") {
     import spark.implicits._
     // LM corpus: "a b a b" -> bigram counts (a,b)=2, (b,a)=1;
