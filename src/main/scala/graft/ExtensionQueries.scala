@@ -250,6 +250,21 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Hard-negative mining (x73): per anchor, the 5 most-similar
+    // DIFFERENT-label, sub-dup-ceiling vectors — the semi-hard band
+    // contrastive training samples from. Label + dup cuts on the
+    // rounded sim so both boundaries are engine-stable.
+    "x73_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      Similarity.hardNegatives(probes, emb, 5, dupThreshold = 0.95)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("label").cast("long").as("label"), r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // LSH-bucketed approximate top-k (oracle: the seeded hyperplanes are
     // deterministic constants, interpolated into the DuckDB restatement
     // as literals; recall vs the exact baseline stays property-tested).
@@ -567,9 +582,32 @@ object ExtensionQueries {
     // recomputes every distinct trigram's xxhash64 through the
     // XxHash64Sql mirror, re-derives sign bit + bucket shift, and
     // re-sums the cells.
+    // spread=32: the fixture is one small parquet split, so the
+    // per-char gram fan-out would serialize on one task without it
     "x69_hashed_embedding" -> ((s, dir) =>
-      TextOps.hashedNgramEmbedding(Tables.documents(s, dir), n = 3, dim = 16)
+      TextOps.hashedNgramEmbedding(
+        Tables.documents(s, dir), n = 3, dim = 16, spread = 32)
         .orderBy("doc_id", "bucket")),
+
+    // Source-format round-trips (x70-x72): the documents corpus
+    // mirrored to JSONL/CSV/ORC and read back through the
+    // explicit-schema Formats readers; the oracle compares the full
+    // rows against PARQUET — format invariance byte-for-byte (JSON
+    // escaping, CSV quoting + embedded newlines via multiLine, ORC
+    // columnar round-trip all inside the hash gate).
+    "x70_jsonl_source" -> ((s, dir) =>
+      graft.sources.Formats.jsonl(
+        s, formatCopiesFor(s, dir) + "/jsonl", Tables.documents(s, dir).schema)
+        .orderBy("doc_id")),
+    "x71_csv_source" -> ((s, dir) =>
+      graft.sources.Formats.csv(
+        s, formatCopiesFor(s, dir) + "/csv", Tables.documents(s, dir).schema,
+        multiLine = true)
+        .orderBy("doc_id")),
+    "x72_orc_source" -> ((s, dir) =>
+      graft.sources.Formats.orc(
+        s, formatCopiesFor(s, dir) + "/orc", Tables.documents(s, dir).schema)
+        .orderBy("doc_id")),
 
     // Bigram LM with stupid backoff (x65): the context-aware fluency
     // signal — LM trained on the even-doc_id half (the "reference
@@ -921,6 +959,15 @@ object ExtensionQueries {
     // Batch sessionization (§2.7 custom state, oracle-verified): the
     // gaps-and-islands restatement of the streaming sessionize operator;
     // IngestSpec separately pins streaming agreement with this semantics.
+    // Windowed trending report (s04): tumbling 6-hour event-type counts
+    // (the streaming-able aggregate — IngestSpec drives it under a
+    // watermark) ranked top-3 per window batch-side. WindowGroupLimit
+    // pinned by PlanAudit.
+    "s04_trending" -> ((s, dir) =>
+      Ingest.trendingTopK(
+        Ingest.windowEventCounts(Tables.events(s, dir), "6 hours"), 3)
+        .orderBy("w_start", "rank")),
+
     "s02_sessions" -> ((s, dir) =>
       Ingest.sessionizeBatch(
         Tables.events(s, dir).select(col("user_id"), col("ts")), 30 * 60 * 1000L)
@@ -1123,6 +1170,24 @@ object ExtensionQueries {
     (graft.sources.Bucketed.table(s, tbl), s.read.parquet(root + "/stats"))
   }
 
+  /** The documents corpus materialized once per (JVM, sf dir) in each
+    * interchange format (JSONL/CSV/ORC) for the x70-x72 source
+    * round-trip gates — the nightly "mirror the corpus into format X"
+    * job, reused by every evaluation.
+    */
+  private val FormatDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def formatCopiesFor(s: SparkSession, dir: String): String =
+    FormatDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      val docs = Tables.documents(s, dir)
+      graft.sources.Formats.writeJsonl(docs, root + "/jsonl")
+      graft.sources.Formats.writeCsv(docs, root + "/csv")
+      graft.sources.Formats.writeOrc(docs, root + "/orc")
+      root
+    })
+
   /** One JVM-wide sink for x24t: the harness evaluates query lambdas
     * repeatedly (sweeps at two widths, warm bench iterations, plan
     * audits), and a fresh temp directory per evaluation would leak one
@@ -1266,6 +1331,13 @@ object ExtensionQueries {
        |z AS (SELECT ($weave) AS zval FROM q)
        |SELECT zval, COUNT(*) AS n_events FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** x70/x71/x72's shared oracle: the parquet documents rows verbatim.
+    * The engine read the SAME rows back through another format, so a
+    * hash match proves the encode→decode round-trip byte-for-byte.
+    */
+  private val documentsRoundTripSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
 
   /** x69's restatement: char trigrams by position, DISTINCT grams
     * hashed through the emitted XxHash64Sql chain (the x06/x58 pattern),
@@ -1835,6 +1907,23 @@ object ExtensionQueries {
         |      FROM t WHERE len(toks) >= 3)
         |SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_shingles
         |FROM g ORDER BY 1""".stripMargin,
+    // x73: x09's scoring with the two negative-validity cuts (label
+    // mismatch, rounded sim under the dup ceiling) applied before rank
+    "x73_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |         ${cosSql("p.q_emb", "e.embedding")} AS sim
+         |  FROM p CROSS JOIN embeddings e
+         |  WHERE p.q_id <> e.vec_id AND e.label <> p.q_label),
+         |f AS (SELECT * FROM scored WHERE round(sim, 6) < 0.95),
+         |r AS (
+         |  SELECT q_id, vec_id, label, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+         |  FROM f)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, round(sim, 4) + 0.0 AS sim
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "x09_topk_cosine" ->
       s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (
@@ -1880,6 +1969,21 @@ object ExtensionQueries {
     // nanos timestamp to millis (unix_millis), so the oracle must compare
     // at the same resolution or a gap inside [30min, 30min+1ms) could
     // split sessions differently.
+    // s04: tumbling-window start = epoch-floor to the 6-hour stride
+    // (Spark's window() alignment on naive micros); rank ties break on
+    // event_type, counts integral
+    "s04_trending" ->
+      """WITH e AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ws,
+        |         event_type
+        |  FROM events),
+        |c AS (SELECT ws, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |r AS (SELECT ws, event_type, cnt,
+        |             row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS rank
+        |      FROM c)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, cnt,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY 1, 4""".stripMargin,
     "s02_sessions" ->
       """WITH w AS (
         |  SELECT user_id, ts,
@@ -2268,6 +2372,11 @@ object ExtensionQueries {
         |            WHEN round(round(s.logprob, 10), 6) >= round(round(c.mid_cut, 10), 6) THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM s CROSS JOIN c ORDER BY s.doc_id""".stripMargin,
+    // x70-x72: one oracle — the parquet rows themselves; the engine
+    // side read the same rows back through JSONL/CSV/ORC
+    "x70_jsonl_source" -> documentsRoundTripSql,
+    "x71_csv_source" -> documentsRoundTripSql,
+    "x72_orc_source" -> documentsRoundTripSql,
     // x69: every distinct char trigram hashed through the XxHash64Sql
     // string mirror; bucket = (h >> 1) % dim on the unsigned bit
     // pattern (== Spark's shiftrightunsigned + pmod), sign = bit 0.

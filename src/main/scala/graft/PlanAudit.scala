@@ -160,6 +160,8 @@ object PlanAudit {
     "o35_count" -> 1, "o36_forecast_summary" -> 3,
     "o42_forecast_daily" -> 3, "o43_comments" -> 3,
     "x09_topk_cosine" -> 1, "x14_ivf_topk" -> 2,
+    // class (b): hard-negative mining's exhaustive anchors baseline
+    "x73_hard_negatives" -> 1,
     "x21_tfidf_topterms" -> 1, "x27_source_mix" -> 1,
     "x30_quantized_topk" -> 1, "x32_mix_weights" -> 1,
     "x36_resampled_corpus" -> 1, "x38_pq_topk" -> 1,
@@ -196,7 +198,11 @@ object PlanAudit {
     */
   private val RequiredWindowGroupLimit: Set[String] = Set(
     "x09_topk_cosine", "x10_ann_lsh", "x14_ivf_topk", "x21_tfidf_topterms",
-    "x30_quantized_topk", "x33_source_cap", "x38_pq_topk", "x41_ivfpq_topk")
+    "x30_quantized_topk", "x33_source_cap", "x38_pq_topk", "x41_ivfpq_topk",
+    // trending's per-window top-k rank (Ingest.trendingTopK)
+    "s04_trending",
+    // hard-negative mining's per-anchor rank cap
+    "x73_hard_negatives")
 
   /** The gate itself, factored so the per-stage audit (and its spec) can
     * run the same rules with stage-level allowances.

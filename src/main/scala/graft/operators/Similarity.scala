@@ -63,6 +63,43 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training
+    * data: for each anchor, the k MOST similar vectors that are valid
+    * negatives — a different label than the anchor (same-label hits
+    * are positives) and below the near-duplicate ceiling (a ~0.95+
+    * cosine "negative" is almost always a mislabeled duplicate, the
+    * classic false-negative trap in contrastive sampling). What
+    * remains, ranked by similarity desc, is exactly the semi-hard band
+    * that makes triplet/InfoNCE training effective.
+    *
+    * Both cuts compare the ROUNDED similarity (CrossRound.r, the
+    * shared rank convention) so the dup boundary and the k boundary
+    * are engine-stable. Exhaustive corpus × broadcast(anchors) scoring
+    * like [[bruteForceTopK]] — the documented baseline; at corpus
+    * scale mine from [[ivfTopK]]/[[annTopK]] candidates instead (same
+    * filters over a bounded candidate set).
+    */
+  def hardNegatives(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      dupThreshold: Double = 0.95): DataFrame = {
+    val corpusN = corpus.withColumn("nrm_c", norm(col("embedding")))
+    val probesN = probes.withColumn("nrm_q", norm(col("q_emb")))
+    val scored = corpusN
+      .crossJoin(broadcast(probesN))
+      .filter(col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("sim_r", CrossRound.r(col("sim"), 6))
+      .filter(col("sim_r") < dupThreshold)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label"), col("sim"))
+  }
+
   /** Exact all-pairs above a cosine threshold (vec_a < vec_b). Quadratic
     * within the pairing domain — use [[blockedThresholdPairs]] with a
     * blocking key, or the LSH path, at scale.

@@ -936,11 +936,22 @@ object TextOps {
     * no cells (the zero vector). One projection+explode, one shuffle
     * on (doc_id, bucket).
     */
-  def hashedNgramEmbedding(docs: DataFrame, n: Int = 3, dim: Int = 16): DataFrame = {
+  def hashedNgramEmbedding(
+      docs: DataFrame,
+      n: Int = 3,
+      dim: Int = 16,
+      spread: Int = 0): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
     require(dim >= 2, "dimension must be at least 2")
     val h = xxhash64(col("w"))
-    docs
+    // `spread`: opt-in pre-explode repartition for inputs whose scan
+    // yields fewer splits than cores (a single small fixture file) —
+    // the explode fans each row out ~|text| times, so an unsplit input
+    // serializes that fan-out on one task. At target scale the scan
+    // already arrives in many splits and the extra text shuffle is
+    // pure waste: leave 0. Results identical either way (hash-gated).
+    val in = if (spread > 0) docs.repartition(spread) else docs
+    in
       .filter(length(col("text")) >= n)
       .select(col("doc_id"),
         explode(expr(
@@ -960,8 +971,8 @@ object TextOps {
     * aggregate over the sparse cells.
     */
   def hashedNgramEmbeddingDense(
-      docs: DataFrame, n: Int = 3, dim: Int = 16): DataFrame =
-    hashedNgramEmbedding(docs, n, dim)
+      docs: DataFrame, n: Int = 3, dim: Int = 16, spread: Int = 0): DataFrame =
+    hashedNgramEmbedding(docs, n, dim, spread)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
       .select(col("doc_id"),

@@ -278,6 +278,39 @@ object Ingest {
       .select(to_date(col("w.start")).as("ds"), col("branch"), col("move_type"), col("cnt"))
   }
 
+  /** Windowed event-type counts — the "trending items" aggregate,
+    * streaming-able exactly like [[dailyCounts]]: tumbling event-time
+    * windows with a 1-hour watermark bounding state in stream mode,
+    * state keyed by (window, event_type) — |types| rows per window,
+    * trivially bounded. The window start comes out formatted so both
+    * engines (and the sink) compare it as a plain string.
+    */
+  def windowEventCounts(events: DataFrame, windowDur: String = "6 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Top-k per window over [[windowEventCounts]] output — the rank pass
+    * runs BATCH over the counts table (two stateful operators cannot
+    * chain in one stream; the standard layout is stream-aggregate →
+    * sink → rank closed windows). filter-over-row_number compiles to
+    * WindowGroupLimit (pinned by PlanAudit: ~k rows survive per
+    * partition BEFORE the rank shuffle); ties break on event_type so
+    * the k boundary is engine-stable.
+    */
+  def trendingTopK(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start").orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Ingest sink in the `historical_data` (per-move-type) shape — the
     * table `Percentages.refreshMonths` re-aggregates in the nightly cycle.
     * Same exactly-once dynamic-partition-overwrite contract as

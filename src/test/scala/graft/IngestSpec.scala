@@ -48,6 +48,36 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowEventCounts equals batch; trendingTopK ranks with stable ties") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamDf = mem.toDF().toDF("ts", "event_type")
+    val q = Ingest.windowEventCounts(streamDf, "6 hours")
+      .writeStream.format("memory").queryName("s_trend").outputMode("complete").start()
+    val data = Seq(
+      (ts("2024-01-10 01:00:00"), "click"), (ts("2024-01-10 02:00:00"), "click"),
+      (ts("2024-01-10 03:00:00"), "view"), (ts("2024-01-10 04:00:00"), "view"),
+      (ts("2024-01-10 05:00:00"), "error"),
+      (ts("2024-01-10 07:00:00"), "view")) // second window
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_trend")
+      val batch = Ingest.windowEventCounts(data.toDF("ts", "event_type"), "6 hours")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // top-k: counts tie at 2 between click and view in window 1 —
+      // the event_type tie-break makes click rank 1
+      val top = Ingest.trendingTopK(batch, 2).collect()
+        .map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(top(("2024-01-10 00:00:00", 1L)) === (("click", 2L)))
+      assert(top(("2024-01-10 00:00:00", 2L)) === (("view", 2L)))
+      assert(top(("2024-01-10 06:00:00", 1L)) === (("view", 1L)))
+      assert(top.size === 3) // k=2 cap held, second window has one type
+    } finally q.stop()
+  }
+
   test("streamed daily counts land in a partitioned table the batch side reads") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString

@@ -455,4 +455,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(incremental === whole)
   }
+
+  test("hardNegatives: same-label positives and near-dup twins are excluded, hardest first") {
+    // anchor 0 (label 0); 1 = same-label positive (must be excluded even
+    // though it is the most similar); 2 = cross-label near-twin above
+    // the dup ceiling (excluded); 3/4 = valid negatives at decreasing
+    // similarity; 5 = orthogonal noise
+    val a = Array.fill(8)(0f); a(0) = 1f
+    def mix(w: Float, alt: Int): Array[Float] = {
+      val v = a.clone(); v(0) = w; v(alt) = math.sqrt(1.0 - w * w).toFloat; v
+    }
+    val rows = Seq(
+      (0L, 0L, a),
+      (1L, 0L, mix(0.99f, 1)),
+      (2L, 1L, mix(0.999f, 2)),
+      (3L, 1L, mix(0.90f, 3)),
+      (4L, 2L, mix(0.70f, 4)),
+      (5L, 1L, { val v = Array.fill(8)(0f); v(7) = 1f; v }))
+      .toDF("vec_id", "label", "embedding")
+    val probes = rows.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val got = Similarity.hardNegatives(probes, rows, k = 2, dupThreshold = 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 4L)),
+      s"expected the two semi-hard negatives ranked hardest-first, got ${got.toSeq}")
+  }
 }
