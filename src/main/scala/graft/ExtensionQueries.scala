@@ -912,6 +912,35 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type", "k_mod")),
 
+    // Multi-granular rollup report (x74): ROLLUP (event_type, day) in
+    // one pass — per-cell, per-type, and grand-total rows with the
+    // grouping_id disambiguating real nulls from subtotal rows; the
+    // single-shuffle answer to the "N dashboards = N GROUP BYs" shape.
+    "x74_rollup_report" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+        .rollup("event_type", "day")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), r4a(sum(col("value"))).as("sum_value"))
+        .orderBy("gid", "event_type", "day")),
+
+    // Running per-user window analytics (x75): ordered cumulative sum
+    // + inter-event gap — the (ts, event_id) tie-break makes the
+    // running frame unique, so the sequential float accumulation is
+    // order-identical on both engines.
+    "x75_running_user_value" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("seq"),
+        r4a(sum(col("value")).over(w)).as("cum_value"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -2581,6 +2610,26 @@ object ExtensionQueries {
         |SELECT event_type, (k % 10) AS k_mod,
         |       COUNT(*) AS n, SUM(k) AS sum_k
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x74: ROLLUP + GROUPING bitmask (first column = MSB on both
+    // engines); the float SUM takes the ra() collapse
+    "x74_rollup_report" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+        |       COUNT(*) AS n, round(round(SUM(value), 8), 4) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY gid, event_type, day""".stripMargin,
+    // x75: running frame is unique under the (ts, event_id) tie-break,
+    // so RANGE-to-current-row == ROWS and the sequential accumulation
+    // matches bit-for-bit (rounded anyway)
+    "x75_running_user_value" ->
+      """SELECT event_id, user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS seq,
+        |       round(round(SUM(value) OVER w, 8), 4) AS cum_value,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     // x67: first-seen day cohorts × activity days; counts are integral
     // so plain round(·,4) on the ratio is partition-order-safe
     "x67_retention_cohorts" ->

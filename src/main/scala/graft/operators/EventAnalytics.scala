@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   * Scale shapes: everything reduces through per-user or per-cohort
   * aggregates — one shuffle on user_id for the user-grain rollups, one
-  * on the (cohort, month) cell for retention — and never a corpus-wide
-  * window or sort. The only join (retention's events × first-seen) is
-  * user-keyed equi against a per-user aggregate: both sides are
-  * user-cardinality at 100 TB, so a shuffle join is the correct plan
-  * (the x24-class allowance).
+  * on the (cohort, period) cell for retention — and never a corpus-wide
+  * window or sort. The joins (retention's events × first-seen, the
+  * funnel's per-step event slice × conversion table) are user-keyed
+  * equi against per-user aggregates: both sides are user-cardinality
+  * at 100 TB, so a shuffle join is the correct plan there (the
+  * x24-class PlanAudit allowance).
   */
 object EventAnalytics {
 
@@ -56,8 +57,10 @@ object EventAnalytics {
   def retentionCohorts(events: DataFrame, grain: String = "month"): DataFrame = {
     val firstSeen = events.groupBy("user_id")
       .agg(periodOf(min(col("ts")), grain).as("cohort"))
+    // firstSeen is one row per user already — a plain count, no
+    // distinct-expand needed
     val cohortSize = firstSeen.groupBy("cohort")
-      .agg(countDistinct(col("user_id")).as("cohort_size"))
+      .agg(count(lit(1)).as("cohort_size"))
     events
       .select(col("user_id"), periodOf(col("ts"), grain).as("period"))
       .join(firstSeen, Seq("user_id"))
@@ -93,6 +96,7 @@ object EventAnalytics {
       steps: Seq[String],
       horizonDays: Int): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val horizonUs = horizonDays.toLong * 24L * 3600L * 1000000L
     val us = unix_micros(col("ts").cast("timestamp"))
     val t0 = events.filter(col("event_type") === steps.head)

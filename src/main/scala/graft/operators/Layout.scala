@@ -51,6 +51,12 @@ object Layout {
     * on level `2^bits - 1` and a degenerate constant dimension on 0.
     * Timestamps/dates: convert to epoch integers first
     * (`unix_micros`), which keeps the arithmetic engine-portable.
+    * Null dimension values propagate to a null `zval` (range-partition
+    * them into their own bucket or filter first). The quantization
+    * product `(v − lo) · 2^bits` must fit a signed 64-bit — true for
+    * epoch micros, ids and counters at any `bits` this key admits, but
+    * NOT for a full-range 64-bit hash column: reduce such a dimension
+    * (e.g. `shiftrightunsigned(h, 64 − bits)`) before z-ordering it.
     */
   def zOrderKey(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")

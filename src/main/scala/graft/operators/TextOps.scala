@@ -671,6 +671,39 @@ object TextOps {
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
   }
 
+  /** Append a batch of NEW documents into an existing BM25 index — the
+    * daily-ingest commit of the serving path. The batch's postings
+    * re-hash into the table's bucket spec ([[graft.sources.Bucketed
+    * .append]] validates (keys, buckets) against the catalog, so a
+    * mis-specified append fails fast instead of breaking the layout),
+    * and the collection stats fold incrementally: new avgdl =
+    * (N·avgdl + Σ batch dl) / (N + m). Per-batch cost scales with the
+    * BATCH — the committed corpus is never re-read. Caller contract:
+    * batch doc_ids are new (re-appending a doc would double-count its
+    * postings — dedup upstream, the x29b ingest discipline).
+    */
+  def bm25AppendIndex(
+      newDocs: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int): Unit = {
+    val spark = newDocs.sparkSession
+    graft.sources.Bucketed.append(
+      bm25Postings(newDocs), table, Seq("token"), buckets)
+    val old = spark.read.parquet(path + "/stats")
+      .select("n_docs", "avgdl").head()
+    val batch = newDocs
+      .select(size(tokens(col("text"))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double"), sum(col("dl"))).head()
+    val (n0, avg0) = (old.getDouble(0), old.getDouble(1))
+    val (m, sumDl) = (batch.getDouble(0), Option(batch.get(1)).fold(0.0)(_ => batch.getDouble(1)))
+    val nNew = n0 + m
+    val avgNew = if (nNew == 0) 0.0 else (n0 * avg0 + sumDl) / nNew
+    import spark.implicits._
+    Seq((nNew, avgNew)).toDF("n_docs", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
   /** Query-time BM25 over a prebuilt postings index — the SERVING shape
     * of [[bm25TopK]] (identical scoring formula and tie convention;
     * TextOpsSpec pins row agreement). What changes is the per-query

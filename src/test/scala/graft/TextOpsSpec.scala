@@ -620,4 +620,30 @@ class TextOpsSpec extends AnyFunSuite {
       assert(nExch === 0, "df-per-term should window exchange-free on the bucketed layout")
     } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_idx")
   }
+
+  test("bm25AppendIndex: incremental commits equal a fresh full build") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25a_").toString + "/idx"
+    TextOps.bm25SaveIndex(docs.filter(col("doc_id") < 300), "bm25_spec_app", root, 8)
+    TextOps.bm25AppendIndex(docs.filter(col("doc_id") >= 300), "bm25_spec_app", root, 8)
+    try {
+      val q = Seq("spark", "hash", "merge")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          math.rint(r.getAs[Double]("score") * 1e6) / 1e6)).toSeq
+      val appended = TextOps.bm25TopKIndexed(
+        graft.sources.Bucketed.table(spark, "bm25_spec_app"),
+        spark.read.parquet(root + "/stats"), q, topK = 10)
+      // build-then-append serves the same ranking as one full build
+      assert(rows(appended) === rows(TextOps.bm25TopK(docs, q, topK = 10)))
+      // the appended files joined the same bucket layout: pruning holds
+      val winPlan = graft.sources.Bucketed.table(spark, "bm25_spec_app")
+        .filter(col("token").isin(q: _*))
+        .withColumn("dfreq", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")))
+        .queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(winPlan).exists(_.group(1).toInt < 8))
+    } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_app")
+  }
 }
