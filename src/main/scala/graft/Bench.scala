@@ -52,6 +52,10 @@ object Bench {
     val runCpu0 = procCpuSec()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // stderr breadcrumb (stdout stays reserved for the parsed JSON
+      // line): lets any executor ERROR/WARN in the log be attributed to
+      // the query that was running when it fired
+      System.err.println(s"[bench] running $name")
       // (wall sec, effective cores = process-CPU delta / wall delta)
       def once(): (Double, Double) = {
         val c0 = procCpuSec()

@@ -133,19 +133,9 @@ final class VersionedTable(val root: String) {
         s"appendCommit needs a manifest-bearing previous snapshot under $root " +
           "(pre-manifest snapshots predate the append path — rewrite once with commit())")))
       .getOrElse(Nil)
-    // fail fast on a PARTITIONED previous snapshot: carried cross-version
-    // reads go through the no-basePath manifest path, where hive
-    // directories are not inferred — the partition column would silently
-    // read as missing/null for every carried row instead of erroring
-    prev.foreach { abs =>
-      val rel = rootPath.relativize(Paths.get(abs)).toString
-      val middle = rel.split('/').drop(1).dropRight(1)
-      require(
-        !middle.exists(_.contains("=")),
-        s"appendCommit supports unpartitioned snapshots only, but the previous " +
-          s"version carries hive-partitioned file '$rel' — rewrite with commit() " +
-          "or point the append stream at a fresh table")
-    }
+    // fail fast on a PARTITIONED previous snapshot (see
+    // requireUnpartitioned for why carried reads can't cross hive dirs)
+    requireUnpartitioned(prev)
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     df.write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
@@ -154,6 +144,65 @@ final class VersionedTable(val root: String) {
     publish(next)
     next
   }
+
+  /** Targeted row deletion — the right-to-be-forgotten commit every
+    * data-retention pipeline eventually owes. File-granular, not
+    * table-granular: one scan finds WHICH data files contain matching
+    * rows, only those files rewrite (minus the victims) into the new
+    * version directory, and every untouched file is carried into the
+    * new snapshot by manifest reference — zero read, write, or copy
+    * cost for the (at 100 TB, overwhelming) majority of the table that
+    * never held the victim's rows. Old snapshots still serve the
+    * pre-delete data (time travel is the audit trail); reclaiming the
+    * deleted bytes themselves is [[vacuum]]'s job once retention allows
+    * — a compliance deadline means "commit the delete now, vacuum by
+    * day N".
+    *
+    * Rows where `cond` evaluates NULL are KEPT — a delete predicate
+    * must be provably true to destroy data. A predicate matching
+    * nothing is a no-op: the published version is returned unchanged,
+    * no empty commit. Same unpartitioned-snapshot contract as
+    * [[appendCommit]] (carried files cross version directories).
+    */
+  def deleteWhere(spark: SparkSession, cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"deleteWhere on a never-committed table at $root"))
+    val files = manifest(v).getOrElse(throw new IllegalStateException(
+      s"deleteWhere needs a manifest-bearing snapshot under $root " +
+        "(pre-manifest snapshots predate the targeted-delete path — rewrite once with commit())"))
+    requireUnpartitioned(files)
+    def canon(p: String): String =
+      try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
+    val hit = spark.read.parquet(files: _*)
+      .filter(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => canon(r.getString(0))).toSet // bounded by |files|
+    if (hit.isEmpty) return v
+    val (rewrite, carry) = files.partition(f => hit.contains(canon(f)))
+    val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
+    spark.read.parquet(rewrite: _*)
+      .filter(not(coalesce(cond, lit(false))))
+      .write.mode("errorifexists").parquet(versionDir(next).toString)
+    writeManifest(next, carried = carry)
+    publish(next)
+    next
+  }
+
+  /** The appendCommit/deleteWhere contract check: carried cross-version
+    * reads go through the no-basePath manifest path, where hive
+    * directories are not inferred — a partition column would silently
+    * read as missing/null for every carried row instead of erroring.
+    */
+  private def requireUnpartitioned(files: Seq[String]): Unit =
+    files.foreach { abs =>
+      val rel = rootPath.relativize(Paths.get(abs)).toString
+      val middle = rel.split('/').drop(1).dropRight(1)
+      require(
+        !middle.exists(_.contains("=")),
+        s"this operation supports unpartitioned snapshots only, but the snapshot " +
+          s"carries hive-partitioned file '$rel' — rewrite with commit() first")
+    }
 
   /** The idempotence tag of the published snapshot, if its committer set
     * one — see [[appendCommit]]'s `tag` parameter.

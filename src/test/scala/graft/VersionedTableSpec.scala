@@ -201,6 +201,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).select("s").as[String].collect() === Array("z"))
   }
 
+  test("deleteWhere: only hit files rewrite, the rest carry by reference; time travel keeps the audit trail") {
+    val t = freshTable()
+    import spark.implicits._
+    // v0 holds users 1-10, v1 appends users 11-20 — two disjoint file sets
+    t.commit((1L to 10L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val v1 = t.appendCommit((11L to 20L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val before = t.manifest(v1).get
+    // forget user 15 — only the appended batch's file holds it
+    val v2 = t.deleteWhere(spark, col("user_id") === 15L)
+    assert(v2 === v1 + 1)
+    val after = t.manifest(v2).get
+    // v0's file carried VERBATIM (same absolute path), the hit file replaced
+    val v0Files = before.filter(_.contains("v=0"))
+    assert(v0Files.nonEmpty && v0Files.forall(after.contains))
+    assert(!before.filter(_.contains(s"v=$v1/")).exists(after.contains))
+    // rows: 15 gone, everyone else intact; the audit trail still serves it
+    val now = t.read(spark).select("user_id").as[Long].collect().toSet
+    assert(now === ((1L to 20L).toSet - 15L))
+    assert(t.readVersion(spark, v1).filter(col("user_id") === 15L).count() === 1)
+    // a predicate matching nothing is a no-op, not an empty commit
+    assert(t.deleteWhere(spark, col("user_id") === 999L) === v2)
+    assert(t.latestVersion().contains(v2))
+  }
+
+  test("deleteWhere: a NULL predicate keeps the row — only provably-true matches die") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "keep"), (2L, null.asInstanceOf[String]), (3L, "drop"))
+      .toDF("id", "s").coalesce(1))
+    t.deleteWhere(spark, col("s") === "drop") // null === 'drop' is NULL for id=2
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("TagCursor: incremental scan sees new tags, keeps vacuumed ones, matches committedTags") {
     import spark.implicits._
     val t = freshTable()
