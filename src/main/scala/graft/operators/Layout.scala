@@ -61,18 +61,19 @@ object Layout {
   def zOrderKey(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
     val levels = 1L << bits
+    // helper columns wear the __ prefix so user columns cannot collide
     val boundCols = dims.zipWithIndex.flatMap { case (d, j) =>
-      Seq(min(col(d)).as(s"lo_$j"), max(col(d)).as(s"hi_$j"))
+      Seq(min(col(d)).as(s"__lo_$j"), max(col(d)).as(s"__hi_$j"))
     }
     val bounds = df.agg(boundCols.head, boundCols.tail: _*)
     val withQ = dims.indices.foldLeft(df.crossJoin(broadcast(bounds))) { (acc, j) =>
       acc.withColumn(s"__q_$j",
-        expr(s"(`${dims(j)}` - lo_$j) * $levels DIV (hi_$j - lo_$j + 1)"))
+        expr(s"(`${dims(j)}` - __lo_$j) * $levels DIV (__hi_$j - __lo_$j + 1)"))
     }
     withQ
       .withColumn("zval", interleave(dims.indices.map(j => col(s"__q_$j")), bits))
       .drop(dims.indices.map(j => s"__q_$j") ++
-        dims.indices.flatMap(j => Seq(s"lo_$j", s"hi_$j")): _*)
+        dims.indices.flatMap(j => Seq(s"__lo_$j", s"__hi_$j")): _*)
   }
 
   /** Write `df` Z-ordered into `numFiles` range-partitioned, key-sorted

@@ -74,7 +74,9 @@ object Similarity {
     *
     * Both cuts compare the ROUNDED similarity (CrossRound.r, the
     * shared rank convention) so the dup boundary and the k boundary
-    * are engine-stable. Exhaustive corpus × broadcast(anchors) scoring
+    * are engine-stable. Corpus rows with a NULL label are never
+    * negatives (the label comparison is null — a row of unknown class
+    * cannot be certified as a different class). Exhaustive corpus × broadcast(anchors) scoring
     * like [[bruteForceTopK]] — the documented baseline; at corpus
     * scale mine from [[ivfTopK]]/[[annTopK]] candidates instead (same
     * filters over a bounded candidate set).

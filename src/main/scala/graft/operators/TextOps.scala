@@ -680,7 +680,14 @@ object TextOps {
     * (N·avgdl + Σ batch dl) / (N + m). Per-batch cost scales with the
     * BATCH — the committed corpus is never re-read. Caller contract:
     * batch doc_ids are new (re-appending a doc would double-count its
-    * postings — dedup upstream, the x29b ingest discipline).
+    * postings — dedup upstream, the x29b ingest discipline). The
+    * postings append and the stats overwrite are TWO commits, not one
+    * atomic transaction: a crash between them leaves appended postings
+    * under the previous (N, avgdl) — scores skew slightly until the
+    * next append or a [[bm25SaveIndex]] rebuild, which is also the
+    * recovery action. (A production deployment wanting atomicity moves
+    * the stats row into the snapshot store the postings table's
+    * catalog lives in.)
     */
   def bm25AppendIndex(
       newDocs: DataFrame,

@@ -43,6 +43,9 @@ object Formats {
       path: String,
       schema: StructType,
       corruptCol: Option[String] = None): DataFrame = {
+    corruptCol.foreach(c => require(
+      !schema.fieldNames.contains(c),
+      s"corrupt-record column '$c' collides with a schema field"))
     val base = corruptCol match {
       case Some(c) =>
         spark.read

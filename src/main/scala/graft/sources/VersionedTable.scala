@@ -189,6 +189,58 @@ final class VersionedTable(val root: String) {
     next
   }
 
+  /** Row-level change feed between two committed snapshots — the CDC
+    * read every downstream incremental consumer (index refresher,
+    * replica, cache invalidator) wants instead of a full re-sync.
+    * Returns the snapshot delta as rows tagged `change` ∈
+    * {'insert','delete'}: inserts are rows of `v2` absent from `v1`,
+    * deletes the reverse (an update surfaces as delete + insert of the
+    * changed row — this store has no row identity beyond the row's
+    * values, so that IS the change).
+    *
+    * Cost shape: `exceptAll` both ways — two shuffles over the two
+    * snapshots' files. For APPEND-only version chains the manifest
+    * makes it cheaper still: files shared by both manifests cannot
+    * contribute deltas, so only the differing files are read
+    * (the same file-granular pruning [[deleteWhere]] writes with).
+    */
+  def diffVersions(spark: SparkSession, v1: Long, v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (m1, m2) = (manifest(v1), manifest(v2))
+    val (only1, only2) = (m1, m2) match {
+      // manifest-bearing snapshots: drop the files both versions share —
+      // carried-by-reference files are path-identical and delta-free
+      case (Some(f1), Some(f2)) =>
+        val shared = f1.toSet intersect f2.toSet
+        (f1.filterNot(shared), f2.filterNot(shared))
+      case _ =>
+        (Seq(versionDir(v1).toString), Seq(versionDir(v2).toString))
+    }
+    def readFiles(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*))
+    (readFiles(only2), readFiles(only1)) match {
+      case (None, None) =>
+        // identical manifests — an empty frame in the snapshot's schema
+        val base = readVersion(spark, v2)
+        base.filter(lit(false)).withColumn("change", lit(""))
+      case (ins, del) =>
+        val inserts = (ins, del) match {
+          case (Some(a), Some(b)) => Some(a.exceptAll(b))
+          case (Some(a), None)    => Some(a)
+          case _                  => None
+        }
+        val deletes = (del, ins) match {
+          case (Some(a), Some(b)) => Some(a.exceptAll(b))
+          case (Some(a), None)    => Some(a)
+          case _                  => None
+        }
+        val tagged = Seq(
+          inserts.map(_.withColumn("change", lit("insert"))),
+          deletes.map(_.withColumn("change", lit("delete")))).flatten
+        tagged.reduce(_ unionByName _)
+    }
+  }
+
   /** The appendCommit/deleteWhere contract check: carried cross-version
     * reads go through the no-basePath manifest path, where hive
     * directories are not inferred — a partition column would silently

@@ -234,6 +234,34 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("diffVersions: append and delete chains yield the exact change feed; shared files never read") {
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit((1L to 10L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val v1 = t.appendCommit((11L to 13L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val d01 = t.diffVersions(spark, v0, v1)
+    val rows01 = d01.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows01 === (11L to 13L).map(_ -> "insert").toSet)
+    // the carried v0 file is delta-free and must not be scanned at all
+    assert(!d01.inputFiles.exists(_.contains("v=0")))
+    // a targeted delete surfaces as exactly its victims
+    val v2 = t.deleteWhere(spark, col("user_id") === 12L)
+    val rows12 = t.diffVersions(spark, v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows12 === Set(12L -> "delete"))
+    // identical versions diff to an empty, schema-stable feed
+    assert(t.diffVersions(spark, v2, v2).count() === 0)
+    assert(t.diffVersions(spark, v2, v2).columns.toSeq ===
+      Seq("user_id", "payload", "change"))
+    // multiplicity is bag semantics: a second copy of an existing row
+    // is ONE insert, not zero
+    val v3 = t.appendCommit(Seq((1L, "u1")).toDF("user_id", "payload").coalesce(1))
+    val rows23 = t.diffVersions(spark, v2, v3).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows23.toSeq === Seq(1L -> "insert"))
+  }
+
   test("TagCursor: incremental scan sees new tags, keeps vacuumed ones, matches committedTags") {
     import spark.implicits._
     val t = freshTable()
