@@ -997,6 +997,13 @@ object ExtensionQueries {
         Ingest.windowEventCounts(Tables.events(s, dir), "6 hours"), 3)
         .orderBy("w_start", "rank")),
 
+    // Hopping-window counts (s05): 6-hour windows every 3 hours — each
+    // event lands in exactly two overlapping windows; the oracle
+    // re-derives both containing starts in closed form.
+    "s05_hopping_counts" -> ((s, dir) =>
+      Ingest.hoppingEventCounts(Tables.events(s, dir), "6 hours", "3 hours")
+        .orderBy("w_start", "event_type")),
+
     "s02_sessions" -> ((s, dir) =>
       Ingest.sessionizeBatch(
         Tables.events(s, dir).select(col("user_id"), col("ts")), 30 * 60 * 1000L)
@@ -2013,6 +2020,20 @@ object ExtensionQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, cnt,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY 1, 4""".stripMargin,
+    // s05: each event's two containing hopping windows in closed form —
+    // s1 = floor(t / 3h)·3h and s1 − 3h (always valid for a 6h/3h
+    // hop: t − (s1 − 3h) < 6h ⟺ t − s1 < 3h, true by construction)
+    "s05_hopping_counts" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 10800000000) * 10800000000 AS s1, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT make_timestamp(s1) AS ws, event_type FROM e
+        |  UNION ALL
+        |  SELECT make_timestamp(s1 - 10800000000) AS ws, event_type FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       COUNT(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s02_sessions" ->
       """WITH w AS (
         |  SELECT user_id, ts,

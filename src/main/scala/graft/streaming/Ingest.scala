@@ -295,6 +295,27 @@ object Ingest {
         col("event_type"), col("cnt"))
   }
 
+  /** HOPPING (sliding) window counts — [[windowEventCounts]]' other
+    * window shape: length `windowDur`, a new window every `slideDur`,
+    * so each event lands in `windowDur/slideDur` overlapping windows
+    * (the smoother trend line dashboards want — a spike decays over
+    * several overlapping readings instead of vanishing at a tumbling
+    * boundary). Same batch/stream duality; streaming state is
+    * `windows-per-event × |types|` rows per slide — still bounded.
+    */
+  def hoppingEventCounts(
+      events: DataFrame,
+      windowDur: String = "6 hours",
+      slideDur: String = "3 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"))
+  }
+
   /** Top-k per window over [[windowEventCounts]] output — the rank pass
     * runs BATCH over the counts table (two stateful operators cannot
     * chain in one stream; the standard layout is stream-aggregate →

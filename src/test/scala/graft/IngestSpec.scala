@@ -78,6 +78,34 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hoppingEventCounts: every event lands in exactly two overlapping windows; stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-10 04:00:00"), "click"),  // windows 00:00 and 03:00
+      (ts("2024-01-10 04:30:00"), "click"),
+      (ts("2024-01-10 07:00:00"), "view"))   // windows 03:00 and 06:00
+    val batch = Ingest.hoppingEventCounts(data.toDF("ts", "event_type"), "6 hours", "3 hours")
+    val cells = batch.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells(("2024-01-10 00:00:00", "click")) === 2L)
+    assert(cells(("2024-01-10 03:00:00", "click")) === 2L)
+    assert(cells(("2024-01-10 03:00:00", "view")) === 1L)
+    assert(cells(("2024-01-10 06:00:00", "view")) === 1L)
+    assert(cells.size === 4)
+    // each event contributes to exactly windowDur/slideDur = 2 windows
+    assert(cells.values.sum === data.size * 2L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Ingest.hoppingEventCounts(mem.toDF().toDF("ts", "event_type"), "6 hours", "3 hours")
+      .writeStream.format("memory").queryName("s_hop").outputMode("complete").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_hop")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streamed daily counts land in a partitioned table the batch side reads") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
