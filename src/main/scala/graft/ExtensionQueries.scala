@@ -941,6 +941,14 @@ object ExtensionQueries {
         .orderBy("event_id")
     }),
 
+    // Daily volume anomaly detection (x76): per-type z-scores over the
+    // daily counts, |z| > 2 flagged — the pipeline-monitoring query.
+    "x76_anomaly_days" -> ((s, dir) =>
+      EventAnalytics.dailyAnomalies(Tables.events(s, dir), zThreshold = 2.0)
+        .select(col("day"), col("event_type"), col("n"),
+          r4a(col("z")).as("z"), col("is_anomaly"))
+        .orderBy("day", "event_type")),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -2651,6 +2659,21 @@ object ExtensionQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // x76: z over per-type daily counts; μ is exact (integer sums),
+    // σ carries engine-specific ulps, so BOTH the reported z and the
+    // flag's threshold compare go through the ra() collapse
+    "x76_anomaly_days" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |                  COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, AVG(n) AS mu, stddev_pop(n) AS sigma
+        |      FROM d GROUP BY 1),
+        |j AS (SELECT d.day, d.event_type, d.n,
+        |             CASE WHEN s.sigma > 0 THEN (d.n - s.mu) / s.sigma END AS z
+        |      FROM d JOIN s USING (event_type))
+        |SELECT day, event_type, n, round(round(z, 8), 4) AS z,
+        |       COALESCE(abs(round(round(z, 10), 6)) > 2.0, false) AS is_anomaly
+        |FROM j ORDER BY 1, 2""".stripMargin,
     // x67: first-seen day cohorts × activity days; counts are integral
     // so plain round(·,4) on the ratio is partition-order-safe
     "x67_retention_cohorts" ->

@@ -73,6 +73,34 @@ object EventAnalytics {
           .as("retention"))
   }
 
+  /** Daily volume anomaly detection per event type — the monitoring
+    * query every event pipeline runs over itself: z-score each
+    * (type, day) count against that type's own daily mean and
+    * population stddev, flag |z| beyond the threshold. A type with a
+    * constant daily series (σ = 0) has no defined z and is never
+    * anomalous.
+    *
+    * Shape: one shuffle to daily cells, one bounded per-type stats
+    * aggregate broadcast back — never a window over the corpus. The
+    * z-score and the flag both ride the CrossRound.ra collapse (σ and
+    * μ are aggregate-fed doubles, so the flag's threshold compare must
+    * see the same rounded value on every engine and at every
+    * parallelism).
+    */
+  def dailyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(periodOf(col("ts"), "day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sigma"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        when(col("sigma") > 0, (col("n") - col("mu")) / col("sigma")))
+      .select(col("day"), col("event_type"), col("n"), col("z"),
+        coalesce(abs(CrossRound.ra(col("z"), 6)) > zThreshold, lit(false))
+          .as("is_anomaly"))
+  }
+
   /** Ordered funnel conversion: how many users performed `steps` in
     * order, every later step within `horizonDays` of their FIRST step-1
     * event. t_0 is the user's earliest step-1 event; t_i is the

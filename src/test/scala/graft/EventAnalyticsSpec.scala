@@ -51,6 +51,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("dailyAnomalies: a planted spike flags; steady days don't; constant series never do") {
+    // type A: ten days at 5/day then a 50-event spike; type B constant
+    val rows = (for {
+      d <- 1 to 10; k <- 1 to 5
+    } yield (100L + k, "A", f"2024-01-$d%02d 10:00:00")) ++
+      (1 to 50).map(k => (200L + k, "A", "2024-01-11 10:00:00")) ++
+      (1 to 11).flatMap(d => (1 to 3).map(k => (300L + k, "B", f"2024-01-$d%02d 12:00:00")))
+    val events = ev(rows.map(r => (r._1, r._2, r._3)): _*)
+    val got = EventAnalytics.dailyAnomalies(events, zThreshold = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+    val spike = got(("2024-01-11", "A"))
+    assert(spike._1 === 50L && spike._3, s"spike day should flag: $spike")
+    assert(spike._2.get > 3.0)
+    for (d <- 1 to 10) {
+      val (_, _, flag) = got((f"2024-01-$d%02d", "A"))
+      assert(!flag, s"steady day $d must not flag")
+    }
+    // constant series: sigma = 0 -> no z, never anomalous
+    for (d <- 1 to 11) {
+      val (n, z, flag) = got((f"2024-01-$d%02d", "B"))
+      assert(n === 3L && z.isEmpty && !flag)
+    }
+  }
+
   test("funnel: ordered semantics, horizon, and the pre-step-1 event that must not hide a later one") {
     val events = ev(
       // u1: clean signup -> view -> purchase inside the horizon
