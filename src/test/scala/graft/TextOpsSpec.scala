@@ -307,6 +307,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(w.contains(smile))
   }
 
+  test("bpeMerges: supplementary-vs-BMP frequency tie breaks in code-point order") {
+    import spark.implicits._
+    // U+1D11E (surrogate pair D834 DD1E) vs U+FB01 (single char FB01):
+    // UTF-16 code-unit order sorts the surrogate FIRST (0xD834 < 0xFB01),
+    // code-point / UTF-8 byte order sorts it LAST (0x1D11E > 0xFB01). A
+    // frequency tie between pairs led by these symbols is exactly where a
+    // Java-String tie-break would diverge from the x42 oracle's DuckDB
+    // struct sort — this pin keeps the engine on the code-point side.
+    val clef = new String(Character.toChars(0x1D11E))
+    val fi = "\uFB01" // LATIN SMALL LIGATURE FI, BMP above the surrogate range
+    val docs = Seq((1L, s"${clef}x ${fi}x"), (2L, s"${clef}x ${fi}x"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, 1)
+    assert(merges.nonEmpty)
+    assert(merges.head.left === fi && merges.head.right === "x",
+      s"tie must resolve to the code-point-smaller pair, got ${merges.head}")
+  }
+
   test("bpeMerges: deterministic across partition widths; early-stops when exhausted") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta")).toDF("doc_id", "text")
