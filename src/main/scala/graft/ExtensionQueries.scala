@@ -165,6 +165,30 @@ object ExtensionQueries {
         Similarity.kmeansCentroidArrays(
           Tables.embeddings(s, dir).select("vec_id", "embedding"), 16, 2)))
 
+  /** x61 batch membership — ONE definition shared by the engine query,
+    * the committed-corpus complement, and the oracle SQL. Every 50th
+    * vector (offset 1, disjoint from x50's %50=0 benchmark) PLUS four
+    * planted near-twin ids so the sf0.01 graded fixture executes BOTH
+    * drop rules inside the driver's hash gate (round-9 gap: the plain
+    * %50 batch had no >=0.45 neighbor anywhere, so AQE pruned the
+    * pair-join subtree to empty and the hash row proved only
+    * assignment + passthrough; the drop paths were spec-only). Under the
+    * committed sf0.01 centroids: batch id 324 pairs with CORPUS row 166
+    * at cos 0.474 in the same cell (rule 1: committed rows win, 324
+    * drops); 387+388 are an IN-BATCH same-cell near-twin pair at
+    * cos 0.467 (rule 2: smallest id wins, 388 drops); 169's nearest
+    * twin (466, cos 0.51) sits in another cell, so it survives —
+    * plant, drop, drop, survive all execute. Partners stay in the
+    * corpus because corpus membership is this predicate's complement.
+    */
+  private val X61PlantedBatchIds: Seq[Long] = Seq(169L, 324L, 387L, 388L)
+
+  private def x61IsBatch(c: Column): Column =
+    (c % 50 === 1) || c.isin(X61PlantedBatchIds: _*)
+
+  private def x61IsBatchSql(c: String): String =
+    s"($c % 50 = 1 OR $c IN (${X61PlantedBatchIds.mkString(", ")}))"
+
   /** x61's committed corpus: the non-batch vectors WITH their cell
     * assignment under the committed centroids, published once per
     * (JVM, sf dir) as a VersionedTable snapshot — the state an
@@ -181,7 +205,7 @@ object ExtensionQueries {
         java.nio.file.Files.createTempDirectory("graft_x61_").toString + "/corpus")
       t.commit(Similarity.assignCells(
         Tables.embeddings(s, dir).select("vec_id", "embedding")
-          .filter(col("vec_id") % 50 =!= 1),
+          .filter(!x61IsBatch(col("vec_id"))),
         kmeansFor(s, dir)))
       t
     })
@@ -389,7 +413,7 @@ object ExtensionQueries {
     "x61_incremental_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       Similarity.semanticDedupIncremental(
-        emb.filter(col("vec_id") % 50 === 1),
+        emb.filter(x61IsBatch(col("vec_id"))),
         x61CorpusAssigned(s, dir),
         threshold = 0.45,
         kmeansFor(s, dir))
@@ -1193,25 +1217,27 @@ object ExtensionQueries {
     * index build of the retrieval serving path, reused by every
     * evaluation. Same dir-keyed SHA-256 naming as the x29b postings
     * (collision-resistant across the sweep's two widths); the postings
-    * live token-bucketed in a temp dir, the (N, avgdl) stats row in a
-    * one-row parquet beside them.
+    * live token-bucketed in a temp dir with the (N, avgdl) stats riding
+    * as reserved-key ledger rows in the SAME table (TextOps.bm25Stats
+    * derives the one-row frame, bucket-pruned to the ledger's bucket).
     */
   private val Bm25Indexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def bm25IndexFor(
       s: SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (tbl, root) = Bm25Indexes.computeIfAbsent(dir, _ => {
+    val tbl = Bm25Indexes.computeIfAbsent(dir, _ => {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val name = "graft_x63_" +
         digest.take(8).map(b => f"${b & 0xFF}%02x").mkString
       val path = java.nio.file.Files.createTempDirectory("graft_x63_").toString + "/idx"
       TextOps.bm25SaveIndex(Tables.documents(s, dir), name, path, buckets = 8)
-      (name, path)
+      name
     })
-    (graft.sources.Bucketed.table(s, tbl), s.read.parquet(root + "/stats"))
+    val postings = graft.sources.Bucketed.table(s, tbl)
+    (postings, TextOps.bm25Stats(postings))
   }
 
   /** The documents corpus materialized once per (JVM, sf dir) in each
@@ -1321,10 +1347,6 @@ object ExtensionQueries {
     s.read.parquet(path).as[Media.ImagePayload]
   }
 
-  /** Shared by x29 (text-derived postings) and x29b (shingle-BUCKETED
-    * postings table): a storage layout must never change results, so both
-    * gate against one oracle.
-    */
   /** The BM25 restatement shared by x62 (direct) and x63 (postings-index
     * layout) — one oracle, two physical layouts, the x29/x29b
     * layout-invariance convention. Same tokenizer CTE family as x21; the
@@ -2631,13 +2653,16 @@ object ExtensionQueries {
     // layouts, the x29/x29b layout-invariance convention.
     "x63_bm25_indexed" -> bm25TopKSql,
     "x64_zorder_layout" -> zOrderSql,
-    // x66: DuckDB's native json_extract mirrors from_json field access
+    // x66: DuckDB's native json_extract mirrors from_json field access.
+    // SUM(k) MUST be cast: DuckDB's SUM(BIGINT) widens to HUGEINT
+    // (int128) while the engine's sum(long) is int64 — identical values,
+    // different typed hash (the round-9 red row).
     "x66_json_extract" ->
       """WITH e AS (SELECT event_type,
         |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |           FROM events)
         |SELECT event_type, (k % 10) AS k_mod,
-        |       COUNT(*) AS n, SUM(k) AS sum_k
+        |       COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // x74: ROLLUP + GROUPING bitmask (first column = MSB on both
     // engines); the float SUM takes the ra() collapse
@@ -3002,7 +3027,7 @@ object ExtensionQueries {
   private def x61IncrementalSemDedupSql(cents: Array[Array[Float]]): String =
     s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
        |scoredc AS (
-       |  SELECT e.vec_id, e.embedding, (e.vec_id % 50 = 1) AS is_batch, c.centroid_id,
+       |  SELECT e.vec_id, e.embedding, ${x61IsBatchSql("e.vec_id")} AS is_batch, c.centroid_id,
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
        |  FROM embeddings e CROSS JOIN cents c),
@@ -3018,7 +3043,7 @@ object ExtensionQueries {
        |  FROM bt lo JOIN bt hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
        |  WHERE ${cosSql("lo.embedding", "hi.embedding")} >= 0.45)
        |SELECT e.vec_id FROM embeddings e
-       |WHERE e.vec_id % 50 = 1 AND e.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |WHERE ${x61IsBatchSql("e.vec_id")} AND e.vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id""".stripMargin
 
   /** x14: ivfTopKWith restated — corpus assignment and probe nprobe-cell

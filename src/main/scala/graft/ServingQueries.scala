@@ -52,18 +52,27 @@ object ServingQueries {
     * downstream broadcast joins become job-free driver copies (the
     * centroidsDF argument), and the doubles round-trip exactly through
     * collect, so results are bit-identical to joining the fitted frame.
+    *
+    * The fit persists through [[graft.sources.ModelStore]] (codec
+    * `SeasModels`) like every other driver-side model: a FRESH JVM loads
+    * the committed coefficient snapshot instead of refitting — the
+    * reference's own posture (it pickles the fitted Prophet models,
+    * main.py:165-185). The in-JVM map stays as a same-session fast path
+    * and as the coefficient source `oracleSql` interpolates from.
     */
   private def seasonalModelsFor(s: SparkSession, dir: String): DataFrame = {
-    val rows = FittedSeasonal.computeIfAbsent(dir, _ => {
-      val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
-      SeasonalModel
-        .fit(daily, FixtureModelSpec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
-        .collect().toSeq
-        .map(r => SeasModel(
-          r.getAs[String]("branch"), r.getSeq[Double](r.fieldIndex("coef")).toSeq,
-          r.getAs[Long]("n"), r.getAs[Double]("resid_q"),
-          r.getAs[java.sql.Date]("t_start"), r.getAs[Double]("t_days")))
-    })
+    val rows = FittedSeasonal.computeIfAbsent(dir, _ =>
+      graft.sources.ModelStore.loadOrFit(
+        s, "seasonal_fix", dir, graft.sources.ModelStore.SeasModels) {
+        val daily = Tables.forecastingDataAll(s, dir).withColumnRenamed("cnt", "y")
+        SeasonalModel
+          .fit(daily, FixtureModelSpec, LocalDate.parse(SparkEntry.FixtureTrainCutoff))
+          .collect().toSeq
+          .map(r => SeasModel(
+            r.getAs[String]("branch"), r.getSeq[Double](r.fieldIndex("coef")).toSeq,
+            r.getAs[Long]("n"), r.getAs[Double]("resid_q"),
+            r.getAs[java.sql.Date]("t_start"), r.getAs[Double]("t_days")))
+      })
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("branch", StringType, nullable = false),

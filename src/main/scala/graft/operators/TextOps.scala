@@ -652,64 +652,84 @@ object TextOps {
       .groupBy("token", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
 
+  /** Reserved token key of the index's collection-stats LEDGER rows (see
+    * [[bm25SaveIndex]]): starts with NUL, which whitespace tokenization
+    * of any real text never produces, so it cannot collide with a corpus
+    * token or a caller's query term ([[bm25TopKIndexed]] rejects it
+    * defensively).
+    */
+  val Bm25StatsToken = "\u0000bm25_stats"
+
+  /** One ledger row for a (sub)corpus: (token = the reserved key,
+    * doc_id = -1, dl = Σ document lengths, tf = document count) — the
+    * batch's contribution to the collection stats, shaped as a postings
+    * row so it commits IN the postings write.
+    */
+  private def bm25StatsLedger(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).cast("double").as("dl"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("s"))
+      .select(
+        lit(Bm25StatsToken).as("token"), lit(-1L).as("doc_id"),
+        col("s").as("dl"), col("n").as("tf"))
+
+  /** The (n_docs, avgdl) stats frame of an index, derived from its ledger
+    * rows: n = Σ ledger tf, avgdl = Σ ledger dl / n (exactly Spark's own
+    * avg = sum/count decomposition). The token filter bucket-prunes to
+    * the ledger's single bucket — reading stats never scans postings.
+    * An empty index yields (0, 0.0), never a null unboxing (the round-9
+    * ADVICE NPE lived in the predecessor's stats-file read).
+    */
+  def bm25Stats(postings: DataFrame): DataFrame =
+    postings.filter(col("token") === Bm25StatsToken)
+      .agg(
+        coalesce(sum(col("tf")), lit(0.0)).as("nd"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sd"))
+      .select(
+        col("nd").as("n_docs"),
+        when(col("nd") > 0, col("sd") / col("nd")).otherwise(lit(0.0)).as("avgdl"))
+
   /** Persist the BM25 index: postings as a TOKEN-BUCKETED catalog table
     * (`graft.sources.Bucketed` — the layout contract that makes a query
-    * read only its own terms' buckets) plus the collection-stats pair
-    * (N, avgdl) every BM25 engine stores in its index metadata, as a
-    * one-row parquet beside the postings. Build cost is one corpus
+    * read only its own terms' buckets). The collection-stats pair
+    * (N, avgdl) every BM25 engine stores in its index metadata rides
+    * INSIDE the same table as reserved-key ledger rows
+    * ([[Bm25StatsToken]]) rather than as a side file: index data and
+    * index stats are then ONE storage object with one commit, which is
+    * what makes [[bm25AppendIndex]] atomic. Build cost is one corpus
     * scan; after it, queries are index-only.
     */
   def bm25SaveIndex(
       docs: DataFrame,
       table: String,
       path: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
     graft.sources.Bucketed.save(
-      bm25Postings(docs), table, path + "/postings", Seq("token"), buckets)
-    docs.select(size(tokens(col("text"))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-  }
+      bm25Postings(docs).unionByName(bm25StatsLedger(docs)),
+      table, path + "/postings", Seq("token"), buckets)
 
   /** Append a batch of NEW documents into an existing BM25 index — the
     * daily-ingest commit of the serving path. The batch's postings
     * re-hash into the table's bucket spec ([[graft.sources.Bucketed
     * .append]] validates (keys, buckets) against the catalog, so a
     * mis-specified append fails fast instead of breaking the layout),
-    * and the collection stats fold incrementally: new avgdl =
-    * (N·avgdl + Σ batch dl) / (N + m). Per-batch cost scales with the
+    * and the batch's stats-ledger row (m docs, Σ batch dl) travels IN
+    * the same single append — a crash can lose the whole batch (retry
+    * it) but can never publish postings without their stats delta or
+    * vice versa; the round-9 two-commit crash window is gone by
+    * construction, not by recovery. Per-batch cost scales with the
     * BATCH — the committed corpus is never re-read. Caller contract:
     * batch doc_ids are new (re-appending a doc would double-count its
-    * postings — dedup upstream, the x29b ingest discipline). The
-    * postings append and the stats overwrite are TWO commits, not one
-    * atomic transaction: a crash between them leaves appended postings
-    * under the previous (N, avgdl) — scores skew slightly until the
-    * next append or a [[bm25SaveIndex]] rebuild, which is also the
-    * recovery action. (A production deployment wanting atomicity moves
-    * the stats row into the snapshot store the postings table's
-    * catalog lives in.)
+    * postings — dedup upstream, the x29b ingest discipline).
     */
   def bm25AppendIndex(
       newDocs: DataFrame,
       table: String,
-      path: String,
-      buckets: Int): Unit = {
-    val spark = newDocs.sparkSession
+      buckets: Int): Unit =
     graft.sources.Bucketed.append(
-      bm25Postings(newDocs), table, Seq("token"), buckets)
-    val old = spark.read.parquet(path + "/stats")
-      .select("n_docs", "avgdl").head()
-    val batch = newDocs
-      .select(size(tokens(col("text"))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double"), sum(col("dl"))).head()
-    val (n0, avg0) = (old.getDouble(0), old.getDouble(1))
-    val (m, sumDl) = (batch.getDouble(0), Option(batch.get(1)).fold(0.0)(_ => batch.getDouble(1)))
-    val nNew = n0 + m
-    val avgNew = if (nNew == 0) 0.0 else (n0 * avg0 + sumDl) / nNew
-    import spark.implicits._
-    Seq((nNew, avgNew)).toDF("n_docs", "avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-  }
+      bm25Postings(newDocs).unionByName(bm25StatsLedger(newDocs)),
+      table, Seq("token"), buckets)
 
   /** Query-time BM25 over a prebuilt postings index — the SERVING shape
     * of [[bm25TopK]] (identical scoring formula and tie convention;
@@ -727,9 +747,10 @@ object TextOps {
     *     the only shuffle carries the matched postings to their doc_id
     *     groups, and top-k is a TakeOrdered.
     *
-    * `stats` is the one-row (n_docs, avgdl) frame [[bm25SaveIndex]]
-    * wrote — broadcast in, exactly like [[bm25TopK]]'s inline aggregate,
-    * so the float op order (and thus the scores) match the direct path.
+    * `stats` is the one-row (n_docs, avgdl) frame [[bm25Stats]] derives
+    * from the index's ledger rows — broadcast in, exactly like
+    * [[bm25TopK]]'s inline aggregate, so the float op order (and thus
+    * the scores) match the direct path.
     */
   def bm25TopKIndexed(
       postings: DataFrame,
@@ -739,6 +760,8 @@ object TextOps {
       b: Double = 0.75,
       topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(!queryTerms.contains(Bm25StatsToken),
+      "the stats-ledger key is reserved and never a query term")
     // df-per-term as a window, not a groupBy+join back: the join form
     // would scan the (pruned) postings twice; on the token-bucketed
     // layout this window is exchange-free on top of one pruned scan

@@ -146,6 +146,40 @@ object ModelStore {
         .map(r => graft.operators.TextOps.BpeMerge(r.i, r.s1, r.s2, r.d.toLong))
   }
 
+  /** Fitted seasonal-forecaster state (one row-set per branch) — the
+    * flagship model the reference itself persists (pickled Prophet fits,
+    * reference main.py:165-185). Doubles ride in the `d` column (parquet
+    * DOUBLE — bit-exact); the training-row count `n` is a Long, so it
+    * rides base-10 in `s2` alongside the epoch-start date in `s1` rather
+    * than lossily through a double. Row kinds: "sm" (per-branch header:
+    * s1=t_start ISO date, s2=n, d=t_days), "smq" (residual quantile),
+    * "smc" (j-th coefficient).
+    */
+  object SeasModels extends Codec[Seq[graft.ServingQueries.SeasModel]] {
+    def toRows(ms: Seq[graft.ServingQueries.SeasModel]): Seq[ModelRow] =
+      ms.zipWithIndex.flatMap { case (m, i) =>
+        Seq(
+          ModelRow("sm", i, 0, null, m.tStart.toString, m.n.toString, m.tDays),
+          ModelRow("smq", i, 0, null, m.branch, "", m.residQ)) ++
+          m.coef.zipWithIndex.map { case (c, j) => ModelRow("smc", i, j, null, "", "", c) }
+      }
+    def fromRows(rows: Seq[ModelRow]): Seq[graft.ServingQueries.SeasModel] = {
+      val byI = rows.groupBy(_.i)
+      rows.filter(_.kind == "sm").sortBy(_.i).map { h =>
+        val grp = byI(h.i)
+        val q = grp.find(_.kind == "smq")
+          .getOrElse(sys.error(s"seasonal snapshot missing smq row for i=${h.i}"))
+        graft.ServingQueries.SeasModel(
+          branch = q.s1,
+          coef = grp.filter(_.kind == "smc").sortBy(_.j).map(_.d),
+          n = h.s2.toLong,
+          residQ = q.d,
+          tStart = java.sql.Date.valueOf(h.s1),
+          tDays = h.d)
+      }
+    }
+  }
+
   /** Logistic-regression weights (feature order is part of the model). */
   object LogRegCodec extends Codec[graft.operators.QualityModel.LogReg] {
     def toRows(m: graft.operators.QualityModel.LogReg): Seq[ModelRow] =

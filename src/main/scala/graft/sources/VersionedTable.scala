@@ -117,8 +117,8 @@ final class VersionedTable(val root: String) {
     * Vacuum interaction: an appended snapshot keeps old version
     * directories ALIVE (their files are referenced), so [[vacuum]]
     * deletes a directory only when no retained manifest references it.
-    */
-  /** @param tag opaque idempotence token, readable back via
+    *
+    * @param tag opaque idempotence token, readable back via
     *             [[latestTag]] — written INSIDE the version directory
     *             before the pointer swap, so a committed-tag check and
     *             the data it vouches for cannot be observed out of order.
@@ -207,18 +207,37 @@ final class VersionedTable(val root: String) {
   def diffVersions(spark: SparkSession, v1: Long, v2: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (m1, m2) = (manifest(v1), manifest(v2))
-    val (only1, only2) = (m1, m2) match {
-      // manifest-bearing snapshots: drop the files both versions share —
-      // carried-by-reference files are path-identical and delta-free
-      case (Some(f1), Some(f2)) =>
-        val shared = f1.toSet intersect f2.toSet
-        (f1.filterNot(shared), f2.filterNot(shared))
-      case _ =>
-        (Seq(versionDir(v1).toString), Seq(versionDir(v2).toString))
+    val f1 = m1.getOrElse(Seq(versionDir(v1).toString))
+    val f2 = m2.getOrElse(Seq(versionDir(v2).toString))
+    // drop the files both versions share — carried-by-reference files are
+    // path-identical and delta-free — but ONLY when both file sets are
+    // manifest-proven: across a manifest/pre-manifest boundary one side is
+    // a directory path, and pruning nothing is correct (just unoptimized),
+    // whereas the old version-dir-only fallback silently LOST the carried
+    // files of the manifest side and reported their rows as deltas
+    val shared: Set[String] =
+      if (m1.isDefined && m2.isDefined) f1.toSet intersect f2.toSet
+      else Set.empty
+    val (only1, only2) = (f1.filterNot(shared), f2.filterNot(shared))
+    // Reading EXPLICIT file paths skips hive partition inference, so a
+    // partitioned snapshot compared that way would drop its partition
+    // columns and rows differing only in the partition value would compare
+    // equal — wrong CDC with no error. Own-dir manifests get a basePath
+    // (partition columns restored); cross-dir (appended) chains are
+    // unpartitioned by the appendCommit contract, enforced loudly here.
+    def readSide(v: Long, fs: Seq[String]): Option[DataFrame] = {
+      val dir = versionDir(v).toString
+      val own = dir + java.io.File.separator
+      if (fs.isEmpty) None
+      else if (fs == Seq(dir)) Some(spark.read.parquet(dir))
+      else if (fs.forall(_.startsWith(own)))
+        Some(spark.read.option("basePath", dir).parquet(fs: _*))
+      else {
+        requireUnpartitioned(fs)
+        Some(spark.read.parquet(fs: _*))
+      }
     }
-    def readFiles(fs: Seq[String]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*))
-    (readFiles(only2), readFiles(only1)) match {
+    (readSide(v2, only2), readSide(v1, only1)) match {
       case (None, None) =>
         // identical manifests — an empty frame in the snapshot's schema
         val base = readVersion(spark, v2)

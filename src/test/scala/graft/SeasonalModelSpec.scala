@@ -168,4 +168,40 @@ class SeasonalModelSpec extends AnyFunSuite {
     val b = SeasonalModel.fit(data, spec, cutoff)
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  /** Round-10 parity pin: the seasonal fit persisted through ModelStore
+    * round-trips BIT-exactly (coefficients, residual quantile, epoch
+    * start, n), and loadOrFit's second call serves the committed snapshot
+    * WITHOUT refitting — so a fresh session answers f01/f02 from the
+    * snapshot with byte-identical results (the serving queries are
+    * deterministic functions of exactly this model state).
+    */
+  test("ModelStore persists the seasonal fit bit-exactly; a fresh load never refits") {
+    import graft.sources.ModelStore
+    def toSeas(df: DataFrame): Seq[ServingQueries.SeasModel] =
+      df.collect().toSeq.map(r => ServingQueries.SeasModel(
+        r.getAs[String]("branch"), r.getSeq[Double](r.fieldIndex("coef")).toSeq,
+        r.getAs[Long]("n"), r.getAs[Double]("resid_q"),
+        r.getAs[java.sql.Date]("t_start"), r.getAs[Double]("t_days")))
+    def bits(ms: Seq[ServingQueries.SeasModel]) =
+      ms.sortBy(_.branch).map(m => (
+        m.branch, m.coef.map(java.lang.Double.doubleToRawLongBits),
+        m.n, java.lang.Double.doubleToRawLongBits(m.residQ),
+        m.tStart.toString, java.lang.Double.doubleToRawLongBits(m.tDays)))
+    val fitted = toSeas(SeasonalModel.fit(synthetic(), spec, cutoff))
+    assert(fitted.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft_seas_ms_").toString
+    var fits = 0
+    // dir = the (empty, parquet-free) temp root: sourceKey is stable
+    // across the two calls by construction
+    val first = ModelStore.loadOrFit(
+      spark, "seas_pin", root, ModelStore.SeasModels, root) { fits += 1; fitted }
+    val second = ModelStore.loadOrFit(
+      spark, "seas_pin", root, ModelStore.SeasModels, root) {
+      fits += 1; sys.error("refit — snapshot load failed")
+    }
+    assert(fits === 1, "second loadOrFit must serve the committed snapshot")
+    assert(bits(first) === bits(fitted))
+    assert(bits(second) === bits(fitted))
+  }
 }

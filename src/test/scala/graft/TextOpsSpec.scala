@@ -614,7 +614,7 @@ class TextOpsSpec extends AnyFunSuite {
     TextOps.bm25SaveIndex(docs, "bm25_spec_idx", root, buckets = 8)
     try {
       val postings = graft.sources.Bucketed.table(spark, "bm25_spec_idx")
-      val stats = spark.read.parquet(root + "/stats")
+      val stats = TextOps.bm25Stats(postings)
       val q = Seq("spark", "hash", "merge")
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getAs[Long]("doc_id"),
@@ -643,15 +643,15 @@ class TextOpsSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_bm25a_").toString + "/idx"
     TextOps.bm25SaveIndex(docs.filter(col("doc_id") < 300), "bm25_spec_app", root, 8)
-    TextOps.bm25AppendIndex(docs.filter(col("doc_id") >= 300), "bm25_spec_app", root, 8)
+    TextOps.bm25AppendIndex(docs.filter(col("doc_id") >= 300), "bm25_spec_app", 8)
     try {
       val q = Seq("spark", "hash", "merge")
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getAs[Long]("doc_id"),
           math.rint(r.getAs[Double]("score") * 1e6) / 1e6)).toSeq
+      val table = graft.sources.Bucketed.table(spark, "bm25_spec_app")
       val appended = TextOps.bm25TopKIndexed(
-        graft.sources.Bucketed.table(spark, "bm25_spec_app"),
-        spark.read.parquet(root + "/stats"), q, topK = 10)
+        table, TextOps.bm25Stats(table), q, topK = 10)
       // build-then-append serves the same ranking as one full build
       assert(rows(appended) === rows(TextOps.bm25TopK(docs, q, topK = 10)))
       // the appended files joined the same bucket layout: pruning holds
@@ -663,5 +663,33 @@ class TextOpsSpec extends AnyFunSuite {
       assert("SelectedBucketsCount: (\\d+) out of 8".r
         .findFirstMatchIn(winPlan).exists(_.group(1).toInt < 8))
     } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_app")
+  }
+
+  test("bm25 index stats commit WITH the postings (atomic); empty-corpus build appends cleanly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25e_").toString + "/idx"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // round-9 ADVICE NPE: building from an EMPTY corpus stored a null
+    // avgdl that the first append unboxed; the ledger design stores
+    // (0, 0.0) and derives stats with explicit zero guards instead
+    TextOps.bm25SaveIndex(empty, "bm25_spec_empty", root, 4)
+    try {
+      val t0 = graft.sources.Bucketed.table(spark, "bm25_spec_empty")
+      val s0 = TextOps.bm25Stats(t0).head()
+      assert(s0.getDouble(0) === 0.0 && s0.getDouble(1) === 0.0)
+      TextOps.bm25AppendIndex(
+        Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text"), "bm25_spec_empty", 4)
+      val t1 = graft.sources.Bucketed.table(spark, "bm25_spec_empty")
+      val s1 = TextOps.bm25Stats(t1).head()
+      assert(s1.getDouble(0) === 2.0 && s1.getDouble(1) === 2.5)
+      // atomicity by construction: the stats live as ledger rows of the
+      // SAME table the postings committed to — one ledger row per commit,
+      // and no side file exists for a crash to leave behind
+      assert(t1.filter(col("token") === TextOps.Bm25StatsToken).count() === 2L)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root + "/stats")))
+      // ledger rows never leak into retrieval
+      val got = TextOps.bm25TopKIndexed(t1, TextOps.bm25Stats(t1), Seq("a"), topK = 10)
+      assert(got.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_empty")
   }
 }

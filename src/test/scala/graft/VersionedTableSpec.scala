@@ -262,6 +262,42 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rows23.toSeq === Seq(1L -> "insert"))
   }
 
+  test("diffVersions: hive-partitioned snapshots keep their partition column in the compare") {
+    // round-9 ADVICE: the manifest path read explicit file paths without
+    // a basePath, so the partition column vanished and rows differing
+    // ONLY in the partition value compared equal — silent wrong CDC
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit(
+      Seq((1L, "A"), (2L, "B")).toDF("id", "branch").repartition(1),
+      partitionBy = Seq("branch"))
+    // row 2 MOVES partition B -> C; values identical otherwise
+    val v1 = t.commit(
+      Seq((1L, "A"), (2L, "C")).toDF("id", "branch").repartition(1),
+      partitionBy = Seq("branch"))
+    val d = t.diffVersions(spark, v0, v1).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("branch"), r.getAs[String]("change")))
+      .toSet
+    assert(d === Set((2L, "B", "delete"), (2L, "C", "insert")))
+  }
+
+  test("diffVersions: manifest/pre-manifest boundary keeps the manifest side's carried files") {
+    // round-9 ADVICE: the mixed fallback read only the two VERSION DIRS,
+    // losing the manifest side's carried-by-reference files — every
+    // carried row surfaced as a spurious delete
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit((1L to 5L).map(i => (i, s"u$i")).toDF("id", "s").coalesce(1))
+    val v1 = t.appendCommit(Seq((6L, "u6")).toDF("id", "s").coalesce(1))
+    // erase v0's manifest to simulate a pre-manifest snapshot
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.root, "v=0", "_manifest"))
+    assert(t.manifest(v0).isEmpty)
+    val d = t.diffVersions(spark, v0, v1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d === Set(6L -> "insert"))
+  }
+
   test("TagCursor: incremental scan sees new tags, keeps vacuumed ones, matches committedTags") {
     import spark.implicits._
     val t = freshTable()

@@ -39,6 +39,47 @@ def connect(sf_dir):
     return con
 
 
+# Oracle-schema type gate (round-10 ask #2): the driver's hash gate
+# compares TYPED values as pandas sees them, so a DuckDB HUGEINT (int128,
+# from an uncast SUM(BIGINT); pandas dtype float64) vs Spark's int64
+# passes the value compare below but goes red at the driver (round-9
+# x66) — while DECIMAL vs DOUBLE (both float64 in pandas) hashes equal
+# and is fine. Enforce equality of the PANDAS dtype each DuckDB type
+# coerces to, per column, whenever either side is numeric.
+_PANDAS_DTYPE = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "float64",
+    "UTINYINT": "uint8", "USMALLINT": "uint16", "UINTEGER": "uint32",
+    "UBIGINT": "uint64", "UHUGEINT": "float64",
+    "FLOAT": "float32", "DOUBLE": "float64",
+}
+
+
+def _pandas_dtype(t):
+    if t.startswith("DECIMAL"):
+        return "float64"
+    return _PANDAS_DTYPE.get(t)
+
+
+def parquet_types(d):
+    """Spark output schema as DuckDB sees the parquet files."""
+    rows = duckdb.connect().execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def type_problems(spark_types, oracle_types):
+    problems = []
+    for c in sorted(set(spark_types) & set(oracle_types)):
+        st, ot = spark_types[c], oracle_types[c]
+        sd, od = _pandas_dtype(st), _pandas_dtype(ot)
+        if (sd is not None or od is not None) and sd != od:
+            problems.append(
+                f"col {c}: TYPE mismatch spark={st} ({sd}) oracle={ot} ({od}) "
+                f"(driver hash gate compares typed values — cast the oracle)")
+    return problems
+
+
 def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
@@ -128,12 +169,15 @@ def main():
                 print(f"  !! WARNING: 0 rows")
             continue
         try:
-            oracle_df = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            oracle_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            oracle_df = rel.df()
         except Exception as e:
             n_fail += 1
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             continue
         problems = compare(name, spark_df, oracle_df)
+        problems += type_problems(parquet_types(d), oracle_types)
         if problems:
             n_fail += 1
             print(f"[FAIL] {name}:")
