@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Splits, TemporalJoins, TextOps}
+import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -973,6 +973,95 @@ object ExtensionQueries {
           r4a(col("z")).as("z"), col("is_anomaly"))
         .orderBy("day", "event_type")),
 
+    // Robust anomaly days (x81): the median/MAD twin of x76 — modified
+    // z-score M = 0.6745(n - med)/MAD, |M| > 3.5 flagged. Medians are
+    // order-independent, so the whole row is drift-free (plain r4, no
+    // ra collapse needed anywhere).
+    "x81_mad_anomaly" -> ((s, dir) =>
+      EventAnalytics.robustAnomalies(Tables.events(s, dir), mThreshold = 3.5)
+        .select(col("day"), col("event_type"), col("n"),
+          r4(col("med")).as("med"), r4(col("mad")).as("mad"),
+          r4z(col("m")).as("m"), col("is_anomaly"))
+        .orderBy("day", "event_type")),
+
+    // BM25 over a BUILD-then-APPEND index (x77): identical retrieval to
+    // x62/x63, third physical layout — the incremental commit path
+    // (atomic postings+stats append) inside the hash gate. The two
+    // ledger rows fold to the exact one-shot stats (dl are
+    // integer-valued doubles, so the partial sums are exact).
+    "x77_bm25_appended" -> ((s, dir) => {
+      val (postings, stats) = bm25AppendedIndexFor(s, dir)
+      TextOps.bm25TopKIndexed(
+        postings, stats, Seq("spark", "hash", "merge"), topK = 10)
+        .select(col("doc_id"), r4a(col("score")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Forward as-of join (x78): every event aligned to the NEXT
+    // forecasting_data row at-or-after its date — the "next scheduled
+    // snapshot" lookup, mirror of x54 (same one-shuffle tagged-union
+    // window, order reversed). Oracle: DuckDB's native forward ASOF
+    // (ON l.ets <= r.ets).
+    "x78_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(
+          col("user_id"), col("ts"),
+          concat(
+            lit("B"),
+            pmod(col("user_id"), lit(Tables.BranchCount.toLong)).cast("string")).as("branch"))
+        .withColumn("ets", to_date(col("ts")))
+      val fc = Tables.forecastingData(s, dir)
+        .select(col("branch"), col("ds").as("ets"), col("cnt"))
+      TemporalJoins.asofJoinForward(ev, fc, Seq("branch"), "ets")
+        .select(
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("branch"),
+          date_format(col("asof_next_ets"), "yyyy-MM-dd").as("next_ds"),
+          r4(col("cnt")).as("cnt"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // Containment near-dups (x79): |A∩B| / min(|A|,|B|) — the
+    // excerpt/superset detector Jaccard structurally misses (a small
+    // doc fully embedded in a large one scores 1.0 here, ~0 there).
+    // Shares x24's exact df-capped candidate core; DedupSpec pins the
+    // asymmetric case the fixture lacks.
+    "x79_containment_neardups" -> ((s, dir) =>
+      Dedup.containmentNearDups(
+        Tables.documents(s, dir), threshold = 0.8, minShared = 2, maxShingleDf = 100)
+        .select(col("doc_a"), col("doc_b"), r4(col("containment")).as("containment"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Count-min-sketch heavy hitters (x80): top-20 tokens by SKETCH
+    // estimate (4x512 counters) — the bounded-memory frequency report.
+    // Deterministic xxhash positions, exact integer counters: the
+    // oracle recomputes the sketch (collisions included) bit-for-bit
+    // via the XxHash64Sql string+long chains, the x35 bloom recipe.
+    "x80_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val cells = Sketches.cmsCells(tok, "token", depth = 4, width = 512)
+      Sketches.cmsEstimate(cells, tok.distinct(), "token", depth = 4, width = 512)
+        .orderBy(col("est").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Deterministic weighted sampling (x83): 3 docs per source with
+    // probability proportional to quality (+0.01 floor) — the A-ES
+    // top-k-by-ln(u)/w draw every training-mix builder needs, fully
+    // hash-derived so the oracle re-draws the identical sample.
+    "x83_weighted_sample" -> ((s, dir) => {
+      val scored = TextOps
+        .qualityScore(Tables.documents(s, dir), carryCols = Seq("source"))
+        .withColumn("wq", col("quality_score") + lit(0.01))
+      Splits.weightedSample(scored, "source", "doc_id", "wq", k = 3, seed = 7L)
+        .select(
+          col("source"), col("rank"), col("doc_id"),
+          r4z(col("samp_key")).as("samp_key"))
+        .orderBy("source", "rank")
+    }),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -1240,6 +1329,34 @@ object ExtensionQueries {
     (postings, TextOps.bm25Stats(postings))
   }
 
+  /** x77's index: the SAME corpus as x63 but committed in TWO steps —
+    * built from doc_id < 250, the rest APPENDED — so the incremental
+    * ingest path (one atomic append carrying postings + stats-ledger
+    * row, TextOps.bm25AppendIndex) is exercised inside the driver's
+    * hash gate, not just by TextOpsSpec. Three physical layouts
+    * (direct x62, one-shot index x63, build+append x77), one oracle.
+    */
+  private val Bm25AppendedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25AppendedIndexFor(
+      s: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tbl = Bm25AppendedIndexes.computeIfAbsent(dir, _ => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val name = "graft_x77_" +
+        digest.take(8).map(b => f"${b & 0xFF}%02x").mkString
+      val path = java.nio.file.Files.createTempDirectory("graft_x77_").toString + "/idx"
+      val docs = Tables.documents(s, dir)
+      TextOps.bm25SaveIndex(docs.filter(col("doc_id") < 250), name, path, buckets = 8)
+      TextOps.bm25AppendIndex(docs.filter(col("doc_id") >= 250), name, buckets = 8)
+      name
+    })
+    val postings = graft.sources.Bucketed.table(s, tbl)
+    (postings, TextOps.bm25Stats(postings))
+  }
+
   /** The documents corpus materialized once per (JVM, sf dir) in each
     * interchange format (JSONL/CSV/ORC) for the x70-x72 source
     * round-trip gates — the nightly "mirror the corpus into format X"
@@ -1459,8 +1576,14 @@ object ExtensionQueries {
     * the two plans must be row/schema/hash-identical, so they gate against
     * one oracle.
     */
-  private val JaccardNearDupsSql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+  /** Pair-intersection CTE prefix shared by the x24 (Jaccard) and x79
+    * (containment) near-dup oracles — ONE definition mirroring the ONE
+    * engine-side core (Dedup.selfPairIntersections): candidate pairs by
+    * rare shared shingles, exact intersection, and set sizes; the two
+    * queries differ only in the closing score.
+    */
+  private val PairIntersectionCtes: String =
+    """t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
       |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
       |      FROM t WHERE len(toks) >= 3),
@@ -1476,7 +1599,10 @@ object ExtensionQueries {
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val JaccardNearDupsSql: String =
+    s"""WITH $PairIntersectionCtes
       |SELECT i.doc_a, i.doc_b,
       |       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
       |FROM inter i
@@ -1484,6 +1610,83 @@ object ExtensionQueries {
       |JOIN n nb ON nb.doc_id = i.doc_b
       |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
       |ORDER BY 1, 2""".stripMargin
+
+  private val ContainmentNearDupsSql: String =
+    s"""WITH $PairIntersectionCtes
+      |SELECT i.doc_a, i.doc_b,
+      |       round(CAST(i.n_inter AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
+      |FROM inter i
+      |JOIN n na ON na.doc_id = i.doc_a
+      |JOIN n nb ON nb.doc_id = i.doc_b
+      |WHERE CAST(i.n_inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
+      |ORDER BY 1, 2""".stripMargin
+
+  /** x80 oracle: the count-min sketch recomputed relationally — the x35
+    * bloom recipe applied to counters. Per DISTINCT token: one string
+    * XXH64 chain (the engine's inner `xxhash64(token)`), then one long
+    * chain per sketch row i with seedLit = i (the engine's chained
+    * `xxhash64(lit(i), h)`), positions via the signed pmod. Cells weight
+    * each distinct token's positions by its exact count (identical to
+    * hashing every occurrence — the cell is a sum either way); the
+    * estimate is the LEAST over the d cells; collisions reproduce
+    * bit-for-bit because they are deterministic functions of the same
+    * positions.
+    */
+  private def heavyHittersSql(depth: Int, width: Int, topK: Int): String = {
+    val (sCtes, sLast) = XxHash64Sql.xxhash64StringCtes("tc", "w", "xh", "hs")
+    val (rowCtes, last) = (0 until depth).foldLeft((List(sCtes), sLast)) {
+      case ((acc, prev), i) =>
+        val (c, l) = XxHash64Sql.xxhash64LongCtes(prev, "xh", s"h$i", i.toLong, s"hr$i")
+        (acc :+ c, l)
+    }
+    val posCols = (0 until depth)
+      .map(i => s"${XxHash64Sql.signedPmod(s"h$i", width.toLong)} AS p$i")
+      .mkString(", ")
+    val cellUnion = (0 until depth)
+      .map(i =>
+        s"SELECT $i AS row_i, p$i AS bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM pos GROUP BY 2")
+      .mkString("\n  UNION ALL ")
+    val cellJoins = (0 until depth)
+      .map(i => s"JOIN cells c$i ON c$i.row_i = $i AND c$i.bucket = pos.p$i")
+      .mkString("\n  ")
+    val leastExpr = (0 until depth).map(i => s"c$i.c").mkString("LEAST(", ", ", ")")
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+       |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |${rowCtes.mkString(",\n")},
+       |pos AS (SELECT w, cnt, $posCols FROM $last),
+       |cells AS (
+       |  $cellUnion),
+       |est AS (
+       |  SELECT pos.w AS token, $leastExpr AS est
+       |  FROM pos
+       |  $cellJoins),
+       |top AS (SELECT token, est FROM est ORDER BY est DESC, token LIMIT $topK)
+       |SELECT token, est FROM top ORDER BY est DESC, token""".stripMargin
+  }
+
+  /** x83 oracle: the A-ES draw re-run end-to-end — per-row quality
+    * (x03's shared formula, 6-dp rounded exactly like the engine's
+    * qualityCol), the engine's xxhash64(seed=7, doc_id) quantized to
+    * the Splits.Buckets unit interval, key = ln(u)/w, and the house
+    * rank boundary (round(key,6) DESC, doc_id).
+    */
+  private def weightedSampleSql(k: Int, seed: Long): String = {
+    val (ctes, last) = XxHash64Sql.xxhash64LongCtes("q", "doc_id", "xxh", seed, "ws")
+    val bucket = XxHash64Sql.signedPmod("xxh", Splits.Buckets)
+    s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |q AS (SELECT doc_id, source, round(${qualitySql("toks")}, 6) + 0.01 AS wq FROM t),
+       |$ctes,
+       |kk AS (SELECT doc_id, source,
+       |              ln(($bucket + 1.0) / ${Splits.Buckets + 1}.0) / wq AS k
+       |       FROM $last),
+       |r AS (SELECT source, doc_id, k,
+       |             row_number() OVER (PARTITION BY source
+       |                                ORDER BY round(k, 6) DESC, doc_id) AS rank
+       |      FROM kk)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       round(k, 4) + 0.0 AS samp_key
+       |FROM r WHERE rank <= $k ORDER BY 1, 2""".stripMargin
+  }
 
   /** x53: the seven pipeline stages as chained CTEs, each the already-
     * hash-green formulation from its standalone oracle (x33 cap, x03
@@ -2699,6 +2902,52 @@ object ExtensionQueries {
         |SELECT day, event_type, n, round(round(z, 8), 4) AS z,
         |       COALESCE(abs(round(round(z, 10), 6)) > 2.0, false) AS is_anomaly
         |FROM j ORDER BY 1, 2""".stripMargin,
+    // x81: median/MAD robust anomalies — medians are order-independent
+    // (exact binary halves over integer counts), M is one deterministic
+    // double expression: plain round mirrors, +0.0 canonicalizes the
+    // -0.0 a negative deviation can round to
+    "x81_mad_anomaly" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |                  COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, CAST(median(n) AS DOUBLE) AS med FROM d GROUP BY 1),
+        |dev AS (SELECT d.day, d.event_type, d.n, med.med FROM d JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(median(abs(n - med)) AS DOUBLE) AS mad
+        |        FROM dev GROUP BY 1),
+        |j AS (SELECT dev.day, dev.event_type, dev.n, dev.med, mad.mad,
+        |             CASE WHEN mad.mad > 0
+        |                  THEN 0.6745 * (dev.n - dev.med) / mad.mad END AS m
+        |      FROM dev JOIN mad USING (event_type))
+        |SELECT day, event_type, n, round(med, 4) AS med, round(mad, 4) AS mad,
+        |       round(m, 4) + 0.0 AS m,
+        |       COALESCE(abs(round(m, 6)) > 3.5, false) AS is_anomaly
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    // x77: the build+append index serves the SAME retrieval — one
+    // oracle, three layouts (x62 direct / x63 one-shot index / x77
+    // appended index)
+    "x77_bm25_appended" -> bm25TopKSql,
+    // x78: DuckDB's native FORWARD ASOF (ON l.ets <= r.ets) pins the
+    // earliest-following / inclusive-tie semantics of the reversed
+    // union-window plan
+    "x78_asof_forward" ->
+      s"""${Tables.FactCtes},
+         |ev AS (
+         |  SELECT user_id, ts,
+         |         'B' || CAST(user_id % ${Tables.BranchCount} AS VARCHAR) AS branch,
+         |         CAST(ts AS DATE) AS ets
+         |  FROM events)
+         |SELECT ev.user_id,
+         |       strftime(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         |       ev.branch,
+         |       strftime(fc.ets, '%Y-%m-%d') AS next_ds,
+         |       round(fc.cnt, 4) AS cnt
+         |FROM ev ASOF LEFT JOIN
+         |  (SELECT branch, ds AS ets, cnt FROM forecasting_data) fc
+         |  ON ev.branch = fc.branch AND ev.ets <= fc.ets
+         |ORDER BY 1, 2""".stripMargin,
+    "x79_containment_neardups" -> ContainmentNearDupsSql,
+    "x80_heavy_hitters" -> heavyHittersSql(depth = 4, width = 512, topK = 20),
+    "x83_weighted_sample" -> weightedSampleSql(k = 3, seed = 7L),
     // x67: first-seen day cohorts × activity days; counts are integral
     // so plain round(·,4) on the ratio is partition-order-safe
     "x67_retention_cohorts" ->

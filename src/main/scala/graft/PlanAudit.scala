@@ -171,8 +171,9 @@ object PlanAudit {
     // class (b), the banned side is bounded by contract
     "x50_semantic_decontam" -> 1,
     // class (a): BM25's one-row (N, avgdl) collection-stats crossJoin —
-    // inline aggregate in x62, the persisted stats parquet in x63
+    // inline aggregate in x62, the ledger-derived stats in x63/x77
     "x62_bm25_topk" -> 1, "x63_bm25_indexed" -> 1,
+    "x77_bm25_appended" -> 1,
     // class (a): the z-key's one-row global-bounds crossJoin
     "x64_zorder_layout" -> 1,
     // class (a): the bigram LM's one-row (N, V) stats crossJoin
@@ -202,7 +203,9 @@ object PlanAudit {
     // trending's per-window top-k rank (Ingest.trendingTopK)
     "s04_trending",
     // hard-negative mining's per-anchor rank cap
-    "x73_hard_negatives")
+    "x73_hard_negatives",
+    // the A-ES per-group sample boundary (Splits.weightedSample)
+    "x83_weighted_sample")
 
   /** The gate itself, factored so the per-stage audit (and its spec) can
     * run the same rules with stage-level allowances.

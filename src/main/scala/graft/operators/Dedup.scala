@@ -322,7 +322,54 @@ object Dedup {
       minShared: Int = 2,
       maxShingleDf: Int = 100,
       n: Int = 3,
-      materialize: Option[graft.sources.VersionedTable] = None): DataFrame = {
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame =
+    selfPairIntersections(docs, minShared, maxShingleDf, n, materialize)
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Containment near-dups: pairs where the SMALLER document's shingle
+    * set is largely inside the other's — |A∩B| / min(|A|, |B|), the
+    * Broder "containment" coefficient. This is the excerpt/quotation/
+    * superset detector Jaccard structurally misses: a 50-shingle doc
+    * fully embedded in a 5000-shingle doc has containment 1.0 but
+    * Jaccard 0.01, so a Jaccard gate waves exactly the asymmetric
+    * duplication a crawl corpus is fullest of (page + boilerplate
+    * wrapper, article + quoting aggregator). Same exact df-capped
+    * inverted-index machinery as [[jaccardNearDups]] — ONE shared core
+    * ([[selfPairIntersections]]), only the closing score differs —
+    * which keeps the two operators' candidate sets provably identical
+    * and the scale posture (never all-pairs, bounded hot complement)
+    * inherited rather than re-derived.
+    */
+  def containmentNearDups(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      n: Int = 3,
+      materialize: Option[graft.sources.VersionedTable] = None): DataFrame =
+    selfPairIntersections(docs, minShared, maxShingleDf, n, materialize)
+      .withColumn(
+        "containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  /** The exact pair-intersection core shared by [[jaccardNearDups]] and
+    * [[containmentNearDups]]: all ordered pairs (doc_a < doc_b) with at
+    * least `minShared` shared rare shingles, returned with their EXACT
+    * intersection size and both set sizes — every set-overlap score is a
+    * closed-form function of these three columns.
+    */
+  private def selfPairIntersections(
+      docs: DataFrame,
+      minShared: Int,
+      maxShingleDf: Int,
+      n: Int,
+      materialize: Option[graft.sources.VersionedTable]): DataFrame = {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val sh = graft.sources.VersionedTable.materialize(
       TextOps.shingles(docs, n).withColumn("df", count(lit(1)).over(byShingle)),
@@ -359,11 +406,6 @@ object Dedup {
       .withColumn("n_inter", col("n_rare_shared") + col("n_hot_shared"))
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .withColumn(
-        "jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Incremental exact-Jaccard near-dups: a NEW batch of documents

@@ -101,6 +101,43 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Robust daily anomaly detection per event type — the median/MAD
+    * counterpart of [[dailyAnomalies]]: modified z-score
+    * M = 0.6745 · (n − median) / MAD (Iglewicz & Hoaglin's outlier
+    * labeling), flag |M| beyond the threshold (their canonical 3.5).
+    * Medians fix the mean/σ variant's blind spot: one catastrophic day
+    * inflates σ enough to hide itself (and mask real anomalies) — the
+    * breakdown point of z-scores is 0%, of MAD 50%. A type whose daily
+    * counts are majority-constant (MAD = 0) has no defined M and is
+    * never flagged.
+    *
+    * Shape: one shuffle to daily cells, then two bounded per-type
+    * aggregates (median, then MAD over the deviations) broadcast back —
+    * never a corpus window. Exact medians are ORDER-INDEPENDENT, so
+    * unlike the σ path nothing here needs the aggregate-drift (ra)
+    * collapse: counts are integers, medians are exact binary halves,
+    * and M is one deterministic double expression (plain r-rounding in
+    * the flag, mirrored verbatim in the oracle).
+    */
+  def robustAnomalies(events: DataFrame, mThreshold: Double = 3.5): DataFrame = {
+    val daily = events
+      .groupBy(periodOf(col("ts"), "day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(median(col("n")).as("med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+    val mad = dev.groupBy("event_type")
+      .agg(median(abs(col("n") - col("med"))).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("m",
+        when(col("mad") > 0,
+          lit(0.6745) * (col("n") - col("med")) / col("mad")))
+      .select(col("day"), col("event_type"), col("n"), col("med"),
+        col("mad"), col("m"),
+        coalesce(abs(CrossRound.r(col("m"), 6)) > mThreshold, lit(false))
+          .as("is_anomaly"))
+  }
+
   /** Ordered funnel conversion: how many users performed `steps` in
     * order, every later step within `horizonDays` of their FIRST step-1
     * event. t_0 is the user's earliest step-1 event; t_i is the

@@ -114,6 +114,49 @@ object Splits {
         col("shard"), md5(col(keyCol).cast("string")), col(keyCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, "A-ES"): per group, keep the `k` rows with the
+    * LARGEST sample key `ln(u_i) / w_i`, where u_i ∈ (0, 1] is a
+    * uniform deviate derived from a seeded hash of the row's id — that
+    * selection is distributed exactly like sequentially drawing k rows
+    * without replacement with probability proportional to weight, which
+    * is the principled way to downsample a corpus by quality/importance
+    * for a training mix (ln(u)/w is the monotone log form of the
+    * paper's u^(1/w); same order, no pow at the rank boundary).
+    *
+    * Deterministic for the same reason [[splitByHash]] is: u comes from
+    * `xxhash64(seed, id)` quantized to [[Buckets]] fixed-point steps
+    * (then +1 so u > 0 and ln is finite), never from `rand()` — the
+    * sample is reproducible across runs, partitionings, and engines,
+    * and the ORACLE recomputes it end-to-end. Rank order is the house
+    * boundary convention: 6-dp-rounded key DESC, then id (float drift
+    * in ln/÷ cannot flip the k-boundary).
+    *
+    * Shape: pure projection + one per-group top-k window — the
+    * WindowGroupLimit plan class (never a global sort); group count and
+    * k bound the output. Contract: `weightCol` strictly positive.
+    *
+    * @return input columns plus the sample key and the 1-based `rank`
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 7L): DataFrame = {
+    require(k >= 1, "sample size k must be positive")
+    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(Buckets)) + lit(1.0)) /
+      lit(Buckets + 1.0)
+    val key = log(u) / col(weightCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(CrossRound.r(key, 6).desc, col(idCol))
+    df.withColumn("samp_key", key)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Pack documents into fixed-token-budget training sequences — the
     * GPT-style concat-then-cut layout: within each md5 shard, documents
     * are concatenated in the [[writeShards]] order (md5, then key) and

@@ -18,6 +18,72 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Shared tagged-union prep of both as-of directions: left/right rows
+    * in one fixed schema (keys..., __ts, __side, __l, __r). One payload
+    * struct per side keeps the union schema fixed no matter the caller's
+    * column sets (nulls on the opposite side); keys and ts ride ONCE as
+    * the top-level window columns — duplicating them inside the structs
+    * would double the key/ts bytes through the operator's single
+    * (deliberately key-hot) shuffle. Right rows with a null timestamp
+    * are dropped ("no snapshot", not "the earliest/latest snapshot" —
+    * nulls-first/last window order would otherwise hand them to left
+    * rows; DuckDB's ASOF never matches null either), and so are
+    * null-KEY right rows (ASOF equi-keys are SQL equality —
+    * NULL-never-matches — but Window.partitionBy groups nulls into one
+    * partition and would let a null-key left row adopt a null-key right
+    * row).
+    */
+  private final case class AsofSides(
+      l: DataFrame, r: DataFrame,
+      leftCols: Seq[String], rightPayloadCols: Seq[String])
+
+  private def asofTagSides(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String): AsofSides = {
+    require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftPayloadCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftCols = left.columns.toSeq
+    require(
+      leftCols.intersect(rightPayloadCols).isEmpty,
+      "rename overlapping right columns before the as-of join")
+    val rightStructT = org.apache.spark.sql.types.StructType(
+      right.select((rightPayloadCols :+ tsCol).map(col): _*).schema.fields)
+    val leftStructT = org.apache.spark.sql.types.StructType(
+      left.select(leftPayloadCols.map(col): _*).schema.fields)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftPayloadCols.map(col): _*).as("__l"),
+        lit(null).cast(rightStructT).as("__r")): _*)
+    val r = right
+      .filter(col(tsCol).isNotNull)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(tsCol).as("__ts"),
+          lit(0).as("__side"),
+          lit(null).cast(leftStructT).as("__l"),
+          struct((rightPayloadCols :+ tsCol).map(col): _*).as("__r")): _*)
+    AsofSides(l, r, leftCols, rightPayloadCols)
+  }
+
+  /** Shared un-tagging of a matched as-of frame back into caller schema:
+    * left columns unchanged, right payload columns appended, plus the
+    * matched right timestamp as `<prefix>_<tsCol>`.
+    */
+  private def asofFinish(
+      matched: DataFrame, sides: AsofSides,
+      keys: Seq[String], tsCol: String, prefix: String): DataFrame =
+    matched.select(
+      sides.leftCols.map(c =>
+        if (c == tsCol) col("__ts").as(c)
+        else if (keys.contains(c)) col(c)
+        else col(s"__l.$c").as(c)) ++
+        sides.rightPayloadCols.map(c => col(s"__match.$c").as(c)) :+
+        col(s"__match.$tsCol").as(s"${prefix}_$tsCol"): _*)
+
   /** Backward as-of join: for every left row, attach the LATEST right row
     * of the same key with `right.tsCol <= left.tsCol` (inclusive — the
     * DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics), or nulls when no
@@ -40,15 +106,14 @@ object TemporalJoins {
     * @param keys   equi-join key columns present on both sides
     * @param tsCol  timestamp/ordering column name, present on both sides
     *               (same type both sides; any orderable type)
-    * @return left columns unchanged, plus every non-key right column
-    *         (its `tsCol` renamed `asof_<tsCol>`), nullable
-    */
-  /** @param blockWidthMicros opt-in hot-key hatch: 0 (default) runs the
+    * @param blockWidthMicros opt-in hot-key hatch: 0 (default) runs the
     *        one-window plan above; > 0 splits every key's timeline into
     *        time blocks of this many microseconds and windows per
     *        (key, block), with one bounded carry pass stitching block
     *        boundaries — see [[asofJoinBackwardBlocked]]. Results are
     *        identical; requires a temporal (timestamp/date) `tsCol`.
+    * @return left columns unchanged, plus every non-key right column
+    *         (its `tsCol` renamed `asof_<tsCol>`), nullable
     */
   def asofJoinBackward(
       left: DataFrame,
@@ -56,63 +121,50 @@ object TemporalJoins {
       keys: Seq[String],
       tsCol: String,
       blockWidthMicros: Long = 0L): DataFrame = {
-    require(keys.nonEmpty, "as-of join needs at least one equi-key")
-    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val leftPayloadCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val leftCols = left.columns.toSeq
-    require(
-      leftCols.intersect(rightPayloadCols).isEmpty,
-      "rename overlapping right columns before the as-of join")
-    // one payload struct per side keeps the union schema fixed no matter
-    // the caller's column sets (nulls on the opposite side); keys and ts
-    // ride ONCE as the top-level window columns — duplicating them
-    // inside the structs would double the key/ts bytes through the
-    // operator's single (deliberately key-hot) shuffle
-    val rightStructT = org.apache.spark.sql.types.StructType(
-      right.select((rightPayloadCols :+ tsCol).map(col): _*).schema.fields)
-    val leftStructT = org.apache.spark.sql.types.StructType(
-      left.select(leftPayloadCols.map(col): _*).schema.fields)
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(tsCol).as("__ts"),
-        lit(1).as("__side"),
-        struct(leftPayloadCols.map(col): _*).as("__l"),
-        lit(null).cast(rightStructT).as("__r")): _*)
-    val r = right
-      // a null right timestamp is "no snapshot", not "the earliest
-      // snapshot" (ascending nulls-first would otherwise hand it to
-      // every pre-first left row); DuckDB's ASOF `l.ts >= r.ts` never
-      // matches null either — drop the rows for engine parity
-      .filter(col(tsCol).isNotNull)
-      // same for a null KEY: the equi-key part of an ASOF join is
-      // NULL-never-matches (SQL equality), but Window.partitionBy groups
-      // nulls into one partition and would let a null-key left row adopt
-      // a null-key right row — drop null-key right rows so null-key left
-      // rows surface with null matches, exactly the oracle's answer
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .select(
-        keys.map(col) ++ Seq(
-          col(tsCol).as("__ts"),
-          lit(0).as("__side"),
-          lit(null).cast(leftStructT).as("__l"),
-          struct((rightPayloadCols :+ tsCol).map(col): _*).as("__r")): _*)
+    val sides = asofTagSides(left, right, keys, tsCol)
     val matched =
       if (blockWidthMicros <= 0L) {
         val w = Window
           .partitionBy(keys.map(col): _*)
           .orderBy(col("__ts"), col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        l.unionByName(r)
+        sides.l.unionByName(sides.r)
           .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
           .filter(col("__side") === 1)
-      } else asofJoinBackwardBlocked(l, r, keys, blockWidthMicros)
-    matched.select(
-      leftCols.map(c =>
-        if (c == tsCol) col("__ts").as(c)
-        else if (keys.contains(c)) col(c)
-        else col(s"__l.$c").as(c)) ++
-        rightPayloadCols.map(c => col(s"__match.$c").as(c)) :+
-        col(s"__match.$tsCol").as(s"asof_$tsCol"): _*)
+      } else asofJoinBackwardBlocked(sides.l, sides.r, keys, blockWidthMicros)
+    asofFinish(matched, sides, keys, tsCol, "asof")
+  }
+
+  /** Forward as-of join: for every left row, attach the EARLIEST right
+    * row of the same key with `right.tsCol >= left.tsCol` (inclusive —
+    * DuckDB's `ASOF LEFT JOIN ... ON l.ts <= r.ts`), or nulls when no
+    * right row follows. The "next scheduled snapshot / next price tick /
+    * next maintenance window" lookup — the mirror of
+    * [[asofJoinBackward]], and the same ONE-shuffle tagged-union window
+    * plan with the ORDER reversed: descending timestamps make "earliest
+    * following right row" the running `last(__r)` exactly as ascending
+    * made "latest preceding". `desc_nulls_first` keeps null-ts left rows
+    * match-free (they sort before every real right row in the reversed
+    * order). Same contract as backward: right unique per (keys, tsCol),
+    * overlapping right columns renamed first. The matched timestamp
+    * returns as `asof_next_<tsCol>`. No blocked hatch — a degenerately
+    * hot key takes the [[asofJoinBackwardBlocked]] treatment with the
+    * sign of the block carry flipped; compose on demand.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val sides = asofTagSides(left, right, keys, tsCol)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc_nulls_first, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = sides.l.unionByName(sides.r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    asofFinish(matched, sides, keys, tsCol, "asof_next")
   }
 
   /** The hot-key hatch behind `asofJoinBackward(blockWidthMicros > 0)`:

@@ -193,11 +193,13 @@ object TextOps {
   // two projections: tokenize once into an attribute, then score — the
   // stopword term is a HOF that keeps this out of codegen CSE, so an
   // inline tokens() re-runs the split per reference (see
-  // QualityModel.featureColsFromTokens)
-  def qualityScore(docs: DataFrame): DataFrame =
+  // QualityModel.featureColsFromTokens). `carryCols` ride the projection
+  // so a consumer needing (say) source+quality does not pay a
+  // corpus-scale self-join on doc_id to reattach them.
+  def qualityScore(docs: DataFrame, carryCols: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), qualityCol(col("__toks")).as("quality_score"))
+      .select(col("doc_id") +: carryCols.map(col) :+ tokens(col("text")).as("__toks"): _*)
+      .select(col("doc_id") +: carryCols.map(col) :+ qualityCol(col("__toks")).as("quality_score"): _*)
 
   /** The eight Gopher stop words — the rule counts how many DISTINCT
     * members appear in the document (Rae et al. 2021, A1.1).

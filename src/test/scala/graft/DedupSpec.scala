@@ -69,6 +69,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardNearDups(docs, threshold = 0.3, maxShingleDf = 100).count() > 0)
   }
 
+  test("containmentNearDups: an embedded excerpt scores 1.0 where jaccard waves it through") {
+    // doc 2 = a 6-token excerpt of doc 1's 60 tokens: every excerpt
+    // shingle is in the big doc, so containment = 1.0 while jaccard
+    // = 4/58 ≈ 0.07 — the asymmetric-duplication case this operator
+    // exists for (the sf fixture's planted dups are symmetric copies)
+    val big = (0 until 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (20 until 26).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big), (2L, excerpt), (3L, (100 until 160).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentNearDups(docs, threshold = 0.9, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    assert(Dedup.jaccardNearDups(docs, threshold = 0.5, minShared = 2).count() === 0)
+    // same candidate core: below minShared rare shingles, no pair forms
+    assert(Dedup.containmentNearDups(docs, threshold = 0.9, minShared = 10).count() === 0)
+  }
+
   test("jaccardNearDupsAgainst: batch x corpus pairs only, exact scores") {
     val rnd = new scala.util.Random(23)
     val vocab = (0 until 300).map(i => s"v$i")

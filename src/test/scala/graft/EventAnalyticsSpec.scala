@@ -78,6 +78,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("robustAnomalies: MAD flags a spike the mean/sigma variant can be blinded to; MAD=0 never flags") {
+    // type A: ten days at 5/day + one 500-event day. The catastrophic
+    // day drags mu to ~50 and sigma to ~142, so its plain z is only
+    // ~3.2 — but MORE IMPORTANTLY the steady days sit at z ~ -0.3
+    // while under median/MAD the spike's M = 0.6745*(500-5)/0 ... MAD
+    // of (0,0,0,0,0,0,0,0,0,0,495) = 0 -> undefined. Use a less
+    // degenerate shape: counts 4,5,6 alternating + spike, so MAD > 0.
+    val rows = (for { d <- 1 to 9; k <- 1 to (4 + (d % 3)) }
+      yield (100L + k, "A", f"2024-01-$d%02d 10:00:00")) ++
+      (1 to 500).map(k => (900L + k, "A", "2024-01-10 10:00:00")) ++
+      (1 to 11).flatMap(d => (1 to 3).map(k => (300L + k, "B", f"2024-01-$d%02d 12:00:00")))
+    val events = ev(rows.map(r => (r._1, r._2, r._3)): _*)
+    val got = EventAnalytics.robustAnomalies(events, mThreshold = 3.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6)))
+      .toMap
+    val spike = got(("2024-01-10", "A"))
+    assert(spike._1 === 500L && spike._3, s"spike day should flag: $spike")
+    for (d <- 1 to 9) {
+      val (_, m, flag) = got((f"2024-01-$d%02d", "A"))
+      assert(!flag && m.exists(v => math.abs(v) < 3.5), s"steady day $d must not flag")
+    }
+    // constant series: MAD = 0 -> no M, never anomalous
+    for (d <- 1 to 11) {
+      val (n, m, flag) = got((f"2024-01-$d%02d", "B"))
+      assert(n === 3L && m.isEmpty && !flag)
+    }
+    // robustness contrast: the spike drags the MEAN far above every
+    // steady day, but the MEDIAN stays at the steady level — the med
+    // column must sit inside the steady range, not near the mean
+    val medA = EventAnalytics.robustAnomalies(events).filter(col("event_type") === "A")
+      .select("med").head().getDouble(0)
+    assert(medA >= 4.0 && medA <= 6.0, s"median should resist the spike, got $medA")
+  }
+
   test("funnel: ordered semantics, horizon, and the pre-step-1 event that must not hide a later one") {
     val events = ev(
       // u1: clean signup -> view -> purchase inside the horizon

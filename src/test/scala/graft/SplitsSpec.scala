@@ -138,6 +138,38 @@ class SplitsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("weightedSample: k per group, deterministic across widths and runs, keys match a brute-force recompute") {
+    val rows = (1L to 400L).map(i => (i, s"g${i % 4}", 0.5 + (i % 10) * 0.1))
+      .toDF("doc_id", "grp", "w")
+    val out = Splits.weightedSample(rows, "grp", "doc_id", "w", k = 5, seed = 7L).cache()
+    val perGroup = out.groupBy("grp").count().collect().map(r => r.getLong(1)).toSeq
+    assert(perGroup === Seq.fill(4)(5L))
+    // partitioning-independent (the A-ES key is hash-derived, not rand())
+    val re = Splits.weightedSample(rows.repartition(13), "grp", "doc_id", "w", k = 5, seed = 7L)
+    assert(
+      out.orderBy("grp", "rank").collect().map(_.toString).toSeq ===
+        re.orderBy("grp", "rank").collect().map(_.toString).toSeq)
+    // the sample key is exactly ln((bucket+1)/(Buckets+1))/w — recompute
+    // via the engine's own hash column and compare bit-for-bit
+    val check = rows
+      .withColumn("b", pmod(xxhash64(lit(7L), col("doc_id")), lit(Splits.Buckets)))
+      .withColumn("expect", log((col("b") + lit(1.0)) / lit(Splits.Buckets + 1.0)) / col("w"))
+      .select(col("doc_id"), col("expect"))
+    val joined = out.join(check, "doc_id")
+      .select(col("samp_key"), col("expect")).collect()
+    joined.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    out.unpersist()
+    // weight monotonicity (statistical): make one id's weight enormous —
+    // it must always be sampled (its key ln(u)/w -> ~0, the maximum)
+    val skewed = rows.withColumn(
+      "w", when(col("doc_id") === 42L, lit(1e9)).otherwise(col("w")))
+    val picked = Splits.weightedSample(skewed, "grp", "doc_id", "w", k = 5)
+      .filter(col("doc_id") === 42L)
+    assert(picked.count() === 1L)
+  }
+
   test("XxHash64Sql.hashLong reproduces Spark's xxhash64 chain bit-for-bit") {
     // the Scala reference that constant-folds literal children in the x20
     // oracle's SQL chain must equal the engine's own expression — on

@@ -164,4 +164,37 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(hourly === run(60L * 1000000L)) // minutely buckets: same pairs
     assert(hourly === run(7L * 24 * 3600L * 1000000L)) // one giant bucket: same pairs
   }
+
+  test("asof forward: earliest at-or-after per key, inclusive ties, misses are null") {
+    val out = TemporalJoins.asofJoinForward(left, right, Seq("k"), "t")
+      .select(col("tag"), col("v"), col("asof_next_t"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out("before-any") === Some(10L)) // earliest following right row
+    assert(out("tie") === Some(10L)) // equal timestamps match (<= semantics)
+    assert(out("between") === Some(30L)) // 01-04 is earliest >= 01-03 12:00
+    assert(out("after-all") === None) // nothing follows the last right row
+    assert(out("other-key") === None) // b's only right row precedes it
+    assert(out("no-right-key") === None)
+  }
+
+  test("asof forward: left preserved; null right ts/keys never match; width-deterministic") {
+    val withNulls = right
+      .unionByName(Seq(("a", null.asInstanceOf[Timestamp], 777L)).toDF("k", "t", "v"))
+      .unionByName(Seq((null.asInstanceOf[String], ts("2020-01-06 00:00:00"), 888L))
+        .toDF("k", "t", "v"))
+    val a = TemporalJoins.asofJoinForward(left, withNulls, Seq("k"), "t")
+    assert(a.count() === left.count())
+    val got = a.select(col("tag"), col("v")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // identical to the clean-right result: the planted null rows are
+    // no-snapshot rows on every engine (DuckDB forward ASOF parity)
+    assert(got("before-any") === Some(10L) && got("after-all") === None)
+    val b = TemporalJoins.asofJoinForward(
+      left.repartition(7), withNulls.repartition(3), Seq("k"), "t")
+    assert(
+      a.orderBy("k", "t").collect().map(_.toString).toSeq ===
+        b.orderBy("k", "t").collect().map(_.toString).toSeq)
+  }
 }
