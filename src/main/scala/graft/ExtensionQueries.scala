@@ -1062,6 +1062,73 @@ object ExtensionQueries {
         .orderBy("source", "rank")
     }),
 
+    // Tokenizer fertility by language (x82): subwords-per-word under
+    // the fitted BPE, rolled up by predicted language — the
+    // tokenizer-fit-per-language report (a tokenizer trained on one
+    // language fragments the others; this is the table that shows it).
+    // Composition of two green surfaces: x43's segment counts × x04's
+    // lang pick, oracled by composing their two restatements.
+    "x82_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perDoc = TextOps.bpeSegments(docs, bpeMergesFor(s, dir))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size(col("subwords"))).cast("long").as("n_subwords"))
+      perDoc.join(TextOps.langId(docs), Seq("doc_id"))
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(
+          col("lang_pred").as("lang"), col("n_docs"),
+          col("n_words"), col("n_subwords"),
+          r4(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // Incremental sketch maintenance (x84): the corpus sketch built in
+    // TWO commits (base < 250, batch >= 250) and MERGED cell-wise — CMS
+    // is linear, so the fold equals the one-shot build exactly and the
+    // SAME oracle as x80 gates it (the x29/x29b layout-invariance
+    // convention applied to sketch state).
+    "x84_cms_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      val base = Sketches.cmsCells(
+        toks(docs.filter(col("doc_id") < 250)), "token", depth = 4, width = 512)
+      val batch = Sketches.cmsCells(
+        toks(docs.filter(col("doc_id") >= 250)), "token", depth = 4, width = 512)
+      Sketches.cmsEstimate(
+        Sketches.cmsMerge(base, batch), toks(docs).distinct(),
+        "token", depth = 4, width = 512)
+        .orderBy(col("est").desc, col("token"))
+        .limit(20)
+    }),
+
+    // PMI collocations (x85): top-20 adjacent-pair collocations by
+    // pointwise mutual information with a support floor — the
+    // multiword-expression signal. One corpus shuffle; marginals and
+    // the total derive from the bigram count table.
+    "x85_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(Tables.documents(s, dir), minCount = 5L, topK = 20)
+        .select(col("w1"), col("w2"), col("c12"), r4(col("pmi")).as("pmi"))
+        .orderBy("w1", "w2")),
+
+    // Table profile (x86): per-column nulls / exact distincts / numeric
+    // bounds over the events table in ONE scan (one aggregate row,
+    // exploded) — the trust-the-drop report every ingest runs first.
+    "x86_table_profile" -> ((s, dir) =>
+      graft.operators.Profile.tableProfile(
+        Tables.events(s, dir),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .select(
+          col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          r4(col("min_num")).as("min_num"), r4(col("max_num")).as("max_num"))
+        .orderBy("column")),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -2093,13 +2160,17 @@ object ExtensionQueries {
     * occurrences for the per-doc counts — the oracle-side mirror of the
     * engine's scan-speed scalar expression.
     */
-  private def bpeSegmentsSql(merges: Seq[TextOps.BpeMerge]): String = {
+  /** The CTE body of [[bpeSegmentsSql]] (must follow a `WITH RECURSIVE`
+    * keyword): ends in `agg`(doc_id, n_words, n_subwords) — shared with
+    * the x82 per-language fertility rollup so both oracles re-apply the
+    * fitted merges through ONE definition.
+    */
+  private def bpeSegCtes(merges: Seq[TextOps.BpeMerge]): String = {
     def esc(s: String) = s.replace("'", "''")
     val values = merges
       .map(m => s"(${m.rank}, '${esc(m.left)}', '${esc(m.right)}')")
       .mkString(", ")
-    s"""WITH RECURSIVE
-       |merges(rank, l, r) AS (SELECT * FROM (VALUES $values)),
+    s"""merges(rank, l, r) AS (SELECT * FROM (VALUES $values)),
        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS ws
        |         FROM documents),
        |occ AS (SELECT doc_id, unnest(ws) AS word FROM toks),
@@ -2118,11 +2189,57 @@ object ExtensionQueries {
        |agg AS (SELECT doc_id,
        |               CAST(COUNT(*) AS BIGINT) AS n_words,
        |               CAST(SUM(n_sub) AS BIGINT) AS n_subwords
-       |        FROM occ JOIN pw USING (word) GROUP BY doc_id)
+       |        FROM occ JOIN pw USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bpeSegmentsSql(merges: Seq[TextOps.BpeMerge]): String =
+    s"""WITH RECURSIVE
+       |${bpeSegCtes(merges)}
        |SELECT doc_id, n_words, n_subwords,
        |       round(CAST(n_subwords AS DOUBLE) / n_words, 4) AS fertility
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** x04's marker-token language pick as a CTE fragment ending in
+    * `${pfx}lang`(doc_id, lang_pred) — ONE definition serving the x04
+    * oracle and the x82 fertility-by-language rollup.
+    */
+  private def langPredCtes(pfx: String): String = {
+    val counts = TextOps.LangMarkers
+      .map { case (lang, words) =>
+        s"len(list_filter(toks, x -> x IN ${inList(words)})) AS c_$lang"
+      }
+      .mkString(",\n       ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val cases = langs
+      .map(l => s"WHEN c_$l = best AND best > 0 THEN '$l'")
+      .mkString("\n            ")
+    s"""${pfx}t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |${pfx}c AS (SELECT doc_id,
+       |       $counts
+       |FROM ${pfx}t),
+       |${pfx}b AS (SELECT *, $best AS best FROM ${pfx}c),
+       |${pfx}lang AS (SELECT doc_id,
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_pred
+       |FROM ${pfx}b)""".stripMargin
   }
+
+  /** x82 oracle: fertility (subwords per word under the fitted BPE)
+    * rolled up by predicted language — the tokenizer-fit-per-language
+    * report, composed from the two already-green restatements
+    * ([[bpeSegCtes]] × [[langPredCtes]]).
+    */
+  private def fertilityByLangSql(merges: Seq[TextOps.BpeMerge]): String =
+    s"""WITH RECURSIVE
+       |${bpeSegCtes(merges)},
+       |${langPredCtes("lg")}
+       |SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(agg.n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(agg.n_subwords) AS BIGINT) AS n_subwords,
+       |       round(CAST(SUM(agg.n_subwords) AS DOUBLE) / SUM(agg.n_words), 4) AS fertility
+       |FROM agg JOIN lglang USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x53_curation_pipeline" -> curationPipelineSql(),
@@ -2143,27 +2260,11 @@ object ExtensionQueries {
          |SELECT doc_id,
          |       round(round(${qualitySql("toks")}, 6), 4) AS quality_score
          |FROM t ORDER BY 1""".stripMargin,
-    "x04_lang_id" -> {
-      val counts = TextOps.LangMarkers
-        .map { case (lang, words) =>
-          s"len(list_filter(toks, x -> x IN ${inList(words)})) AS c_$lang"
-        }
-        .mkString(",\n       ")
-      val langs = TextOps.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
-      val cases = langs
-        .map(l => s"WHEN c_$l = best AND best > 0 THEN '$l'")
-        .mkString("\n            ")
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
-         |c AS (SELECT doc_id,
-         |       $counts
-         |FROM t),
-         |b AS (SELECT *, $best AS best FROM c)
-         |SELECT doc_id,
-         |       CASE $cases
-         |            ELSE 'und' END AS lang_pred
-         |FROM b ORDER BY 1""".stripMargin
-    },
+    // ONE lang-pick definition (langPredCtes) serves x04 and the x82
+    // per-language fertility rollup
+    "x04_lang_id" ->
+      s"""WITH ${langPredCtes("")}
+         |SELECT doc_id, lang_pred FROM lang ORDER BY 1""".stripMargin,
     "x05_fingerprint" ->
       """SELECT doc_id,
         |       sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -2947,6 +3048,66 @@ object ExtensionQueries {
          |ORDER BY 1, 2""".stripMargin,
     "x79_containment_neardups" -> ContainmentNearDupsSql,
     "x80_heavy_hitters" -> heavyHittersSql(depth = 4, width = 512, topK = 20),
+    // x84 gates against x80's EXACT oracle: the merged two-commit sketch
+    // must equal the one-shot sketch counter-for-counter (linearity)
+    "x84_cms_incremental" -> heavyHittersSql(depth = 4, width = 512, topK = 20),
+    // x85: bigram-slot marginals, all PMI operands cast to DOUBLE before
+    // multiplying (the engine's overflow-proof op order, mirrored)
+    "x85_pmi_collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |              i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+        |      FROM t WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+        |cl AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cl FROM c12 GROUP BY 1),
+        |cr AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cr FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12),
+        |s AS (SELECT c12.w1, c12.w2, c12.c12,
+        |             ln((CAST(c12.c12 AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |                / (CAST(cl.cl AS DOUBLE) * CAST(cr.cr AS DOUBLE))) AS pmi
+        |      FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+        |      WHERE c12.c12 >= 5),
+        |top AS (SELECT w1, w2, c12, pmi FROM s
+        |        ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 20)
+        |SELECT w1, w2, c12, round(pmi, 4) AS pmi FROM top ORDER BY 1, 2""".stripMargin,
+    // x86: the one-aggregate profile re-read per column; temporal bounds
+    // on the epoch-micros axis (epoch_us mirrors unix_micros), null
+    // bounds for non-numerics — never engine-formatted strings
+    "x86_table_profile" ->
+      """WITH s AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(event_id) AS BIGINT) AS nn_event_id,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+        |  MIN(CAST(event_id AS DOUBLE)) AS mn_event_id, MAX(CAST(event_id AS DOUBLE)) AS mx_event_id,
+        |  CAST(COUNT(ts) AS BIGINT) AS nn_ts,
+        |  CAST(COUNT(DISTINCT ts) AS BIGINT) AS nd_ts,
+        |  MIN(CAST(epoch_us(ts) AS DOUBLE)) AS mn_ts, MAX(CAST(epoch_us(ts) AS DOUBLE)) AS mx_ts,
+        |  CAST(COUNT(user_id) AS BIGINT) AS nn_user_id,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+        |  MIN(CAST(user_id AS DOUBLE)) AS mn_user_id, MAX(CAST(user_id AS DOUBLE)) AS mx_user_id,
+        |  CAST(COUNT(event_type) AS BIGINT) AS nn_event_type,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+        |  CAST(COUNT(value) AS BIGINT) AS nn_value,
+        |  CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_value,
+        |  MIN(CAST(value AS DOUBLE)) AS mn_value, MAX(CAST(value AS DOUBLE)) AS mx_value,
+        |  CAST(COUNT(props) AS BIGINT) AS nn_props,
+        |  CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_props
+        |FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS "column", n_rows, n_rows - nn_event_id AS n_nulls,
+        |         nd_event_id AS n_distinct, round(mn_event_id, 4) AS min_num,
+        |         round(mx_event_id, 4) AS max_num FROM s
+        |  UNION ALL SELECT 'event_type', n_rows, n_rows - nn_event_type, nd_event_type,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'props', n_rows, n_rows - nn_props, nd_props,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'ts', n_rows, n_rows - nn_ts, nd_ts,
+        |         round(mn_ts, 4), round(mx_ts, 4) FROM s
+        |  UNION ALL SELECT 'user_id', n_rows, n_rows - nn_user_id, nd_user_id,
+        |         round(mn_user_id, 4), round(mx_user_id, 4) FROM s
+        |  UNION ALL SELECT 'value', n_rows, n_rows - nn_value, nd_value,
+        |         round(mn_value, 4), round(mx_value, 4) FROM s
+        |) ORDER BY "column"""".stripMargin,
     "x83_weighted_sample" -> weightedSampleSql(k = 3, seed = 7L),
     // x67: first-seen day cohorts × activity days; counts are integral
     // so plain round(·,4) on the ratio is partition-order-safe
@@ -3094,6 +3255,7 @@ object ExtensionQueries {
     // rendered only when the fit ran this JVM (the x56 rule below) and
     // produced at least one merge (an empty VALUES list cannot parse)
     "x43_bpe_segments" -> bpeSegmentsSql(m),
+    "x82_tokenizer_fertility" -> fertilityByLangSql(m),
   )).getOrElse(Map.empty) ++ cachedQualityModel.map(m => Map(
     // rendered only when the fit ran this JVM (Verify runs queries before
     // dumping oracles); otherwise these fall back to rows-only

@@ -178,6 +178,8 @@ object PlanAudit {
     "x64_zorder_layout" -> 1,
     // class (a): the bigram LM's one-row (N, V) stats crossJoin
     "x65_bigram_logprob" -> 1,
+    // class (a): PMI's one-row bigram-total crossJoin
+    "x85_pmi_collocations" -> 1,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

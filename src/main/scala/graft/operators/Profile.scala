@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — the data-quality report every ingest pipeline runs
+  * before trusting a new drop: per column, null count, exact distinct
+  * cardinality, and (for orderable numeric/temporal columns) min/max.
+  * The operator a 100 TB corpus needs to be ONE pass: all measures fold
+  * in a single aggregate over one scan (Spark plans the multi-distinct
+  * via one Expand — still one scan), and the result is a bounded
+  * #columns-row frame exploded from that single aggregate row.
+  *
+  * Exact COUNT(DISTINCT) is the oracle surface (the x28 convention);
+  * swap approx_count_distinct at the scale where a ±2% cardinality is
+  * acceptable — the plan shape is unchanged. Min/max report as DOUBLE
+  * (exact for longs below 2^53 and for microsecond timestamps), with
+  * temporal columns on the epoch-micros axis so one numeric pair of
+  * columns serves every profiled type; non-numeric columns report null
+  * bounds rather than engine-specific string renderings (string
+  * formatting of doubles/timestamps is exactly the cross-engine trap
+  * the oracle conventions exist to avoid).
+  */
+object Profile {
+
+  /** Numeric view of a column when one exists: numerics cast, temporal
+    * types take epoch micros / epoch days. None for everything else.
+    */
+  private def numericView(dt: DataType, c: Column): Option[Column] = dt match {
+    case _: NumericType => Some(c.cast("double"))
+    case _: TimestampType | _: TimestampNTZType =>
+      Some(unix_micros(c.cast("timestamp")).cast("double"))
+    case _: DateType =>
+      Some(datediff(c, lit(java.sql.Date.valueOf("1970-01-01"))).cast("double"))
+    case _ => None
+  }
+
+  /** One row per profiled column: (column, n_rows, n_nulls, n_distinct,
+    * min_num, max_num). `n_distinct` counts distinct NON-NULL values
+    * (SQL COUNT(DISTINCT) semantics on every engine).
+    */
+  def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    val schema = df.schema
+    def num(c: String): Option[Column] = numericView(schema(c).dataType, col(c))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        columns.flatMap { c =>
+          Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c")) ++
+            num(c).toSeq.flatMap(e => Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      val (mn, mx) =
+        if (num(c).isDefined) (col(s"__mn_$c"), col(s"__mx_$c"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        mn.as("min_num"),
+        mx.as("max_num"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+}

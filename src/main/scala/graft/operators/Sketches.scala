@@ -59,6 +59,20 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two sketches of the SAME (depth, width) spec: counters add
+    * cell-wise — CMS is a linear sketch, so build-per-partition /
+    * build-per-day then merge equals one build over the union, EXACTLY
+    * (integer sums; SketchesSpec pins it). This is the incremental
+    * maintenance path: a daily batch builds its own d×w cells (cost =
+    * the batch) and folds into the committed corpus sketch with a
+    * bounded d×w aggregate — the corpus is never re-scanned, the same
+    * O(batch) commit shape as the x29b postings and the BM25 ledger.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("row_i", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate each candidate key against a built sketch: the MIN
     * of its depth counters (missing cells read 0 — a key the sketch
     * never saw estimates 0, never null). The cell table is bounded by

@@ -515,6 +515,59 @@ object TextOps {
     docs.select(col("doc_id"), pick.as("lang_pred"))
   }
 
+  /** Pointwise-mutual-information collocations over ADJACENT token
+    * pairs — the classic corpus-linguistics signal for multiword
+    * expressions ("new york", "machine learning") a tokenizer/phrase
+    * builder wants: PMI = ln(p(w1,w2) / (p(w1)·p(w2))) on bigram-slot
+    * marginals (left-slot count for w1, right-slot for w2), with a
+    * support floor so one-off pairs can't top the chart on noise.
+    *
+    * Scale shape: ONE corpus scan projects the pair stream; ONE shuffle
+    * aggregates it to the distinct-bigram count table; marginals and
+    * the total derive from THAT table (vocabulary-scale aggregates, the
+    * corpus is never rescanned — the count table localCheckpoints for
+    * its four consumers; persist it via a VersionedTable at 100 TB, the
+    * jaccard `materialize` pattern). All PMI operands cast to double
+    * BEFORE multiplying, so a web-scale c(w1)·c(w2) cannot overflow
+    * int64. Top-k is a TakeOrdered on the house rank boundary
+    * (round(pmi,6) DESC, then the pair).
+    */
+  def pmiCollocations(
+      docs: DataFrame, minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    // tokenize into an ATTRIBUTE first (two projections): element_at
+    // inside the transform lambda references its array argument once per
+    // element — on an inline tokens() expression that re-runs the split
+    // per reference, O(n^2·len) per document (the qualityScore /
+    // x25-HOF lesson; measured 6s -> 0.5s on the sf0.1 pair projection)
+    val t = col("__toks")
+    val pairsArr = when(
+      size(t) >= 2,
+      transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = docs.select(tokens(col("text")).as("__toks"))
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val cL = c12.groupBy("w1").agg(sum(col("c12")).as("cl"))
+    val cR = c12.groupBy("w2").agg(sum(col("c12")).as("cr"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    c12.filter(col("c12") >= minCount)
+      .join(cL, Seq("w1"))
+      .join(cR, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        log((col("c12").cast("double") * col("n").cast("double")) /
+          (col("cl").cast("double") * col("cr").cast("double"))))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(CrossRound.r(col("pmi"), 6).desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Document fingerprint: sha-256 over whitespace-normalized, lowercased
     * text — the canonical normalize-then-hash dedup key.
     */

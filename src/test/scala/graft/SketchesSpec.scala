@@ -63,6 +63,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(zero === Seq(0L, 0L))
   }
 
+  test("cmsMerge: split-build-merge equals the one-shot sketch counter-for-counter (linearity)") {
+    val half1 = (1 to 40).flatMap(i => Seq.fill((i + 1) / 2)(s"key_$i")).toDF("token")
+    val half2 = (1 to 40).flatMap(i => Seq.fill(i / 2)(s"key_$i")).toDF("token")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCells(half1, "token", D, W),
+      Sketches.cmsCells(half2, "token", D, W))
+    val oneShot = Sketches.cmsCells(items, "token", D, W)
+    assert(merged.exceptAll(oneShot).count() === 0 &&
+      oneShot.exceptAll(merged).count() === 0)
+    // merging an EMPTY batch is the identity
+    val withEmpty = Sketches.cmsMerge(
+      oneShot, Sketches.cmsCells(items.filter(lit(false)), "token", D, W))
+    assert(withEmpty.exceptAll(oneShot).count() === 0)
+  }
+
   test("sketch and estimates are partition-width deterministic") {
     val a = Sketches.cmsCells(items, "token", D, W)
     val b = Sketches.cmsCells(items.repartition(13), "token", D, W)

@@ -665,6 +665,31 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_app")
   }
 
+  test("pmiCollocations: a planted fixed phrase tops the chart; the support floor holds; deterministic") {
+    import spark.implicits._
+    // "alpha beta" always co-occur (20x); "noise" words pair freely;
+    // "rare gem" appears only 3 times — below the floor of 5
+    val rnd = new scala.util.Random(11)
+    val noise = (1 to 60).map(_ => s"n${rnd.nextInt(8)} m${rnd.nextInt(8)}")
+    val docs = ((1 to 20).map(i => s"alpha beta ${noise(i)} ") ++
+      (1 to 3).map(_ => "rare gem plus filler words here and more"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = TextOps.pmiCollocations(docs, minCount = 5L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty)
+    assert(top.head._1 === "alpha" && top.head._2 === "beta" && top.head._3 === 20L,
+      s"planted collocation should rank first, got ${top.head}")
+    // below-floor pairs never surface regardless of PMI
+    assert(!top.exists(t => t._1 == "rare" && t._2 == "gem"))
+    // PMI of a pair that ALWAYS co-occurs with exclusive slots:
+    // c12 = cl = cr -> pmi = ln(N / c12)
+    val n = TextOps.pmiCollocations(docs, minCount = 1L, topK = 10000).count() // sanity: runs
+    assert(n >= 1)
+    val a = TextOps.pmiCollocations(docs, 5L, 5).collect().map(_.toString).toSeq
+    val b = TextOps.pmiCollocations(docs.repartition(7), 5L, 5).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("bm25 index stats commit WITH the postings (atomic); empty-corpus build appends cleanly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bm25e_").toString + "/idx"
