@@ -1129,6 +1129,79 @@ object ExtensionQueries {
           r4(col("min_num")).as("min_num"), r4(col("max_num")).as("max_num"))
         .orderBy("column")),
 
+    // Batch gap sessionization (x87): the streaming sessionizer's batch
+    // twin — 30-min-gap sessions per user with count/start/end/duration,
+    // every output column integral (drift-free by construction). One
+    // user-partitioned window + the session rollup.
+    "x87_user_sessions" -> ((s, dir) =>
+      EventAnalytics.sessionize(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_id")),
+
+    // Key-skew diagnostic (x88): the hottest join/agg keys with share
+    // and skew factor — the report that decides whether a key needs the
+    // Skew.saltedJoin hatch before running at scale. Exact counts; both
+    // ratios are single divisions of exact longs (plain r4).
+    "x88_key_skew" -> ((s, dir) =>
+      graft.operators.Profile.keySkewReport(
+        Tables.events(s, dir), "user_id", topK = 20)
+        .select(col("user_id"), col("cnt"),
+          r4(col("share")).as("share"), r4(col("skew")).as("skew"))
+        .orderBy("user_id")),
+
+    // Per-type exact value quantiles (x89): p50/p90/p99 with linear
+    // interpolation (ANSI PERCENTILE_CONT on both engines) — exact
+    // percentiles are order-independent, but the two engines' lerp op
+    // order may differ in the last ulp, so the ra collapse applies.
+    "x89_quantile_report" -> ((s, dir) =>
+      graft.operators.Profile.quantileReport(
+        Tables.events(s, dir), "event_type", "value")
+        .select(col("event_type"), col("n"),
+          r4a(col("p50")).as("p50"), r4a(col("p90")).as("p90"),
+          r4a(col("p99")).as("p99"))
+        .orderBy("event_type")),
+
+    // Token-distribution entropy (x90): H = ln n − (Σ c·ln c)/n per doc
+    // — the information-density quality signal (a page cycling three
+    // phrases scores low even when no single line repeats). The Σ term
+    // is a drifty double sum → ra collapse.
+    "x90_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n"), r4a(col("entropy")).as("entropy"))
+        .orderBy("doc_id")),
+
+    // HyperLogLog vocabulary cardinality (x91): the externalizable
+    // register-table distinct sketch next to its exact answer — the
+    // whole estimate (register indices, ranks, harmonic fold,
+    // linear-counting branch) is hash-mirrored in the oracle, so even
+    // the sketch's collision error is gated, not tolerated.
+    "x91_hll_cardinality" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = toks.agg(countDistinct(col("token")).as("n_exact"))
+      Sketches.hllEstimate(Sketches.hllRegisters(toks, "token", p = 9), p = 9)
+        .crossJoin(broadcast(exact))
+        .select(col("m"), col("n_zero"), col("n_exact"),
+          r4(col("est")).as("est"))
+    }),
+
+    // Incremental HLL (x92): the register table built in TWO commits
+    // (base < 250, batch >= 250) and merged register-wise — MAX-merge is
+    // idempotent (the union of the underlying sets exactly), so the
+    // SAME oracle as x91 gates it, the x84/x80 convention for sketch
+    // state.
+    "x92_hll_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      val base = Sketches.hllRegisters(toks(docs.filter(col("doc_id") < 250)), "token", p = 9)
+      val batch = Sketches.hllRegisters(toks(docs.filter(col("doc_id") >= 250)), "token", p = 9)
+      val exact = toks(docs).agg(countDistinct(col("token")).as("n_exact"))
+      Sketches.hllEstimate(Sketches.hllMerge(base, batch), p = 9)
+        .crossJoin(broadcast(exact))
+        .select(col("m"), col("n_zero"), col("n_exact"),
+          r4(col("est")).as("est"))
+    }),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -1729,6 +1802,41 @@ object ExtensionQueries {
        |  $cellJoins),
        |top AS (SELECT token, est FROM est ORDER BY est DESC, token LIMIT $topK)
        |SELECT token, est FROM top ORDER BY est DESC, token""".stripMargin
+  }
+
+  /** x91/x92 oracle: the whole HLL pipeline re-run in SQL — xxhash64
+    * string mirror, low-p-bit register index, 32-bit substream rank via
+    * the bin() bit-length trick (arithmetic >> then mask: identical
+    * two's-complement semantics on both engines), MAX-fold to registers,
+    * harmonic fold with absent-register zeros, and the linear-counting
+    * small-range branch. alpha·m² interpolates as the engine's own
+    * pre-folded double so both engines divide by the identical constant.
+    */
+  private def hllCardinalitySql(p: Int): String = {
+    val m = 1 << p
+    val mask = (1L << p) - 1
+    val (sCtes, sLast) = XxHash64Sql.xxhash64StringCtes("tc", "w", "xh", "hs")
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+       |tc AS (SELECT DISTINCT w FROM tok),
+       |$sCtes,
+       |rr AS (SELECT xh & $mask AS idx,
+       |              CASE WHEN ((xh >> $p) & 4294967295) = 0 THEN 33
+       |                   ELSE 33 - length(bin((xh >> $p) & 4294967295)) END AS rho
+       |       FROM $sLast),
+       |regs AS (SELECT idx, MAX(rho) AS rho FROM rr GROUP BY 1),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+       |             COALESCE(SUM(power(2.0, -rho)), 0.0) AS sum_present FROM regs),
+       |x AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact FROM tok),
+       |e AS (SELECT CAST($m AS BIGINT) AS m,
+       |             CAST($m - n_present AS BIGINT) AS n_zero,
+       |             sum_present + CAST($m - n_present AS DOUBLE) AS sum_pow
+       |      FROM a),
+       |r AS (SELECT m, n_zero, ${Sketches.hllAlphaM2(p)} / sum_pow AS raw FROM e)
+       |SELECT m, n_zero, n_exact,
+       |       round(CASE WHEN raw <= ${2.5 * m} AND n_zero > 0
+       |                  THEN $m.0 * ln($m.0 / CAST(n_zero AS DOUBLE))
+       |                  ELSE raw END, 4) AS est
+       |FROM r CROSS JOIN x""".stripMargin
   }
 
   /** x83 oracle: the A-ES draw re-run end-to-end — per-row quality
@@ -3109,6 +3217,69 @@ object ExtensionQueries {
         |         round(mn_value, 4), round(mx_value, 4) FROM s
         |) ORDER BY "column"""".stripMargin,
     "x83_weighted_sample" -> weightedSampleSql(k = 3, seed = 7L),
+    // x87: the gap-session window restated — the cumulative new-session
+    // sum needs the BIGINT cast (DuckDB window SUM(int) is HUGEINT)
+    "x87_user_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS e_us FROM events),
+        |w AS (SELECT user_id, event_id, e_us,
+        |             CASE WHEN e_us - lag(e_us) OVER
+        |                    (PARTITION BY user_id ORDER BY e_us, event_id)
+        |                  <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, e_us,
+        |             CAST(SUM(is_new) OVER
+        |               (PARTITION BY user_id ORDER BY e_us, event_id)
+        |               AS BIGINT) AS session_id
+        |      FROM w)
+        |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(e_us) AS start_us, MAX(e_us) AS end_us,
+        |       MAX(e_us) - MIN(e_us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x88: hot keys by exact count; share and skew mirror the engine's
+    // float op order ((cnt·n_keys)/total; cnt/total)
+    "x88_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |top AS (SELECT c.user_id, c.cnt,
+        |               CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |               CAST(c.cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+        |                 / CAST(t.total AS DOUBLE) AS skew
+        |        FROM c CROSS JOIN t
+        |        ORDER BY c.cnt DESC, c.user_id LIMIT 20)
+        |SELECT user_id, cnt, round(share, 4) AS share, round(skew, 4) AS skew
+        |FROM top ORDER BY 1""".stripMargin,
+    // x89: ANSI PERCENTILE_CONT on both engines (DuckDB quantile_cont);
+    // exact percentiles are order-independent but the lerp's last ulp
+    // may differ per engine — the ra collapse absorbs it
+    "x89_quantile_report" ->
+      """WITH q AS (SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+        |                  quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+        |           FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       round(round(qs[1], 8), 4) AS p50,
+        |       round(round(qs[2], 8), 4) AS p90,
+        |       round(round(qs[3], 8), 4) AS p99
+        |FROM q ORDER BY 1""".stripMargin,
+    // x90: token-distribution entropy; the Σ c·ln c sum is drifty on
+    // both engines → ra collapse on the reported value
+    "x90_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                     w -> len(w) > 0)) AS token
+        |           FROM documents),
+        |c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n,
+        |       round(round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 8), 4) AS entropy
+        |FROM a ORDER BY 1""".stripMargin,
+    "x91_hll_cardinality" -> hllCardinalitySql(p = 9),
+    // x92 gates against x91's EXACT oracle: MAX-merged two-commit
+    // registers must equal the one-shot registers (idempotent union)
+    "x92_hll_incremental" -> hllCardinalitySql(p = 9),
     // x67: first-seen day cohorts × activity days; counts are integral
     // so plain round(·,4) on the ratio is partition-order-safe
     "x67_retention_cohorts" ->

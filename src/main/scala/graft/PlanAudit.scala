@@ -180,6 +180,11 @@ object PlanAudit {
     "x65_bigram_logprob" -> 1,
     // class (a): PMI's one-row bigram-total crossJoin
     "x85_pmi_collocations" -> 1,
+    // class (a): the skew report's one-row totals crossJoin
+    "x88_key_skew" -> 1,
+    // class (a): the HLL reports' one-row exact-count crossJoin
+    "x91_hll_cardinality" -> 1,
+    "x92_hll_incremental" -> 1,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

@@ -138,6 +138,40 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Batch gap-based sessionization — the batch twin of the streaming
+    * sessionizer (`Ingest.sessionize`): a user's events split into
+    * sessions wherever the gap to the previous event exceeds
+    * `gapMinutes`. One row per session with its event count, start/end
+    * (epoch micros — the engine-portable time axis) and duration.
+    * Every output column is integral, so the row is drift-free by
+    * construction (no float collapse anywhere).
+    *
+    * Shape: ONE shuffle on user_id for the lag/cumsum window (windows
+    * partition by user — user-cardinality state, never a corpus-wide
+    * sort), then the per-session rollup groupBy. The window's order key
+    * is (ts, event_id) so simultaneous events are deterministically
+    * ordered on every engine and at every parallelism.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, "session gap must be positive")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("e_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), us.as("e_us"))
+      .withColumn("is_new",
+        when(col("e_us") - lag(col("e_us"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("session_id", sum(col("is_new")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("e_us")).as("start_us"),
+        max(col("e_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** Ordered funnel conversion: how many users performed `steps` in
     * order, every later step within `horizonDays` of their FIRST step-1
     * event. t_0 is the user's earliest step-1 event; t_i is the

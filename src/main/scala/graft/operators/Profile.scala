@@ -65,4 +65,63 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Key-skew diagnostic — the report that decides whether a join or
+    * aggregation on `key` needs the salting hatch (`Skew.saltedJoin`)
+    * before it runs at scale: the `topK` hottest keys with their row
+    * count, corpus share, and skew factor (count over the mean count
+    * per distinct key — a factor of 1 is perfectly uniform; a factor of
+    * 50 on a join key is the straggler that kills the stage). Exact
+    * integer counts; the two ratios are single divisions of exact longs
+    * (deterministic doubles, no aggregate-drift collapse needed).
+    *
+    * Shape: one shuffle to per-key counts (map-side combinable), then a
+    * bounded (1-row) totals aggregate broadcast back, then TakeOrdered
+    * for the top-k — never a global sort. The totals row derives from
+    * the COUNT TABLE (key-cardinality), not a second corpus scan.
+    */
+  def keySkewReport(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val totals = counts.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col(key),
+        col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("skew"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topK)
+  }
+
+  /** Per-group exact quantile report over a numeric column — the
+    * distribution summary (p50/p90/p99) that sizing, SLA, and outlier
+    * decisions read. EXACT percentiles with linear interpolation (the
+    * ANSI PERCENTILE_CONT definition both Spark's `percentile` and
+    * DuckDB's `quantile_cont` implement): order-independent, so the
+    * result is a deterministic double expression needing no
+    * aggregate-drift collapse. Exact percentile buffers each group's
+    * values — the oracle surface; at the 100 TB grain swap
+    * `approx_percentile` (KLL-style mergeable sketch, same plan shape,
+    * ±ε rank error) where a bounded-memory task is worth the epsilon.
+    */
+  def quantileReport(
+      df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(col(valueCol)).as("n"),
+        percentile(col(valueCol), array(probs.map(lit): _*)).as("__q"))
+      .select(
+        col(groupCol) +: col("n") +:
+          probs.indices.map(i =>
+            element_at(col("__q"), i + 1)
+              .as(s"p${(probs(i) * 100).round}")): _*)
+  }
 }

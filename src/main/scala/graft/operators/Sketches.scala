@@ -73,6 +73,93 @@ object Sketches {
       .groupBy("row_i", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
 
+  // -------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007) — the bounded-memory DISTINCT
+  // counter, the counting twin of the CMS frequency sketch: m = 2^p
+  // registers each holding the maximum leading-zero rank seen among the
+  // hashes routed to it. Where CMS merges by cell-wise ADDITION (linear),
+  // HLL merges by register-wise MAX (idempotent) — so re-ingesting the
+  // same batch twice cannot inflate the estimate, and per-day register
+  // tables fold into the committed corpus sketch with a bounded m-row
+  // aggregate (the O(batch) incremental shape again). Spark's own
+  // approx_count_distinct is this sketch fused into an aggregate, but
+  // its binary state can't be externalized, versioned, or merged across
+  // engines — this register-table form can (and is exactly
+  // oracle-mirrorable, collisions included).
+  //
+  // Bit layout per key (engine-portable two's-complement ops only —
+  // arithmetic >> then mask, identical in Spark and DuckDB): register
+  // index = low p bits of xxhash64(key); rank substream = the next 32
+  // bits; rho = (leading zeros in those 32 bits) + 1 via the bin()
+  // bit-length mirror, 33 when the substream is all-zero.
+  // -------------------------------------------------------------------
+
+  /** Pre-folded alpha_m · m² of the raw-estimate formula (m ≥ 128
+    * form) — ONE Scala double, interpolated verbatim into the oracle so
+    * both engines divide by the identical constant.
+    */
+  def hllAlphaM2(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1.0 + 1.079 / m) * m * m
+  }
+
+  /** Build the register table: one pass, one shuffle of at most m cells
+    * per task (groupBy-MAX is map-side combinable and bounded exactly
+    * like the CMS build). Duplicate occurrences are free — MAX is
+    * idempotent, so no distinct pre-shuffle is ever needed.
+    */
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+    val m = 1L << p
+    val h = xxhash64(col(keyCol))
+    val w = shiftright(h, p).bitwiseAND(lit(4294967295L))
+    val rho = when(w === 0, lit(33L))
+      .otherwise(lit(33L) - length(bin(w)).cast("long"))
+    items
+      .select(h.bitwiseAND(lit(m - 1)).as("idx"), rho.as("rho"))
+      .groupBy("idx")
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge two register tables of the SAME precision: register-wise MAX
+    * (idempotent — the union of the underlying sets, exactly; SketchesSpec
+    * pins merge ≡ one-shot build, and that re-merging a batch is a
+    * no-op).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("idx")
+      .agg(max(col("rho")).as("rho"))
+
+  /** Estimate distinct count from a register table: harmonic mean of
+    * 2^-rho over all m registers (absent rows are zero registers), with
+    * Flajolet's small-range linear-counting correction. One bounded
+    * aggregate over an ≤ m-row table. Every term is an exact power of
+    * two within a 33-exponent span, so the sum — and therefore the
+    * estimate — is order-exact in double precision: plain r4, no drift
+    * collapse. (The large-range 2^32 correction is omitted: the 32-bit
+    * substream saturates far beyond any corpus this serves at p ≤ 16.)
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+    val m = 1 << p
+    registers
+      .agg(
+        count(lit(1)).as("n_present"),
+        coalesce(sum(pow(lit(2.0), -col("rho").cast("double"))), lit(0.0))
+          .as("sum_present"))
+      .withColumn("n_zero", lit(m.toLong) - col("n_present"))
+      .withColumn("sum_pow",
+        col("sum_present") + col("n_zero").cast("double"))
+      .withColumn("raw", lit(hllAlphaM2(p)) / col("sum_pow"))
+      .select(
+        lit(m.toLong).as("m"),
+        col("n_zero"),
+        when(col("raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("raw")).as("est"))
+  }
+
   /** Point-estimate each candidate key against a built sketch: the MIN
     * of its depth counters (missing cells read 0 — a key the sketch
     * never saw estimates 0, never null). The cell table is bounded by

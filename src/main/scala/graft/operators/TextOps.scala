@@ -568,6 +568,35 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Per-document Shannon entropy of the token distribution —
+    * H = ln(n) − (Σ c·ln c)/n over the token counts — the
+    * information-density quality signal that separates natural prose
+    * (high entropy) from boilerplate, keyword stuffing, and generated
+    * repetition (low entropy) in a way raw repetition ratios miss:
+    * a page that cycles three phrases scores low even though no single
+    * line repeats. Nats, not bits (ln, portable across engines).
+    *
+    * Scale shape: the TF shape — one explode + one map-combinable
+    * groupBy to (doc, token) counts, one more to the per-doc fold.
+    * The Σ c·ln c term sums doubles in partition order, so the reported
+    * entropy rides the aggregate-drift (ra) collapse downstream.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("__clogc"))
+      .select(
+        col("doc_id"), col("n"),
+        (log(col("n").cast("double")) - col("__clogc") / col("n").cast("double"))
+          .as("entropy"))
+
   /** Document fingerprint: sha-256 over whitespace-normalized, lowercased
     * text — the canonical normalize-then-hash dedup key.
     */

@@ -114,6 +114,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(medA >= 4.0 && medA <= 6.0, s"median should resist the spike, got $medA")
   }
 
+  test("sessionize: gap splits, inclusive boundary, single-event sessions, per-user independence") {
+    val df = Seq(
+      // user 1: three events 10 min apart (one session), then a 31-min
+      // gap (new session with one event)
+      (1L, 100L, "2024-01-01 10:00:00"),
+      (1L, 101L, "2024-01-01 10:10:00"),
+      (1L, 102L, "2024-01-01 10:20:00"),
+      (1L, 103L, "2024-01-01 10:51:00"),
+      // user 2: a gap of EXACTLY 30 min stays in-session (<= boundary)
+      (2L, 200L, "2024-01-01 09:00:00"),
+      (2L, 201L, "2024-01-01 09:30:00"))
+      .toDF("user_id", "event_id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.sessionize(df, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(got.size === 3)
+    assert(got((1L, 1L)) === ((3L, 1200000000L))) // 3 events, 20 min span
+    assert(got((1L, 2L)) === ((1L, 0L)))          // singleton session
+    assert(got((2L, 1L)) === ((2L, 1800000000L))) // exact-gap stays joined
+    // width determinism
+    val a = EventAnalytics.sessionize(df, 30).collect().map(_.toString).sorted.toSeq
+    val b = EventAnalytics.sessionize(df.repartition(7), 30).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("funnel: ordered semantics, horizon, and the pre-step-1 event that must not hide a later one") {
     val events = ev(
       // u1: clean signup -> view -> purchase inside the horizon

@@ -38,6 +38,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(mx.get - mn.get === 2.5 * dayUs)
   }
 
+  test("keySkewReport: hot keys, shares, and the skew factor that names the salting candidate") {
+    // key 7 dominates: 60 of 100 rows; nine other keys 4-5 rows each
+    val rows = Seq.fill(60)(7L) ++ (1L to 8L).flatMap(k => Seq.fill(5)(k * 100L))
+    val df = rows.toDF("k")
+    val got = Profile.keySkewReport(df, "k", topK = 3).collect()
+    assert(got.length === 3)
+    val top = got.head
+    assert(top.getLong(0) === 7L && top.getLong(1) === 60L)
+    assert(math.abs(top.getDouble(2) - 0.6) < 1e-12)
+    // 9 distinct keys, mean count 100/9 -> skew = 60 * 9 / 100 = 5.4
+    assert(math.abs(top.getDouble(3) - 5.4) < 1e-12)
+    // uniform ties order by key ascending after the count
+    assert(got(1).getLong(0) === 100L && got(2).getLong(0) === 200L)
+  }
+
+  test("quantileReport: exact interpolated percentiles per group, nulls ignored") {
+    val df = ((1 to 100).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", None), ("b", Some(10.0)), ("b", Some(20.0))))
+      .toDF("g", "v")
+    val got = Profile.quantileReport(df, "g", "v", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 1..100: PERCENTILE_CONT lerps at rank p(n-1): p50 = 50.5, p90 = 90.1, p99 = 98.01 + 0.99 ~= 99.01
+    val (n, p50, p90, p99) = got("a")
+    assert(n === 100L)
+    assert(math.abs(p50 - 50.5) < 1e-9)
+    assert(math.abs(p90 - 90.1) < 1e-9)
+    assert(math.abs(p99 - 99.01) < 1e-9)
+    val (nb, b50, b90, b99) = got("b")
+    assert(nb === 2L && math.abs(b50 - 15.0) < 1e-9 && math.abs(b99 - 19.9) < 1e-9 && b90 === 19.0)
+  }
+
   test("tableProfile: single aggregate — the plan scans the input once") {
     val df = (1L to 100L).map(i => (i, s"s$i", i * 1.5)).toDF("a", "b", "c")
     val plan = Profile.tableProfile(df, Seq("a", "b", "c"))

@@ -78,6 +78,50 @@ class SketchesSpec extends AnyFunSuite {
     assert(withEmpty.exceptAll(oneShot).count() === 0)
   }
 
+  test("hll: estimate lands near exact, registers are bounded, merge is the idempotent union") {
+    val P = 9
+    val keys = (1 to 3000).map(i => s"tok_$i")
+    val corpus = keys.flatMap(k => Seq(k, k)).toDF("token") // duplicates are free
+    val regs = Sketches.hllRegisters(corpus, "token", P).cache()
+    assert(regs.count() <= (1L << P))
+    val est = Sketches.hllEstimate(regs, P).collect().head.getDouble(2)
+    // p=9 → ~4.6% std error; 15% is a generous 3-sigma band
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.15, s"est $est too far from 3000")
+    // split-build-MAX-merge equals the one-shot registers exactly
+    val half1 = keys.take(1700).toDF("token")
+    val half2 = keys.drop(1300).toDF("token") // overlapping halves — union semantics
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(half1, "token", P),
+      Sketches.hllRegisters(half2, "token", P))
+    assert(merged.exceptAll(regs).count() === 0 &&
+      regs.exceptAll(merged).count() === 0)
+    // re-merging an already-ingested batch is a no-op (idempotence)
+    val again = Sketches.hllMerge(regs, Sketches.hllRegisters(half1, "token", P))
+    assert(again.exceptAll(regs).count() === 0 &&
+      regs.exceptAll(again).count() === 0)
+  }
+
+  test("hll: small-range linear counting is exact-ish at tiny cardinality; empty input estimates 0") {
+    val P = 9
+    val tiny = (1 to 5).map(i => s"k$i").toDF("token")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tiny, "token", P), P).collect().head
+    // 5 distinct, 512 registers: no collision plausible; m·ln(m/V) with
+    // V = 507 gives 5.02… — within half a count of truth
+    assert(math.abs(est.getDouble(2) - 5.0) < 1.0)
+    val empty = Sketches.hllEstimate(
+      Sketches.hllRegisters(tiny.filter(lit(false)), "token", P), P)
+      .collect().head
+    assert(empty.getLong(1) === (1L << P) && empty.getDouble(2) === 0.0)
+  }
+
+  test("hll registers are partition-width deterministic") {
+    val corpus = (1 to 2000).map(i => s"tok_$i").toDF("token")
+    val a = Sketches.hllRegisters(corpus, "token", 9)
+    val b = Sketches.hllRegisters(corpus.repartition(13), "token", 9)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("sketch and estimates are partition-width deterministic") {
     val a = Sketches.cmsCells(items, "token", D, W)
     val b = Sketches.cmsCells(items.repartition(13), "token", D, W)

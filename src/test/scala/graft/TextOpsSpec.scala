@@ -690,6 +690,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("tokenEntropy: uniform tokens maximize, repetition collapses, hand-check ln values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform over 4 -> H = ln 4
+      (2L, "a a a a"),        // single token -> H = 0
+      (3L, "a a b b"),        // uniform over 2 -> H = ln 2
+      (4L, "a a a b")         // skewed -> ln 4 - (3 ln 3)/4
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 4L)
+    assert(math.abs(got(1L)._2 - math.log(4)) < 1e-12)
+    assert(got(2L)._2 === 0.0)
+    assert(math.abs(got(3L)._2 - math.log(2)) < 1e-12)
+    assert(math.abs(got(4L)._2 - (math.log(4) - 3 * math.log(3) / 4)) < 1e-12)
+    // the boilerplate-cycling page scores BELOW natural prose of the
+    // same length — the signal the operator exists for
+    val cycling = Seq((1L, "buy now click here buy now click here buy now click here")).toDF("doc_id", "text")
+    val prose = Seq((1L, "the quick brown fox jumps over a lazy dog near the river bank")).toDF("doc_id", "text")
+    val hc = TextOps.tokenEntropy(cycling).collect().head.getDouble(2)
+    val hp = TextOps.tokenEntropy(prose).collect().head.getDouble(2)
+    assert(hc < hp)
+  }
+
   test("bm25 index stats commit WITH the postings (atomic); empty-corpus build appends cleanly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bm25e_").toString + "/idx"
