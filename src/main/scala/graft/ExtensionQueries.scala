@@ -1202,6 +1202,84 @@ object ExtensionQueries {
           r4(col("est")).as("est"))
     }),
 
+    // Rolling 7-day distinct users (x93): the sliding-window cardinality
+    // report exact distinct cannot serve at scale (a range-join DISTINCT
+    // re-shuffles the corpus per window). Here the corpus folds ONCE into
+    // per-day HLL register tables (one map-side-combinable shuffle,
+    // bounded days×m cells); the 7-day windows then MAX-merge registers
+    // in sketch space — the days×registers range join touches only
+    // bounded frames. The whole estimate is hash-mirrored (the x91
+    // convention): even collision error is gated, not tolerated.
+    "x93_rolling_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val regs = Sketches.hllRegistersHashed(
+        e, xxhash64(lit(93L), col("user_id")), Seq("day"), p = 9)
+      val days = e.select("day").distinct()
+      val win = days.as("d")
+        .join(regs.as("r"),
+          col("r.day").between(date_sub(col("d.day"), 6), col("d.day")))
+        .groupBy(col("d.day").as("day"), col("idx"))
+        .agg(max(col("rho")).as("rho"))
+      Sketches.hllEstimateKeyed(win, Seq("day"), p = 9)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("m"), col("n_zero"), r4(col("est")).as("est"))
+        .orderBy("day")
+    }),
+
+    // Data-validation report (x94): the Deequ-style check battery in
+    // long format — every single-table check folds in ONE aggregate per
+    // table (one scan each however many checks), plus the one genuine
+    // two-input check (FK orphans) as a LEFT ANTI join. Metrics are
+    // exact counts or single divisions of exact longs (plain r4); pass
+    // verdicts compare exact zeroes of the UNROUNDED metric.
+    "x94_validation_report" -> ((s, dir) => {
+      import graft.operators.Validation._
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val li = Tables.lineitem(s, dir)
+      checksReport(orders, "orders", Seq(
+          rowCount, dupCount("o_orderkey"), nullFrac("o_custkey"),
+          violFrac("nonpos_frac_o_totalprice", col("o_totalprice") <= 0)))
+        .unionByName(checksReport(cust, "customer", Seq(
+          rowCount, dupCount("c_custkey"), nullFrac("c_name"))))
+        .unionByName(checksReport(li, "lineitem", Seq(
+          rowCount, nullFrac("l_shipdate"),
+          violFrac("oor_frac_l_quantity", !col("l_quantity").between(1, 50)))))
+        .unionByName(fkOrphans(orders, "o_custkey", cust, "c_custkey", "orders"))
+        .select(col("table_name"), col("check_name"),
+          r4(col("metric")).as("metric"), col("pass"))
+        .orderBy("table_name", "check_name")
+    }),
+
+    // PSI drift report (x95): reference slice (doc_id < 250) vs current
+    // (>= 250) over fixed-width n_chars bins — two bounded histogram
+    // folds, a broadcast join onto the dense 20-bin spine, whole-frame
+    // window totals over that spine. Smoothed ratios and the log make
+    // every term a drifty-free single expression, but the TOTAL is a
+    // 20-term double sum whose order the window doesn't pin → ra on
+    // both columns.
+    "x95_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Profile.psiReport(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "n_chars", binWidth = 30, nBins = 20)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          r4a(col("psi_term")).as("psi_term"),
+          r4a(col("psi_total")).as("psi_total"))
+        .orderBy("bin")
+    }),
+
+    // JL random projection (x96): 64-d float embeddings compressed to
+    // 8 dims through the hash-derived ±1/√k sign matrix — model-free
+    // (the matrix is a pure function of the seed), corpus scanned once
+    // and shuffled only at the (vec_id, j) partial-sum fold. The 64-term
+    // double sum's order is engine-scheduled → ra collapse.
+    "x96_jl_projection" -> ((s, dir) =>
+      Similarity.jlProject(Tables.embeddings(s, dir), dim = 64, k = 8, seed = 96L)
+        .select(col("vec_id"), col("j"), r4a(col("proj")).as("proj"))
+        .orderBy("vec_id", "j")),
+
     // Cohort retention (x67) at day grain (the fixture spans one
     // month): first-seen cohorts × activity periods, exact distinct
     // actives, ratio against the cohort size.
@@ -1837,6 +1915,135 @@ object ExtensionQueries {
        |                  THEN $m.0 * ln($m.0 / CAST(n_zero AS DOUBLE))
        |                  ELSE raw END, 4) AS est
        |FROM r CROSS JOIN x""".stripMargin
+  }
+
+  /** x93 oracle: per-day registers from the seeded long-hash mirror,
+    * 7-day window MAX-merge via the date-range join, then the full
+    * keyed estimate (harmonic fold + linear-counting branch) per day —
+    * the x91 recipe with a day key.
+    */
+  private def rollingDistinctSql(p: Int, windowDays: Int, seed: Long): String = {
+    val m = 1 << p
+    val mask = (1L << p) - 1
+    val (ctes, last) = XxHash64Sql.xxhash64LongCtes("e", "user_id", "xh", seed, "hu")
+    s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM e),
+       |$ctes,
+       |rr AS (SELECT day, CAST(xh & $mask AS BIGINT) AS idx,
+       |              CASE WHEN ((xh >> $p) & 4294967295) = 0 THEN 33
+       |                   ELSE 33 - length(bin((xh >> $p) & 4294967295)) END AS rho
+       |       FROM $last),
+       |win AS (SELECT d.day AS day, rr.idx, MAX(rr.rho) AS rho
+       |        FROM days d JOIN rr ON rr.day BETWEEN d.day - ${windowDays - 1} AND d.day
+       |        GROUP BY 1, 2),
+       |a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_present,
+       |             SUM(power(2.0, -rho)) AS sum_present FROM win GROUP BY 1),
+       |e2 AS (SELECT day, CAST($m - n_present AS BIGINT) AS n_zero,
+       |              sum_present + CAST($m - n_present AS DOUBLE) AS sum_pow FROM a),
+       |r AS (SELECT day, n_zero, ${Sketches.hllAlphaM2(p)} / sum_pow AS raw FROM e2)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, CAST($m AS BIGINT) AS m, n_zero,
+       |       round(CASE WHEN raw <= ${2.5 * m} AND n_zero > 0
+       |                  THEN $m.0 * ln($m.0 / CAST(n_zero AS DOUBLE))
+       |                  ELSE raw END, 4) AS est
+       |FROM r ORDER BY day""".stripMargin
+  }
+
+  /** x94 oracle: every check as literal SQL over the same tables —
+    * exact counts, single divisions, pass compared on the exact
+    * unrounded zero (the rounding only formats the reported metric).
+    */
+  private val validationReportSql: String =
+    """SELECT * FROM (
+      |SELECT 'orders' AS table_name, 'row_count' AS check_name,
+      |       round(CAST(COUNT(*) AS DOUBLE), 4) AS metric, COUNT(*) > 0 AS pass FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'pk_dup_o_orderkey',
+      |       round(CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE), 4),
+      |       (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'null_frac_o_custkey',
+      |       round(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 4),
+      |       AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'nonpos_frac_o_totalprice',
+      |       round(AVG(CASE WHEN o_totalprice <= 0 THEN 1.0 ELSE 0.0 END), 4),
+      |       AVG(CASE WHEN o_totalprice <= 0 THEN 1.0 ELSE 0.0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'fk_orphans_o_custkey',
+      |       round(CAST(COUNT(*) AS DOUBLE), 4), COUNT(*) = 0
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'customer', 'row_count',
+      |       round(CAST(COUNT(*) AS DOUBLE), 4), COUNT(*) > 0 FROM customer
+      |UNION ALL
+      |SELECT 'customer', 'pk_dup_c_custkey',
+      |       round(CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS DOUBLE), 4),
+      |       (COUNT(c_custkey) - COUNT(DISTINCT c_custkey)) = 0 FROM customer
+      |UNION ALL
+      |SELECT 'customer', 'null_frac_c_name',
+      |       round(AVG(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END), 4),
+      |       AVG(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END) = 0 FROM customer
+      |UNION ALL
+      |SELECT 'lineitem', 'row_count',
+      |       round(CAST(COUNT(*) AS DOUBLE), 4), COUNT(*) > 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'null_frac_l_shipdate',
+      |       round(AVG(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END), 4),
+      |       AVG(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'oor_frac_l_quantity',
+      |       round(AVG(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1.0 ELSE 0.0 END), 4),
+      |       AVG(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1.0 ELSE 0.0 END) = 0 FROM lineitem
+      |) ORDER BY table_name, check_name""".stripMargin
+
+  /** x95 oracle: the same clamped fixed-width binning, dense bin spine,
+    * Laplace-smoothed ratios and per-bin PSI terms, totals as
+    * whole-frame window sums (20-term double sums → ra on both sides).
+    */
+  private def psiDriftSql(width: Int, nBins: Int, split: Long): String = {
+    val sm = 0.5 * nBins
+    def bin(f: String) = s"LEAST(GREATEST($f // $width, 0), ${nBins - 1})"
+    s"""WITH b AS (SELECT CAST(unnest(generate_series(0, ${nBins - 1})) AS BIGINT) AS bin),
+       |r AS (SELECT ${bin("n_chars")} AS bin, COUNT(*) AS n
+       |      FROM documents WHERE doc_id < $split GROUP BY 1),
+       |c AS (SELECT ${bin("n_chars")} AS bin, COUNT(*) AS n
+       |      FROM documents WHERE doc_id >= $split GROUP BY 1),
+       |j AS (SELECT b.bin, COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+       |      FROM b LEFT JOIN r ON r.bin = b.bin LEFT JOIN c ON c.bin = b.bin),
+       |t AS (SELECT *, CAST(SUM(n_ref) OVER () AS DOUBLE) AS tr,
+       |             CAST(SUM(n_cur) OVER () AS DOUBLE) AS tc FROM j),
+       |p AS (SELECT bin, n_ref, n_cur,
+       |             ((n_ref + 0.5) / (tr + $sm) - (n_cur + 0.5) / (tc + $sm))
+       |               * ln(((n_ref + 0.5) / (tr + $sm)) / ((n_cur + 0.5) / (tc + $sm))) AS term
+       |      FROM t)
+       |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       |       round(round(term, 8), 4) AS psi_term,
+       |       round(round(SUM(term) OVER (), 8), 4) AS psi_total
+       |FROM p ORDER BY bin""".stripMargin
+  }
+
+  /** x96 oracle: the dim×k sign matrix re-derived from the seeded
+    * long-hash mirror over the flat index, embeddings unnested with
+    * 0-based subscripts, cells summed per (vec_id, j) — order-drifty
+    * 64-term double sums → ra.
+    */
+  private def jlProjectionSql(dim: Int, k: Int, seed: Long): String = {
+    val (ctes, last) = XxHash64Sql.xxhash64LongCtes("m0", "f", "xh", seed, "sg")
+    s"""WITH m0 AS (SELECT CAST(unnest(generate_series(0, ${dim * k - 1})) AS BIGINT) AS f),
+       |$ctes,
+       |sgn AS (SELECT f // $k AS i, f % $k AS j,
+       |               CASE WHEN (xh & 1) = 1 THEN 1.0 ELSE -1.0 END AS sgn
+       |        FROM $last),
+       |ev AS (SELECT vec_id,
+       |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |              unnest(embedding) AS v
+       |       FROM embeddings),
+       |p AS (SELECT vec_id, j, SUM(CAST(v AS DOUBLE) * sgn) / sqrt(${k}.0) AS proj
+       |      FROM ev JOIN sgn USING (i)
+       |      GROUP BY 1, 2)
+       |SELECT vec_id, CAST(j AS BIGINT) AS j, round(round(proj, 8), 4) AS proj
+       |FROM p ORDER BY 1, 2""".stripMargin
   }
 
   /** x83 oracle: the A-ES draw re-run end-to-end — per-row quality
@@ -3277,6 +3484,10 @@ object ExtensionQueries {
         |       round(round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 8), 4) AS entropy
         |FROM a ORDER BY 1""".stripMargin,
     "x91_hll_cardinality" -> hllCardinalitySql(p = 9),
+    "x93_rolling_distinct" -> rollingDistinctSql(p = 9, windowDays = 7, seed = 93L),
+    "x94_validation_report" -> validationReportSql,
+    "x95_psi_drift" -> psiDriftSql(width = 30, nBins = 20, split = 250L),
+    "x96_jl_projection" -> jlProjectionSql(dim = 64, k = 8, seed = 96L),
     // x92 gates against x91's EXACT oracle: MAX-merged two-commit
     // registers must equal the one-shot registers (idempotent union)
     "x92_hll_incremental" -> hllCardinalitySql(p = 9),

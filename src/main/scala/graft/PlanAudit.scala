@@ -185,6 +185,10 @@ object PlanAudit {
     // class (a): the HLL reports' one-row exact-count crossJoin
     "x91_hll_cardinality" -> 1,
     "x92_hll_incremental" -> 1,
+    // class (a) variant: the day-spine × register-table RANGE join of
+    // x93's window merge — both sides bounded (|days| and days×m sketch
+    // cells), the corpus itself folded before the join
+    "x93_rolling_distinct" -> 1,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

@@ -124,4 +124,48 @@ object Profile {
             element_at(col("__q"), i + 1)
               .as(s"p${(probs(i) * 100).round}")): _*)
   }
+
+  /** Population Stability Index between a reference slice and a current
+    * slice — the drift report that decides whether a new corpus drop
+    * still looks like the one the downstream models were trained on.
+    * `feature` (a non-negative integral column) is binned fixed-width
+    * into `nBins` buckets (overflow clamps into the last), both slices'
+    * bin histograms are Laplace-smoothed (+0.5 per bin, so empty bins
+    * contribute a finite term instead of a log-of-zero), and each bin
+    * reports its PSI term (p−q)·ln(p/q) plus the repeated total
+    * (PSI < 0.1 stable / 0.1–0.25 drifting / > 0.25 shifted is the
+    * standard reading).
+    *
+    * Shape: one scan + one bounded groupBy per slice, a broadcast join
+    * onto the dense nBins-row bin spine, and whole-frame window sums
+    * over that bounded spine for the totals — the corpus is never
+    * joined, never windowed; everything after the two histogram folds
+    * lives in nBins-row space.
+    */
+  def psiReport(
+      ref: DataFrame, cur: DataFrame, feature: String,
+      binWidth: Int, nBins: Int): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(nBins > 1, "need at least two bins")
+    def binned(df: DataFrame, n: String) =
+      df.select(
+          least(greatest(expr(s"$feature div $binWidth"), lit(0L)),
+            lit(nBins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val bins = ref.sparkSession.range(nBins.toLong).select(col("id").as("bin"))
+    val joined = bins
+      .join(broadcast(binned(ref, "n_ref")), Seq("bin"), "left")
+      .join(broadcast(binned(cur, "n_cur")), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    // no orderBy → the frame is the whole (single, nBins-row) partition
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tr = sum(col("n_ref")).over(w).cast("double")
+    val tc = sum(col("n_cur")).over(w).cast("double")
+    val pRef = (col("n_ref").cast("double") + 0.5) / (tr + lit(0.5 * nBins))
+    val pCur = (col("n_cur").cast("double") + 0.5) / (tc + lit(0.5 * nBins))
+    joined
+      .withColumn("psi_term", (pRef - pCur) * log(pRef / pCur))
+      .withColumn("psi_total", sum(col("psi_term")).over(w))
+      .select("bin", "n_ref", "n_cur", "psi_term", "psi_total")
+  }
 }

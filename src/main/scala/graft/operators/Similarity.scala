@@ -1126,4 +1126,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
+
+  /** Johnson–Lindenstrauss random projection: compress `dim`-d embeddings
+    * to `k` dims with a dense ±1/√k sign matrix (Achlioptas 2003 — the
+    * database-friendly JL variant: iid signs preserve pairwise distances
+    * within (1±ε) at k = O(ln n / ε²), no Gaussian sampling needed). The
+    * sign matrix is DERIVED, not drawn: entry (i,j)'s sign is the low
+    * bit of `xxhash64(seed, i·k + j)`, so the projection is a pure
+    * function of (seed, dim, k) — reproducible on any engine that
+    * mirrors the hash, no stored model, no RNG state.
+    *
+    * Shape: the dim×k sign matrix is a bounded `range(dim·k)` frame that
+    * BROADCASTS; the corpus explodes once to (vec_id, i, v) cells and
+    * equi-joins the matrix on i (map-side, k-fanout), then ONE shuffle
+    * folds the (vec_id, j) partial sums — corpus scanned once, never
+    * shuffled at full width. Output is long-format (vec_id, j, proj):
+    * the join-ready layout for downstream banded indexing.
+    */
+  def jlProject(emb: DataFrame, dim: Int, k: Int, seed: Long): DataFrame = {
+    require(dim >= 1 && k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val signs = emb.sparkSession.range(dim.toLong * k).select(
+      expr(s"id div $k").as("i"),
+      (col("id") % k).as("j"),
+      when(xxhash64(lit(seed), col("id")).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+        .otherwise(lit(-1.0)).as("sgn"))
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("i", col("i").cast("long"))
+      .join(broadcast(signs), Seq("i"))
+      .groupBy("vec_id", "j")
+      .agg((sum(col("v").cast("double") * col("sgn")) / math.sqrt(k.toDouble))
+        .as("proj"))
+  }
 }

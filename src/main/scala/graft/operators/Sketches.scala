@@ -108,16 +108,34 @@ object Sketches {
     * like the CMS build). Duplicate occurrences are free — MAX is
     * idempotent, so no distinct pre-shuffle is ever needed.
     */
-  def hllRegisters(items: DataFrame, keyCol: String, p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllRegistersHashed(items, xxhash64(col(keyCol)), Nil, p)
+
+  /** Register cells of a pre-computed 64-bit hash: (idx, rho) from the
+    * low p bits / the 32-bit substream above them — shared by the flat
+    * and keyed builders so one formula is what every oracle mirrors.
+    */
+  private def hllCells(h: Column, p: Int): (Column, Column) = {
     val m = 1L << p
-    val h = xxhash64(col(keyCol))
     val w = shiftright(h, p).bitwiseAND(lit(4294967295L))
     val rho = when(w === 0, lit(33L))
       .otherwise(lit(33L) - length(bin(w)).cast("long"))
+    (h.bitwiseAND(lit(m - 1)).as("idx"), rho.as("rho"))
+  }
+
+  /** Keyed register build over an arbitrary hash expression: one sketch
+    * per `groupCols` value (e.g. per day), still ONE map-side-combinable
+    * shuffle bounded by |groups| × m cells. Taking the hash as a Column
+    * lets callers pick a seeded `xxhash64(lit(seed), key)` the oracle
+    * mirrors with the long CTE chain.
+    */
+  def hllRegistersHashed(
+      items: DataFrame, hash: Column, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+    val (idx, rho) = hllCells(hash, p)
     items
-      .select(h.bitwiseAND(lit(m - 1)).as("idx"), rho.as("rho"))
-      .groupBy("idx")
+      .select(groupCols.map(col) ++ Seq(idx, rho): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max(col("rho")).as("rho"))
   }
 
@@ -140,10 +158,21 @@ object Sketches {
     * collapse. (The large-range 2^32 correction is omitted: the 32-bit
     * substream saturates far beyond any corpus this serves at p ≤ 16.)
     */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateKeyed(registers, Nil, p)
+
+  /** The same estimate per `groupCols` value (one row per group's
+    * sketch): a grouped aggregate over a |groups| × ≤ m register table —
+    * the serving shape for per-window / per-slice cardinality reports
+    * where the corpus was folded once and everything after lives in
+    * sketch space.
+    */
+  def hllEstimateKeyed(
+      registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
     val m = 1 << p
     registers
+      .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_present"),
         coalesce(sum(pow(lit(2.0), -col("rho").cast("double"))), lit(0.0))
@@ -153,11 +182,12 @@ object Sketches {
         col("sum_present") + col("n_zero").cast("double"))
       .withColumn("raw", lit(hllAlphaM2(p)) / col("sum_pow"))
       .select(
-        lit(m.toLong).as("m"),
-        col("n_zero"),
-        when(col("raw") <= lit(2.5 * m) && col("n_zero") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
-          .otherwise(col("raw")).as("est"))
+        groupCols.map(col) ++ Seq(
+          lit(m.toLong).as("m"),
+          col("n_zero"),
+          when(col("raw") <= lit(2.5 * m) && col("n_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+            .otherwise(col("raw")).as("est")): _*)
   }
 
   /** Point-estimate each candidate key against a built sketch: the MIN

@@ -77,4 +77,32 @@ class ProfileSpec extends AnyFunSuite {
     val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).length
     assert(scans === 1, s"expected one scan of the input:\n${plan.take(800)}")
   }
+
+  test("psiReport: identical slices score zero, dense spine, clamped overflow bin") {
+    // identical distributions → p == q in every bin → every term exactly 0
+    val slice = (1 to 60).map(i => Tuple1((i % 120).toLong)).toDF("f")
+    val same = Profile.psiReport(slice, slice, "f", binWidth = 30, nBins = 4)
+      .collect()
+    assert(same.length === 4, "one row per bin, empty bins included")
+    assert(same.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(same.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+    // values beyond nBins·width land in the LAST bin, not off the spine
+    val over = Seq(1000L, 5L).toDF("f")
+    val bins = Profile.psiReport(over, over, "f", binWidth = 30, nBins = 4)
+      .filter(col("n_ref") > 0).collect().map(_.getLong(0)).sorted.toSeq
+    assert(bins === Seq(0L, 3L))
+  }
+
+  test("psiReport: a genuine shift scores large; terms are nonnegative and sum to the total") {
+    val ref = (1 to 100).map(_ => Tuple1(10L)).toDF("f")   // all mass bin 0
+    val cur = (1 to 100).map(_ => Tuple1(100L)).toDF("f")  // all mass bin 3
+    val rows = Profile.psiReport(ref, cur, "f", binWidth = 30, nBins = 4)
+      .collect()
+    val terms = rows.map(_.getDouble(3))
+    val total = rows.map(_.getDouble(4)).distinct
+    // PSI terms (p−q)·ln(p/q) are individually nonnegative
+    assert(terms.forall(_ >= 0.0))
+    assert(total.length === 1 && math.abs(terms.sum - total.head) < 1e-12)
+    assert(total.head > 0.25, s"full mass shift must read 'shifted', got ${total.head}")
+  }
 }

@@ -456,6 +456,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(incremental === whole)
   }
 
+  test("jlProject: k cells per vector, linear, seed-determined, partition-width deterministic") {
+    val d = 16
+    val k = 4
+    def vecs(rows: Seq[(Long, Seq[Float])]): DataFrame =
+      rows.toDF("vec_id", "embedding")
+    val a = Seq.tabulate(d)(i => (i + 1).toFloat)
+    val b = Seq.tabulate(d)(i => (2 * i - 5).toFloat)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val base = vecs(Seq((1L, a), (2L, b), (3L, sum)))
+    def projMap(df: DataFrame, seed: Long) =
+      Similarity.jlProject(df, d, k, seed).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p = projMap(base, seed = 96L)
+    // exactly k cells per vector
+    assert(p.size === 3 * k && (0L until k).forall(j => p.contains((1L, j))))
+    // linearity: proj(a + b) == proj(a) + proj(b) (exact small-int doubles)
+    (0L until k).foreach { j =>
+      assert(math.abs(p((3L, j)) - (p((1L, j)) + p((2L, j)))) < 1e-9,
+        s"projection not linear at dim $j")
+    }
+    // the same seed reproduces across partition widths; a different seed differs
+    val wide = projMap(vecs(Seq((1L, a), (2L, b), (3L, sum))).repartition(7), 96L)
+    assert(wide === p)
+    val other = projMap(base, seed = 97L)
+    assert(other !== p, "different seed must give a different projection")
+    // ±1/√k scaling: each cell is a signed sum of the inputs over √k —
+    // |proj| is bounded by Σ|v|/√k
+    val bound = a.map(v => math.abs(v.toDouble)).sum / math.sqrt(k.toDouble)
+    (0L until k).foreach(j => assert(math.abs(p((1L, j))) <= bound + 1e-9))
+  }
+
   test("hardNegatives: same-label positives and near-dup twins are excluded, hardest first") {
     // anchor 0 (label 0); 1 = same-label positive (must be excluded even
     // though it is the most similar); 2 = cross-label near-twin above

@@ -115,6 +115,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(empty.getLong(1) === (1L << P) && empty.getDouble(2) === 0.0)
   }
 
+  test("hll keyed build/estimate slice-equals the flat sketch per group") {
+    val P = 9
+    // two groups with overlapping key sets and different cardinalities
+    val rows = ((1 to 800).map(i => ("a", i.toLong)) ++
+      (500 to 1700).map(i => ("b", i.toLong))).toDF("g", "k")
+    val keyed = Sketches.hllRegistersHashed(
+      rows, xxhash64(lit(93L), col("k")), Seq("g"), P).cache()
+    // each group's register slice is exactly the flat build of that slice
+    Seq("a", "b").foreach { g =>
+      val flat = Sketches.hllRegistersHashed(
+        rows.filter(col("g") === g), xxhash64(lit(93L), col("k")), Nil, P)
+      val slice = keyed.filter(col("g") === g).drop("g")
+      assert(flat.exceptAll(slice).count() === 0 &&
+        slice.exceptAll(flat).count() === 0, s"group $g registers diverge")
+    }
+    // keyed estimate rows carry the group key and match per-slice estimates
+    val est = Sketches.hllEstimateKeyed(keyed, Seq("g"), P)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    Seq("a" -> 800.0, "b" -> 1201.0).foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.15, s"group $g est ${est(g)} vs $n")
+    }
+  }
+
   test("hll registers are partition-width deterministic") {
     val corpus = (1 to 2000).map(i => s"tok_$i").toDF("token")
     val a = Sketches.hllRegisters(corpus, "token", 9)
