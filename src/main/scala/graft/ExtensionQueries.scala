@@ -1270,6 +1270,57 @@ object ExtensionQueries {
         .orderBy("bin")
     }),
 
+    // Histogram quantile sketch (x97): the mergeable value-distribution
+    // summary (CMS=frequencies, HLL=distincts, this=quantiles) — built
+    // in TWO commits (first/second half of the month) and cell-wise
+    // SUM-merged, the x84/x92 incremental convention, so ONE one-shot
+    // oracle gates the merge path too. Estimates interpolate inside the
+    // covering bin and are emitted NEXT TO the exact percentiles (the
+    // x91 est-beside-exact convention): grid error is gated, not
+    // tolerated. Every estimate op is single-op double math → plain r4;
+    // the exact percentile takes the x89 lerp-ulp ra collapse.
+    "x97_hist_quantiles" -> ((s, dir) => {
+      val probs = Seq(0.5, 0.9, 0.99)
+      val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+      val base = Sketches.histCells(
+        ev.filter(dayofmonth(col("ts")) < 16), "value", lo = 0.0, width = 5.0, nBins = 128)
+      val batch = Sketches.histCells(
+        ev.filter(dayofmonth(col("ts")) >= 16), "value", lo = 0.0, width = 5.0, nBins = 128)
+      val parr = array(probs.map(lit): _*)
+      val exact = ev
+        .agg(percentile(col("value"), parr).as("q"))
+        .select(posexplode(col("q")).as(Seq("i", "exact")))
+        .select(element_at(parr, col("i").cast("int") + 1).as("p"), col("exact"))
+      Sketches.histQuantiles(
+          Sketches.histMerge(base, batch), probs, lo = 0.0, width = 5.0)
+        .join(broadcast(exact), Seq("p"))
+        .select(col("p"), col("n"), r4(col("est")).as("est"),
+          r4a(col("exact")).as("exact"))
+        .orderBy("p")
+    }),
+
+    // Cross-source vocabulary overlap (x98): exact Jaccard between every
+    // source pair's distinct-token sets — the corpus-composition report
+    // a mixing recipe reads before weighting "different" sources that
+    // are really the same crawl twice. One distinct shuffle + a
+    // token-keyed self-join whose fan-out is bounded by |sources|², with
+    // pair counts partial-aggregated map-side.
+    "x98_source_overlap" -> ((s, dir) =>
+      TextOps.sourceVocabOverlap(Tables.documents(s, dir))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_inter"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("source_a", "source_b")),
+
+    // Token-budget draw (x99): "give me a 10k-token mix" — per-source
+    // quotas ∝ n^0.5 (temperature allocation), stable-md5-ordered keep
+    // until the running token count crosses the quota (crossing doc
+    // included). All-integer keep decisions against the 6-dp-rounded
+    // quota (the x44 recipe); output is the drawn manifest.
+    "x99_token_budget" -> ((s, dir) =>
+      Splits.tokenBudgetDraw(
+          Tables.documents(s, dir), budgetTokens = 10000L, alpha = 0.5)
+        .orderBy("source", "cum_tokens")),
+
     // JL random projection (x96): 64-d float embeddings compressed to
     // 8 dims through the hash-derived ±1/√k sign matrix — model-free
     // (the matrix is a pure function of the seed), corpus scanned once
@@ -2045,6 +2096,83 @@ object ExtensionQueries {
        |SELECT vec_id, CAST(j AS BIGINT) AS j, round(round(proj, 8), 4) AS proj
        |FROM p ORDER BY 1, 2""".stripMargin
   }
+
+  /** x97 oracle: the histogram cells rebuilt in ONE pass (two-commit
+    * SUM-merge ≡ one-shot, the x84/x92 layout-invariance convention),
+    * running counts as window sums (HUGEINT casts pinned), the covering
+    * bin per probability, the same interpolation parenthesization, and
+    * the exact percentile beside it.
+    */
+  private def histQuantilesSql(
+      lo: Double, width: Double, nBins: Int, probs: Seq[Double]): String = {
+    val plist = probs.mkString("[", ", ", "]")
+    val exactCase = probs.map(p =>
+      s"WHEN p = $p THEN quantile_cont(value, $p)").mkString(" ")
+    s"""WITH c AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - $lo) / $width) AS BIGINT), 0), ${nBins - 1}) AS bin,
+       |                  CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM events GROUP BY 1),
+       |t AS (SELECT bin, cnt,
+       |             CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+       |             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+       |      FROM c),
+       |pp AS (SELECT UNNEST($plist) AS p),
+       |cand AS (SELECT pp.p, t.bin, t.n, t.cum - t.cnt AS cum_before, t.cnt
+       |         FROM pp CROSS JOIN t
+       |         WHERE CAST(t.cum AS DOUBLE) >= pp.p * CAST(t.n AS DOUBLE)),
+       |sel AS (SELECT p, MIN(bin) AS bin FROM cand GROUP BY 1),
+       |est AS (SELECT c2.p, c2.n,
+       |               $lo + $width * (CAST(c2.bin AS DOUBLE) +
+       |                 (c2.p * CAST(c2.n AS DOUBLE) - CAST(c2.cum_before AS DOUBLE))
+       |                   / CAST(c2.cnt AS DOUBLE)) AS est
+       |        FROM sel JOIN cand c2 USING (p, bin)),
+       |x AS (SELECT p, CASE $exactCase END AS exact
+       |      FROM events CROSS JOIN (SELECT UNNEST($plist) AS p) GROUP BY p)
+       |SELECT e.p, e.n, round(e.est, 4) AS est,
+       |       round(round(x.exact, 8), 4) AS exact
+       |FROM est e JOIN x USING (p) ORDER BY p""".stripMargin
+  }
+
+  /** x98 oracle: the distinct (source, token) vocabulary, the token-keyed
+    * self-join intersection counts, per-source sizes, exact Jaccard.
+    */
+  private val sourceOverlapSql: String =
+    """WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+      |             FROM documents),
+      |v AS (SELECT DISTINCT source, token FROM tok),
+      |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             CAST(COUNT(*) AS BIGINT) AS n_inter
+      |      FROM v a JOIN v b USING (token)
+      |      WHERE a.source < b.source GROUP BY 1, 2)
+      |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+      |       round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+      |FROM i JOIN s sa ON sa.source = i.source_a
+      |       JOIN s sb ON sb.source = i.source_b
+      |ORDER BY 1, 2""".stripMargin
+
+  /** x99 oracle: the x32 weight CTE family at the draw's alpha, quotas
+    * from the 6-dp-rounded share (the x36 rounded-boundary recipe),
+    * the capPerSource md5 order, and the exact-long cumsum keep rule.
+    */
+  private def tokenBudgetSql(budget: Long, alpha: Double): String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |                  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n FROM t GROUP BY 1),
+       |p AS (SELECT source, pow(CAST(n AS DOUBLE), $alpha) AS w FROM a),
+       |tt AS (SELECT SUM(w) AS tot FROM p),
+       |q AS (SELECT source,
+       |             CAST(floor(round(round(w / tot, 10), 6) * $budget.0) AS BIGINT) AS quota
+       |      FROM p CROSS JOIN tt),
+       |c AS (SELECT t.source, t.doc_id, t.n_tokens, q.quota,
+       |             CAST(SUM(t.n_tokens) OVER (
+       |               PARTITION BY t.source
+       |               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |      FROM t LEFT JOIN q ON t.source IS NOT DISTINCT FROM q.source)
+       |SELECT source, doc_id, n_tokens, cum_tokens, quota
+       |FROM c WHERE cum_tokens - n_tokens < quota
+       |ORDER BY source NULLS FIRST, cum_tokens""".stripMargin
 
   /** x83 oracle: the A-ES draw re-run end-to-end — per-row quality
     * (x03's shared formula, 6-dp rounded exactly like the engine's
@@ -3488,6 +3616,10 @@ object ExtensionQueries {
     "x94_validation_report" -> validationReportSql,
     "x95_psi_drift" -> psiDriftSql(width = 30, nBins = 20, split = 250L),
     "x96_jl_projection" -> jlProjectionSql(dim = 64, k = 8, seed = 96L),
+    "x97_hist_quantiles" -> histQuantilesSql(
+      lo = 0.0, width = 5.0, nBins = 128, probs = Seq(0.5, 0.9, 0.99)),
+    "x98_source_overlap" -> sourceOverlapSql,
+    "x99_token_budget" -> tokenBudgetSql(budget = 10000L, alpha = 0.5),
     // x92 gates against x91's EXACT oracle: MAX-merged two-commit
     // registers must equal the one-shot registers (idempotent union)
     "x92_hll_incremental" -> hllCardinalitySql(p = 9),

@@ -189,6 +189,11 @@ object PlanAudit {
     // x93's window merge — both sides bounded (|days| and days×m sketch
     // cells), the corpus itself folded before the join
     "x93_rolling_distinct" -> 1,
+    // class (a) variant: the |probs| × ≤nBins probe cross of the
+    // histogram-quantile estimate — both sides bounded cell-space frames
+    "x97_hist_quantiles" -> 1,
+    // class (a): the quota derivation's one-row weight-total crossJoin
+    "x99_token_budget" -> 1,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

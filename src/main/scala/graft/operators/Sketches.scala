@@ -190,6 +190,74 @@ object Sketches {
             .otherwise(col("raw")).as("est")): _*)
   }
 
+  /** Fixed-grid histogram sketch — the mergeable quantile summary (the
+    * third of the sketch family: CMS counts frequencies, HLL counts
+    * distincts, this one summarizes a VALUE distribution): values bin
+    * into a fixed [lo, lo + nBins·width) grid (overflow clamps into the
+    * edge bins), and the cell table is bounded by nBins regardless of
+    * input size. Build is one map-side-combinable shuffle; merge is
+    * cell-wise SUM (linear, like the CMS — two commits fold to exactly
+    * the one-shot build, so incremental ingestion is free); quantile
+    * estimates interpolate linearly inside the covering bin, with error
+    * bounded by one bin width. Exact percentiles buffer each group's
+    * values; at 100 TB this fixed-memory, externalizable, cross-engine
+    * cell table is what a serving layer stores and merges instead.
+    * Deterministic end to end (integer counts, single-op double math),
+    * so the oracle mirrors the whole estimate — grid error included.
+    */
+  def histCells(
+      df: DataFrame, valueCol: String,
+      lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(nBins > 1, "need at least two bins")
+    df.select(
+        least(
+          greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)),
+            lit(0.0)),
+          lit((nBins - 1).toDouble))
+          .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise SUM merge of two histogram sketches on the SAME grid —
+    * exactly the one-shot build of the concatenated inputs.
+    */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+
+  /** Interpolated quantile estimates from a histogram sketch: for each
+    * probability p, the first bin whose running count reaches p·N, with
+    * linear interpolation inside it (the classic NIST interpolated
+    * histogram percentile). Everything runs over the bounded cell
+    * table — window folds exchange ≤ nBins rows, the probe×cells cross
+    * is |probs| × nBins — so estimating any number of quantiles never
+    * touches the corpus again.
+    */
+  def histQuantiles(
+      cells: DataFrame, probs: Seq[Double],
+      lo: Double, width: Double): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be in (0, 1]")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy().orderBy("bin")
+    val cum = cells
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val parr = array(probs.map(lit): _*)
+    val pdf = cells.sparkSession.range(probs.size.toLong)
+      .select(element_at(parr, col("id").cast("int") + 1).as("p"))
+    val cand = pdf.crossJoin(cum)
+      .filter(col("cum").cast("double") >= col("p") * col("n").cast("double"))
+    cand.groupBy("p").agg(min(col("bin")).as("bin"))
+      .join(cum, Seq("bin"))
+      .select(
+        col("p"), col("n"),
+        (lit(lo) + lit(width) * (col("bin").cast("double") +
+          (col("p") * col("n").cast("double") - col("cum_before").cast("double"))
+            / col("cnt").cast("double"))).as("est"))
+  }
+
   /** Point-estimate each candidate key against a built sketch: the MIN
     * of its depth counters (missing cells read 0 — a key the sketch
     * never saw estimates 0, never null). The cell table is bounded by

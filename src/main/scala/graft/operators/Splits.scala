@@ -138,6 +138,50 @@ object Splits {
     *
     * @return input columns plus the sample key and the 1-based `rank`
     */
+  /** Token-budget corpus draw — "give me a B-token mix": per-source
+    * token quotas allocated ∝ n_s^α (the temperature-mixing allocation,
+    * α < 1 upweights small sources exactly like [[TextOps.mixWeights]]),
+    * then each source keeps docs in its stable md5 order (the
+    * capPerSource convention — reproducible across runs, partitionings,
+    * and corpus growth of OTHER sources) until the running token count
+    * crosses the quota; the crossing doc is included, so every quota is
+    * met, slightly over rather than under.
+    *
+    * Scale shape: one scan to per-doc token counts, one bounded
+    * per-source aggregate broadcast back as quotas, ONE source-
+    * partitioned running-sum window — no corpus-wide shuffle beyond the
+    * window's own. The keep decision compares exact long cumsums to a
+    * quota derived from the 6-dp-ROUNDED share (the x44 recipe), so ulp
+    * drift in the 20-term weight total cannot flip a boundary doc.
+    */
+  def tokenBudgetDraw(
+      docs: DataFrame, budgetTokens: Long, alpha: Double): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val powed = toks.groupBy("source").agg(sum(col("n_tokens")).as("n"))
+      .localCheckpoint(false)
+      .select(col("source"), pow(col("n").cast("double"), lit(alpha)).as("w"))
+    val tot = powed.agg(sum(col("w")).as("tot"))
+    val quotas = powed.crossJoin(broadcast(tot))
+      .select(col("source").as("__qsrc"),
+        floor(CrossRound.ra(col("w") / col("tot"), 6) * lit(budgetTokens.toDouble))
+          .cast("long").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks
+      // null-safe: a null source is a group too; an equi-join would drop it
+      .join(broadcast(quotas), col("source") <=> col("__qsrc"))
+      .drop("__qsrc")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "quota")
+  }
+
   def weightedSample(
       df: DataFrame,
       groupCol: String,

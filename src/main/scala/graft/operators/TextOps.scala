@@ -490,6 +490,40 @@ object TextOps {
     * source; the cheap single-window form here is exact and right
     * whenever no one source exceeds executor-partition scale.
     */
+  /** Cross-source vocabulary overlap — the corpus-composition report
+    * that tells a mixing recipe which sources are near-duplicates of
+    * each other at the vocabulary level (two crawls of the same site
+    * overlap ~1.0; code vs prose ~0.05): exact Jaccard similarity of
+    * every source pair's distinct-token sets.
+    *
+    * Scale shape: ONE distinct shuffle builds the (source, token)
+    * vocabulary table; the pairwise intersection is a self equi-join ON
+    * TOKEN whose per-token fan-out is bounded by |sources|² (never
+    * corpus²) and whose pair counts partial-aggregate map-side to at
+    * most |sources|²/2 cells per task; per-source sizes broadcast onto
+    * the bounded pair frame. Pairs with an empty intersection don't
+    * appear (inner-join semantics — the absent row IS the zero).
+    */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = vocab.select(col("source").as("source_a"), col("token"))
+    val b = vocab.select(col("source").as("source_b"), col("token"))
+    a.join(b, "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
   def capPerSource(docs: DataFrame, keyCol: String, maxDocs: Int): DataFrame = {
     require(maxDocs > 0, "maxDocs must be positive")
     val w = org.apache.spark.sql.expressions.Window

@@ -145,6 +145,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("histogram sketch: cells bounded, merge equals one-shot, quantiles within a bin width") {
+    val vals = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val cells = Sketches.histCells(vals, "v", lo = 0.0, width = 10.0, nBins = 128)
+    assert(cells.count() <= 128)
+    // two-commit merge is exactly the one-shot build
+    val merged = Sketches.histMerge(
+      Sketches.histCells(vals.filter(col("v") <= 400), "v", 0.0, 10.0, 128),
+      Sketches.histCells(vals.filter(col("v") > 400), "v", 0.0, 10.0, 128))
+    assert(merged.exceptAll(cells).count() === 0 &&
+      cells.exceptAll(merged).count() === 0)
+    // interpolated estimates sit within one bin width of the exact value
+    val est = Sketches.histQuantiles(cells, Seq(0.5, 0.9, 0.99), 0.0, 10.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    Seq(0.5 -> 500.5, 0.9 -> 900.1, 0.99 -> 990.01).foreach { case (p, exact) =>
+      assert(math.abs(est(p) - exact) <= 10.0, s"p=$p est ${est(p)} vs $exact")
+    }
+    // overflow and underflow clamp into the edge bins, never off-grid
+    val wild = Seq(-50.0, 1e9).toDF("v")
+    val bins = Sketches.histCells(wild, "v", 0.0, 10.0, 128)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bins === Seq(0L, 127L))
+  }
+
+  test("histogram quantiles: p=1.0 lands in the last occupied bin; width-deterministic") {
+    val vals = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val cells = Sketches.histCells(vals, "v", 0.0, 10.0, 32)
+    val top = Sketches.histQuantiles(cells, Seq(1.0), 0.0, 10.0).collect().head
+    assert(top.getDouble(2) <= 110.0 && top.getDouble(2) >= 100.0)
+    val a = Sketches.histCells(vals, "v", 0.0, 10.0, 32)
+    val b = Sketches.histCells(vals.repartition(13), "v", 0.0, 10.0, 32)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("sketch and estimates are partition-width deterministic") {
     val a = Sketches.cmsCells(items, "token", D, W)
     val b = Sketches.cmsCells(items.repartition(13), "token", D, W)

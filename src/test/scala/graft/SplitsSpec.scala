@@ -194,4 +194,34 @@ class SplitsSpec extends AnyFunSuite {
     assert(Splits.upperBounds(Seq("a" -> 2.0, "b" -> 2.0)) === Seq(500000L, Splits.Buckets))
     assertThrows[IllegalArgumentException](Splits.upperBounds(Seq("a" -> 0.0)))
   }
+
+  test("tokenBudgetDraw: quotas met by the crossing doc, prefix-closed, deterministic") {
+    // two sources, 40 docs each, 10 tokens per doc -> 400 tokens/source;
+    // equal sizes -> equal quotas of floor(0.5 * budget)
+    val corpus = (1L to 80L).map { i =>
+      (if (i <= 40) "a" else "b", i, Seq.fill(10)("w").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val out = Splits.tokenBudgetDraw(corpus, budgetTokens = 300L, alpha = 0.5)
+      .cache()
+    val rows = out.collect()
+    // quota = floor(0.5 * 300) = 150 tokens -> 15 docs of 10 tokens each,
+    // and the 15th is the crossing doc (cum 150, cum_before 140 < 150)
+    val bysrc = rows.groupBy(_.getString(0))
+    assert(bysrc.keySet === Set("a", "b"))
+    bysrc.foreach { case (s, rs) =>
+      assert(rs.length === 15, s"source $s drew ${rs.length} docs")
+      assert(rs.map(_.getLong(2)).sum === 150L, s"source $s token volume")
+      assert(rs.forall(_.getLong(4) === 150L))
+    }
+    // prefix-closed in the md5 order: every kept doc's cum_before < quota,
+    // and max cum >= quota (the budget is actually met)
+    assert(rows.forall(r => r.getLong(3) - r.getLong(2) < r.getLong(4)))
+    assert(bysrc.values.forall(rs => rs.map(_.getLong(3)).max >= 150L))
+    // pure function of the keys: stable under repartitioning
+    val again = Splits.tokenBudgetDraw(corpus.repartition(7), 300L, 0.5)
+    assert(again.exceptAll(out).count() === 0 && out.exceptAll(again).count() === 0)
+    // a bigger budget than the corpus keeps everything
+    val all = Splits.tokenBudgetDraw(corpus, budgetTokens = 10000L, alpha = 0.5)
+    assert(all.count() === 80L)
+  }
 }

@@ -90,6 +90,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rowsOf(TextOps.resampleByTemperature(docs.repartition(11), 0.3)) === rowsOf(mixed))
   }
 
+  test("sourceVocabOverlap: exact Jaccard on known vocabularies, disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x w"),     // vocab(a) = {x,y,z,w}
+      (3L, "b", "x y"), (4L, "b", "y q"),       // vocab(b) = {x,y,q}
+      (5L, "c", "m n"))                          // vocab(c) = {m,n} — disjoint
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // |a ∩ b| = {x,y} = 2; J = 2 / (4 + 3 - 2) = 0.4
+    assert(got(("a", "b")) === ((4L, 3L, 2L, 0.4)))
+    // c shares nothing — the pairs (a,c) and (b,c) must be ABSENT
+    assert(got.size === 1)
+  }
+
   test("capPerSource: exact cap, deterministic, partitioning-independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
