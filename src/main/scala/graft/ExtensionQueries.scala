@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps}
+import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -984,6 +984,87 @@ object ExtensionQueries {
           r4z(col("m")).as("m"), col("is_anomaly"))
         .orderBy("day", "event_type")),
 
+    // Stream-stream interval join, batch restatement (s06): every view
+    // paired with the same user's purchases within the next hour — the
+    // §2.7 state shape the window aggregates don't cover (two live
+    // streams joined on user key + event-time range; watermarks plus
+    // the range bound let Spark evict buffered join state). IngestSpec
+    // drives the SAME operator as two memory streams and pins
+    // agreement with this batch run; the oracle restates the join in
+    // ANSI SQL.
+    "s06_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Ingest.intervalPairs(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        maxLag = "1 hour")
+        .select(
+          col("user_id"),
+          col("l_event_id").as("view_event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("lag_s"),
+          r4(col("r_value")).as("value"))
+        .orderBy("user_id", "view_event_id", "purchase_event_id")
+    }),
+
+    // Left-outer stream-stream join, batch restatement (s07): the
+    // abandonment report — every view, null-extended when no same-user
+    // purchase lands inside the hour. The OTHER streaming join state
+    // shape: outer rows emit only once the watermark proves no match
+    // can still arrive; batch mode is the plain left join the oracle
+    // restates.
+    "s07_stream_left_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Ingest.intervalPairs(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        maxLag = "1 hour",
+        joinType = "left_outer")
+        .select(
+          col("user_id"),
+          col("l_event_id").as("view_event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("lag_s"),
+          r4(col("r_value")).as("value"),
+          col("r_event_id").isNull.as("abandoned"))
+        .orderBy("user_id", "view_event_id", "purchase_event_id")
+    }),
+
+    // Snapshot-store CDC (x100): the diffVersions change feed between
+    // the base snapshot (v0) and the append+delete head (v2) — inserts
+    // are the appended batch minus its deleted members, deletes the
+    // base rows the predicate hit. The closed-form commit history
+    // (base = doc_id < 300, append = [300, 400), delete = doc_id % 7
+    // = 0) lets the oracle restate the whole change feed from
+    // `documents` alone, putting the snapshot store's
+    // commit/append/delete/diff cycle inside the hash gate (previously
+    // spec-only).
+    "x100_cdc_diff" -> ((s, dir) =>
+      cdcTableFor(s, dir).diffVersions(s, 0L, 2L)
+        .select(col("change"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("change", "doc_id")),
+
+    // Vocabulary induction + integer encoding (x101): top-20 tokens by
+    // (count desc, token asc) become ids 1..20, everything else UNK=0;
+    // each doc re-expressed as its id sequence (space-joined — the
+    // hash-gate-friendly rendering of the id array). The cap sits
+    // deliberately BELOW the fixture's vocabulary so the UNK path
+    // executes inside the graded row.
+    "x101_vocab_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Vocab.encodeDocs(docs, Vocab.vocabTable(docs, maxVocab = 20))
+        .orderBy("doc_id")
+    }),
+
+    // Wide-format daily pivot (x102): one row per day, a (count, value
+    // sum) column pair per event type — the explicit-domain pivot that
+    // compiles to ONE conditional-aggregation shuffle (never Spark's
+    // two-pass pivot-value discovery scan). Absent cells are 0, not
+    // null; float sums take the ra collapse on both engines.
+    "x102_pivot_events" -> ((s, dir) =>
+      EventAnalytics.pivotDaily(Tables.events(s, dir), PivotEventTypes)
+        .orderBy("day")),
+
     // BM25 over a BUILD-then-APPEND index (x77): identical retrieval to
     // x62/x63, third physical layout — the incremental commit path
     // (atomic postings+stats append) inside the hash gate. The two
@@ -1540,6 +1621,36 @@ object ExtensionQueries {
           col("text").cast("binary").as("bytes")))
         .orderBy("media_id")),
   )
+
+  /** The events fixture's closed event-type domain — pinned explicitly
+    * for the pivot (x102): an inferred domain would cost a second
+    * corpus scan and make the output schema data-dependent.
+    */
+  private val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** One committed CDC snapshot chain per (JVM, sf dir) for x100:
+    * v0 = base commit (doc_id < 300), v1 = appendCommit([300, 400)),
+    * v2 = deleteWhere(doc_id % 7 = 0) — the full commit/append/delete
+    * history diffVersions reads. Same dir-keyed build-once pattern as
+    * the x29b/x63 serving tables (the store is the nightly artifact,
+    * the diff the cheap incremental read).
+    */
+  private val CdcTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = CdcTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x100_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      vt.commit(docs.filter(col("doc_id") < 300))
+      vt.appendCommit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+      vt.deleteWhere(s, col("doc_id") % 7 === 0)
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
 
   /** One shingle-bucketed corpus postings table per (JVM, sf dir) for
     * x29b — built once (the nightly-layout job) and reused by every
@@ -2782,6 +2893,74 @@ object ExtensionQueries {
     // nanos timestamp to millis (unix_millis), so the oracle must compare
     // at the same resolution or a gap inside [30min, 30min+1ms) could
     // split sessions differently.
+    // s06: the stream-stream interval join restated as a plain
+    // key+range join; lag_s is exact integer arithmetic on epoch micros
+    // (both engines floor the non-negative difference)
+    "s06_stream_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+        |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
+        |       round(p.value, 4) AS value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // s07: the left-outer variant — unmatched views null-extend;
+    // ordering puts the null purchase_event_id first (both engines sort
+    // NULLS FIRST ascending by default)
+    "s07_stream_left_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+        |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
+        |       round(p.value, 4) AS value,
+        |       p.event_id IS NULL AS abandoned
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin,
+    // x100: the snapshot chain's change feed in closed form — the
+    // commit history (base < 300, append [300, 400), delete doc_id%7=0)
+    // is deterministic, so inserts/deletes restate from `documents`
+    // alone with no store state trusted
+    "x100_cdc_diff" ->
+      """SELECT 'insert' AS change, doc_id, source, n_chars FROM documents
+        |WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 'delete' AS change, doc_id, source, n_chars FROM documents
+        |WHERE doc_id < 300 AND doc_id % 7 = 0
+        |ORDER BY 1, 2""".stripMargin,
+    // x101: vocabulary rank + UNK-capped re-encode, fully re-derived —
+    // same (count desc, token asc) tie-break (ASCII corpus: UTF-8 byte
+    // order and UTF-16 code-unit order agree; the x42 non-BMP caveat
+    // applies identically here), id strings reassembled in token order
+    "x101_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |occ AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token FROM t),
+        |occ2 AS (SELECT * FROM occ WHERE len(token) > 0),
+        |cnt AS (SELECT token, COUNT(*) AS n FROM occ2 GROUP BY 1),
+        |v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS id FROM cnt),
+        |vv AS (SELECT * FROM v WHERE id <= 20),
+        |e AS (SELECT o.doc_id, o.pos, COALESCE(vv.id, 0) AS id FROM occ2 o LEFT JOIN vv USING (token))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x102: the explicit-domain pivot IS conditional aggregation — the
+    // oracle writes it out; float sums take the ra collapse, absent
+    // cells are 0 on both engines (SUM over an all-zero CASE column)
+    "x102_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+        |       round(round(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 8), 4) AS click_sum,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n,
+        |       round(round(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 8), 4) AS error_sum,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+        |       round(round(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 8), 4) AS purchase_sum,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_n,
+        |       round(round(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 8), 4) AS signup_sum,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+        |       round(round(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 8), 4) AS view_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // s04: tumbling-window start = epoch-floor to the 6-hour stride
     // (Spark's window() alignment on naive micros); rank ties break on
     // event_type, counts integral

@@ -316,6 +316,69 @@ object Ingest {
         col("event_type"), col("cnt"))
   }
 
+  /** Stream-stream interval join — the conversion-attribution pairing:
+    * every `left` event (a view) matched to every same-user `right`
+    * event (a purchase) that lands within `maxLag` AFTER it. The one
+    * §2.7 Structured-Streaming state shape the window aggregates don't
+    * cover: two live streams joined on key + event-time range.
+    *
+    * Batch/stream duality like the window counts: a batch input runs
+    * the identical equi-join + BETWEEN predicate (the oracle surface,
+    * s06); streaming inputs get watermarks on BOTH sides so Spark can
+    * bound the join state — the time-range condition tells it a
+    * buffered left row is joinable only until watermark passes
+    * `l.ts + maxLag`, at which point its state is evicted. Without the
+    * range bound a stream-stream inner join would hold both streams
+    * forever; this is the published state-cleanup contract
+    * (Spark docs "Inner Joins with optional Watermarking").
+    *
+    * Scale shape: one shuffle of each stream on `user_id`, state
+    * bounded by rows-per-user within the watermark+lag horizon. Skewed
+    * hot users bound their own state by the same horizon; at 100 TB the
+    * horizon (1 h here) is the knob. Output grain: one row per
+    * qualifying (left, right) pair with the lag in seconds — integral
+    * (micros truncated to whole seconds) so the hash gate compares
+    * exactly.
+    *
+    * `joinType = "left_outer"` keeps unmatched left rows null-extended —
+    * the abandonment report (views that never converted). Streaming
+    * semantics follow the published contract: an outer result emits only
+    * once the watermark proves no match can still arrive (so a
+    * processAllAvailable over a finite test stream needs a closing
+    * late batch to flush them); batch mode is a plain left join — the
+    * oracle surface (s07).
+    */
+  def intervalPairs(
+      left: DataFrame,
+      right: DataFrame,
+      maxLag: String = "1 hour",
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalPairs supports inner and left_outer, got: $joinType")
+    val l0 = left.select(
+      col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+    val r0 = right.select(
+      col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id"), col("value").as("r_value"))
+    val (l, r) =
+      if (left.isStreaming || right.isStreaming)
+        (l0.withWatermark("l_ts", watermark), r0.withWatermark("r_ts", watermark))
+      else (l0, r0)
+    l.join(
+        r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLag"),
+        joinType)
+      .select(
+        col("user_id"), col("l_event_id"), col("r_event_id"),
+        ((unix_micros(col("r_ts").cast("timestamp")) -
+          unix_micros(col("l_ts").cast("timestamp"))) / 1000000L)
+          .cast("long").as("lag_s"),
+        col("r_value"))
+  }
+
   /** Top-k per window over [[windowEventCounts]] output — the rank pass
     * runs BATCH over the counts table (two stateful operators cannot
     * chain in one stream; the standard layout is stream-aggregate →

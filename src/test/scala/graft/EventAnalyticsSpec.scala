@@ -172,4 +172,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2L) === (("view", 2L, 0.5)))    // u1 and u4
     assert(got(3L) === (("purchase", 1L, 0.25))) // u1 only
   }
+
+  test("pivotDaily: per-type column pairs, absent cells are 0 not null") {
+    val events = Seq(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-01 11:00:00", 2.0),
+      (2L, "view", "2024-01-01 12:00:00", 5.0),
+      (3L, "error", "2024-01-02 09:00:00", 1.5))
+      .toDF("user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.pivotDaily(events, Seq("click", "view", "error"))
+      .orderBy("day").collect()
+    assert(got.map(_.getAs[String]("day")).toSeq === Seq("2024-01-01", "2024-01-02"))
+    val d1 = got(0)
+    assert(d1.getAs[Long]("click_n") === 2L)
+    assert(d1.getAs[Double]("click_sum") === 3.0)
+    assert(d1.getAs[Long]("view_n") === 1L)
+    assert(d1.getAs[Double]("view_sum") === 5.0)
+    assert(d1.getAs[Long]("error_n") === 0L)
+    assert(d1.getAs[Double]("error_sum") === 0.0)
+    val d2 = got(1)
+    assert(d2.getAs[Long]("click_n") === 0L)
+    assert(d2.getAs[Double]("click_sum") === 0.0)
+    assert(d2.getAs[Long]("error_n") === 1L)
+    assert(d2.getAs[Double]("error_sum") === 1.5)
+    // a type absent from the whole input still gets its columns
+    val cols = EventAnalytics.pivotDaily(events, Seq("click", "purchase")).columns.toSeq
+    assert(cols === Seq("day", "click_n", "click_sum", "purchase_n", "purchase_sum"))
+  }
+
+  test("pivotDaily rejects an empty or duplicated type domain") {
+    val events = ev((1L, "click", "2024-01-01 10:00:00")).withColumn("value", lit(1.0))
+    intercept[IllegalArgumentException](EventAnalytics.pivotDaily(events, Nil))
+    intercept[IllegalArgumentException](
+      EventAnalytics.pivotDaily(events, Seq("click", "click")))
+  }
 }

@@ -106,6 +106,80 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalPairs: stream-stream join equals batch; range bound excludes out-of-horizon pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (10L, ts("2024-01-10 10:00:00"), 1L),       // pairs with 20 (30 min) and 21 (60 min, inclusive)
+      (11L, ts("2024-01-10 12:00:00"), 2L))       // no purchase inside its hour
+    val purchases = Seq(
+      (20L, ts("2024-01-10 10:30:00"), 1L, 9.5),
+      (21L, ts("2024-01-10 11:00:00"), 1L, 2.0),  // exactly at the 1h bound — inclusive
+      (22L, ts("2024-01-10 09:50:00"), 1L, 4.0),  // BEFORE the view — excluded
+      (23L, ts("2024-01-10 13:30:00"), 2L, 1.0))  // 90 min after view 11 — excluded
+    val vDf = views.toDF("event_id", "ts", "user_id")
+    val pDf = purchases.toDF("event_id", "ts", "user_id", "value")
+    val batch = Ingest.intervalPairs(vDf, pDf, "1 hour")
+    val got = batch.orderBy("l_event_id", "r_event_id").collect()
+      .map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"),
+        r.getAs[Long]("lag_s"), r.getAs[Double]("r_value")))
+    assert(got.toSeq === Seq((10L, 20L, 1800L, 9.5), (10L, 21L, 3600L, 2.0)))
+    val memV = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Ingest.intervalPairs(
+      memV.toDF().toDF("event_id", "ts", "user_id"),
+      memP.toDF().toDF("event_id", "ts", "user_id", "value"),
+      "1 hour")
+      .writeStream.format("memory").queryName("s_pairs").outputMode("append").start()
+    try {
+      memV.addData(views: _*)
+      memP.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_pairs")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("intervalPairs left_outer: abandoned views null-extend; stream flushes them after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (10L, ts("2024-01-10 10:00:00"), 1L),
+      (11L, ts("2024-01-10 12:00:00"), 2L))     // abandoned: no purchase in its hour
+    val purchases = Seq(
+      (20L, ts("2024-01-10 10:30:00"), 1L, 9.5),
+      (23L, ts("2024-01-10 13:30:00"), 2L, 1.0)) // 90 min late — view 11 stays unmatched
+    val vDf = views.toDF("event_id", "ts", "user_id")
+    val pDf = purchases.toDF("event_id", "ts", "user_id", "value")
+    val batch = Ingest.intervalPairs(vDf, pDf, "1 hour", joinType = "left_outer")
+    val got = batch.orderBy("l_event_id").collect()
+      .map(r => (r.getAs[Long]("l_event_id"), Option(r.getAs[Any]("r_event_id"))))
+    assert(got.toSeq === Seq((10L, Some(20L)), (11L, None)))
+    val memV = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Ingest.intervalPairs(
+      memV.toDF().toDF("event_id", "ts", "user_id"),
+      memP.toDF().toDF("event_id", "ts", "user_id", "value"),
+      "1 hour", joinType = "left_outer")
+      .writeStream.format("memory").queryName("s_lpairs").outputMode("append").start()
+    try {
+      memV.addData(views: _*)
+      memP.addData(purchases: _*)
+      q.processAllAvailable()
+      // the outer row for view 11 may not emit yet: the watermark has to
+      // pass l_ts + maxLag first. Advance it on BOTH streams with
+      // sentinel events (distinct users — they produce no pairs, and the
+      // sentinel view itself stays pending past ITS horizon, so neither
+      // lands in the checked output).
+      memV.addData((98L, ts("2024-01-11 02:00:00"), 98L))
+      memP.addData((99L, ts("2024-01-11 02:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("s_lpairs")
+        .filter(col("l_event_id") < 90L) // drop the sentinel horizon
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streamed daily counts land in a partitioned table the batch side reads") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
