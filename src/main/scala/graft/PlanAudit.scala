@@ -138,7 +138,12 @@ object PlanAudit {
     // stay a broadcast); funnel: one user-keyed join per later step
     // (step-event slice × per-user conversion table), same class
     "x67_retention_cohorts" -> 1,
-    "x68_funnel" -> 2)
+    "x68_funnel" -> 2,
+    // stream-stream interval join, batch restatement: view slice ×
+    // purchase slice — both sides event-corpus-scale at 100 TB, shuffle
+    // join correct (AQE may demote to broadcast at fixture scale)
+    "s06_stream_join" -> 1,
+    "s07_stream_left_join" -> 1)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:
@@ -222,6 +227,14 @@ object PlanAudit {
     "x73_hard_negatives",
     // the A-ES per-group sample boundary (Splits.weightedSample)
     "x83_weighted_sample")
+  // NOT pinned: x101's vocabulary rank cap. Its window is GLOBAL (no
+  // partition key), and for that shape the optimizer fires a strictly
+  // better rewrite than WindowGroupLimit: LimitPushDown turns the
+  // rank-filter into TakeOrderedAndProject(limit=maxVocab) BELOW the
+  // window — per-partition top-V + single merge of V rows, so the
+  // single-partition window only ever sees maxVocab rows. A WGL pin
+  // would reject exactly the plan we want (verified from the executed
+  // plan, round 10).
 
   /** The gate itself, factored so the per-stage audit (and its spec) can
     * run the same rules with stage-level allowances.
