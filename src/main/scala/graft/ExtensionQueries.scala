@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventAnalytics, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
+import graft.operators.{Curation, Dedup, EventAnalytics, Graph, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -28,6 +28,11 @@ object ExtensionQueries {
     * canonicalizes on both engines (mirrored in the oracle SQL).
     */
   private def r4z(c: Column): Column = graft.operators.CrossRound.r(c, 4) + lit(0.0)
+
+  /** 6-dp [[r4z]] for small-magnitude scores (PageRank masses sit near
+    * 1/N — 4 dp would flatten the structure the query exists to show).
+    */
+  private def r6z(c: Column): Column = graft.operators.CrossRound.r(c, 6) + lit(0.0)
 
   /** Stopword list rendered for SQL IN (...). */
   private def inList(words: Seq[String]): String =
@@ -1065,6 +1070,66 @@ object ExtensionQueries {
       EventAnalytics.pivotDaily(Tables.events(s, dir), PivotEventTypes)
         .orderBy("day")),
 
+    // TextRank keyword centrality (x103): 5 fixed PageRank iterations
+    // over the corpus token-adjacency graph (distinct canonicalized
+    // adjacent-token pairs) — the iterative-graph family beyond x19's
+    // label propagation. The oracle UNROLLS the identical 5 iterations
+    // as chained CTEs, with each iteration's rank passing the same
+    // ra(·,8) collapse on both engines so generation t+1 starts from
+    // bit-identical input.
+    "x103_textrank" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(filter(TextOps.tokens(col("text")), t => length(t) > 0).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> named_struct('u', least(toks[i], toks[i+1]), " +
+            "'v', greatest(toks[i], toks[i+1])))")).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      Graph.pageRank(pairs, "u", "v", iterations = 5)
+        .select(col("node").as("token"), r6z(col("rank")).as("rank"))
+        .orderBy("token")
+    }),
+
+    // Vocabulary OOV rate by language (x104): the tokenizer-coverage
+    // report — x101's encode rolled up by x04's language pick, the x82
+    // composition pattern (two green restatements composed into one
+    // oracle). A vocabulary fit on the majority language starves the
+    // others; this is the table that shows it.
+    "x104_oov_by_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = Vocab.encodeDocs(docs, Vocab.vocabTable(docs, maxVocab = 20))
+      enc.join(TextOps.langId(docs), Seq("doc_id"))
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_unk")).as("n_unk"))
+        .select(
+          col("lang_pred").as("lang"), col("n_docs"),
+          col("n_tokens"), col("n_unk"),
+          r4(col("n_unk").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
+    // Incremental vocabulary maintenance (x105): counts built in TWO
+    // commits (doc_id < 250 / >= 250) and folded token-wise — counts
+    // are linear, so the fold equals the one-shot table exactly and
+    // the SAME oracle as x101 gates the re-encode (the x84/x92
+    // incremental-maintenance convention applied to the tokenizer
+    // vocabulary).
+    "x105_incremental_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = Vocab.mergeCounts(Seq(
+        Vocab.tokenCounts(docs.filter(col("doc_id") < 250)),
+        Vocab.tokenCounts(docs.filter(col("doc_id") >= 250))))
+      Vocab.encodeDocs(docs, Vocab.rankVocab(counts, maxVocab = 20))
+        .orderBy("doc_id")
+    }),
+
     // BM25 over a BUILD-then-APPEND index (x77): identical retrieval to
     // x62/x63, third physical layout — the incremental commit path
     // (atomic postings+stats append) inside the hash gate. The two
@@ -1407,9 +1472,12 @@ object ExtensionQueries {
     // (the matrix is a pure function of the seed), corpus scanned once
     // and shuffled only at the (vec_id, j) partial-sum fold. The 64-term
     // double sum's order is engine-scheduled → ra collapse.
+    // (+ 0.0 after the collapse: a projection that rounds to exactly
+    // zero at 4 dp keeps its IEEE sign otherwise — sf0.1 surfaced a
+    // spark 0.0 vs oracle -0.0 hash split on one such cell)
     "x96_jl_projection" -> ((s, dir) =>
       Similarity.jlProject(Tables.embeddings(s, dir), dim = 64, k = 8, seed = 96L)
-        .select(col("vec_id"), col("j"), r4a(col("proj")).as("proj"))
+        .select(col("vec_id"), col("j"), (r4a(col("proj")) + lit(0.0)).as("proj"))
         .orderBy("vec_id", "j")),
 
     // Cohort retention (x67) at day grain (the fixture spans one
@@ -2190,6 +2258,59 @@ object ExtensionQueries {
     * 0-based subscripts, cells summed per (vec_id, j) — order-drifty
     * 64-term double sums → ra.
     */
+  /** The x101 vocabulary CTE chain, ending in `e`(doc_id, pos, id) —
+    * ONE definition serving the x101/x105 encode oracle and the x104
+    * per-language OOV rollup.
+    */
+  private def vocabCtes(maxVocab: Int): String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |occ AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token FROM t),
+       |occ2 AS (SELECT * FROM occ WHERE len(token) > 0),
+       |cnt AS (SELECT token, COUNT(*) AS n FROM occ2 GROUP BY 1),
+       |v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS id FROM cnt),
+       |vv AS (SELECT * FROM v WHERE id <= $maxVocab),
+       |e AS (SELECT o.doc_id, o.pos, COALESCE(vv.id, 0) AS id FROM occ2 o LEFT JOIN vv USING (token))""".stripMargin
+
+  private val vocabEncodeSql: String =
+    s"""WITH ${vocabCtes(maxVocab = 20)}
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x103 oracle: the token-adjacency graph + `iters` PageRank
+    * iterations unrolled as chained CTEs. Double literals interpolate
+    * through Scala's shortest-round-trip rendering and parse back
+    * bit-identical via the explicit DOUBLE cast (a bare SQL float
+    * literal would bind as DECIMAL); each iteration's rank takes the
+    * engine's ra(·,8) collapse so partition-sum order cannot drift
+    * generation t+1's input.
+    */
+  private def textRankSql(iters: Int, damping: Double): String = {
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val base = s"CAST('${1.0 - damping}' AS DOUBLE) / (SELECT n FROM nn)"
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.v AS node,
+         |         round(round($base + $d * SUM(p.rank / deg.d), 12), 8) AS rank
+         |  FROM edges e JOIN pr${i - 1} p ON p.node = e.u JOIN deg ON deg.u = e.u
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS toks
+       |           FROM documents),
+       |pp AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |         i -> {'u': least(toks[i], toks[i+1]), 'v': greatest(toks[i], toks[i+1])})) AS s
+       |       FROM t WHERE len(toks) >= 2),
+       |pairs AS (SELECT DISTINCT s.u AS u, s.v AS v FROM pp WHERE s.u <> s.v),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       |pr0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM deg, nn),
+       |$iterCtes
+       |SELECT node AS token, round(rank, 6) + 0.0 AS rank
+       |FROM pr$iters ORDER BY 1""".stripMargin
+  }
+
   private def jlProjectionSql(dim: Int, k: Int, seed: Long): String = {
     val (ctes, last) = XxHash64Sql.xxhash64LongCtes("m0", "f", "xh", seed, "sg")
     s"""WITH m0 AS (SELECT CAST(unnest(generate_series(0, ${dim * k - 1})) AS BIGINT) AS f),
@@ -2204,7 +2325,7 @@ object ExtensionQueries {
        |p AS (SELECT vec_id, j, SUM(CAST(v AS DOUBLE) * sgn) / sqrt(${k}.0) AS proj
        |      FROM ev JOIN sgn USING (i)
        |      GROUP BY 1, 2)
-       |SELECT vec_id, CAST(j AS BIGINT) AS j, round(round(proj, 8), 4) AS proj
+       |SELECT vec_id, CAST(j AS BIGINT) AS j, round(round(proj, 8), 4) + 0.0 AS proj
        |FROM p ORDER BY 1, 2""".stripMargin
   }
 
@@ -2933,18 +3054,29 @@ object ExtensionQueries {
     // same (count desc, token asc) tie-break (ASCII corpus: UTF-8 byte
     // order and UTF-16 code-unit order agree; the x42 non-BMP caveat
     // applies identically here), id strings reassembled in token order
-    "x101_vocab_encode" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |occ AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token FROM t),
-        |occ2 AS (SELECT * FROM occ WHERE len(token) > 0),
-        |cnt AS (SELECT token, COUNT(*) AS n FROM occ2 GROUP BY 1),
-        |v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS id FROM cnt),
-        |vv AS (SELECT * FROM v WHERE id <= 20),
-        |e AS (SELECT o.doc_id, o.pos, COALESCE(vv.id, 0) AS id FROM occ2 o LEFT JOIN vv USING (token))
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-        |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x101_vocab_encode" -> vocabEncodeSql,
+    // x103: the 5 PageRank iterations UNROLLED as chained CTEs — each
+    // iteration's rank passes the same round(round(·,12),8) collapse
+    // the engine applies, so both engines hand iteration t+1
+    // bit-identical input regardless of partition-sum order
+    "x103_textrank" -> textRankSql(iters = 5, damping = 0.85),
+    // x104: x101's encode CTEs × x04's language CTEs — two green
+    // restatements composed (the x82 pattern)
+    "x104_oov_by_lang" ->
+      s"""WITH ${vocabCtes(maxVocab = 20)},
+         |${langPredCtes("lg")},
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |               SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
+         |        FROM e GROUP BY 1)
+         |SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+         |       round(CAST(SUM(n_unk) AS DOUBLE) / SUM(n_tokens), 4) AS oov_rate
+         |FROM agg JOIN lglang USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x105: the two-commit count fold is linear — the SAME x101 oracle
+    // gates the incremental layout (x84/x92 convention)
+    "x105_incremental_vocab" -> vocabEncodeSql,
     // x102: the explicit-domain pivot IS conditional aggregation — the
     // oracle writes it out; float sums take the ra collapse, absent
     // cells are 0 on both engines (SUM over an all-zero CASE column)

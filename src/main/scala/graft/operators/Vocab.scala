@@ -36,24 +36,49 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
-  /** Frequency-ranked vocabulary: (token, n, id) with id = 1..maxVocab
-    * assigned by (count desc, token asc). One scan, one vocab-grain
-    * shuffle, rank capped so the global window is WindowGroupLimit-
-    * pruned per partition before the rank exchange.
+  /** Corpus token frequencies: (token, n) — the partial state the
+    * vocabulary ranks over. Exposed separately because counts are
+    * LINEAR: two slices' count tables fold by token-wise sum into
+    * exactly the one-shot table (the x84/x92 incremental-maintenance
+    * convention), so a nightly vocab refresh re-counts only the new
+    * batch. Fold with [[mergeCounts]], rank with [[rankVocab]].
     */
-  def vocabTable(docs: DataFrame, maxVocab: Int): DataFrame = {
+  def tokenCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(TextOps.tokens(col("text"))).as("token"))
+    .filter(length(col("token")) > 0)
+    .groupBy("token")
+    .agg(count(lit(1)).as("n"))
+
+  /** Token-wise fold of count tables — linearity makes the merged
+    * table equal the one-shot count of the concatenated corpora.
+    */
+  def mergeCounts(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeCounts needs at least one table")
+    tables.reduce(_ unionByName _).groupBy("token").agg(sum(col("n")).as("n"))
+  }
+
+  /** Rank a count table into vocabulary ids 1..maxVocab by
+    * (count desc, token asc). The rank window is global, which the
+    * optimizer compiles to TakeOrderedAndProject(limit=maxVocab) BELOW
+    * the window — per-partition top-V then one V-row merge, so the
+    * single-partition window only ever sees maxVocab rows (PLANS.md
+    * round-10 note).
+    */
+  def rankVocab(counts: DataFrame, maxVocab: Int): DataFrame = {
     require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
-    val counts = docs
-      .select(explode(TextOps.tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token")
-      .agg(count(lit(1)).as("n"))
     counts
       .withColumn(
         "id",
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
       .filter(col("id") <= maxVocab)
   }
+
+  /** Frequency-ranked vocabulary: (token, n, id) with id = 1..maxVocab
+    * assigned by (count desc, token asc) — [[tokenCounts]] + [[rankVocab]]
+    * in one call. One scan, one vocab-grain shuffle.
+    */
+  def vocabTable(docs: DataFrame, maxVocab: Int): DataFrame =
+    rankVocab(tokenCounts(docs), maxVocab)
 
   /** Documents → integer id sequences under `vocab` (a [[vocabTable]]
     * frame): per doc the token count, the out-of-vocabulary count, and

@@ -40,6 +40,16 @@ class VocabSpec extends AnyFunSuite {
     assert(!enc.contains(3L))
   }
 
+  test("mergeCounts: a two-slice fold equals the one-shot count table") {
+    import org.apache.spark.sql.functions.col
+    val oneShot = Vocab.tokenCounts(docs).orderBy("token").collect().toSeq
+    val folded = Vocab.mergeCounts(Seq(
+      Vocab.tokenCounts(docs.filter(col("doc_id") < 2L)),
+      Vocab.tokenCounts(docs.filter(col("doc_id") >= 2L))))
+      .orderBy("token").collect().toSeq
+    assert(folded === oneShot)
+  }
+
   test("encodeDocs is invariant to the input partitioning") {
     val full = Vocab.vocabTable(docs, maxVocab = 10)
     val one = Vocab.encodeDocs(docs.coalesce(1), full).orderBy("doc_id").collect().toSeq
