@@ -143,7 +143,10 @@ object PlanAudit {
     // purchase slice — both sides event-corpus-scale at 100 TB, shuffle
     // join correct (AQE may demote to broadcast at fixture scale)
     "s06_stream_join" -> 1,
-    "s07_stream_left_join" -> 1)
+    "s07_stream_left_join" -> 1,
+    // per-doc encode aggregates × per-doc language picks — both sides
+    // doc-cardinality at 100 TB, the x67 class
+    "x104_oov_by_lang" -> 1)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:
