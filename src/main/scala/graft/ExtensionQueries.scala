@@ -1070,6 +1070,17 @@ object ExtensionQueries {
       EventAnalytics.pivotDaily(Tables.events(s, dir), PivotEventTypes)
         .orderBy("day")),
 
+    // PPJoin exact set-similarity join (x106): prefix-filtered
+    // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
+    // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
+    // this filter is lossless). The oracle is the brute threshold join:
+    // exactness means the clever candidate scheme must reproduce the
+    // naive answer bit-for-bit.
+    "x106_ppjoin_neardups" -> ((s, dir) =>
+      Dedup.ppjoinNearDups(Tables.documents(s, dir), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     // TextRank keyword centrality (x103): 5 fixed PageRank iterations
     // over the corpus token-adjacency graph (distinct canonicalized
     // adjacent-token pairs) — the iterative-graph family beyond x19's
@@ -3055,6 +3066,25 @@ object ExtensionQueries {
     // order and UTF-16 code-unit order agree; the x42 non-BMP caveat
     // applies identically here), id strings reassembled in token order
     "x101_vocab_encode" -> vocabEncodeSql,
+    // x106: the BRUTE exact threshold join — no prefix filter, no cap;
+    // a lossless candidate scheme must reproduce this naive answer
+    "x106_ppjoin_neardups" ->
+      """WITH tb AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |gb AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |      FROM tb WHERE len(toks) >= 3),
+        |s AS (SELECT doc_id, unnest(grams) AS shingle FROM gb),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN n na ON na.doc_id = i.doc_a
+        |JOIN n nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     // x103: the 5 PageRank iterations UNROLLED as chained CTEs — each
     // iteration's rank passes the same round(round(·,12),8) collapse
     // the engine applies, so both engines hand iteration t+1

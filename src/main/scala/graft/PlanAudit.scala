@@ -146,7 +146,11 @@ object PlanAudit {
     "s07_stream_left_join" -> 1,
     // per-doc encode aggregates × per-doc language picks — both sides
     // doc-cardinality at 100 TB, the x67 class
-    "x104_oov_by_lang" -> 1)
+    "x104_oov_by_lang" -> 1,
+    // PPJoin: shingle×df join, prefix-postings self-join, and the two
+    // candidate-verify joins — every side corpus-scale (the x24 class);
+    // AQE may demote some to broadcast at fixture scale (ceiling)
+    "x106_ppjoin_neardups" -> 4)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:

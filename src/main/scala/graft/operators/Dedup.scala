@@ -330,6 +330,101 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Prefix-filtered EXACT Jaccard self-join (PPJoin-style candidate
+    * generation, Xiao et al. 2008 "Efficient Similarity Joins for Near
+    * Duplicate Detection"): every pair with Jaccard ≥ `threshold`, no
+    * df-cap candidacy caveat — [[jaccardNearDups]] requires `minShared`
+    * RARE shared shingles for a pair to surface at all (a pair whose
+    * overlap is all boilerplate is missed by design); this operator's
+    * prefix filter is lossless.
+    *
+    * The filter: order each document's shingles by the global
+    * (df asc, shingle asc) total order (rarest first) and index only the
+    * first `p = |d| − ceil(t·|d|) + 1` of them. Any pair with
+    * J ≥ t shares ≥ 1 token inside both prefixes (if all shared tokens
+    * sat past both prefixes, the unshared prefix tokens alone would push
+    * the union too large for the threshold) — so joining prefix postings
+    * finds every qualifying pair, and the rarest-first order keeps those
+    * posting lists the SHORTEST available, which is what bounds the
+    * candidate volume at 100 TB. A length filter
+    * (min ≥ ceil(t·max)) prunes impossible pairs before the distinct.
+    *
+    * Exactness does not depend on the tie-break: ANY consistent global
+    * total order satisfies the theorem, so the UTF-16/UTF-8 ordering
+    * caveat (x42) affects which tokens land in prefixes — candidate
+    * volume, never the result set. Verification is exact: candidates
+    * rejoin their full ordered shingle arrays and score
+    * |A∩B| / (|A|+|B|−|A∩B|) with array intersection — per-pair work
+    * bounded by document length.
+    *
+    * Shapes: one shuffle on shingle for the df join, one on doc_id for
+    * the per-doc ordered-array fold, the prefix-postings self-join
+    * (corpus-scale both sides — the x24 SMJ allowance class), and the
+    * candidate-pair verify joins. Never all-pairs.
+    */
+  def ppjoinNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    val sh = TextOps.shingles(docs, n).filter(col("shingle").isNotNull)
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // localCheckpoint for the same two reasons as x24's cands: byDoc
+    // feeds THREE consumers (prefix derivation + both verify sides) —
+    // un-materialized, the shingle+df+collect pipeline executes three
+    // times — and it cuts lineage so no downstream Filter can have the
+    // transform/size expressions pushed into it (the HOF-in-Filter trap
+    // the plan audit gates; it fired on this operator's first draft)
+    val byDoc = sh.join(dfTab, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .select(
+        col("doc_id"),
+        transform(col("ord"), x => x.getField("shingle")).as("toks"),
+        size(col("ord")).as("len"))
+      .localCheckpoint(false)
+    val prefixes = byDoc.select(
+      col("doc_id"), col("len"),
+      slice(
+        col("toks"), lit(1),
+        (col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)).as("prefix"))
+    val post = prefixes.select(col("doc_id"), col("len"), explode(col("prefix")).as("shingle"))
+    val cand = post.select(col("shingle"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+      .join(
+        post.select(col("shingle"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(
+        least(col("len_a"), col("len_b")).cast("double") >=
+          ceil(lit(threshold) * greatest(col("len_a"), col("len_b"))))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sets = byDoc.select(col("doc_id"), col("toks"), col("len"))
+    // pair-bounded barrier before the threshold filter: without it,
+    // PushDownPredicate inlines the array_intersect into the Filter and
+    // re-evaluates the intersection per comparison (the audited
+    // HOF-in-Filter class); past the checkpoint the score is a plain
+    // integer-attribute expression
+    val scored = cand
+      .join(
+        sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("len").as("n_a")),
+        Seq("doc_a"))
+      .join(
+        sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("len").as("n_b")),
+        Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+        col("n_a"), col("n_b"))
+      .localCheckpoint(false)
+    scored
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Containment near-dups: pairs where the SMALLER document's shingle
     * set is largely inside the other's — |A∩B| / min(|A|, |B|), the
     * Broder "containment" coefficient. This is the excerpt/quotation/

@@ -69,6 +69,49 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardNearDups(docs, threshold = 0.3, maxShingleDf = 100).count() > 0)
   }
 
+  test("ppjoinNearDups: lossless — equals the brute threshold join, including x24's blind spot") {
+    // brute-force truth over the planted corpus
+    def brute(docs: DataFrame, t: Double): Set[(Long, Long, Double)] = {
+      val sh = TextOps.shingles(docs, 3).filter(col("shingle").isNotNull)
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("j")))
+        .toSet
+    }
+    def got(docs: DataFrame, t: Double): Set[(Long, Long, Double)] =
+      Dedup.ppjoinNearDups(docs, t).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+        .toSet
+    val c = corpus()
+    assert(got(c, 0.5) === brute(c, 0.5))
+    assert(got(c, 0.5).exists { case (a, b, j) => a == 2000L && b == 2001L && j == 1.0 })
+
+    // the pair class jaccardNearDups structurally misses: overlap all
+    // ABOVE the df cap (boilerplate-only twins) — the prefix filter has
+    // no cap, so PPJoin still finds them
+    val boiler = "the same header line appears everywhere in this corpus"
+    val docs = (0L until 8L).map(i => (i, s"$boiler unique$i"))
+      .toDF("doc_id", "text")
+    val t = 0.4
+    assert(Dedup.jaccardNearDups(docs, t, maxShingleDf = 5).count() === 0)
+    assert(got(docs, t) === brute(docs, t))
+    assert(got(docs, t).nonEmpty)
+  }
+
+  test("ppjoinNearDups is invariant to the input partitioning") {
+    val c = corpus()
+    val one = Dedup.ppjoinNearDups(c.coalesce(1), 0.5).orderBy("doc_a", "doc_b").collect().toSeq
+    val many = Dedup.ppjoinNearDups(c.repartition(7), 0.5).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(one === many)
+  }
+
   test("containmentNearDups: an embedded excerpt scores 1.0 where jaccard waves it through") {
     // doc 2 = a 6-token excerpt of doc 1's 60 tokens: every excerpt
     // shingle is in the big doc, so containment = 1.0 while jaccard
