@@ -1070,6 +1070,23 @@ object ExtensionQueries {
       EventAnalytics.pivotDaily(Tables.events(s, dir), PivotEventTypes)
         .orderBy("day")),
 
+    // Retrieval-quality metrics (x107): recall@5 and MRR of the
+    // int8-quantized index (x30's retrieval) against the exact top-5
+    // (x09's) — the evaluation harness behind every ANN/compression
+    // trade-off. Both retrieval paths are already green standalone;
+    // this composes them into the scored report (the x82 pattern
+    // applied to retrieval).
+    "x107_retrieval_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val truth = Similarity.bruteForceTopK(probes, emb, 5)
+      val approx = Similarity.bruteForceTopK(probes, Similarity.quantizedCorpus(emb), 5)
+      Similarity.retrievalMetrics(truth, approx, 5)
+        .select(col("q_id"), r4(col("recall_at_k")).as("recall_at_5"), r4(col("mrr")).as("mrr"))
+        .orderBy("q_id")
+    }),
+
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
     // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
@@ -3066,6 +3083,9 @@ object ExtensionQueries {
     // order and UTF-16 code-unit order agree; the x42 non-BMP caveat
     // applies identically here), id strings reassembled in token order
     "x101_vocab_encode" -> vocabEncodeSql,
+    // x107: both retrieval paths re-ranked from scratch, exact-integer
+    // metric arithmetic, zero-overlap probes explicit
+    "x107_retrieval_metrics" -> retrievalMetricsSql(k = 5),
     // x106: the BRUTE exact threshold join — no prefix filter, no cap;
     // a lossless candidate scheme must reproduce this naive answer
     "x106_ppjoin_neardups" ->
@@ -4179,15 +4199,52 @@ object ExtensionQueries {
     * model state at all; then the x09 exact-top-k shape over the
     * dequantized corpus.
     */
-  private[graft] def x30QuantizedSql: String = {
+  /** The int8 quantize→dequantize round trip as a CTE — ONE definition
+    * serving the x30 retrieval oracle and the x107 metrics oracle.
+    */
+  private def int8DeqCte: String = {
     val maxAbs = "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
-    s"""WITH deq AS (
+    s"""deq AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(CASE WHEN $maxAbs = 0.0 THEN 0.0
        |                          ELSE round(CAST(x AS DOUBLE) / ($maxAbs / 127.0)) * ($maxAbs / 127.0)
        |                     END AS FLOAT)) AS embedding
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+  }
+
+  /** x107 oracle: both retrieval paths (exact + int8-dequantized)
+    * re-ranked from scratch, then the hit join and the exact-integer
+    * metric arithmetic — recall@k as hits/k, MRR as 1/first-hit-rank,
+    * zero rows explicit via the probe left join.
+    */
+  private[graft] def retrievalMetricsSql(k: Int): String =
+    s"""WITH ${int8DeqCte},
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |tsc AS (SELECT p.q_id, e.vec_id, ${cosSql("p.q_emb", "e.embedding")} AS sim
+       |        FROM p CROSS JOIN embeddings e WHERE p.q_id <> e.vec_id),
+       |tr AS (SELECT q_id, vec_id,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |       FROM tsc),
+       |truth AS (SELECT q_id, vec_id FROM tr WHERE rank <= $k),
+       |aps AS (SELECT p.q_id, e.vec_id, ${cosSql("p.q_emb", "e.embedding")} AS sim
+       |        FROM p CROSS JOIN deq e WHERE p.q_id <> e.vec_id),
+       |ar AS (SELECT q_id, vec_id,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |       FROM aps),
+       |approx AS (SELECT q_id, vec_id, rank FROM ar WHERE rank <= $k),
+       |hits AS (SELECT a.q_id, a.rank FROM approx a
+       |         JOIN truth t ON t.q_id = a.q_id AND t.vec_id = a.vec_id),
+       |m AS (SELECT q_id, CAST(COUNT(*) AS DOUBLE) / $k AS recall,
+       |             CAST(1 AS DOUBLE) / MIN(rank) AS mrr
+       |      FROM hits GROUP BY 1)
+       |SELECT p.q_id, round(COALESCE(m.recall, 0.0), 4) AS recall_at_$k,
+       |       round(COALESCE(m.mrr, 0.0), 4) AS mrr
+       |FROM p LEFT JOIN m ON m.q_id = p.q_id
+       |ORDER BY 1""".stripMargin
+
+  private[graft] def x30QuantizedSql: String = {
+    s"""WITH ${int8DeqCte},
        |p AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |scored AS (
        |  SELECT p.q_id, e.vec_id, ${cosSql("p.q_emb", "e.embedding")} AS sim

@@ -174,6 +174,10 @@ object PlanAudit {
     "x09_topk_cosine" -> 1, "x14_ivf_topk" -> 2,
     // class (b): hard-negative mining's exhaustive anchors baseline
     "x73_hard_negatives" -> 1,
+    // class (b) twice: x107 evaluates BOTH retrieval paths (exact +
+    // int8-dequantized), each the documented corpus × broadcast(probes)
+    // exhaustive baseline
+    "x107_retrieval_metrics" -> 2,
     "x21_tfidf_topterms" -> 1, "x27_source_mix" -> 1,
     "x30_quantized_topk" -> 1, "x32_mix_weights" -> 1,
     "x36_resampled_corpus" -> 1, "x38_pq_topk" -> 1,

@@ -218,6 +218,35 @@ object Similarity {
     quantizeInt8(emb)
       .select(col("vec_id"), dequantize(col("q"), col("scale")).as("embedding"))
 
+  /** Retrieval-quality metrics — the evaluation harness every ANN/
+    * compression trade-off decision needs: per probe, recall@k (what
+    * fraction of the exact top-k the candidate system returned) and
+    * MRR (1 / rank of its first truly-relevant result; 0 when none
+    * is). `truth` and `approx` are top-k frames in the
+    * [[bruteForceTopK]] shape (q_id, rank, vec_id) — compose any two
+    * retrieval paths (exact vs int8, exact vs IVF, BM25 vs reranked)
+    * into one scored report.
+    *
+    * All arithmetic is exact-integer-fed (hit counts, min ranks), so
+    * the metrics are drift-free; probes with zero overlap surface as
+    * explicit 0.0 rows (a silent dropout would read as "not
+    * evaluated"). Shapes: the inputs are probe×k-bounded — every join
+    * here is q_id-keyed over frames ALREADY reduced from the corpus,
+    * so the report costs nothing at any scale.
+    */
+  def retrievalMetrics(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hits = approx.select(col("q_id"), col("rank"), col("vec_id"))
+      .join(truth.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+    truth.select("q_id").distinct()
+      .join(
+        hits.groupBy("q_id").agg(
+          (count(lit(1)).cast("double") / k).as("recall_at_k"),
+          (lit(1.0) / min(col("rank"))).as("mrr")),
+        Seq("q_id"), "left")
+      .na.fill(0.0, Seq("recall_at_k", "mrr"))
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (Jegou, Douze, Schmid 2011, "Product
   // quantization for nearest neighbor search"): split each vector into m

@@ -512,4 +512,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L), (2L, 4L)),
       s"expected the two semi-hard negatives ranked hardest-first, got ${got.toSeq}")
   }
+
+  test("retrievalMetrics: hand-computed recall@k and MRR, zero-overlap explicit") {
+    import org.apache.spark.sql.functions.col
+    def tk(rows: (Long, Long, Long)*) = rows.toDF("q_id", "rank", "vec_id")
+    val truth = tk((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
+    // q1: hits at ranks 2 (11) and 3 (12) -> recall 2/3, MRR 1/2
+    // q2: no overlap -> 0.0 / 0.0 (row still present)
+    val approx = tk((1L, 1L, 99L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 98L), (2L, 2L, 97L), (2L, 3L, 96L))
+    val got = Similarity.retrievalMetrics(truth, approx, k = 3)
+      .orderBy("q_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("recall_at_k"), r.getAs[Double]("mrr")))
+    assert(got.toSeq === Seq((1L, 2.0 / 3, 0.5), (2L, 0.0, 0.0)))
+    // identical lists score perfectly
+    val perfect = Similarity.retrievalMetrics(truth, truth, k = 3)
+      .collect().map(r => (r.getAs[Double]("recall_at_k"), r.getAs[Double]("mrr")))
+    assert(perfect.forall(_ == ((1.0, 1.0))))
+  }
 }
