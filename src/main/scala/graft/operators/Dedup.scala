@@ -352,15 +352,29 @@ object Dedup {
     * Exactness does not depend on the tie-break: ANY consistent global
     * total order satisfies the theorem, so the UTF-16/UTF-8 ordering
     * caveat (x42) affects which tokens land in prefixes — candidate
-    * volume, never the result set. Verification is exact: candidates
-    * rejoin their full ordered shingle arrays and score
-    * |A∩B| / (|A|+|B|−|A∩B|) with array intersection — per-pair work
-    * bounded by document length.
+    * volume, never the result set. Verification is exact and classic
+    * PPJoin: each candidate pair rejoins the two docs' shingle ARRAYS
+    * and scores size(array_intersect) — per-pair work bounded by doc
+    * length, total verify cost O(candidates × doclen). The arrays come
+    * straight from the per-row shingle projection (shingleFrame), NOT a
+    * collect_list re-assembly, so there is no grouped corpus-scale
+    * state and no checkpoint on a corpus-sized frame. (Two rejected
+    * forms, both measured at sf0.1: re-counting the intersection from
+    * candidate-restricted full postings costs 2.3× the array verify —
+    * the pair×doclen expansion flows through two sort-merge joins AND a
+    * groupBy instead of a per-row intersect; and the original
+    * collect_list form paid a corpus-scale checkpoint plus three
+    * consumers of the grouped frame.)
     *
-    * Shapes: one shuffle on shingle for the df join, one on doc_id for
-    * the per-doc ordered-array fold, the prefix-postings self-join
-    * (corpus-scale both sides — the x24 SMJ allowance class), and the
-    * candidate-pair verify joins. Never all-pairs.
+    * Shapes: one shuffle on shingle for the df join, one doc-keyed
+    * window pass for the per-doc (df, shingle) rank, the prefix-postings
+    * self-join (corpus-scale both sides — the x24 SMJ allowance class),
+    * then two pair-bounded array joins. The two checkpoints are both
+    * PAIR-bounded: the candidate frame (so the self-join runs once) and
+    * the scored frame (so the jaccard filter sees a plain integer
+    * attribute — PushDownPredicate would otherwise inline the
+    * array_intersect into a Filter, the audited HOF-in-Filter class).
+    * Never all-pairs.
     */
   def ppjoinNearDups(
       docs: DataFrame,
@@ -369,53 +383,39 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = TextOps.shingles(docs, n).filter(col("shingle").isNotNull)
     val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // localCheckpoint for the same two reasons as x24's cands: byDoc
-    // feeds THREE consumers (prefix derivation + both verify sides) —
-    // un-materialized, the shingle+df+collect pipeline executes three
-    // times — and it cuts lineage so no downstream Filter can have the
-    // transform/size expressions pushed into it (the HOF-in-Filter trap
-    // the plan audit gates; it fired on this operator's first draft)
-    val byDoc = sh.join(dfTab, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
-      .select(
-        col("doc_id"),
-        transform(col("ord"), x => x.getField("shingle")).as("toks"),
-        size(col("ord")).as("len"))
-      .localCheckpoint(false)
-    val prefixes = byDoc.select(
-      col("doc_id"), col("len"),
-      slice(
-        col("toks"), lit(1),
-        (col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)).as("prefix"))
-    val post = prefixes.select(col("doc_id"), col("len"), explode(col("prefix")).as("shingle"))
-    val cand = post.select(col("shingle"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = sh.join(dfTab, Seq("shingle"))
+      .withColumn("len", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")).cast("long") + 1)
+      .select(col("shingle"), col("doc_id"), col("len"))
+    // pair-bounded barrier: cand feeds both the intersection join and
+    // the final assembly — and the candidate self-join (the expensive
+    // part) must not re-execute per consumer
+    val cand = prefix.select(col("shingle"), col("doc_id").as("doc_a"), col("len").as("n_a"))
       .join(
-        post.select(col("shingle"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+        prefix.select(col("shingle"), col("doc_id").as("doc_b"), col("len").as("n_b")),
         Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(
-        least(col("len_a"), col("len_b")).cast("double") >=
-          ceil(lit(threshold) * greatest(col("len_a"), col("len_b"))))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val sets = byDoc.select(col("doc_id"), col("toks"), col("len"))
-    // pair-bounded barrier before the threshold filter: without it,
-    // PushDownPredicate inlines the array_intersect into the Filter and
-    // re-evaluates the intersection per comparison (the audited
-    // HOF-in-Filter class); past the checkpoint the score is a plain
-    // integer-attribute expression
+        least(col("n_a"), col("n_b")).cast("double") >=
+          ceil(lit(threshold) * greatest(col("n_a"), col("n_b"))))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .localCheckpoint(false)
+    // exact |A∩B|: the pair-bounded frame rejoins each side's shingle
+    // array (a per-row projection of the source — no grouped state) and
+    // intersects once per pair; the checkpoint makes the jaccard filter
+    // below a plain-attribute predicate (HOF-in-Filter gate)
+    val arrs = TextOps.shingleFrame(docs, n)
+      .select(col("doc_id"), col("shingle_arr"))
     val scored = cand
-      .join(
-        sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("len").as("n_a")),
-        Seq("doc_a"))
-      .join(
-        sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("len").as("n_b")),
-        Seq("doc_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingle_arr").as("arr_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingle_arr").as("arr_b")), Seq("doc_b"))
       .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
-        col("n_a"), col("n_b"))
+        col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_inter"))
       .localCheckpoint(false)
     scored
       .withColumn(

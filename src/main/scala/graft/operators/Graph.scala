@@ -58,14 +58,26 @@ object Graph {
     var ranks = deg
       .select(col("u").as("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val next = withDeg
+    // checkpoint every few generations, not every one: a handful of
+    // chained join+agg stages is a perfectly healthy lineage, and each
+    // eager checkpoint is a full job barrier — per-iteration barriers
+    // tripled this operator's wall time on a small graph. The interval
+    // still bounds lineage depth (and cached footprint stays two
+    // frames: a checkpoint's predecessor unpersists only after the
+    // successor materializes, which depends on it).
+    val ckptEvery = 3
+    var lastCkpt = ranks
+    for (i <- 1 to iterations) {
+      var next = withDeg
         .join(ranks, col("u") === col("node"))
         .select(col("v"), (col("rank") / col("d")).as("c"))
         .groupBy(col("v").as("node"))
         .agg(CrossRound.ra(base + lit(damping) * sum(col("c")), 8).as("rank"))
-        .localCheckpoint(true)
-      ranks.unpersist()
+      if (i % ckptEvery == 0 || i == iterations) {
+        next = next.localCheckpoint(true)
+        lastCkpt.unpersist()
+        lastCkpt = next
+      }
       ranks = next
     }
     withDeg.unpersist()

@@ -1295,7 +1295,7 @@ object TextOps {
     * lambda-internal token references would then re-split the text per
     * array element (quadratic; observed 25x at bench scale).
     */
-  private def shingleFrame(docs: DataFrame, n: Int, distinct: Boolean = true): DataFrame =
+  private[graft] def shingleFrame(docs: DataFrame, n: Int, distinct: Boolean = true): DataFrame =
     docs
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
