@@ -1087,6 +1087,101 @@ object ExtensionQueries {
         .orderBy("q_id")
     }),
 
+    // Small-file compaction (x108): the head snapshot AFTER the
+    // maintenance pass over a base-plus-four-micro-batch append chain —
+    // the append files re-binned into one, the base file carried by
+    // reference (threshold derived from the actual sizes, so the split
+    // executes both paths at every sf). The closed-form chain (base =
+    // doc_id < 300, appends = [300, 500) in four slices) lets the
+    // oracle restate the compacted table from `documents` alone:
+    // compaction must be invisible to readers — bag-identical content,
+    // fewer files. File-granular pins (only small files rewrote, the
+    // carried path byte-identical, old versions still serve) live in
+    // VersionedTableSpec; the graded row proves reader-invisibility.
+    "x108_compacted_read" -> ((s, dir) =>
+      compactTableFor(s, dir).read(s)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Exact phrase search (x109): every adjacent-token occurrence of
+    // two quoted phrases (k=2 with multi-match docs, k=3) — the
+    // positional-retrieval primitive BM25's bag-of-words cannot
+    // express. One shuffle per phrase via the anchor trick; only
+    // phrase-term occurrences ever shuffle (the x62 move). The oracle
+    // re-derives positional postings and replays the same anchor
+    // arithmetic 1-based in SQL.
+    "x109_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.phraseOccurrences(docs, Seq("table", "scan"))
+        .withColumn("phrase", lit("table scan"))
+        .unionByName(
+          TextOps.phraseOccurrences(docs, Seq("row", "column", "sort"))
+            .withColumn("phrase", lit("row column sort")))
+        .select("phrase", "doc_id", "n_matches", "first_pos")
+        .orderBy("phrase", "doc_id")
+    }),
+
+    // First/last-touch attribution (x110): every purchase credited to
+    // the first and last click/view of the same user in the preceding
+    // 7 days — one user-keyed window shuffle, no conversions×touches
+    // self-join. Organic conversions (no touch in window) keep their
+    // row with null attribution. The oracle replays the same RANGE
+    // frame + struct-argmax in DuckDB.
+    "x110_attribution" -> ((s, dir) =>
+      EventAnalytics.attribution(
+        Tables.events(s, dir), convType = "purchase",
+        touchTypes = Seq("click", "view"),
+        lookbackUs = 7L * 24 * 3600 * 1000000L)
+        .select(
+          col("user_id"), col("conv_event_id"), r4(col("value")).as("value"),
+          col("last_touch_type"), col("last_touch_event"),
+          col("last_touch_lag_us"), col("first_touch_type"),
+          col("first_touch_event"))
+        .orderBy("conv_event_id")),
+
+    // HLL set algebra (x111): per-source-pair vocabulary overlap
+    // estimated ENTIRELY in sketch space — est(A∩B) = est(A) + est(B)
+    // − est(A∪B), with the union a register-wise MAX merge. The
+    // sketch-space twin of x98's exact overlap: at 100 TB the corpus
+    // folds ONCE into |sources|×m register cells and every pairwise
+    // question after that touches only sketches (x98's exact form
+    // re-shuffles corpus vocabulary per report). Hash-mirrored oracle
+    // (the x91 convention): even collision error is gated, not
+    // tolerated. Inclusion–exclusion can go negative on sketch error;
+    // both engines clamp at 0 before rounding.
+    "x111_hll_overlap" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      // bounded model state (|sources| × 512 cells) feeding three
+      // consumers — barrier so the corpus folds once
+      val regs = Sketches.hllRegistersHashed(
+        toks, xxhash64(col("token")), Seq("source"), p = 9)
+        .localCheckpoint(false)
+      val perSrc = Sketches.hllEstimateKeyed(regs, Seq("source"), p = 9)
+        .select(col("source"), col("est"))
+      val srcs = regs.select("source").distinct()
+      val pairs = srcs.select(col("source").as("s_a"))
+        .crossJoin(srcs.select(col("source").as("s_b")))
+        .filter(col("s_a") < col("s_b"))
+      val sides = pairs.select(
+        col("s_a"), col("s_b"),
+        explode(array(col("s_a"), col("s_b"))).as("source"))
+      val unionRegs = broadcast(sides).join(regs, Seq("source"))
+        .groupBy("s_a", "s_b", "idx")
+        .agg(max(col("rho")).as("rho"))
+      Sketches.hllEstimateKeyed(unionRegs, Seq("s_a", "s_b"), p = 9)
+        .select(col("s_a"), col("s_b"), col("est").as("est_union"))
+        .join(broadcast(perSrc.select(col("source").as("s_a"), col("est").as("est_a"))), Seq("s_a"))
+        .join(broadcast(perSrc.select(col("source").as("s_b"), col("est").as("est_b"))), Seq("s_b"))
+        .select(
+          col("s_a"), col("s_b"),
+          r4(col("est_a")).as("est_a"), r4(col("est_b")).as("est_b"),
+          r4(col("est_union")).as("est_union"),
+          r4(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+            .as("est_inter"))
+        .orderBy("s_a", "s_b")
+    }),
+
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
     // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
@@ -1748,6 +1843,38 @@ object ExtensionQueries {
     graft.sources.VersionedTable(root)
   }
 
+  /** One compacted snapshot chain per (JVM, sf dir) for x108:
+    * v0 = base commit (doc_id < 300, one file), v1..v4 = four
+    * micro-batch appendCommits ([300, 500) in slices of 50, one file
+    * each), v5 = compactFiles with the threshold set to the head's
+    * largest file size — so the base file carries by reference and the
+    * four append files re-bin into one, exercising BOTH file paths of
+    * the maintenance pass at every sf (content identity never depends
+    * on the split; only the economics do). Same dir-keyed build-once
+    * pattern as the x100 CDC chain.
+    */
+  private val CompactTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = CompactTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x108_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      vt.commit(docs.filter(col("doc_id") < 300).coalesce(1))
+      Seq((300, 350), (350, 400), (400, 450), (450, 500)).foreach { case (lo, hi) =>
+        vt.appendCommit(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1))
+      }
+      val head = vt.manifest(vt.latestVersion().get).get
+      val maxSz = head.map(f => new java.io.File(f).length()).max
+      vt.compactFiles(s, smallBytes = maxSz, targetBytes = Long.MaxValue)
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
   /** One shingle-bucketed corpus postings table per (JVM, sf dir) for
     * x29b — built once (the nightly-layout job) and reused by every
     * evaluation, exactly the incremental-ingest read pattern the layout
@@ -2173,6 +2300,50 @@ object ExtensionQueries {
        |                  THEN $m.0 * ln($m.0 / CAST(n_zero AS DOUBLE))
        |                  ELSE raw END, 4) AS est
        |FROM r CROSS JOIN x""".stripMargin
+  }
+
+  /** x111 oracle: the x91 register recipe keyed by source, the pairwise
+    * union as a register MAX over the pair's two sources, and the x91
+    * estimate formula applied once per source and once per pair —
+    * inclusion–exclusion (clamped at 0) in plain SQL over the mirrored
+    * hash.
+    */
+  private def hllOverlapSql(p: Int): String = {
+    val m = 1 << p
+    val mask = (1L << p) - 1
+    val (sCtes, sLast) = XxHash64Sql.xxhash64StringCtes("tc", "w", "xh", "hs")
+    val est = (nP: String, sP: String) =>
+      s"""CASE WHEN ${Sketches.hllAlphaM2(p)} / ($sP + CAST($m - $nP AS DOUBLE)) <= ${2.5 * m}
+         |          AND $m - $nP > 0
+         |     THEN $m.0 * ln($m.0 / CAST($m - $nP AS DOUBLE))
+         |     ELSE ${Sketches.hllAlphaM2(p)} / ($sP + CAST($m - $nP AS DOUBLE)) END""".stripMargin
+    s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+       |tc AS (SELECT DISTINCT source, w FROM tok),
+       |$sCtes,
+       |rr AS (SELECT source, xh & $mask AS idx,
+       |              CASE WHEN ((xh >> $p) & 4294967295) = 0 THEN 33
+       |                   ELSE 33 - length(bin((xh >> $p) & 4294967295)) END AS rho
+       |       FROM $sLast),
+       |regs AS (SELECT source, idx, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+       |es AS (SELECT source,
+       |              ${est("COUNT(*)", "COALESCE(SUM(power(2.0, -rho)), 0.0)")} AS est
+       |       FROM regs GROUP BY source),
+       |srcs AS (SELECT DISTINCT source FROM regs),
+       |pairs AS (SELECT a.source AS s_a, b.source AS s_b
+       |          FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uregs AS (SELECT p.s_a, p.s_b, r.idx, MAX(r.rho) AS rho
+       |          FROM pairs p JOIN regs r ON r.source = p.s_a OR r.source = p.s_b
+       |          GROUP BY 1, 2, 3),
+       |eu AS (SELECT s_a, s_b,
+       |              ${est("COUNT(*)", "COALESCE(SUM(power(2.0, -rho)), 0.0)")} AS est_union
+       |       FROM uregs GROUP BY s_a, s_b)
+       |SELECT eu.s_a, eu.s_b,
+       |       round(ea.est, 4) AS est_a, round(eb.est, 4) AS est_b,
+       |       round(eu.est_union, 4) AS est_union,
+       |       round(greatest(0.0, ea.est + eb.est - eu.est_union), 4) AS est_inter
+       |FROM eu JOIN es ea ON ea.source = eu.s_a
+       |        JOIN es eb ON eb.source = eu.s_b
+       |ORDER BY eu.s_a, eu.s_b""".stripMargin
   }
 
   /** x93 oracle: per-day registers from the seeded long-hash mirror,
@@ -3086,6 +3257,38 @@ object ExtensionQueries {
     // x107: both retrieval paths re-ranked from scratch, exact-integer
     // metric arithmetic, zero-overlap probes explicit
     "x107_retrieval_metrics" -> retrievalMetricsSql(k = 5),
+    // x108: compaction must be invisible to readers — the compacted
+    // head restates from `documents` alone via the chain's closed form
+    "x108_compacted_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // x109: positional postings re-derived (1-based), the anchor
+    // arithmetic replayed per phrase; first_pos reported 0-based
+    "x109_phrase_search" ->
+      """WITH tb AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, i, toks[i] AS token
+        |      FROM tb, unnest(generate_series(1, len(toks))) AS u(i)),
+        |a1 AS (SELECT p.doc_id, p.i - ph.j AS anchor
+        |       FROM p JOIN (VALUES (0, 'table'), (1, 'scan')) ph(j, tok)
+        |         ON p.token = ph.tok
+        |       WHERE p.i - ph.j >= 1),
+        |m1 AS (SELECT doc_id, anchor FROM a1 GROUP BY 1, 2 HAVING count(*) = 2),
+        |r1 AS (SELECT 'table scan' AS phrase, doc_id,
+        |              CAST(count(*) AS BIGINT) AS n_matches,
+        |              CAST(min(anchor) - 1 AS BIGINT) AS first_pos
+        |       FROM m1 GROUP BY doc_id),
+        |a2 AS (SELECT p.doc_id, p.i - ph.j AS anchor
+        |       FROM p JOIN (VALUES (0, 'row'), (1, 'column'), (2, 'sort')) ph(j, tok)
+        |         ON p.token = ph.tok
+        |       WHERE p.i - ph.j >= 1),
+        |m2 AS (SELECT doc_id, anchor FROM a2 GROUP BY 1, 2 HAVING count(*) = 3),
+        |r2 AS (SELECT 'row column sort' AS phrase, doc_id,
+        |              CAST(count(*) AS BIGINT) AS n_matches,
+        |              CAST(min(anchor) - 1 AS BIGINT) AS first_pos
+        |       FROM m2 GROUP BY doc_id)
+        |SELECT phrase, doc_id, n_matches, first_pos
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY phrase, doc_id""".stripMargin,
     // x106: the BRUTE exact threshold join — no prefix filter, no cap;
     // a lossless candidate scheme must reproduce this naive answer
     "x106_ppjoin_neardups" ->
@@ -3105,6 +3308,28 @@ object ExtensionQueries {
         |JOIN n nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    // x110: the same RANGE frame and struct argmax; min/max skip the
+    // CASE's nulls on both engines, organic conversions null-extend
+    "x110_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(ts) AS t_us FROM events),
+        |w AS (SELECT *,
+        |  max(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'t_us': t_us, 'event_id': event_id, 'event_type': event_type} END)
+        |    OVER (PARTITION BY user_id ORDER BY t_us
+        |          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS lt,
+        |  min(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'t_us': t_us, 'event_id': event_id, 'event_type': event_type} END)
+        |    OVER (PARTITION BY user_id ORDER BY t_us
+        |          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS ft
+        |  FROM e)
+        |SELECT user_id, event_id AS conv_event_id, round(value, 4) AS value,
+        |       lt.event_type AS last_touch_type, lt.event_id AS last_touch_event,
+        |       t_us - lt.t_us AS last_touch_lag_us,
+        |       ft.event_type AS first_touch_type, ft.event_id AS first_touch_event
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY conv_event_id""".stripMargin,
+
     // x103: the 5 PageRank iterations UNROLLED as chained CTEs — each
     // iteration's rank passes the same round(round(·,12),8) collapse
     // the engine applies, so both engines hand iteration t+1
@@ -3973,6 +4198,8 @@ object ExtensionQueries {
         |       round(round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 8), 4) AS entropy
         |FROM a ORDER BY 1""".stripMargin,
     "x91_hll_cardinality" -> hllCardinalitySql(p = 9),
+    // x111: the keyed x91 recipe + pair union MAX + inclusion-exclusion
+    "x111_hll_overlap" -> hllOverlapSql(p = 9),
     "x93_rolling_distinct" -> rollingDistinctSql(p = 9, windowDays = 7, seed = 93L),
     "x94_validation_report" -> validationReportSql,
     "x95_psi_drift" -> psiDriftSql(width = 30, nBins = 20, split = 250L),

@@ -257,4 +257,60 @@ object EventAnalytics {
         .as("r"))
       .select("r.step", "r.event_type", "r.n_users", "r.conversion")
   }
+
+  /** First/last-touch conversion attribution — for every conversion
+    * event, the first and last preceding touch event of the same user
+    * inside a lookback window: the report marketing analytics runs on
+    * every event stream ("which channel gets credit for this
+    * purchase").
+    *
+    * Shape: ONE user-keyed window shuffle, never a conversions×touches
+    * self-join (per-user theta products blow up on power users — the
+    * exact hot-key failure the as-of join's block hatch exists for).
+    * Each row carries a nullable touch struct; first/last touch are
+    * min/max of that struct over a RANGE frame [t − lookback, t), so
+    * frame membership is by VALUE (ties at the boundary resolve
+    * identically on every engine) and the struct's (t_us, event_id)
+    * lead makes the argmax order-deterministic without any row-order
+    * tie-break. Aggregate min/max skip nulls, so non-touch rows in the
+    * frame contribute nothing; a conversion with no touch in window
+    * reports null attribution rather than vanishing — the "organic
+    * conversion" row the report needs most.
+    */
+  def attribution(
+      events: DataFrame,
+      convType: String,
+      touchTypes: Seq[String],
+      lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(lookbackUs > 0, s"lookback must be positive: $lookbackUs")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val tagged = events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      us.as("t_us"),
+      when(
+        col("event_type").isin(touchTypes: _*),
+        struct(
+          us.as("t_us"), col("event_id").as("event_id"),
+          col("event_type").as("event_type"))).as("touch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-lookbackUs, -1L)
+    tagged
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("t_us"),
+        max(col("touch")).over(w).as("lt"),
+        min(col("touch")).over(w).as("ft"))
+      .filter(col("event_type") === convType)
+      .select(
+        col("user_id"),
+        col("event_id").as("conv_event_id"),
+        col("value"),
+        col("lt.event_type").as("last_touch_type"),
+        col("lt.event_id").as("last_touch_event"),
+        (col("t_us") - col("lt.t_us")).as("last_touch_lag_us"),
+        col("ft.event_type").as("first_touch_type"),
+        col("ft.event_id").as("first_touch_event"))
+  }
 }

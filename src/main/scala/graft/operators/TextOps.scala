@@ -900,6 +900,51 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Exact phrase search — every occurrence of `phrase` as ADJACENT
+    * tokens, per document: (doc_id, n_matches, first_pos), positions
+    * 0-based in token space. The retrieval primitive BM25's bag-of-words
+    * scoring cannot express ("new york" as a unit, an exact quoted
+    * query, a citation string).
+    *
+    * Shape — the anchor trick, ONE shuffle, no k-way self-join: an
+    * occurrence of phrase token i at position p can only belong to a
+    * match STARTING at p − i, so each phrase-token occurrence maps to
+    * its (doc, anchor) and a match is an anchor holding all k phrase
+    * positions. The classic positional-index formulation joins k
+    * posting lists on (doc, pos+offset) — k−1 shuffles of corpus-scale
+    * postings; this is one groupBy over PHRASE-TERM occurrences only,
+    * because the isin filter cuts every non-phrase token before
+    * anything shuffles (the x62 move: the corpus never shuffles for a
+    * query, the query's own postings do). Repeated phrase tokens are
+    * handled by construction — an occurrence fans out to one anchor
+    * per index it could serve — and (doc, anchor, i) is unique (two
+    * occurrences of the same i cannot share an anchor), so count(*)
+    * = matched positions, = k exactly when the whole phrase sits at
+    * the anchor. Anchors from a token too close to the doc start
+    * (anchor < 0) can never reach k and need no explicit guard, but
+    * the filter keeps them out of the groupBy anyway.
+    */
+  def phraseOccurrences(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val k = phrase.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idx = broadcast(phrase.zipWithIndex.toDF("token", "i"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+      .join(idx, Seq("token"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   // -------------------------------------------------------------------
   // BPE merge training (Sennrich, Haddow, Birch 2016, "Neural Machine
   // Translation of Rare Words with Subword Units") — tokenizer induction,

@@ -189,6 +189,59 @@ final class VersionedTable(val root: String) {
     next
   }
 
+  /** Small-file compaction — the maintenance commit every appendCommit
+    * chain eventually owes. Per-micro-batch appends leave one file per
+    * batch, and a reader of the head snapshot pays open + footer +
+    * seek PER FILE — at 100 TB the small-file tax dwarfs the data
+    * bytes (a day of 30-second micro-batches is ~3k files; a year is
+    * a million). This pass rewrites every data file smaller than
+    * `smallBytes` into ~`targetBytes`-sized files and carries every
+    * file already at weight into the new snapshot by manifest
+    * reference — the same file-granular economics as [[deleteWhere]]:
+    * zero read/write/copy for the bulk of a mature table, cost
+    * proportional to the fragmented tail. Content is bag-identical by
+    * construction (rows are only re-binned between files), and the
+    * rewrite is a `coalesce`, never a shuffle — compaction at scale is
+    * IO-bound and must not pay a corpus exchange on top.
+    *
+    * Fewer than two qualifying files → no-op: the published version is
+    * returned unchanged (merging one file with nothing buys nothing —
+    * same no-empty-commit contract as deleteWhere's no-match path).
+    * Old snapshots keep referencing the small files (time travel
+    * unaffected); [[vacuum]] reclaims them once no retained snapshot
+    * does. Unpartitioned snapshots only — carried files cross version
+    * directories, the [[appendCommit]] contract.
+    */
+  def compactFiles(
+      spark: SparkSession,
+      smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Long = {
+    require(smallBytes > 0 && targetBytes > 0, "byte thresholds must be positive")
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"compactFiles on a never-committed table at $root"))
+    val files = manifest(v).getOrElse(throw new IllegalStateException(
+      s"compactFiles needs a manifest-bearing snapshot under $root " +
+        "(pre-manifest snapshots predate the maintenance path — rewrite once with commit())"))
+    requireUnpartitioned(files)
+    def canon(p: String): String =
+      try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
+    val sized = files.map(f => f -> new java.io.File(canon(f)).length())
+    val (small, carry) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return v
+    val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
+    // bin count from ON-DISK bytes (what the reader's open/seek cost is
+    // proportional to); coalesce concatenates input partitions without
+    // an exchange, so each output file is a pure byte-merge of inputs
+    val bins = math.max(1L,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toLong).toInt
+    spark.read.parquet(small.map(_._1): _*)
+      .coalesce(bins)
+      .write.mode("errorifexists").parquet(versionDir(next).toString)
+    writeManifest(next, carried = carry.map(_._1))
+    publish(next)
+    next
+  }
+
   /** Row-level change feed between two committed snapshots — the CDC
     * read every downstream incremental consumer (index refresher,
     * replica, cache invalidator) wants instead of a full re-sync.

@@ -207,4 +207,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EventAnalytics.pivotDaily(events, Seq("click", "click")))
   }
+
+  test("attribution: first/last touch, lookback boundaries, ties, organic conversions") {
+    val events = Seq(
+      // user 1: view(t=0s) click(t=100s) purchase(t=200s) view(t=300s)
+      (10L, 1L, "view", "2024-01-01 00:00:00", 0.0),
+      (11L, 1L, "click", "2024-01-01 00:01:40", 0.0),
+      (12L, 1L, "purchase", "2024-01-01 00:03:20", 9.5),
+      (13L, 1L, "view", "2024-01-01 00:05:00", 0.0),
+      // user 2: touch EXACTLY at the 7-day boundary (included), organic later
+      (20L, 2L, "click", "2024-01-01 00:00:00", 0.0),
+      (21L, 2L, "purchase", "2024-01-08 00:00:00", 1.0),
+      (22L, 2L, "purchase", "2024-01-16 00:00:00", 2.0), // > 7d after any touch
+      // user 3: touch at the SAME instant as the conversion — excluded
+      (30L, 3L, "view", "2024-01-01 00:00:00", 0.0),
+      (31L, 3L, "purchase", "2024-01-01 00:00:00", 3.0),
+      // user 4: same-timestamp touches — event_id breaks the argmax tie
+      (40L, 4L, "view", "2024-01-01 00:00:00", 0.0),
+      (41L, 4L, "click", "2024-01-01 00:00:00", 0.0),
+      (42L, 4L, "purchase", "2024-01-01 00:00:01", 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.attribution(
+      events, "purchase", Seq("click", "view"), 7L * 24 * 3600 * 1000000L)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // user 1: last = click@100s, first = view@0s; the post-purchase view never counts
+    assert(got(12L).getString(3) === "click" && got(12L).getLong(4) === 11L)
+    assert(got(12L).getLong(5) === 100L * 1000000L)
+    assert(got(12L).getString(6) === "view" && got(12L).getLong(7) === 10L)
+    // user 2: boundary touch attributes the first purchase, not the second
+    assert(got(21L).getLong(4) === 20L)
+    assert(got(22L).isNullAt(3) && got(22L).isNullAt(7))
+    // user 3: same-instant touch is NOT a preceding touch
+    assert(got(31L).isNullAt(3))
+    // user 4: equal-ts touches — higher event_id wins last, lower wins first
+    assert(got(42L).getLong(4) === 41L && got(42L).getLong(7) === 40L)
+    assert(got.size === 5)
+  }
 }

@@ -101,6 +101,26 @@ class SketchesSpec extends AnyFunSuite {
       regs.exceptAll(again).count() === 0)
   }
 
+  test("hll set algebra: inclusion-exclusion intersection tracks planted overlap") {
+    val P = 9
+    // A = 1..2000, B = 1001..3000: |A∩B| = 1000, |A∪B| = 3000
+    def regsOf(lo: Int, hi: Int) =
+      Sketches.hllRegisters((lo to hi).map(i => s"tok_$i").toDF("token"), "token", P)
+    val (ra, rb) = (regsOf(1, 2000), regsOf(1001, 3000))
+    def est(r: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(r, P).collect().head.getDouble(2)
+    val (ea, eb, eu) = (est(ra), est(rb), est(Sketches.hllMerge(ra, rb)))
+    val inter = math.max(0.0, ea + eb - eu)
+    // three sketches compound error; 25% on the 1000-truth is ~3 sigma
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.25, s"inter $inter too far from 1000")
+    // identical sets: intersection ≈ either side exactly (union IS the side)
+    assert(math.abs((ea + ea - est(Sketches.hllMerge(ra, ra))) - ea) < 1e-9)
+    // disjoint sets: clamped estimate stays near 0 relative to the sides
+    val rc = regsOf(10001, 12000)
+    val dj = math.max(0.0, ea + est(rc) - est(Sketches.hllMerge(ra, rc)))
+    assert(dj < 0.15 * 2000.0, s"disjoint estimate $dj too large")
+  }
+
   test("hll: small-range linear counting is exact-ish at tiny cardinality; empty input estimates 0") {
     val P = 9
     val tiny = (1 to 5).map(i => s"k$i").toDF("token")

@@ -12,6 +12,31 @@ class TextOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("phraseOccurrences: adjacency, overlaps, repeated phrase tokens, boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york city new york"),       // two matches of "new york"
+      (2L, "york new"),                     // reversed — no match
+      (3L, "new and york"),                 // non-adjacent — no match
+      (4L, "a a a a"),                      // overlapping matches of "a a"
+      (5L, "the cat the dog"),              // repeated-token phrase target
+      (6L, "new")                           // shorter than the phrase
+    ).toDF("doc_id", "text")
+    def res(phrase: String*) =
+      TextOps.phraseOccurrences(docs, phrase)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ny = res("new", "york")
+    assert(ny === Map(1L -> (2L, 0L)))      // anchors 0 and 3; first at 0
+    val aa = res("a", "a")
+    assert(aa === Map(4L -> (3L, 0L)))      // anchors 0,1,2 — overlaps all count
+    val tct = res("the", "cat", "the")
+    assert(tct === Map(5L -> (1L, 0L)))     // one occurrence serves indexes 0 AND 2
+    // a phrase starting mid-document reports its true 0-based position
+    val cd = res("cat", "the", "dog")
+    assert(cd === Map(5L -> (1L, 1L)))
+    assert(res("absent", "tokens").isEmpty)
+  }
+
   test("tfidfTopTerms: VersionedTable path is row-identical to the checkpoint path") {
     val docs = Tables.documents(spark, sf)
     val viaCheckpoint = TextOps.tfidfTopTerms(docs, 3)

@@ -225,6 +225,82 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.latestVersion().contains(v2))
   }
 
+  test("compactFiles: small files re-bin, big files carry verbatim, content is bag-identical") {
+    val t = freshTable()
+    import spark.implicits._
+    // base: 2000 rows in one file (the file already at weight); four
+    // micro-batch appends of 10 rows each (the fragmented tail)
+    t.commit((1L to 2000L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    var last = 0L
+    (0 until 4).foreach { b =>
+      val lo = 2001L + b * 10
+      last = t.appendCommit(
+        (lo until lo + 10).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    }
+    val before = t.manifest(last).get
+    assert(before.size === 5)
+    val baseSz = before.filter(_.contains("v=0")).map(f => new java.io.File(f).length()).max
+    val v = t.compactFiles(spark, smallBytes = baseSz, targetBytes = Long.MaxValue)
+    assert(v === last + 1)
+    val after = t.manifest(v).get
+    // base file carried VERBATIM (same absolute path); the four append
+    // files merged into one new file in the compacted version's dir
+    assert(before.filter(_.contains("v=0")).forall(after.contains))
+    assert(after.size === 2)
+    assert(after.count(_.contains(s"v=$v/")) === 1)
+    // bag-identical content; readers of the head can't tell
+    val rows = t.read(spark).select("user_id").as[Long].collect().toSet
+    assert(rows === (1L to 2040L).toSet)
+    assert(t.read(spark).count() === 2040)
+    // the PRE-compaction snapshot still serves from the original files
+    assert(t.readVersion(spark, last).count() === 2040)
+    assert(t.readVersion(spark, last).inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet === before.toSet)
+  }
+
+  test("compactFiles: fewer than two qualifying files is a version-preserving no-op") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit((1L to 100L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val v1 = t.appendCommit(
+      (101L to 105L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    // threshold below every file size: nothing qualifies, nothing commits
+    assert(t.compactFiles(spark, smallBytes = 1L, targetBytes = Long.MaxValue) === v1)
+    assert(t.latestVersion().contains(v1))
+    // ONE qualifying file (the 5-row append, strictly smaller than the
+    // 100-row base) is equally a no-op — merging one file buys nothing
+    val sizes = t.manifest(v1).get.map(f => new java.io.File(f).length())
+    assert(sizes.min < sizes.max)
+    assert(t.compactFiles(spark, smallBytes = sizes.min + 1, targetBytes = Long.MaxValue) === v1)
+  }
+
+  test("compactFiles: refuses partitioned snapshots; vacuum keeps dirs the head references") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "branch"), partitionBy = Seq("branch"))
+    val e = intercept[IllegalArgumentException](
+      t.compactFiles(spark, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue))
+    assert(e.getMessage.toLowerCase.contains("partition"))
+    // an append chain compacted with the BASE carried: vacuum must keep v=0
+    val t2 = freshTable()
+    t2.commit((1L to 500L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    (0 until 3).foreach { b =>
+      val lo = 501L + b * 10
+      t2.appendCommit(
+        (lo until lo + 10).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    }
+    val head = t2.manifest(t2.latestVersion().get).get
+    val baseSz = head.map(f => new java.io.File(f).length()).max
+    val v = t2.compactFiles(spark, smallBytes = baseSz, targetBytes = Long.MaxValue)
+    t2.vacuum(keep = 1)
+    // v=0 still on disk (the compacted head references its file)...
+    assert(t2.read(spark).count() === 530)
+    // ...and the superseded small-file versions are reclaimable
+    assert(t2.versions().toSet.intersect(Set(1L, 2L)).isEmpty)
+    assert(t2.latestVersion().contains(v))
+  }
+
   test("deleteWhere: a NULL predicate keeps the row — only provably-true matches die") {
     val t = freshTable()
     import spark.implicits._
