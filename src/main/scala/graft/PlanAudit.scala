@@ -198,6 +198,12 @@ object PlanAudit {
     "x85_pmi_collocations" -> 1,
     // class (a): the skew report's one-row totals crossJoin
     "x88_key_skew" -> 1,
+    // class (a): the source-pair enumeration — distinct sources
+    // crossJoined with themselves under s_a < s_b. The source list is
+    // bounded like a dimension (|sources|² pairs is the REPORT'S OWN
+    // cardinality); everything corpus-scale folded into registers
+    // before this join
+    "x111_hll_overlap" -> 1,
     // class (a): the HLL reports' one-row exact-count crossJoin
     "x91_hll_cardinality" -> 1,
     "x92_hll_incremental" -> 1,

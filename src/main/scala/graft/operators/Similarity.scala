@@ -236,13 +236,16 @@ object Similarity {
     */
   def retrievalMetrics(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // both inputs are probe×k-bounded BY CONTRACT, but the stats
+    // estimator cannot see that through the upstream aggregates —
+    // explicit broadcast hints keep these joins off the SMJ path
     val hits = approx.select(col("q_id"), col("rank"), col("vec_id"))
-      .join(truth.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+      .join(broadcast(truth.select(col("q_id"), col("vec_id"))), Seq("q_id", "vec_id"))
     truth.select("q_id").distinct()
       .join(
-        hits.groupBy("q_id").agg(
+        broadcast(hits.groupBy("q_id").agg(
           (count(lit(1)).cast("double") / k).as("recall_at_k"),
-          (lit(1.0) / min(col("rank"))).as("mrr")),
+          (lit(1.0) / min(col("rank"))).as("mrr"))),
         Seq("q_id"), "left")
       .na.fill(0.0, Seq("recall_at_k", "mrr"))
   }
