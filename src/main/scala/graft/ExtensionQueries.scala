@@ -1182,6 +1182,36 @@ object ExtensionQueries {
         .orderBy("s_a", "s_b")
     }),
 
+    // Vocabulary coverage curve (x113): corpus token coverage at
+    // candidate vocabulary sizes — the "how big must V be" sizing
+    // report behind every tokenizer budget (the x101 rank order:
+    // count desc, token asc). All-integer cumulative sums over the
+    // vocab-BOUNDED count table (Heaps' law: the one global window
+    // runs over vocabulary, never corpus), exact-long division at the
+    // end — no float accumulation anywhere.
+    "x113_vocab_coverage" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      Vocab.tokenCounts(Tables.documents(s, dir))
+        .select(
+          row_number().over(w).as("rank"),
+          sum(col("n")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)).as("cum"),
+          sum(col("n")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)).as("total"))
+        .filter(col("rank").isin(2, 3, 5, 8, 12, 16, 20, 25, 30, 50, 100, 200, 400))
+        .select(
+          col("rank").cast("long").as("vocab_size"),
+          graft.operators.CrossRound.r(
+            col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("vocab_size")
+    }),
+
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
     // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
@@ -1200,22 +1230,24 @@ object ExtensionQueries {
     // as chained CTEs, with each iteration's rank passing the same
     // ra(·,8) collapse on both engines so generation t+1 starts from
     // bit-identical input.
-    "x103_textrank" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(filter(TextOps.tokens(col("text")), t => length(t) > 0).as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val pairs = toks
-        .select(explode(expr(
-          "transform(sequence(0, size(toks)-2), " +
-            "i -> named_struct('u', least(toks[i], toks[i+1]), " +
-            "'v', greatest(toks[i], toks[i+1])))")).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      Graph.pageRank(pairs, "u", "v", iterations = 5)
+    "x103_textrank" -> ((s, dir) =>
+      Graph.pageRank(tokenAdjacency(s, dir), "u", "v", iterations = 5)
         .select(col("node").as("token"), r6z(col("rank")).as("rank"))
-        .orderBy("token")
-    }),
+        .orderBy("token")),
+
+    // Graph cohesion (x112): per-token triangle count + local
+    // clustering coefficient over the SAME adjacency graph x103 ranks —
+    // degree-ordered orientation caps every out-list at O(√m), so the
+    // wedge join never explodes on hub tokens; each triangle closes
+    // from its lowest-ordered vertex exactly once. The oracle
+    // enumerates triangles by the sorted-edge 3-way join (x < y < z
+    // appears once) — a different counting argument arriving at the
+    // same integers.
+    "x112_graph_triangles" -> ((s, dir) =>
+      Graph.triangleStats(tokenAdjacency(s, dir), "u", "v")
+        .select(col("node").as("token"), col("deg"), col("triangles"),
+          r4(col("clustering")).as("clustering"))
+        .orderBy("token")),
 
     // Vocabulary OOV rate by language (x104): the tokenizer-coverage
     // report — x101's encode rolled up by x04's language pick, the x82
@@ -1842,6 +1874,22 @@ object ExtensionQueries {
     })
     graft.sources.VersionedTable(root)
   }
+
+  /** The corpus token-adjacency graph shared by x103 (PageRank) and
+    * x112 (triangles): distinct canonicalized adjacent-token pairs,
+    * self-pairs dropped.
+    */
+  private def tokenAdjacency(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(filter(TextOps.tokens(col("text")), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> named_struct('u', least(toks[i], toks[i+1]), " +
+          "'v', greatest(toks[i], toks[i+1])))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
 
   /** One compacted snapshot chain per (JVM, sf dir) for x108:
     * v0 = base commit (doc_id < 300, one file), v1..v4 = four
@@ -2509,6 +2557,38 @@ object ExtensionQueries {
        |SELECT node AS token, round(rank, 6) + 0.0 AS rank
        |FROM pr$iters ORDER BY 1""".stripMargin
   }
+
+  /** x112 oracle: the x103 adjacency CTEs + sorted-edge triangle
+    * enumeration — with canonical u < v edges, triangle {x < y < z}
+    * appears exactly once via (x,y) ⋈ (y,z) ⋈ (x,z); per-node counts,
+    * degree join, and the clustering division are plain SQL. A
+    * different counting argument than the engine's degree-ordered
+    * orientation, arriving at the same integers.
+    */
+  private val triangleSql: String =
+    s"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS toks
+       |           FROM documents),
+       |pp AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |         i -> {'u': least(toks[i], toks[i+1]), 'v': greatest(toks[i], toks[i+1])})) AS s
+       |       FROM t WHERE len(toks) >= 2),
+       |pairs AS (SELECT DISTINCT s.u AS u, s.v AS v FROM pp WHERE s.u <> s.v),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |        FROM pairs e1
+       |        JOIN pairs e2 ON e2.u = e1.v
+       |        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+       |         FROM (SELECT x AS node FROM tri
+       |               UNION ALL SELECT y FROM tri
+       |               UNION ALL SELECT z FROM tri)
+       |         GROUP BY 1)
+       |SELECT d.node AS token, d.deg, COALESCE(p.triangles, 0) AS triangles,
+       |       round(CASE WHEN d.deg >= 2
+       |                  THEN 2.0 * COALESCE(p.triangles, 0) / (d.deg * (d.deg - 1))
+       |                  ELSE 0.0 END, 4) AS clustering
+       |FROM deg d LEFT JOIN pern p ON p.node = d.node
+       |ORDER BY token""".stripMargin
 
   private def jlProjectionSql(dim: Int, k: Int, seed: Long): String = {
     val (ctes, last) = XxHash64Sql.xxhash64LongCtes("m0", "f", "xh", seed, "sg")
@@ -3335,6 +3415,24 @@ object ExtensionQueries {
     // the engine applies, so both engines hand iteration t+1
     // bit-identical input regardless of partition-sum order
     "x103_textrank" -> textRankSql(iters = 5, damping = 0.85),
+    // x112: sorted-edge triangle enumeration over the same adjacency
+    "x112_graph_triangles" -> triangleSql,
+    // x113: the x101 count CTEs + running/total sums in the same
+    // unique (n DESC, token) order; both sums cast to DOUBLE before
+    // the division (SUM(BIGINT) is HUGEINT in DuckDB — never exposed)
+    "x113_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+         |occ AS (SELECT generate_subscripts(toks, 1) AS pos, unnest(toks) AS token FROM t),
+         |occ2 AS (SELECT * FROM occ WHERE len(token) > 0),
+         |cnt AS (SELECT token, COUNT(*) AS n FROM occ2 GROUP BY 1),
+         |r AS (SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+         |             SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+         |             SUM(n) OVER () AS total
+         |      FROM cnt)
+         |SELECT CAST(rank AS BIGINT) AS vocab_size,
+         |       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+         |FROM r WHERE rank IN (2, 3, 5, 8, 12, 16, 20, 25, 30, 50, 100, 200, 400)
+         |ORDER BY vocab_size""".stripMargin,
     // x104: x101's encode CTEs × x04's language CTEs — two green
     // restatements composed (the x82 pattern)
     "x104_oov_by_lang" ->

@@ -83,4 +83,86 @@ object Graph {
     withDeg.unpersist()
     ranks
   }
+
+  /** Per-node triangle count + local clustering coefficient — the
+    * cohesion report next to [[pageRank]]'s centrality: how CLUSTERED
+    * each node's neighborhood is (a token whose neighbors all co-occur
+    * with each other is a phrase nucleus; one whose neighbors never
+    * meet is a syntactic connector).
+    *
+    * Edges are taken undirected; rows canonicalize to (least, greatest)
+    * and dedupe, self-loops drop. Returns every node of the graph:
+    * (node, degree, triangles, clustering), clustering =
+    * 2t / (deg·(deg−1)) — exact integers through one division, so the
+    * value is order-exact (callers round for display) — 0.0 for
+    * degree-1 nodes.
+    *
+    * Scale shape — degree-ordered orientation (the node-iterator bound,
+    * Schank & Wagner 2005): every edge directs from its lower-(degree,
+    * node) endpoint to the higher, which caps every out-list at
+    * O(√m), so the wedge self-join (out-list × out-list per source)
+    * never explodes on hubs — the naive adjacency self-join is
+    * quadratic in the hub degree exactly where real co-occurrence
+    * graphs are heaviest. Each triangle closes from its lowest-ordered
+    * vertex only: counted once, no /3 correction, and the closing
+    * lookup is an equi-join against the canonical edge list. Three
+    * node-keyed shuffles total (degrees, wedges, close), no driver
+    * state.
+    */
+  def triangleStats(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    // canonical edge list: dedupe FIRST, then a pair-bounded barrier,
+    // then the self-loop/null filter over the barrier's plain
+    // attributes — filtering before it, the predicate pushes through
+    // the caller's projection lineage into the array-derived pair
+    // expressions (the audited HOF-in-Filter class; the gate caught
+    // this operator's first draft). The barrier is also the
+    // multi-consumer fix: e feeds degrees, both orientation sides and
+    // the closing join — four consumers of one dedup shuffle.
+    val e = pairs
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // orient: lower (deg, node) → higher; total order, so antisymmetric
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        when(
+          col("deg_a") < col("deg_b") ||
+            (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // wedges from each source's out-list; (w1, w2) kept in node order so
+    // the closing edge joins on its CANONICAL form directly
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(
+        col("e1.src").as("w0"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val tri = wedges
+      .join(e, col("w1") === col("a") && col("w2") === col("b"))
+      .select("w0", "w1", "w2")
+    val perNode = tri
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(
+        col("node"), col("deg"), col("triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * col("triangles").cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -47,4 +47,45 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(df, "u", "v", iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(df, "u", "v", 5, damping = 1.0))
   }
+
+  private def triOf(pairs: Seq[(String, String)]): Map[String, (Long, Long, Double)] =
+    Graph.triangleStats(pairs.toDF("u", "v"), "u", "v")
+      .collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("clustering"))))
+      .toMap
+
+  test("triangleStats: hand-computed counts on K4-minus-an-edge, paths, and K3") {
+    // a-b-c triangle plus d hanging off c: one triangle, d in none
+    val got = triOf(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    assert(got("a") === ((2L, 1L, 1.0)))
+    assert(got("b") === ((2L, 1L, 1.0)))
+    assert(got("c") === ((3L, 1L, 1.0 / 3.0)))
+    assert(got("d") === ((1L, 0L, 0.0)))
+    // K4 minus edge (a,d): triangles abc and bcd; b,c in both
+    val k4m = triOf(Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")))
+    assert(k4m("a") === ((2L, 1L, 1.0)))
+    assert(k4m("d") === ((2L, 1L, 1.0)))
+    assert(k4m("b") === ((3L, 2L, 2.0 / 3.0)))
+    assert(k4m("c") === ((3L, 2L, 2.0 / 3.0)))
+    // a path has no triangles but every node still reports
+    val path = triOf(Seq(("a", "b"), ("b", "c")))
+    assert(path.values.forall(_._2 == 0L) && path.size === 3)
+  }
+
+  test("triangleStats: direction, duplicates and self-loops canonicalize away") {
+    // same K3 expressed with reversed rows, dupes, and a self-loop
+    val got = triOf(Seq(
+      ("b", "a"), ("a", "b"), ("c", "b"), ("a", "c"), ("c", "a"), ("a", "a")))
+    assert(got === Map(
+      "a" -> ((2L, 1L, 1.0)), "b" -> ((2L, 1L, 1.0)), "c" -> ((2L, 1L, 1.0))))
+    // partitioning invariance
+    val wide = Graph.triangleStats(
+      Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("u", "v")
+        .repartition(13), "u", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide === Set(("a", 2L, 1L), ("b", 2L, 1L), ("c", 3L, 1L), ("d", 1L, 0L)))
+  }
 }
