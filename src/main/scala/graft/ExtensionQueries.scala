@@ -1212,6 +1212,16 @@ object ExtensionQueries {
         .orderBy("vocab_size")
     }),
 
+    // Event-type transition matrix (x114): first-order Markov
+    // transitions between consecutive same-user events — counts exact,
+    // p(to|from) one long/long division against a bounded normalizer
+    // window. The oracle replays lead() in the same unique order.
+    "x114_event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, dir))
+        .select(col("from_type"), col("to_type"), col("n"),
+          graft.operators.CrossRound.r(col("p"), 6).as("p"))
+        .orderBy("from_type", "to_type")),
+
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
     // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
@@ -1232,6 +1242,18 @@ object ExtensionQueries {
     // bit-identical input.
     "x103_textrank" -> ((s, dir) =>
       Graph.pageRank(tokenAdjacency(s, dir), "u", "v", iterations = 5)
+        .select(col("node").as("token"), r6z(col("rank")).as("rank"))
+        .orderBy("token")),
+
+    // Weighted TextRank (x115): the published form (Mihalcea & Tarau
+    // §2.1) — edge weight = adjacency co-occurrence count, each node
+    // spreading rank proportionally to edge weight over its STRENGTH
+    // (Σw). Same one-join-one-groupBy iteration shape as x103; the
+    // oracle unrolls the weighted iterations with the identical
+    // ra(·,8) collapse per generation.
+    "x115_textrank_weighted" -> ((s, dir) =>
+      Graph.pageRank(tokenAdjacencyW(s, dir), "u", "v", iterations = 5,
+        weightCol = Some("w"))
         .select(col("node").as("token"), r6z(col("rank")).as("rank"))
         .orderBy("token")),
 
@@ -1875,11 +1897,12 @@ object ExtensionQueries {
     graft.sources.VersionedTable(root)
   }
 
-  /** The corpus token-adjacency graph shared by x103 (PageRank) and
-    * x112 (triangles): distinct canonicalized adjacent-token pairs,
-    * self-pairs dropped.
+  /** The corpus token-adjacency graph shared by x103/x115 (PageRank)
+    * and x112 (triangles): canonicalized adjacent-token pairs with
+    * their co-occurrence counts, self-pairs dropped. x103/x112 take
+    * the unweighted projection; x115 feeds the counts as edge weights.
     */
-  private def tokenAdjacency(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private def tokenAdjacencyW(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, dir)
       .select(filter(TextOps.tokens(col("text")), t => length(t) > 0).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -1889,7 +1912,11 @@ object ExtensionQueries {
           "'v', greatest(toks[i], toks[i+1])))")).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("w"))
+
+  private def tokenAdjacency(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    tokenAdjacencyW(s, dir).select("u", "v")
 
   /** One compacted snapshot chain per (JVM, sf dir) for x108:
     * v0 = base commit (doc_id < 300, one file), v1..v4 = four
@@ -2533,13 +2560,31 @@ object ExtensionQueries {
     * engine's ra(·,8) collapse so partition-sum order cannot drift
     * generation t+1's input.
     */
-  private def textRankSql(iters: Int, damping: Double): String = {
+  private def textRankSql(
+      iters: Int, damping: Double, weighted: Boolean = false): String = {
     val d = s"CAST('$damping' AS DOUBLE)"
     val base = s"CAST('${1.0 - damping}' AS DOUBLE) / (SELECT n FROM nn)"
+    // weighted: contribution rank·w / strength, strength = Σw — the
+    // engine multiplies rank * w / d left-associatively, mirrored here;
+    // the degree sum casts to DOUBLE before use (SUM(BIGINT) is
+    // HUGEINT in DuckDB, never exposed to the division)
+    val contrib = if (weighted) "p.rank * e.w / deg.d" else "p.rank / deg.d"
+    val pairsCte =
+      if (weighted)
+        "pairs AS (SELECT s.u AS u, s.v AS v, CAST(COUNT(*) AS BIGINT) AS w " +
+          "FROM pp WHERE s.u <> s.v GROUP BY 1, 2)"
+      else "pairs AS (SELECT DISTINCT s.u AS u, s.v AS v FROM pp WHERE s.u <> s.v)"
+    val edgesCte =
+      if (weighted)
+        "edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs)"
+      else "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)"
+    val degCte =
+      if (weighted) "deg AS (SELECT u, CAST(SUM(w) AS DOUBLE) AS d FROM edges GROUP BY 1)"
+      else "deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1)"
     val iterCtes = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT e.v AS node,
-         |         round(round($base + $d * SUM(p.rank / deg.d), 12), 8) AS rank
+         |         round(round($base + $d * SUM($contrib), 12), 8) AS rank
          |  FROM edges e JOIN pr${i - 1} p ON p.node = e.u JOIN deg ON deg.u = e.u
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
@@ -2548,9 +2593,9 @@ object ExtensionQueries {
        |pp AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
        |         i -> {'u': least(toks[i], toks[i+1]), 'v': greatest(toks[i], toks[i+1])})) AS s
        |       FROM t WHERE len(toks) >= 2),
-       |pairs AS (SELECT DISTINCT s.u AS u, s.v AS v FROM pp WHERE s.u <> s.v),
-       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-       |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+       |$pairsCte,
+       |$edgesCte,
+       |$degCte,
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
        |pr0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM deg, nn),
        |$iterCtes
@@ -3410,11 +3455,30 @@ object ExtensionQueries {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY conv_event_id""".stripMargin,
 
+    // x114: lead() in the same unique (t_us, event_id) per-user order;
+    // n exact, p from the per-from_type window normalizer
+    "x114_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(ts) AS t_us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |              lead(event_type) OVER (PARTITION BY user_id
+        |                                     ORDER BY t_us, event_id) AS to_type
+        |       FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     // x103: the 5 PageRank iterations UNROLLED as chained CTEs — each
     // iteration's rank passes the same round(round(·,12),8) collapse
     // the engine applies, so both engines hand iteration t+1
     // bit-identical input regardless of partition-sum order
     "x103_textrank" -> textRankSql(iters = 5, damping = 0.85),
+    // x115: the weighted iterations unrolled — rank·w / strength
+    "x115_textrank_weighted" ->
+      textRankSql(iters = 5, damping = 0.85, weighted = true),
     // x112: sorted-edge triangle enumeration over the same adjacency
     "x112_graph_triangles" -> triangleSql,
     // x113: the x101 count CTEs + running/total sums in the same

@@ -258,6 +258,36 @@ object EventAnalytics {
       .select("r.step", "r.event_type", "r.n_users", "r.conversion")
   }
 
+  /** Event-type transition matrix — the first-order Markov view of
+    * user behavior (the numbers behind every Sankey/flow diagram and
+    * next-action model): for each (from, to) pair of CONSECUTIVE
+    * events of one user, the transition count and probability
+    * p(to | from).
+    *
+    * Shape: ONE user-keyed window shuffle for the lead() pairing
+    * (ordered by (t_us, event_id) — a unique key, so consecutive-ness
+    * is engine-deterministic), then a groupBy over the |types|²-BOUNDED
+    * pair table; the row-probability normalizer is a window over that
+    * bounded table, never a second corpus pass. Counts are exact longs
+    * and p is one long/long division — order-exact, no float
+    * accumulation.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_us", "event_id")
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("t_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
+  }
+
   /** First/last-touch conversion attribution — for every conversion
     * event, the first and last preceding touch event of the same user
     * inside a lookback window: the report marketing analytics runs on

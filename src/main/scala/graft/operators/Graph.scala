@@ -37,19 +37,29 @@ object Graph {
     * contributes both directions; callers pass canonicalized pairs).
     * Returns (node, rank) with rank collapsed at 8 dp. Every node in
     * the pair list has degree ≥ 1, so mass is well-defined without a
-    * dangling-node correction.
+    * dangling-node correction. With `weightCol`, runs the WEIGHTED
+    * form (TextRank as published, Mihalcea & Tarau §2.1: contribution
+    * rank·w / strength(u), strength = Σw) — the unweighted default is
+    * the w ≡ 1 special case of the same plan.
     */
   def pageRank(
       pairs: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    // weighted form (TextRank as published: edge weight = co-occurrence
+    // count, contribution rank·w / strength(u)); the unweighted path is
+    // the w ≡ 1 special case — rank·1.0/d is bit-identical to rank/d,
+    // so existing callers' numbers cannot move
+    val wExpr = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"), wExpr.as("w"))
+    val edges = fwd.unionByName(
+      fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val deg = edges.groupBy("u").agg(sum(col("w")).as("d"))
     // edge × degree joined ONCE, persisted for the loop (every
     // iteration reads it; re-deriving would re-shuffle per iteration)
     val withDeg = edges.join(deg, Seq("u")).persist()
@@ -70,7 +80,7 @@ object Graph {
     for (i <- 1 to iterations) {
       var next = withDeg
         .join(ranks, col("u") === col("node"))
-        .select(col("v"), (col("rank") / col("d")).as("c"))
+        .select(col("v"), (col("rank") * col("w") / col("d")).as("c"))
         .groupBy(col("v").as("node"))
         .agg(CrossRound.ra(base + lit(damping) * sum(col("c")), 8).as("rank"))
       if (i % ckptEvery == 0 || i == iterations) {

@@ -208,6 +208,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       EventAnalytics.pivotDaily(events, Seq("click", "click")))
   }
 
+  test("transitionMatrix: consecutive pairs per user, cross-user isolation, row-normalized p") {
+    val events = Seq(
+      // user 1: view -> click -> view -> purchase
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-01 00:01:00"),
+      (3L, 1L, "view", "2024-01-01 00:02:00"),
+      (4L, 1L, "purchase", "2024-01-01 00:03:00"),
+      // user 2: view -> view (its last event never pairs with user 1's)
+      (5L, 2L, "view", "2024-01-01 00:00:30"),
+      (6L, 2L, "view", "2024-01-01 00:00:45"))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.transitionMatrix(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // from 'view': ->click (1), ->purchase (1), ->view (1) — p = 1/3 each
+    assert(got(("view", "click")) === ((1L, 1.0 / 3)))
+    assert(got(("view", "purchase")) === ((1L, 1.0 / 3)))
+    assert(got(("view", "view")) === ((1L, 1.0 / 3)))
+    assert(got(("click", "view")) === ((1L, 1.0)))
+    // no cross-user pair, no pair out of the terminal events
+    assert(got.size === 4)
+    assert(!got.contains(("purchase", "view")))
+  }
+
   test("attribution: first/last touch, lookback boundaries, ties, organic conversions") {
     val events = Seq(
       // user 1: view(t=0s) click(t=100s) purchase(t=200s) view(t=300s)

@@ -42,6 +42,27 @@ class GraphSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("weighted pageRank: hand-computed update; unit weights equal the unweighted path") {
+    // a-b (w=3), b-c (w=1): strength(a)=3, strength(b)=4, strength(c)=1
+    val wdf = Seq(("a", "b", 3L), ("b", "c", 1L)).toDF("u", "v", "w")
+    val got = Graph.pageRank(wdf, "u", "v", iterations = 1, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // r0 = 1/3; r1(a) = 0.05 + 0.85 * r0 * 3/4 = 0.2625
+    //           r1(b) = 0.05 + 0.85 * (r0 * 3/3 + r0 * 1/1) = 0.61666667
+    //           r1(c) = 0.05 + 0.85 * r0 * 1/4 = 0.12083333
+    assert(math.abs(got("a") - 0.2625) < 1e-8)
+    assert(math.abs(got("b") - 0.61666667) < 1e-8)
+    assert(math.abs(got("c") - 0.12083333) < 1e-8)
+    // mass is conserved under weights too
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // w ≡ 1 reproduces the unweighted result bit-for-bit
+    val ones = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("u", "v", "w")
+    val viaW = Graph.pageRank(ones, "u", "v", iterations = 4, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = ranksOf(Seq(("a", "b"), ("b", "c")), iters = 4)
+    assert(viaW === plain)
+  }
+
   test("invalid parameters are refused") {
     val df = Seq(("a", "b")).toDF("u", "v")
     intercept[IllegalArgumentException](Graph.pageRank(df, "u", "v", iterations = 0))
