@@ -1222,6 +1222,16 @@ object ExtensionQueries {
           graft.operators.CrossRound.r(col("p"), 6).as("p"))
         .orderBy("from_type", "to_type")),
 
+    // Skip-gram pairs with frequency subsampling (x116): the word2vec
+    // corpus-to-training-pairs transform — frequent words drop with
+    // P(keep) = √(t/f) BEFORE windowing (contexts widen across gaps,
+    // the published behavior), decided by the replayable md5-uniform.
+    // t = 0.01 sits below the fixture's ~uniform token frequencies, so
+    // the subsample path genuinely executes inside the graded row.
+    "x116_skipgram_pairs" -> ((s, dir) =>
+      TextOps.skipgramPairs(Tables.documents(s, dir), window = 2, subsampleT = 0.01)
+        .orderBy("center", "context")),
+
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
     // df-cap candidacy caveat (x24 requires >= 2 rare shared shingles;
@@ -3470,6 +3480,37 @@ object ExtensionQueries {
         |       round(CAST(n AS DOUBLE) /
         |             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // x116: the full subsample + window replayed — md5-uniform keyed
+    // on (doc_id:pos), √(t/f) thresholds on exact-long frequencies,
+    // lead() contexts over survivors, both pair directions counted
+    "x116_skipgram_pairs" ->
+      """WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |occ AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+        |        FROM t0),
+        |occ2 AS (SELECT * FROM occ WHERE len(token) > 0),
+        |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM occ2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+        |kept AS (SELECT o.doc_id, o.pos, o.token
+        |         FROM occ2 o JOIN cnt USING (token), tot
+        |         WHERE list_sum(list_transform(range(1, 9),
+        |                 i -> (strpos('0123456789abcdef',
+        |                              substr(md5(CAST(o.doc_id AS VARCHAR) || ':' ||
+        |                                         CAST(o.pos AS VARCHAR)),
+        |                                     CAST(i AS INT), 1)) - 1)
+        |                      * 16 ** (8 - i))) / 4294967296.0
+        |               < sqrt(CAST('0.01' AS DOUBLE)
+        |                      / (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)))),
+        |led AS (SELECT token,
+        |               lead(token, 1) OVER w AS c1,
+        |               lead(token, 2) OVER w AS c2
+        |        FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (SELECT token AS center, c1 AS context FROM led WHERE c1 IS NOT NULL
+        |          UNION ALL SELECT c1, token FROM led WHERE c1 IS NOT NULL
+        |          UNION ALL SELECT token, c2 FROM led WHERE c2 IS NOT NULL
+        |          UNION ALL SELECT c2, token FROM led WHERE c2 IS NOT NULL)
+        |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // x103: the 5 PageRank iterations UNROLLED as chained CTEs — each
     // iteration's rank passes the same round(round(·,12),8) collapse

@@ -900,6 +900,65 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Skip-gram training-pair generation with word2vec frequency
+    * subsampling (Mikolov et al. 2013 §2.3) — the corpus-to-(center,
+    * context) transform every embedding pretraining run starts from.
+    * Frequent words drop with P(keep) = min(1, √(t/f(w))) BEFORE
+    * windowing, so surviving words' contexts widen across the gaps —
+    * the published behavior. The keep decision is the md5-uniform
+    * trick (x36): u from md5(doc_id:pos) is an engine-reproducible
+    * uniform, so the sampled corpus is a pure function of the data —
+    * replayable, oracle-checkable, and identical across cluster runs.
+    *
+    * Shapes: one corpus scan → the vocab-BOUNDED frequency table (its
+    * total via a window over vocabulary, never a second corpus pass,
+    * never a 1-row crossJoin) broadcast back; ONE doc-keyed window
+    * computes all `window` lead() contexts; pairs emit through a
+    * null-filtered array explode in a single projection (no per-offset
+    * re-reads); final counts groupBy a vocab²-bounded key. Every keep
+    * threshold is single-op IEEE math (÷, √) on exact longs — bitwise
+    * engine-portable.
+    */
+  def skipgramPairs(
+      docs: DataFrame,
+      window: Int = 2,
+      subsampleT: Double = 0.01): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(subsampleT > 0, s"subsample threshold must be positive: $subsampleT")
+    val occ = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val freq = occ.groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn(
+        "total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    // u keyed on (doc_id, 1-based pos) — the oracle's subscript base
+    val u = conv(
+      substring(
+        md5(concat(
+          col("doc_id").cast("string"), lit(":"),
+          (col("pos") + 1).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val kept = occ.join(broadcast(freq), Seq("token"))
+      .filter(u < sqrt(
+        lit(subsampleT) / (col("n").cast("double") / col("total").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val led = kept.select(
+      col("token") +:
+        (1 to window).map(j => lead(col("token"), j).over(w).as(s"c$j")): _*)
+    val pairArr = array((1 to window).flatMap(j =>
+      Seq(
+        struct(col("token").as("center"), col(s"c$j").as("context")),
+        struct(col(s"c$j").as("center"), col("token").as("context")))): _*)
+    led
+      .select(explode(filter(
+        pairArr, p => p.getField("context").isNotNull && p.getField("center").isNotNull))
+        .as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact phrase search — every occurrence of `phrase` as ADJACENT
     * tokens, per document: (doc_id, n_matches, first_pos), positions
     * 0-based in token space. The retrieval primitive BM25's bag-of-words

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextOps
@@ -11,6 +11,32 @@ class TextOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("skipgramPairs: golden pairs at keep-all, doc isolation, deterministic subsampling") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    // t = 1: sqrt(1/f) >= 1 for every f <= 1, so everything survives
+    val all = TextOps.skipgramPairs(docs, window = 2, subsampleT = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 1 (window 2): (a,b),(a,c),(b,c) + reverses; doc 2: (d,e)+(e,d)
+    assert(all === Map(
+      ("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L, ("c", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L, ("d", "e") -> 1L, ("e", "d") -> 1L))
+    // no pair ever crosses a document boundary
+    assert(!all.contains(("c", "d")) && !all.contains(("d", "c")))
+    // subsampling drops SOME pairs on a skewed corpus, deterministically
+    val skew = Seq.tabulate(40)(i => (i.toLong, "x x x y z")).toDF("doc_id", "text")
+    val s1 = TextOps.skipgramPairs(skew, 2, subsampleT = 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val s2 = TextOps.skipgramPairs(skew.repartition(7), 2, subsampleT = 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(s1 === s2) // pure function of the data, not the partitioning
+    val keepAll = TextOps.skipgramPairs(skew, 2, subsampleT = 1.0)
+      .agg(sum("n")).collect().head.getLong(0)
+    val sampled = s1.toSeq.map(_._3).sum
+    assert(sampled < keepAll, s"subsampling removed nothing ($sampled vs $keepAll)")
+    assert(sampled > 0)
+  }
 
   test("phraseOccurrences: adjacency, overlaps, repeated phrase tokens, boundaries") {
     import spark.implicits._
