@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventAnalytics, Graph, Layout, Media, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
+import graft.operators.{Curation, Dedup, EventAnalytics, Graph, Layout, Media, Profile, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -1231,6 +1231,19 @@ object ExtensionQueries {
     "x116_skipgram_pairs" -> ((s, dir) =>
       TextOps.skipgramPairs(Tables.documents(s, dir), window = 2, subsampleT = 0.01)
         .orderBy("center", "context")),
+
+    // Column correlation matrix (x117): pairwise Pearson over the
+    // lineitem money/quantity columns from EXACT decimal moments —
+    // built-in corr()'s merged co-moment update is partition-order
+    // drift by construction; exact Σ/Σ²/Σxy then one closed-form
+    // double evaluation per pair is deterministic on any engine at any
+    // width. One scan, one aggregate row, pairs exploded from it.
+    "x117_column_correlations" -> ((s, dir) =>
+      Profile.correlations(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), r6z(col("corr")).as("corr"))
+        .orderBy("col_a", "col_b")),
 
     // PPJoin exact set-similarity join (x106): prefix-filtered
     // candidates + exact verify — EVERY pair with jaccard >= 0.5, no
@@ -3480,6 +3493,41 @@ object ExtensionQueries {
         |       round(CAST(n AS DOUBLE) /
         |             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // x117: identical exact-decimal moments, identical double-formula
+    // association per pair; round(·,6)+0.0 (a near-zero correlation can
+    // round to -0.0)
+    "x117_column_correlations" ->
+      """WITH d AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |                  CAST(l_discount AS DECIMAL(18,2)) AS dc,
+        |                  CAST(l_tax AS DECIMAL(18,2)) AS tx
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |             AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |             CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+        |             CAST(SUM(dc) AS DOUBLE) AS sd, CAST(SUM(tx) AS DOUBLE) AS st,
+        |             CAST(SUM(q*q) AS DOUBLE) AS sqq, CAST(SUM(p*p) AS DOUBLE) AS spp,
+        |             CAST(SUM(dc*dc) AS DOUBLE) AS sdd, CAST(SUM(tx*tx) AS DOUBLE) AS stt,
+        |             CAST(SUM(q*p) AS DOUBLE) AS sqp, CAST(SUM(q*dc) AS DOUBLE) AS sqd,
+        |             CAST(SUM(q*tx) AS DOUBLE) AS sqt, CAST(SUM(p*dc) AS DOUBLE) AS spd,
+        |             CAST(SUM(p*tx) AS DOUBLE) AS spt, CAST(SUM(dc*tx) AS DOUBLE) AS sdt
+        |      FROM d)
+        |SELECT col_a, col_b, round(corr, 6) + 0.0 AS corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |         (n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)) AS corr FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |         (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |         (n*sqt - sq*st) / (sqrt(n*sqq - sq*sq) * sqrt(n*stt - st*st)) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |         (n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |         (n*spt - sp*st) / (sqrt(n*spp - sp*sp) * sqrt(n*stt - st*st)) FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |         (n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)) FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // x116: the full subsample + window replayed — md5-uniform keyed
     // on (doc_id:pos), √(t/f) thresholds on exact-long frequencies,

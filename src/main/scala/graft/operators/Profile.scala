@@ -168,4 +168,53 @@ object Profile {
       .withColumn("psi_total", sum(col("psi_term")).over(w))
       .select("bin", "n_ref", "n_cur", "psi_term", "psi_total")
   }
+
+  /** Pairwise Pearson correlations over fixed-scale numeric columns —
+    * the redundancy map of a profiling pass (two columns at |r| ≈ 1
+    * are one signal stored twice; a feature uncorrelated with
+    * everything is either gold or noise).
+    *
+    * Exactness design: the inputs cast to DECIMAL(18, `scale`) —
+    * money/quantity columns carry fixed decimal scales, so the cast is
+    * value-preserving — and every moment (Σx, Σx², Σxy, n) accumulates
+    * in EXACT decimal arithmetic: no float-sum partition-order drift
+    * exists to collapse, unlike built-in corr()'s merged co-moment
+    * formula, which is order-sensitive and cross-engine-unstable by
+    * construction. The closed-form r = (nΣxy − ΣxΣy) /
+    * (√(nΣxx − Σx²)·√(nΣyy − Σy²)) then runs once per pair in doubles
+    * from identical exact sums — deterministic on any engine at any
+    * parallelism. ONE scan, one map-side-combinable aggregate row (all
+    * pairs' moments together), pairs exploded from it; nothing here is
+    * corpus-cardinality after the fold. Null rows drop once up front
+    * (listwise, so every pair sees the same n). Σxy at DECIMAL(38,4)
+    * holds to ~10^33 — headroom far past 100 TB row counts.
+    */
+  def correlations(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val dec = s"decimal(18,$scale)"
+    val clean = df
+      .select(cols.map(c => col(c).cast(dec).as(c)): _*)
+      .na.drop(cols)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val agg = clean.agg(moments.head, moments.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val n = d("n")
+      val r = (n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+        (sqrt(n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
+          sqrt(n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), r.as("corr"))
+    }
+    agg
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("p.corr").as("corr"))
+  }
 }

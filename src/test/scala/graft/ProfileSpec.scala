@@ -105,4 +105,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(total.length === 1 && math.abs(terms.sum - total.head) < 1e-12)
     assert(total.head > 0.25, s"full mass shift must read 'shifted', got ${total.head}")
   }
+
+  test("correlations: hand-computed signs and magnitudes, partitioning invariance") {
+    // y = 2x exactly (r = 1), z = -x + 10 (r = -1 with x), w uncorrelated-ish
+    val df = Seq(
+      (1.0, 2.0, 9.0, 3.0), (2.0, 4.0, 8.0, 1.0),
+      (3.0, 6.0, 7.0, 4.0), (4.0, 8.0, 6.0, 1.0), (5.0, 10.0, 5.0, 5.0))
+      .toDF("x", "y", "z", "w")
+    val got = Profile.correlations(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(got(("y", "z")) + 1.0) < 1e-12)
+    // hand-computed r(x, w): n=5, sx=15, sw=14, sxw=46, sxx=55, sww=52
+    val expXW = (5.0 * 46 - 15 * 14) /
+      (math.sqrt(5.0 * 55 - 15.0 * 15) * math.sqrt(5.0 * 52 - 14.0 * 14))
+    assert(math.abs(got(("x", "w")) - expXW) < 1e-12)
+    assert(got.size === 6)
+    // exact decimal moments make the result partition-order invariant
+    val wide = Profile.correlations(df.repartition(7), Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(wide === got)
+    // a row with any null drops listwise: every pair sees the same n
+    val withNull = df.union(Seq((6.0, 12.0, 4.0, Double.NaN)).toDF("x", "y", "z", "w")
+      .select(col("x"), col("y"), col("z"), lit(null).cast("double").as("w")))
+    val gn = Profile.correlations(withNull, Seq("x", "y", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(gn(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(gn(("x", "w")) - expXW) < 1e-12) // the null row never entered
+  }
 }
