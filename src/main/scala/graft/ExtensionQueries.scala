@@ -1232,6 +1232,19 @@ object ExtensionQueries {
       TextOps.skipgramPairs(Tables.documents(s, dir), window = 2, subsampleT = 0.01)
         .orderBy("center", "context")),
 
+    // Funnel step-time percentiles (x118): conversion LATENCY per
+    // transition of the x68 funnel — p50/p90 of (t_i − t_{i−1}) over
+    // converting users, the report that turns "how many convert" into
+    // "how long it takes". Same conv fold, ONE aggregate row for every
+    // transition (nulls skip), percentiles are the x89 lerp class →
+    // ra collapse.
+    "x118_funnel_times" -> ((s, dir) =>
+      EventAnalytics.funnelStepTimes(
+        Tables.events(s, dir), Seq("signup", "view", "purchase"), horizonDays = 7)
+        .select(col("step"), col("event_type"), col("n_users"),
+          r4a(col("p50_s")).as("p50_s"), r4a(col("p90_s")).as("p90_s"))
+        .orderBy("step")),
+
     // Column correlation matrix (x117): pairwise Pearson over the
     // lineitem money/quantity columns from EXACT decimal moments —
     // built-in corr()'s merged co-moment update is partition-order
@@ -4496,6 +4509,34 @@ object ExtensionQueries {
         |UNION ALL SELECT 2, 'view', n_1, round(CAST(n_1 AS DOUBLE) / n_0, 4) FROM c
         |UNION ALL SELECT 3, 'purchase', n_2, round(CAST(n_2 AS DOUBLE) / n_0, 4) FROM c
         |ORDER BY step""".stripMargin,
+    // x118: the x68 chain + quantile_cont over the micros deltas,
+    // /1e6 at the end, the x89 r4a convention on the lerp
+    "x118_funnel_times" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t0 AS (SELECT user_id, MIN(us) AS t_0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (SELECT t0.user_id, t0.t_0,
+        |              MIN(e.us) FILTER (WHERE e.us >= t0.t_0
+        |                                AND e.us - t0.t_0 <= 604800000000) AS t_1
+        |       FROM t0 LEFT JOIN e ON e.user_id = t0.user_id AND e.event_type = 'view'
+        |       GROUP BY 1, 2),
+        |t2 AS (SELECT t1.user_id, t1.t_0, t1.t_1,
+        |              MIN(e.us) FILTER (WHERE e.us >= t1.t_1
+        |                                AND e.us - t1.t_0 <= 604800000000) AS t_2
+        |       FROM t1 LEFT JOIN e ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3),
+        |a AS (SELECT CAST(COUNT(t_1) AS BIGINT) AS n_1,
+        |             quantile_cont(t_1 - t_0, [0.5, 0.9]) AS q1,
+        |             CAST(COUNT(t_2) AS BIGINT) AS n_2,
+        |             quantile_cont(t_2 - t_1, [0.5, 0.9]) AS q2
+        |      FROM t2)
+        |SELECT CAST(2 AS BIGINT) AS step, 'view' AS event_type, n_1 AS n_users,
+        |       round(round(q1[1] / 1e6, 8), 4) AS p50_s,
+        |       round(round(q1[2] / 1e6, 8), 4) AS p90_s FROM a
+        |UNION ALL SELECT 3, 'purchase', n_2,
+        |       round(round(q2[1] / 1e6, 8), 4),
+        |       round(round(q2[2] / 1e6, 8), 4) FROM a
+        |ORDER BY step""".stripMargin,
+
     "x19_dedup_clusters" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

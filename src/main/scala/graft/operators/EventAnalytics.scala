@@ -222,7 +222,13 @@ object EventAnalytics {
     * explode out of a single bounded global aggregate. Never a per-user
     * sort or an all-events self-join.
     */
-  def funnel(
+  /** The per-user conversion table behind [[funnel]] and
+    * [[funnelStepTimes]]: one row per step-1 user with t_0..t_k =
+    * first qualifying event time per step (earliest-AFTER-previous,
+    * inside the horizon from t_0), null where the user never reached
+    * the step.
+    */
+  private def convTable(
       events: DataFrame,
       steps: Seq[String],
       horizonDays: Int): DataFrame = {
@@ -232,7 +238,7 @@ object EventAnalytics {
     val us = unix_micros(col("ts").cast("timestamp"))
     val t0 = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(us).as("t_0"))
-    val conv = steps.indices.tail.foldLeft(t0) { (acc, i) =>
+    steps.indices.tail.foldLeft(t0) { (acc, i) =>
       val stepEv = events.filter(col("event_type") === steps(i))
         .select(col("user_id"), us.as("e_us"))
       val keys = "user_id" +: (0 until i).map(j => s"t_$j")
@@ -243,6 +249,51 @@ object EventAnalytics {
             col("e_us") - col("t_0") <= horizonUs,
           col("e_us"))).as(s"t_$i"))
     }
+  }
+
+  /** Step-transition latency percentiles — the "how long does
+    * conversion take" report next to [[funnel]]'s "how many convert":
+    * per transition, exact interpolated percentiles of
+    * (t_i − t_{i−1}) in seconds over the users who reached step i.
+    *
+    * Shape: the SAME conv fold as the funnel, then ONE aggregate row
+    * holding every transition's count and percentiles (aggregate
+    * functions skip the non-converting users' null deltas, so no
+    * per-step re-scan and no corpus-scale persist), exploded to one
+    * row per transition. Deltas are exact integer micros; the
+    * interpolation is the only float op (the x89 lerp class — callers
+    * apply the ra collapse).
+    */
+  def funnelStepTimes(
+      events: DataFrame,
+      steps: Seq[String],
+      horizonDays: Int): DataFrame = {
+    val conv = convTable(events, steps, horizonDays)
+    // exact percentile, not the sketch: the driver-facing report wants
+    // the x89 semantics (ANSI PERCENTILE_CONT over the micros deltas)
+    val exactAggs = steps.indices.tail.flatMap { i =>
+      Seq(
+        count(col(s"t_$i")).as(s"n_$i"),
+        expr(s"percentile(t_$i - t_${i - 1}, 0.5)").as(s"p50_$i"),
+        expr(s"percentile(t_$i - t_${i - 1}, 0.9)").as(s"p90_$i"))
+    }
+    val one = conv.agg(exactAggs.head, exactAggs.tail: _*)
+    one
+      .select(explode(array(steps.indices.tail.map(i =>
+        struct(
+          lit(i + 1).cast("long").as("step"),
+          lit(steps(i)).as("event_type"),
+          col(s"n_$i").as("n_users"),
+          (col(s"p50_$i") / 1e6).as("p50_s"),
+          (col(s"p90_$i") / 1e6).as("p90_s"))): _*)).as("r"))
+      .select("r.step", "r.event_type", "r.n_users", "r.p50_s", "r.p90_s")
+  }
+
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      horizonDays: Int): DataFrame = {
+    val conv = convTable(events, steps, horizonDays)
     val counts = conv.agg(
       count(col("t_0")).as("n_0"),
       steps.indices.tail.map(i => count(col(s"t_$i")).as(s"n_$i")): _*)

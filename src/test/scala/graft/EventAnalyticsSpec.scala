@@ -208,6 +208,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       EventAnalytics.pivotDaily(events, Seq("click", "click")))
   }
 
+  test("funnelStepTimes: hand-computed percentiles over converting users only") {
+    val events = Seq(
+      // three users sign up; deltas to 'view': 10s, 20s, 30s; only
+      // user 1 purchases (40s after its view)
+      (1L, 1L, "signup", "2024-01-01 00:00:00"),
+      (2L, 1L, "view", "2024-01-01 00:00:10"),
+      (3L, 1L, "purchase", "2024-01-01 00:00:50"),
+      (4L, 2L, "signup", "2024-01-01 01:00:00"),
+      (5L, 2L, "view", "2024-01-01 01:00:20"),
+      (6L, 3L, "signup", "2024-01-01 02:00:00"),
+      (7L, 3L, "view", "2024-01-01 02:00:30"),
+      (8L, 4L, "signup", "2024-01-01 03:00:00")) // never converts
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.funnelStepTimes(
+      events, Seq("signup", "view", "purchase"), horizonDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // view step: deltas [10, 20, 30] — p50 = 20, p90 = 20 + 0.8*10 = 28
+    assert(got(2L)._1 === "view" && got(2L)._2 === 3L)
+    assert(math.abs(got(2L)._3 - 20.0) < 1e-9)
+    assert(math.abs(got(2L)._4 - 28.0) < 1e-9)
+    // purchase step: single delta [40] — both percentiles 40; n = 1
+    assert(got(3L) === (("purchase", 1L, 40.0, 40.0)))
+    assert(got.size === 2) // the never-converting user adds no row
+  }
+
   test("transitionMatrix: consecutive pairs per user, cross-user isolation, row-normalized p") {
     val events = Seq(
       // user 1: view -> click -> view -> purchase
