@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{ElementAt, HigherOrderFunction}
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, FilterExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Physical-plan audit over the whole query surface. Counts parquet scans,
-  * join strategies, cartesian products, and Filters whose condition embeds
-  * a higher-order array function, per query; fails (nonzero exit) on plan
-  * regressions. Output is the source of PLANS.md.
+  * join strategies, cartesian products, Filters whose condition embeds a
+  * higher-order array function, and unbounded single-partition windows,
+  * per query; fails (nonzero exit) on plan regressions. Output is the
+  * source of PLANS.md.
   *
   * Tree-based, not string-based: the audit walks the EXECUTED SparkPlan
   * (descending into finalized AQE stages) so that a cached subtree
@@ -23,16 +26,34 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * projection's array expression into a pushed filter, re-evaluating the
   * whole upstream transform per array element — the trap that produced
   * 22x regressions twice (TextOps round 1, Dedup.winnowFingerprints
-  * round 2). Guard inside the projection with when/otherwise instead.
+  * round 2).  Guard inside the projection with when/otherwise instead.
   *
-  * Known blind spot: an operator that executes work EAGERLY during query
-  * construction (connectedComponents' per-iteration localCheckpoint loop,
-  * any persist-then-act pattern) surfaces only its post-materialization
-  * plan here — the loop's internal joins are not audited. Those operators
-  * carry their own plan discipline in code (bounded checkpointed frames)
-  * and their internal shapes are covered by operator specs, but a
-  * regression inside such a loop would NOT fail this gate; treat a 0-scan
-  * row in PLANS.md as "audited from the materialization point onward".
+  * The global-window rule (round-10 ask): a WindowExec with NO partition
+  * spec moves its whole input to one partition — fine when that input is
+  * aggregate-bounded (a vocabulary rank over Heaps-law-bounded distinct
+  * terms, a quantile probe over nBins histogram cells), fatal when a
+  * refactor lets corpus-cardinality rows reach it. The gate requires
+  * every single-partition WindowExec to sit above a cardinality boundary
+  * (an aggregation, a TakeOrderedAndProject — the shape
+  * `Vocab.rankVocab`'s limit compiles to — or a global limit) within the
+  * same executed plan; anything else is a regression. This is also what
+  * adjudicates the bench log's recurring "No Partition Defined" WARN as
+  * benign — the warning-emitting windows are exactly the gated ones.
+  *
+  * EAGER-LOOP COVERAGE (round-10 ask; this was the audit's documented
+  * blind spot): operators that execute work DURING query construction —
+  * pageRank's checkpointed iterations, connectedComponents' label loop,
+  * BPE's merge loop, VersionedTable commits, model fits — never surface
+  * that work in the returned frame's plan, which sees only the
+  * post-materialization RDD scan. A QueryExecutionListener registered
+  * for the audit run now captures EVERY Dataset action's QueryExecution
+  * (eager checkpoints, collects, writes; lazy `localCheckpoint(false)`
+  * barriers also fire the listener at plan-compile time, so their
+  * internal shapes — x106's prefix self-join, x24's shingle window — are
+  * audited from the INITIAL pre-AQE plan). All gates run per captured
+  * execution with their own allowance maps, and PLANS.md carries an
+  * inner-executions sub-table. The listener bus is drained after each
+  * query (GraftBusBridge) so attribution cannot bleed across queries.
   *
   * Usage: sbt "runMain graft.PlanAudit [sfDir]"
   */
@@ -45,7 +66,8 @@ object PlanAudit {
       cartesian: Int,
       hofFilters: Int,
       bnlj: Int,
-      windowGroupLimits: Int)
+      windowGroupLimits: Int,
+      unboundedGlobalWindows: Int)
 
   /** All plan nodes reachable from `p`, descending through AQE wrappers
     * (AdaptiveSparkPlanExec and QueryStageExec are leaf-like nodes hiding
@@ -73,9 +95,42 @@ object PlanAudit {
       case _ => false
     }
 
+  /** A node that bounds downstream cardinality to group/limit space — what
+    * a single-partition window must sit above to be scale-legal.
+    */
+  private def cardinalityBoundary(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec => true
+    case _: CollectLimitExec => true
+    case _ => false
+  }
+
+  /** Like [[walk]], but FOLLOWS ReusedExchange to its original subtree:
+    * the boundary search is about what exists on the window's input
+    * lineage, not about counting operators once — x97's second global
+    * window reads the SAME single-partition exchange through a
+    * ReusedExchange, and the aggregate proving its input bounded lives
+    * below the original site.
+    */
+  private def walkThroughReuse(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: below.flatMap(walkThroughReuse)
+  }
+
   /** Audit an already-executed plan tree. */
   def audit(plan: SparkPlan): Counts = {
     val nodes = walk(plan)
+    val unboundedGlobal = nodes.count {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        !walkThroughReuse(w.child).exists(cardinalityBoundary)
+      case _ => false
+    }
     Counts(
       scans = nodes.count(_.isInstanceOf[FileSourceScanExec]),
       bcastJoins = nodes.count(n =>
@@ -84,8 +139,8 @@ object PlanAudit {
       cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),
       hofFilters = nodes.collect { case f: FilterExec if hofFilter(f) => f }.size,
       bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      windowGroupLimits = nodes.count(
-        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]))
+      windowGroupLimits = nodes.count(_.isInstanceOf[WindowGroupLimitExec]),
+      unboundedGlobalWindows = unboundedGlobal)
   }
 
   /** Execute the query (finalizing AQE) and audit the executed plan.
@@ -94,7 +149,9 @@ object PlanAudit {
     * separate QueryExecution (groupBy().count()), leaving this one's
     * AdaptiveSparkPlanExec un-executed so the walk would see only the
     * static pre-execution plan and miss runtime AQE changes (join
-    * demotions, runtime exchange reuse).
+    * demotions, runtime exchange reuse). toRdd also fires NO listener
+    * event, so the final plan is never double-counted as an inner
+    * execution.
     */
   def auditExecuted(df: DataFrame): Counts = {
     df.queryExecution.toRdd.count()
@@ -147,9 +204,10 @@ object PlanAudit {
     // per-doc encode aggregates × per-doc language picks — both sides
     // doc-cardinality at 100 TB, the x67 class
     "x104_oov_by_lang" -> 1,
-    // PPJoin: shingle×df join, prefix-postings self-join, and the two
-    // candidate-verify joins — every side corpus-scale (the x24 class);
-    // AQE may demote some to broadcast at fixture scale (ceiling)
+    // PPJoin: shingle×df join, prefix-postings self-join, and the
+    // candidate-docs semi-join feeding the (now candidate-bounded)
+    // verify joins — every corpus-scale side is the x24 class; AQE may
+    // demote some to broadcast at fixture scale (ceiling)
     "x106_ppjoin_neardups" -> 4)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
@@ -172,6 +230,9 @@ object PlanAudit {
     "o35_count" -> 1, "o36_forecast_summary" -> 3,
     "o42_forecast_daily" -> 3, "o43_comments" -> 3,
     "x09_topk_cosine" -> 1, "x14_ivf_topk" -> 2,
+    // class (b): the cluster profile's corpus × broadcast(centroids)
+    // exhaustive assignment argmax (the x14 class)
+    "x124_cluster_profile" -> 1,
     // class (b): hard-negative mining's exhaustive anchors baseline
     "x73_hard_negatives" -> 1,
     // class (b) twice: x107 evaluates BOTH retrieval paths (exact +
@@ -249,9 +310,10 @@ object PlanAudit {
   // better rewrite than WindowGroupLimit: LimitPushDown turns the
   // rank-filter into TakeOrderedAndProject(limit=maxVocab) BELOW the
   // window — per-partition top-V + single merge of V rows, so the
-  // single-partition window only ever sees maxVocab rows. A WGL pin
-  // would reject exactly the plan we want (verified from the executed
-  // plan, round 10).
+  // single-partition window only ever sees maxVocab rows. The
+  // global-window gate pins exactly that: the window must sit above a
+  // TakeOrderedAndProject/aggregate boundary, so losing the rewrite
+  // (full-vocab single-partition window) goes red here.
 
   /** The gate itself, factored so the per-stage audit (and its spec) can
     * run the same rules with stage-level allowances.
@@ -279,6 +341,11 @@ object PlanAudit {
         "(pushed-down filter re-evaluates an inlined array expression per element — " +
         "guard inside the projection with when/otherwise instead; " +
         "this class caused 22x regressions twice: TextOps r1, winnowFingerprints r2)"
+    if (c.unboundedGlobalWindows > 0)
+      bad ::= s"$name: single-partition window over a non-aggregated input " +
+        "(a global WindowExec must sit above an aggregation/TakeOrdered/limit " +
+        "boundary or corpus-cardinality rows land on ONE partition — the " +
+        "Vocab.rankVocab / Sketches.histQuantiles contract)"
     bad
   }
 
@@ -299,22 +366,77 @@ object PlanAudit {
   /** Stages whose per-group top-k must keep its WindowGroupLimit. */
   private[graft] val StageRequiredWgl: Set[String] = Set("cap")
 
+  /** Allowances for INNER executions — the eager/lazy barrier plans the
+    * listener captures during query construction. Keyed by query name;
+    * the ceiling applies PER captured execution (each barrier generation
+    * / commit / collect is gated separately, so one iteration cannot
+    * hide a regression inside another's allowance). Values pinned from
+    * the executed shapes, with the scale rationale per entry. NOTE:
+    * lazy-barrier captures audit the pre-AQE initial plan, so these
+    * ceilings describe the STATIC join choice (broadcast demotions AQE
+    * would make at fixture scale don't reduce them).
+    */
+  private[graft] val InnerAllowedSmj: Map[String, Int] = Map.empty
+  private[graft] val InnerAllowedBnlj: Map[String, Int] = Map(
+    // semdedup's materialized cell assignment: ivfAssign's
+    // corpus × broadcast(centroids) exhaustive argmax (class (b), the
+    // same shape the main table allows for x14/x30/x41) executes behind
+    // the assignment barrier — x61 additionally commits it (command)
+    "x34_semantic_dedup" -> 1,
+    "x61_incremental_semdedup" -> 1,
+    // the ppl-bucket scorer materializes unigramLogProb, whose one-row
+    // (N, V) stats crossJoin (class (a)) sits inside the barrier
+    "x44_ppl_buckets" -> 1,
+    // the stage-rebuild pass materializes every curation stage
+    // lineage-cut; the resample stage's one-row mixWeights normalizer
+    // (class (a)) rides its barrier
+    "x53/stages" -> 1)
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.getOrCreate(s"local[8]")
     var bad = List.empty[String]
-    println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter | BNLJ | window group limits |")
-    println("|---|---|---|---|---|---|---|---|")
+
+    // ---- inner-execution capture (see class scaladoc): every Dataset
+    // action fired during query construction lands here, attributed to
+    // the query under audit; the bus drain after each query makes the
+    // attribution exact.
+    val inner = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Counts)]()
+    @volatile var current = "(setup)"
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        try inner.add((current, funcName, audit(qe.executedPlan)))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[plan-audit] inner-audit error on $current/$funcName: $e")
+        }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def drain(): Unit =
+      try org.apache.spark.GraftBusBridge.drain(spark.sparkContext)
+      catch { case e: Exception => System.err.println(s"[plan-audit] bus drain: $e") }
+
+    println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter | BNLJ | window group limits | unbounded global windows |")
+    println("|---|---|---|---|---|---|---|---|---|")
     def auditRow(name: String, df: DataFrame, smj: Int, bnlj: Int, wgl: Boolean): Unit = {
       val c = auditExecuted(df)
-      println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} | ${c.bnlj} | ${c.windowGroupLimits} |")
+      println(s"| $name | ${c.scans} | ${c.bcastJoins} | ${c.smj} | ${c.cartesian} | ${c.hofFilters} | ${c.bnlj} | ${c.windowGroupLimits} | ${c.unboundedGlobalWindows} |")
       bad :::= violations(name, c, smj, bnlj, wgl)
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      current = name
       auditRow(
         name, fn(spark, dir),
         AllowedSmj.getOrElse(name, 0), AllowedBnlj.getOrElse(name, 0),
         RequiredWindowGroupLimit.contains(name))
+      drain()
     }
     // Per-stage audit of the composed curation pipeline: each stage
     // rebuilt lineage-cut (Curation.auditStages) so the stage's own
@@ -325,17 +447,50 @@ object PlanAudit {
     // substitute InMemoryTableScans for the very operators this audit
     // exists to see (stage 1 audited as a bare cache read, hiding its
     // window — caught when the WGL pin fired on a cached plan).
+    current = "x53/stages"
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.sharedState.cacheManager.clearCache()
     val docs = graft.sources.Tables.documents(spark, dir)
     graft.operators.Curation
       .auditStages(docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50))
       .foreach { case (stage, df) =>
+        current = s"x53/$stage"
         auditRow(
           s"x53/$stage", df,
           StageAllowedSmj.getOrElse(stage, 0), StageAllowedBnlj.getOrElse(stage, 0),
           StageRequiredWgl.contains(stage))
+        drain()
       }
+    drain()
+
+    // ---- inner-executions sub-table + gates. One row per (query,
+    // action-kind) with execution count and PER-EXECUTION MAX of each
+    // counter — the loop shapes the main table structurally cannot see.
+    import scala.jdk.CollectionConverters._
+    val byQuery = inner.asScala.toList.groupBy(t => (t._1, t._2)).toSeq.sortBy(q => (q._1._1, q._1._2))
+    println()
+    println("| inner executions (query / action) | execs | max scans | max bcast | max smj | max cartesian | max HOF | max BNLJ | max unbounded global windows |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    byQuery.foreach { case ((q, act), execs) =>
+      val cs = execs.map(_._3)
+      println(s"| $q / $act | ${cs.size} | ${cs.map(_.scans).max} | ${cs.map(_.bcastJoins).max} | " +
+        s"${cs.map(_.smj).max} | ${cs.map(_.cartesian).max} | ${cs.map(_.hofFilters).max} | " +
+        s"${cs.map(_.bnlj).max} | ${cs.map(_.unboundedGlobalWindows).max} |")
+    }
+    inner.asScala.foreach { case (q, act, c) =>
+      val tag = s"$q[inner:$act]"
+      if (c.cartesian > 0) bad ::= s"$tag: cartesian product in an internal execution"
+      if (c.hofFilters > 0)
+        bad ::= s"$tag: higher-order function inside a Filter condition (internal execution)"
+      if (c.smj > InnerAllowedSmj.getOrElse(q, 0))
+        bad ::= s"$tag: sort-merge join above the inner allowance " +
+          s"(${c.smj} > ${InnerAllowedSmj.getOrElse(q, 0)})"
+      if (c.bnlj > InnerAllowedBnlj.getOrElse(q, 0))
+        bad ::= s"$tag: BroadcastNestedLoopJoin above the inner allowance " +
+          s"(${c.bnlj} > ${InnerAllowedBnlj.getOrElse(q, 0)})"
+      if (c.unboundedGlobalWindows > 0)
+        bad ::= s"$tag: single-partition window over a non-aggregated input (internal execution)"
+    }
     spark.stop()
     bad.foreach(b => System.err.println(s"[plan-audit] REGRESSION: $b"))
     if (bad.nonEmpty) sys.exit(1)
