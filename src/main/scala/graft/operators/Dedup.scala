@@ -358,8 +358,13 @@ object Dedup {
     * length, total verify cost O(candidates × doclen). The arrays come
     * straight from the per-row shingle projection (shingleFrame), NOT a
     * collect_list re-assembly, so there is no grouped corpus-scale
-    * state and no checkpoint on a corpus-sized frame. (Two rejected
-    * forms, both measured at sf0.1: re-counting the intersection from
+    * state — and the frame is built ONCE, semi-joined down to the
+    * CANDIDATE documents (a pair-bounded set), then checkpointed, so
+    * both verify joins read the same small materialized frame instead
+    * of each rebuilding the arrays from the corpus. (Three rejected
+    * forms, all measured at sf0.1: the unshared form rebuilt and
+    * scanned shingleFrame TWICE — one corpus array-build per join side,
+    * ~35% of the query's wall; re-counting the intersection from
     * candidate-restricted full postings costs 2.3× the array verify —
     * the pair×doclen expansion flows through two sort-merge joins AND a
     * groupBy instead of a per-row intersect; and the original
@@ -369,12 +374,14 @@ object Dedup {
     * Shapes: one shuffle on shingle for the df join, one doc-keyed
     * window pass for the per-doc (df, shingle) rank, the prefix-postings
     * self-join (corpus-scale both sides — the x24 SMJ allowance class),
-    * then two pair-bounded array joins. The two checkpoints are both
-    * PAIR-bounded: the candidate frame (so the self-join runs once) and
-    * the scored frame (so the jaccard filter sees a plain integer
-    * attribute — PushDownPredicate would otherwise inline the
-    * array_intersect into a Filter, the audited HOF-in-Filter class).
-    * Never all-pairs.
+    * one corpus×candidates semi-join to cut the array frame, then two
+    * candidate-bounded array joins. The three checkpoints are all
+    * PAIR-bounded: the candidate frame (so the self-join runs once),
+    * the candidate-doc array frame (so the corpus semi-join runs once,
+    * not once per verify side), and the scored frame (so the jaccard
+    * filter sees a plain integer attribute — PushDownPredicate would
+    * otherwise inline the array_intersect into a Filter, the audited
+    * HOF-in-Filter class). Never all-pairs.
     */
   def ppjoinNearDups(
       docs: DataFrame,
@@ -387,29 +394,110 @@ object Dedup {
     val ranked = sh.join(dfTab, Seq("shingle"))
       .withColumn("len", count(lit(1)).over(wDoc))
       .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+    // NOT materialized, measured deliberately (round 11): the candidate
+    // self-join reads this frame on both sides, and the multi-consumer
+    // rule suggests a checkpoint — but eagerly storing the corpus-scale
+    // prefix rows costs MORE than recomputing the codegen'd
+    // scan+join+window lineage twice (checkpointed: 6.6 s isolated;
+    // recomputed: 4.1 s — block serialization of a corpus-scale frame
+    // is the expensive part, the x24 shingle frame notwithstanding,
+    // whose window annotation is what its checkpoint actually buys).
     val prefix = ranked
       .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")).cast("long") + 1)
-      .select(col("shingle"), col("doc_id"), col("len"))
+      .select(col("shingle"), col("doc_id"), col("len"), col("pos"))
+    // POSITIONAL filter (the "P" of PPJoin, Xiao et al. §3.2), applied to
+    // every matching prefix row BEFORE the pair groupBy: a pair meeting
+    // at prefix positions (pos_a, pos_b) can reach overlap at most
+    // 1 + min(n_a − pos_a, n_b − pos_b) (everything strictly after the
+    // matched token on each side, in the same global order), and
+    // J ≥ t needs overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉. Dropping rows whose
+    // bound misses α is LOSSLESS for pairs: if every shared-prefix row
+    // fails, the pair's FIRST shared token (no shared credit before it)
+    // proves overlap < α.
+    //
+    // INDEXING-prefix reduction (Xiao et al. §4.1), stacked on top: the
+    // self-join is restated asymmetrically as probe × index under the
+    // (len, doc_id) processing order — the ordered-EARLIER side (the
+    // shorter record) plays the indexed role and needs only the i-prefix
+    // |d| − ⌈2t/(1+t)·|d|⌉ + 1 (for a qualifying pair with |y| ≤ |x|,
+    // overlap ≥ ⌈2t/(1+t)·|y|⌉, so a shared token must land inside y's
+    // first |y|−that+1 tokens), while the probing side keeps the full
+    // p-prefix. Honest accounting: the positional filter SUBSUMES the
+    // i-prefix at the pair level (for the shorter side, its row bound
+    // implies pos_i ≤ i-prefix end), so the surviving pair set is
+    // identical — what the i-prefix buys is JOIN INPUT volume: one whole
+    // side's postings shrink ~35% (L/2+1 → L/3 at t=0.5) before any row
+    // is materialized, which is the shuffle-bytes lever a 100 TB run
+    // cares about even where fixture wall time is flat.
+    //
+    // Measured at sf0.1 (TimeX106 staged the costs before each change;
+    // survivors pinned at 256 throughout by the brute-force spec):
+    // p×p join, no positional filter: 310k pairs, 4.6 s isolated;
+    // + positional filter: 125k pairs, ~4.1 s; + i-prefix: 125k pairs
+    // (subsumption above), join input −35%, wall flat — the remaining
+    // floor is the window/df machinery (~2 s) + 125k array intersects
+    // (~1.5 s). This was the round-10 "cut x106" ask; sharing the
+    // shingle-array build (the first attempt) saved only a 0.4 s scan
+    // because the real cost is pair-count × intersect. Remaining lever
+    // if ever needed: the suffix filter (§4.2). Rejected: checkpointing
+    // `prefix` for its two consumers — storing the corpus-scale frame
+    // measured SLOWER (6.6 s) than recomputing the codegen'd lineage
+    // twice.
+    // The −1e-9 guards keep fp rounding from ever pushing a ⌈·⌉ ABOVE
+    // its true ceiling (over-pruning = silent recall loss; one lower at
+    // exact-integer boundaries merely prunes slightly less).
+    val alphaFrac = threshold / (1.0 + threshold)
+    val iPrefixEnd =
+      col("len") - ceil(lit(2.0 * alphaFrac) * col("len") - lit(1e-9)).cast("long") + 1
     // pair-bounded barrier: cand feeds both the intersection join and
     // the final assembly — and the candidate self-join (the expensive
-    // part) must not re-execute per consumer
-    val cand = prefix.select(col("shingle"), col("doc_id").as("doc_a"), col("len").as("n_a"))
-      .join(
-        prefix.select(col("shingle"), col("doc_id").as("doc_b"), col("len").as("n_b")),
-        Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    // part) must not re-execute per consumer. Output canonicalizes to
+    // doc_a < doc_b by ID (the probe/index asymmetry is by (len, id),
+    // which is NOT the output order).
+    val probeSide = prefix.select(
+      col("shingle"), col("doc_id").as("doc_p"),
+      col("len").as("n_p"), col("pos").as("pos_p"))
+    val indexSide = prefix
+      .filter(col("pos") <= iPrefixEnd)
+      .select(
+        col("shingle"), col("doc_id").as("doc_i"),
+        col("len").as("n_i"), col("pos").as("pos_i"))
+    val cand = probeSide
+      .join(indexSide, Seq("shingle"))
+      // processing order: index strictly before probe under (len, id)
       .filter(
-        least(col("n_a"), col("n_b")).cast("double") >=
-          ceil(lit(threshold) * greatest(col("n_a"), col("n_b"))))
+        col("n_i") < col("n_p") ||
+          (col("n_i") === col("n_p") && col("doc_i") < col("doc_p")))
+      // length filter (n_i <= n_p by the order above)
+      .filter(col("n_i").cast("double") >= ceil(lit(threshold) * col("n_p")))
+      // positional filter, both positions inside their own prefixes
+      .filter(
+        lit(1) + least(col("n_p") - col("pos_p"), col("n_i") - col("pos_i")) >=
+          ceil(lit(alphaFrac) * (col("n_p") + col("n_i")) - lit(1e-9)))
+      .select(
+        least(col("doc_p"), col("doc_i")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_i")).as("doc_b"),
+        when(col("doc_p") < col("doc_i"), col("n_p")).otherwise(col("n_i")).as("n_a"),
+        when(col("doc_p") < col("doc_i"), col("n_i")).otherwise(col("n_p")).as("n_b"))
       .groupBy("doc_a", "doc_b")
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .localCheckpoint(false)
     // exact |A∩B|: the pair-bounded frame rejoins each side's shingle
     // array (a per-row projection of the source — no grouped state) and
     // intersects once per pair; the checkpoint makes the jaccard filter
-    // below a plain-attribute predicate (HOF-in-Filter gate)
+    // below a plain-attribute predicate (HOF-in-Filter gate).
+    // The array frame is cut to CANDIDATE docs first (semi-join — a set
+    // bounded by the pair frame, far below corpus cardinality) and
+    // checkpointed, so the corpus array-build runs ONCE and the two
+    // verify joins read a small materialized frame — the unshared form
+    // rebuilt shingleFrame per join side, two extra corpus scans.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
     val arrs = TextOps.shingleFrame(docs, n)
+      .join(candDocs, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"), col("shingle_arr"))
+      .localCheckpoint(false)
     val scored = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingle_arr").as("arr_a")), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingle_arr").as("arr_b")), Seq("doc_b"))
@@ -774,12 +862,35 @@ object Dedup {
     * graphs take the loop path unchanged; 0 disables the fast path.
     * Both paths return the identical (node, min-reachable-id) labeling.
     */
+  /** `durable`: iteration barriers default to `localCheckpoint` —
+    * executor-local blocks, fastest, but an executor loss loses both the
+    * blocks and the truncated lineage. Passing a
+    * [[graft.sources.VersionedTable]] commits every barrier generation
+    * (edges and each labels generation) as a table snapshot instead —
+    * the fault-tolerant 100 TB posture; a lost executor re-reads the
+    * snapshot and a restarted job can resume from the last committed
+    * generation. The durable path pays one parquet write+read per
+    * barrier plus one explicit aggregate job per iteration (the
+    * synchronous `observe` metric only rides a checkpoint's own
+    * execution, not a write command's); labels are exact integers, so
+    * results are identical by construction (DedupSpec pins it). Callers
+    * own vacuum on the table.
+    */
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String = "doc_a",
       dstCol: String = "doc_b",
       maxIter: Int = 25,
-      smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
+      smallGraphMaxEdges: Long = 1L << 20,
+      durable: Option[graft.sources.VersionedTable] = None): DataFrame = {
+    // barrier primitive shared by the edge frame and every labels
+    // generation: local blocks by default, snapshot commit when durable
+    def barrier(df: DataFrame): DataFrame = durable match {
+      case Some(vt) =>
+        val v = vt.commit(df)
+        vt.readVersion(df.sparkSession, v)
+      case None => df.localCheckpoint()
+    }
     val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // the label-sum convergence test below is exact only for integral
     // ids (cast to decimal is lossless and sums cannot overflow 38
@@ -806,16 +917,26 @@ object Dedup {
     // more than the extra materialization job saves.
     // the edge count rides the checkpoint job via `observe` (same
     // synchronous-accumulator trick as ckptWithSum below), deciding the
-    // small-graph dispatch without a separate count job
+    // small-graph dispatch without a separate count job.
+    //
+    // DURABLE-MODE CAVEAT (found by the r11 durable spec): observe's
+    // synchronous read works only when the action executes the observed
+    // frame's OWN QueryExecution (localCheckpoint does; a snapshot
+    // commit's write command spawns a fresh one). Worse than absent, the
+    // un-executed accumulator reads back as a PRESENT row of zeros —
+    // edgeCount 0 would silently take the small-graph path (and a zero
+    // label-sum below would fake instant convergence: wrong labels, no
+    // error). So the observe trick is local-mode only; the durable path
+    // always pays the explicit count/aggregate job.
     val obsEdges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .observe("cc_edge_count", count(lit(1)).as("n"))
-    val edges = obsEdges.localCheckpoint() // reused every iteration; bounded by 2|pairs|
+    val edges = barrier(obsEdges) // reused every iteration; bounded by 2|pairs|
     val edgeCount =
       obsEdges.queryExecution.observedMetrics.get("cc_edge_count") match {
-        case Some(r) => r.getLong(0)
-        case None => edges.count()
+        case Some(r) if durable.isEmpty => r.getLong(0)
+        case _ => edges.count()
       }
     if (edgeCount <= smallGraphMaxEdges) {
       val labels = smallGraphComponents(edges, fwd.schema("u").dataType)
@@ -845,10 +966,13 @@ object Dedup {
         "cc_label_sum",
         count(lit(1)).as("n"),
         sum(col("label").cast("decimal(38,0)")).as("s"))
-      val ck = observed.localCheckpoint()
+      val ck = barrier(observed)
       val (n, s) = observed.queryExecution.observedMetrics.get("cc_label_sum") match {
-        case Some(r) => (r.getLong(0), r.getDecimal(1))
-        case None =>
+        // local mode only — see the durable-mode caveat on the edge count
+        // (a commit leaves the accumulator unexecuted and it reads back
+        // as zeros, which here would fake instant convergence)
+        case Some(r) if durable.isEmpty => (r.getLong(0), r.getDecimal(1))
+        case _ =>
           val r = ck
             .agg(count(lit(1)).as("n"), sum(col("label").cast("decimal(38,0)")).as("s"))
             .head()

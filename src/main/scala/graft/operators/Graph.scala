@@ -41,6 +41,23 @@ object Graph {
     * form (TextRank as published, Mihalcea & Tarau §2.1: contribution
     * rank·w / strength(u), strength = Σw) — the unweighted default is
     * the w ≡ 1 special case of the same plan.
+    *
+    * Null-endpoint rows are dropped up front (mirroring
+    * [[triangleStats]]): a null src/dst would count a null "node" into
+    * n (inflating the (1−d)/n base mass) while the rank join's
+    * null-rejecting equi-condition silently discarded its
+    * contributions — a silent skew of every rank, not an error.
+    *
+    * `durable`: iteration barriers default to `localCheckpoint` —
+    * executor-local blocks, the fast single-job path, but NOT
+    * fault-tolerant (a lost executor loses blocks AND the truncated
+    * lineage, killing the job). Passing a [[graft.sources.VersionedTable]]
+    * commits each barrier generation as a table snapshot instead: the
+    * 100 TB posture, where an executor loss re-reads the snapshot and a
+    * full job restart can resume from the last committed generation.
+    * Costs one parquet write+read per barrier; results are bit-identical
+    * (the CrossRound collapse runs before every barrier —
+    * GraphDurableSpec pins equality). Callers own vacuum on the table.
     */
   def pageRank(
       pairs: DataFrame,
@@ -48,7 +65,8 @@ object Graph {
       dstCol: String,
       iterations: Int = 5,
       damping: Double = 0.85,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      durable: Option[graft.sources.VersionedTable] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // weighted form (TextRank as published: edge weight = co-occurrence
@@ -56,7 +74,9 @@ object Graph {
     // the w ≡ 1 special case — rank·1.0/d is bit-identical to rank/d,
     // so existing callers' numbers cannot move
     val wExpr = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val fwd = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"), wExpr.as("w"))
+    val fwd = pairs
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("u"), col(dstCol).as("v"), wExpr.as("w"))
     val edges = fwd.unionByName(
       fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
     val deg = edges.groupBy("u").agg(sum(col("w")).as("d"))
@@ -65,9 +85,17 @@ object Graph {
     val withDeg = edges.join(deg, Seq("u")).persist()
     val n = deg.count() // bounded driver action: one aggregate row count
     val base = lit((1.0 - damping) / n)
-    var ranks = deg
-      .select(col("u").as("node"), (lit(1.0) / n).as("rank"))
-      .localCheckpoint(true)
+    // barrier primitive: local blocks by default, snapshot commit when
+    // durable (see scaladoc) — both materialize eagerly so the loop's
+    // lineage and cached footprint stay O(1) in the iteration count
+    def barrier(df: DataFrame): DataFrame = durable match {
+      case Some(vt) =>
+        val v = vt.commit(df)
+        vt.readVersion(df.sparkSession, v)
+      case None => df.localCheckpoint(true)
+    }
+    var ranks = barrier(
+      deg.select(col("u").as("node"), (lit(1.0) / n).as("rank")))
     // checkpoint every few generations, not every one: a handful of
     // chained join+agg stages is a perfectly healthy lineage, and each
     // eager checkpoint is a full job barrier — per-iteration barriers
@@ -84,8 +112,8 @@ object Graph {
         .groupBy(col("v").as("node"))
         .agg(CrossRound.ra(base + lit(damping) * sum(col("c")), 8).as("rank"))
       if (i % ckptEvery == 0 || i == iterations) {
-        next = next.localCheckpoint(true)
-        lastCkpt.unpersist()
+        next = barrier(next)
+        lastCkpt.unpersist() // no-op on a snapshot-read frame
         lastCkpt = next
       }
       ranks = next

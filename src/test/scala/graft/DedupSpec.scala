@@ -300,6 +300,19 @@ class DedupSpec extends AnyFunSuite {
     val loop = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(loop === expected)
+    // ... and the DURABLE-barrier loop (every generation committed as a
+    // VersionedTable snapshot — the fault-tolerant 100 TB posture) must
+    // again be identical: labels are exact integers, so the parquet
+    // round-trip cannot move anything
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_durable_").toString
+    val vt = graft.sources.VersionedTable(s"$tmp/labels")
+    val durable = Dedup.connectedComponents(
+      pairs, smallGraphMaxEdges = 0, durable = Some(vt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable === expected)
+    // the loop really committed through the table: edges + initial labels
+    // + one snapshot per iteration until convergence (>= 3 versions)
+    assert(vt.versions().size >= 3)
   }
 
   test("connected components: refuses non-integral node ids up front") {

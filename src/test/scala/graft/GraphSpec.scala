@@ -109,4 +109,36 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(wide === Set(("a", 2L, 1L), ("b", 2L, 1L), ("c", 3L, 1L), ("d", 1L, 0L)))
   }
+
+  test("durable barriers (VersionedTable commits) produce identical ranks") {
+    // the 100 TB fault-tolerance posture: every iteration barrier commits
+    // a snapshot instead of localCheckpoint — results must be
+    // bit-identical (the CrossRound collapse runs BEFORE every barrier,
+    // so the parquet round-trip cannot move a bit)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_durable_").toString
+    val vt = graft.sources.VersionedTable(s"$tmp/ranks")
+    val local = Graph.pageRank(pairs.toDF("u", "v"), "u", "v", iterations = 7)
+      .orderBy("node").collect().toSeq
+    val durable = Graph.pageRank(
+      pairs.toDF("u", "v"), "u", "v", iterations = 7, durable = Some(vt))
+      .orderBy("node").collect().toSeq
+    assert(local === durable)
+    // every barrier generation really committed (initial + ceil path):
+    // iterations 7, ckpt at 3, 6, 7 plus the initial ranks = 4 versions
+    assert(vt.versions().size === 4)
+  }
+
+  test("null endpoints are dropped, not silently counted into n") {
+    // a null src row must not inflate the node count (skewing the
+    // (1-d)/n base mass) while contributing nothing through the join —
+    // ranks must equal the same graph with the null row absent
+    val clean = ranksOf(Seq(("a", "b"), ("b", "c")), iters = 3)
+    val withNull = Graph.pageRank(
+      Seq(("a", Option("b")), ("b", Option("c")), ("x", Option.empty[String]))
+        .toDF("u", "v"),
+      "u", "v", iterations = 3)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    assert(withNull === clean)
+  }
 }
