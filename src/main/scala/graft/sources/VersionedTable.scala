@@ -225,6 +225,19 @@ final class VersionedTable(val root: String) {
     requireUnpartitioned(files)
     def canon(p: String): String =
       try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
+    // File.length() returns 0 for a missing entry, which would silently
+    // classify a vanished file as "small" and feed it to the rewrite —
+    // the later parquet read fails, but pointing at the READ instead of
+    // the real problem. A manifest referencing a missing file is table
+    // corruption (a vacuum raced this snapshot, or external deletion):
+    // name it loudly here.
+    val missing = files.filterNot(f => Files.exists(Paths.get(canon(f))))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot v=$v manifest references missing file(s) under $root — " +
+          s"table is corrupt (vacuumed under a reader, or externally deleted): " +
+          missing.take(3).mkString(", ") +
+          (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
     val sized = files.map(f => f -> new java.io.File(canon(f)).length())
     val (small, carry) = sized.partition(_._2 < smallBytes)
     if (small.size < 2) return v

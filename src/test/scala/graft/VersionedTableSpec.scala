@@ -301,6 +301,23 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t2.latestVersion().contains(v))
   }
 
+  test("compactFiles: a manifest referencing a vanished file errors by NAME, not at the read") {
+    // File.length() returns 0 for a missing path — without the existence
+    // check the vanished file would silently classify as 'small' and the
+    // failure would surface later, blaming the parquet READ instead of
+    // the real problem (manifest/table corruption)
+    val t = freshTable()
+    import spark.implicits._
+    t.commit((1L to 50L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val v1 = t.appendCommit(
+      (51L to 60L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
+    val victim = t.manifest(v1).get.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
+    val e = intercept[IllegalStateException](
+      t.compactFiles(spark, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue))
+    assert(e.getMessage.contains("missing file"))
+  }
+
   test("deleteWhere: a NULL predicate keeps the row — only provably-true matches die") {
     val t = freshTable()
     import spark.implicits._
