@@ -637,6 +637,69 @@ object ExtensionQueries {
       graft.sources.Formats.orc(
         s, formatCopiesFor(s, dir) + "/orc", Tables.documents(s, dir).schema)
         .orderBy("doc_id")),
+    // Avro container files (x119) — the fourth interchange leg, built on
+    // avro-core directly since the jar set has no spark-avro connector
+    // (sources/Avro.scala documents the per-file split model). Same
+    // byte-parity gate against the parquet rows as x70-x72.
+    "x119_avro_source" -> ((s, dir) =>
+      graft.sources.Avro.avro(
+        s, formatCopiesFor(s, dir) + "/avro", Tables.documents(s, dir).schema)
+        .orderBy("doc_id")),
+
+    // Regex feature / PII pattern counts (x120): rule-based per-doc
+    // counts — the scrubbing signal a release pipeline thresholds on
+    // (emails, URLs, phone shapes). The pattern bank mixes live
+    // token-shape patterns (the synthetic corpus has no PII, and an
+    // all-zero gate would prove nothing) with one canonical PII shape;
+    // all stay inside the RE2 ∩ java.util.regex dialect so both engines
+    // count identical leftmost non-overlapping matches.
+    "x120_pattern_counts" -> ((s, dir) =>
+      TextOps.patternCounts(Tables.documents(s, dir), PatternBank)
+        .orderBy("doc_id")),
+
+    // Exact-count stratified split (x121): per-language fold counts —
+    // every stratum hits 80/10/10 within one row by construction (the
+    // integer ceil-division boundary; the oracle re-derives the md5
+    // ranking and the same integer math, so boundary rows are gated
+    // exactly, not just the aggregate shape).
+    "x121_stratified_split" -> ((s, dir) =>
+      Splits.stratifiedSplit(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "fold")),
+
+    // Embedding dimension profile (x122): per-dim n/min/max/mean/var —
+    // the vector-space health check before indexing (dead dims, encoder
+    // drift). min/max exact; mean/var through the ra collapse.
+    "x122_embedding_profile" -> ((s, dir) =>
+      Profile.embeddingDimProfile(Tables.embeddings(s, dir))
+        .orderBy("dim")),
+
+    // Event path trigrams (x123): the top consecutive 3-step event-type
+    // sequences across user streams — transitionMatrix's (x114)
+    // higher-order companion. Full-key ORDER BY + LIMIT keeps the top-25
+    // cut deterministic on both engines.
+    "x123_event_paths" -> ((s, dir) =>
+      EventAnalytics.pathNgrams(Tables.events(s, dir), n = 3)
+        .orderBy(col("n_paths").desc, col("step_0"), col("step_1"), col("step_2"))
+        .limit(25)),
+
+    // Cluster-quality profile (x124): size balance + cohesion per IVF
+    // cell against the SAME ModelStore-committed centroids x14 serves —
+    // the pre-flight report before trusting an ANN index or a SemDeDup
+    // blocking (oracle: centroids interpolated as literals, the x14
+    // convention, so assignment + both statistics replay in SQL).
+    "x124_cluster_profile" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = FittedIvf.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "ivf_sample16", dir, graft.sources.ModelStore.FloatMatrix)(
+          Similarity.trainingSample(emb, 16)))
+      Similarity.clusterProfile(emb, cents)
+        .orderBy("cell")
+    }),
 
     // Bigram LM with stupid backoff (x65): the context-aware fluency
     // signal — LM trained on the even-doc_id half (the "reference
@@ -1909,6 +1972,22 @@ object ExtensionQueries {
     */
   private val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** x120's pattern bank (output column → regex), shared verbatim by the
+    * engine projection and the generated oracle SQL so the two can never
+    * drift. Dialect contract: RE2 ∩ java.util.regex — char classes,
+    * bounded repetition, alternation, `\b`, `(?:…)`; no backreferences
+    * or lookaround (RE2 rejects them). Four live token-shape patterns
+    * (nonzero on the synthetic corpus — the gate must count real
+    * matches) plus the canonical email shape for the PII use the
+    * operator exists for.
+    */
+  private val PatternBank: Seq[(String, String)] = Seq(
+    "n_long_words" -> "[a-z]{6,}",
+    "n_articles" -> "\\b(?:the|a)\\b",
+    "n_s_words" -> "\\bs[a-z]+",
+    "n_double_vowels" -> "[aeiou]{2}",
+    "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+
   /** One committed CDC snapshot chain per (JVM, sf dir) for x100:
     * v0 = base commit (doc_id < 300), v1 = appendCommit([300, 400)),
     * v2 = deleteWhere(doc_id % 7 = 0) — the full commit/append/delete
@@ -1941,11 +2020,17 @@ object ExtensionQueries {
   private def tokenAdjacencyW(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, dir)
       .select(filter(TextOps.tokens(col("text")), t => length(t) > 0).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
+      // the <2-token guard lives INSIDE the explode projection (when →
+      // null array → explode drops the row), NOT as a .filter: a Filter
+      // on size(toks) inlines the whole tokenize+filter HOF into the
+      // pushed predicate, re-tokenizing every row a second time — the
+      // audited HOF-in-Filter class, caught by the round-11 inner-
+      // execution audit (it had been hiding behind pageRank's eager
+      // checkpoint since this query shipped)
+      .select(explode(when(size(col("toks")) >= 2, expr(
         "transform(sequence(0, size(toks)-2), " +
           "i -> named_struct('u', least(toks[i], toks[i+1]), " +
-          "'v', greatest(toks[i], toks[i+1])))")).as("p"))
+          "'v', greatest(toks[i], toks[i+1])))"))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v"))
       .groupBy("u", "v")
@@ -2086,6 +2171,7 @@ object ExtensionQueries {
       graft.sources.Formats.writeJsonl(docs, root + "/jsonl")
       graft.sources.Formats.writeCsv(docs, root + "/csv")
       graft.sources.Formats.writeOrc(docs, root + "/orc")
+      graft.sources.Avro.writeAvro(docs, root + "/avro")
       root
     })
 
@@ -2235,6 +2321,83 @@ object ExtensionQueries {
     */
   private val documentsRoundTripSql: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  /** x120 oracle, GENERATED from [[PatternBank]] (one source of truth):
+    * regexp_extract_all returns every leftmost non-overlapping match,
+    * len() counts them — the exact regexp_count semantics. Patterns pass
+    * through verbatim: SQL single-quoted literals do not process
+    * backslash escapes, so `\b` reaches RE2 untouched (none of the bank
+    * patterns contains a quote).
+    */
+  private def x120PatternCountsSql: String = {
+    val cols = PatternBank.map { case (name, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS $name"
+    }
+    s"SELECT doc_id, ${cols.mkString(", ")} FROM documents ORDER BY doc_id"
+  }
+
+  /** x121 oracle: the stratified split re-derived — md5-of-decimal-string
+    * rank within each language (doc_id tie-break), boundaries via the
+    * same INTEGER ceil-division over the fixed-point bucket bounds
+    * (800000/900000 of 1000000), so the cut row is bit-determined on
+    * both engines; see Splits.stratifiedSplit on why float cums are
+    * banned here.
+    */
+  private val x121StratifiedSplitSql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang,
+      |         CASE WHEN rn <= (800000 * n + 999999) // 1000000 THEN 'train'
+      |              WHEN rn <= (900000 * n + 999999) // 1000000 THEN 'val'
+      |              ELSE 'test' END AS fold
+      |  FROM r)
+      |SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM f GROUP BY lang, fold ORDER BY lang, fold""".stripMargin
+
+  /** x122 oracle: per-dimension moments via the x69 unnest-by-position
+    * pattern; min/max exact, mean/variance through the ra(6) mirror
+    * (round(round(x, 10), 6)) with the engine's exact association
+    * (Σv²/n − (Σv/n)·(Σv/n)).
+    */
+  private val x122EmbeddingProfileSql: String =
+    """WITH pos AS (
+      |  SELECT vec_id, embedding,
+      |         unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+      |         CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM pos)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |       min(v) AS min_v, max(v) AS max_v,
+      |       round(round(sum(v) / count(*), 10), 6) AS mean,
+      |       round(round(sum(v * v) / count(*)
+      |         - (sum(v) / count(*)) * (sum(v) / count(*)), 10), 6) AS variance
+      |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** x123 oracle: the path-trigram restatement — two lead()s over the
+    * (epoch_us, event_id)-ordered per-user stream (the x114 ordering
+    * convention), trigram counts, full-key ORDER BY + LIMIT 25.
+    */
+  private val x123EventPathsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  epoch_us(ts) AS t_us FROM events),
+      |o AS (SELECT event_type AS step_0,
+      |             lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                       ORDER BY t_us, event_id) AS step_1,
+      |             lead(event_type, 2) OVER (PARTITION BY user_id
+      |                                       ORDER BY t_us, event_id) AS step_2
+      |      FROM e)
+      |SELECT step_0, step_1, step_2, CAST(count(*) AS BIGINT) AS n_paths
+      |FROM o WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL
+      |GROUP BY step_0, step_1, step_2
+      |ORDER BY n_paths DESC, step_0, step_1, step_2
+      |LIMIT 25""".stripMargin
 
   /** x69's restatement: char trigrams by position, DISTINCT grams
     * hashed through the emitted XxHash64Sql chain (the x06/x58 pattern),
@@ -4054,6 +4217,11 @@ object ExtensionQueries {
     "x70_jsonl_source" -> documentsRoundTripSql,
     "x71_csv_source" -> documentsRoundTripSql,
     "x72_orc_source" -> documentsRoundTripSql,
+    "x119_avro_source" -> documentsRoundTripSql,
+    "x120_pattern_counts" -> x120PatternCountsSql,
+    "x121_stratified_split" -> x121StratifiedSplitSql,
+    "x122_embedding_profile" -> x122EmbeddingProfileSql,
+    "x123_event_paths" -> x123EventPathsSql,
     // x69: every distinct char trigram hashed through the XxHash64Sql
     // string mirror; bucket = (h >> 1) % dim on the unsigned bit
     // pattern (== Spark's shiftrightunsigned + pmod), sign = bit 0.
@@ -4662,7 +4830,9 @@ object ExtensionQueries {
     cachedOne(FittedKmeans).map(c => Map(
       "x34_semantic_dedup" -> x34SemanticDedupSql(c),
       "x61_incremental_semdedup" -> x61IncrementalSemDedupSql(c))).getOrElse(Map.empty) ++
-    cachedOne(FittedIvf).map(c => Map("x14_ivf_topk" -> x14IvfTopKSql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedIvf).map(c => Map(
+      "x14_ivf_topk" -> x14IvfTopKSql(c),
+      "x124_cluster_profile" -> x124ClusterProfileSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedPq).map(c => Map("x38_pq_topk" -> x38PqTopKSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedIvfPq).map { case (c, b) => Map("x41_ivfpq_topk" -> x41IvfPqSql(c, b)) }.getOrElse(Map.empty)
 
@@ -4917,6 +5087,24 @@ object ExtensionQueries {
        |  FROM scored)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** x124: the x14 assignment argmax replayed against the same centroid
+    * literals, then the per-cell statistics — min over bit-deterministic
+    * per-row cosines (r4 + signed-zero guard), mean through the ra(6)
+    * collapse; both mirror Similarity.clusterProfile exactly.
+    */
+  private def x124ClusterProfileSql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
+       |assigned AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |         ${cosSql("e.embedding", "c.centroid")} AS csim,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c)
+       |SELECT CAST(centroid_id AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(min(csim), 4) + 0.0 AS min_sim,
+       |       round(round(sum(csim) / count(*), 10), 6) + 0.0 AS mean_sim
+       |FROM assigned WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin
 
   /** (s, c, arr FLOAT[], cn2 DOUBLE) VALUES relation for a PQ codebook —
     * cn2 precomputed with norm2Lit's fold so encode scores and norm

@@ -339,6 +339,39 @@ object EventAnalytics {
         col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
   }
 
+  /** Top event-path n-grams ([[transitionMatrix]]'s higher-order
+    * companion): the most common length-`n` consecutive event-type
+    * sequences per user stream — the path-analysis report ("what do
+    * users actually do around a purchase") that first-order transition
+    * probabilities structurally cannot show (Markov chains forget where
+    * the user came FROM two steps ago).
+    *
+    * Shape: ONE user-keyed window shuffle — n−1 lead() columns over the
+    * same (t_us, event_id)-ordered window collapse into one window node —
+    * then a groupBy bounded by |types|^n (the report's own cardinality,
+    * a few hundred rows for any real event taxonomy). Paths shorter than
+    * n at a stream's tail drop (lead returns null). No top-k cut here:
+    * callers rank/limit the bounded result, keeping this operator a pure
+    * aggregate.
+    */
+  def pathNgrams(events: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, s"path n-grams need n >= 2: $n")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_us", "event_id")
+    val base = events
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("t_us"))
+    val steps = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"step_$i", lead(col("event_type"), i).over(w))
+    }
+    val stepCols = col("event_type").as("step_0") +:
+      (1 until n).map(i => col(s"step_$i"))
+    steps
+      .filter((1 until n).map(i => col(s"step_$i").isNotNull).reduce(_ && _))
+      .groupBy(stepCols: _*)
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
   /** First/last-touch conversion attribution — for every conversion
     * event, the first and last preceding touch event of the same user
     * inside a lookback window: the report marketing analytics runs on

@@ -185,36 +185,109 @@ object Profile {
     * from identical exact sums — deterministic on any engine at any
     * parallelism. ONE scan, one map-side-combinable aggregate row (all
     * pairs' moments together), pairs exploded from it; nothing here is
-    * corpus-cardinality after the fold. Null rows drop once up front
-    * (listwise, so every pair sees the same n). Σxy at DECIMAL(38,4)
-    * holds to ~10^33 — headroom far past 100 TB row counts.
+    * corpus-cardinality after the fold. Rows with a SOURCE null in any
+    * column drop listwise (so every pair sees the same n). Σxy at
+    * DECIMAL(38,4) holds to ~10^33 — headroom far past 100 TB row
+    * counts.
+    *
+    * Failure modes guarded, not silent: a value too large for
+    * DECIMAL(18, `scale`) overflows the cast — under ANSI (Spark 4's
+    * default) somewhere mid-fold with a generic cast error, under
+    * non-ANSI silently to NULL, where listwise deletion would quietly
+    * shrink n. Here the cast is `try_cast` (null on overflow under ANY
+    * ANSI setting), the same fold COUNTS those rows, and the query
+    * throws a named per-column diagnostic instead of either failure
+    * mode. A zero-variance column makes Pearson r undefined (0/0);
+    * those pairs return NULL rather than a platform-dependent NaN/Inf.
     */
   def correlations(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    require(cols.forall(c => !c.contains("`")), s"column names must not contain backquotes: $cols")
     val dec = s"decimal(18,$scale)"
-    val clean = df
-      .select(cols.map(c => col(c).cast(dec).as(c)): _*)
-      .na.drop(cols)
+    // try_cast values plus a per-column overflow flag (source non-null
+    // but cast null = magnitude exceeded decimal(18,scale)); listwise
+    // deletion becomes a CONDITION on the moments instead of a prior
+    // na.drop, so the overflow counters see every row in the same scan
+    def tc(c: String): Column = expr(s"try_cast(`$c` AS $dec)")
+    val flagged = df.select(
+      cols.map(c => tc(c).as(c)) ++
+        cols.map(c =>
+          (col(c).isNotNull && tc(c).isNull).cast("long").as(s"ov_$c")): _*)
+    val present = cols.map(col(_).isNotNull).reduce(_ && _)
+    def m(e: Column): Column = sum(when(present, e))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     val moments =
-      Seq(count(lit(1)).as("n")) ++
-        cols.map(c => sum(col(c)).as(s"s_$c")) ++
-        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
-        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
-    val agg = clean.agg(moments.head, moments.tail: _*)
+      Seq(sum(when(present, 1L).otherwise(0L)).as("n")) ++
+        cols.map(c => m(col(c)).as(s"s_$c")) ++
+        cols.map(c => m(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => m(col(a) * col(b)).as(s"sp_${a}_$b") } ++
+        cols.map(c => sum(col(s"ov_$c")).as(s"ov_$c"))
+    val agg = flagged.agg(moments.head, moments.tail: _*)
     def d(c: String): Column = col(c).cast("double")
+    // runtime overflow gate: assert_true returns NULL when the condition
+    // holds (folded away by the coalesce) and throws with the per-column
+    // counts otherwise — no extra job, the guard rides the same row
+    val ovTotal = cols.map(c => col(s"ov_$c")).reduce(_ + _)
+    val ovMsg = concat(
+      lit(s"correlations: value(s) exceed DECIMAL(18,$scale) — overflow rows per column ["),
+      concat_ws(", ", cols.map(c => concat(lit(s"$c="), col(s"ov_$c"))): _*),
+      lit("]; widen the scale/precision or pre-clip the inputs"))
+    val guard = coalesce(assert_true(ovTotal === 0, ovMsg).cast("double"), lit(0.0))
     val rows = pairs.map { case (a, b) =>
       val n = d("n")
+      val varA = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val varB = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
       val r = (n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
-        (sqrt(n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
-          sqrt(n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), r.as("corr"))
+        (sqrt(varA) * sqrt(varB))
+      // zero variance → r undefined: NULL, not engine-dependent NaN/Inf
+      val rSafe = when(varA <= 0 || varB <= 0, lit(null).cast("double"))
+        .otherwise(r + guard)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), rSafe.as("corr"))
     }
     agg
       .select(explode(array(rows: _*)).as("p"))
       .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("p.corr").as("corr"))
+  }
+
+  /** Per-dimension profile of an embedding column — the vector-space
+    * health check a similarity/ANN pipeline runs before indexing: a
+    * dimension whose variance collapsed to ~0 is dead weight in every
+    * distance; one whose mean drifted far from 0 after a re-embed signals
+    * an encoder/version mismatch (the PSI report's analogue for vector
+    * features). Returns one row per dimension (0-based):
+    * (dim, n, min, max, mean, variance).
+    *
+    * Shape: posexplode → ONE map-side-combinable groupBy on dimension —
+    * the cell table is |dim| rows regardless of corpus size; nothing
+    * downstream of the fold is corpus-cardinality. min/max are exact
+    * (float comparisons carry no accumulation order); mean/variance are
+    * double folds whose partition order varies, so both pass the
+    * CrossRound collapse — population variance from the (Σv, Σv²) sums
+    * with a fixed association, mirrored verbatim by the oracle.
+    */
+  def embeddingDimProfile(
+      emb: DataFrame,
+      embCol: String = "embedding",
+      collapseScale: Int = 6): DataFrame = {
+    val vals = emb
+      .select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    vals
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v")).as("_s"),
+        sum(col("v") * col("v")).as("_ss"))
+      .select(
+        col("dim"), col("n"), col("min_v"), col("max_v"),
+        CrossRound.ra(col("_s") / col("n"), collapseScale).as("mean"),
+        CrossRound.ra(
+          col("_ss") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")),
+          collapseScale).as("variance"))
   }
 }

@@ -889,6 +889,41 @@ object Similarity {
       .select(col("centroid_id").as("cell"), col("vec_id"), col("embedding"))
   }
 
+  /** Per-cell clustering-quality profile against COMMITTED centroids —
+    * the report an IVF/SemDeDup deployment reads before trusting its
+    * cells: size balance (one mega-cell = a degenerate fit and a
+    * quadratic SemDeDup block; see semanticDedupWith's cap) and cohesion
+    * (mean / worst cosine of members to their centroid — a cell whose
+    * min_sim is near 0 is a junk drawer, not a cluster). Returns
+    * (cell, n_vecs, min_sim, mean_sim); cells that attracted no member
+    * are absent (their absence IS the finding).
+    *
+    * Shape: the [[ivfAssign]] broadcast argmax (corpus × c, the
+    * documented exhaustive class-(b) cross) keeping the winning cosine,
+    * then ONE |c|-bounded groupBy. Per-row cosines are deterministic
+    * (sequential fold, bit-equal cross-engine), so min_sim needs only
+    * the signed-zero guard; mean_sim is an aggregate double and takes
+    * the CrossRound collapse.
+    */
+  def clusterProfile(
+      corpus: DataFrame,
+      cents: Array[Array[Float]],
+      collapseScale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    corpus
+      .crossJoin(broadcast(centroidsDF(corpus.sparkSession, cents)))
+      .withColumn("csim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("centroid_id").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (CrossRound.r(min(col("csim")), 4) + lit(0.0)).as("min_sim"),
+        (CrossRound.ra(sum(col("csim")) / count(lit(1)), collapseScale) + lit(0.0))
+          .as("mean_sim"))
+  }
+
   /** IVF approximate top-k: probes are scored only against the vectors in
     * their nprobe nearest cells. Recall/latency trades on (c, nprobe);
     * candidates per probe ~ nprobe x |corpus| / c. `refineIters` > 0 runs

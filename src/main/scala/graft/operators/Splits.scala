@@ -63,6 +63,59 @@ object Splits {
     df.withColumn("fold", fold)
   }
 
+  /** EXACT-count stratified split: within each stratum (language, source,
+    * quality bucket), rows rank by md5(key) and the fold boundaries cut
+    * at ceil(cum_weight · n_stratum) — every stratum hits its target
+    * fraction within one row, where [[splitByHash]]'s proportions hold
+    * only in expectation (a 300-doc language can drift percents off
+    * 80/10/10; an eval set built from it under-represents exactly the
+    * strata that are scarcest). Assignment is still a pure function of
+    * (key, stratum membership): md5-of-the-decimal-string like
+    * [[shardOf]] — a split is a long-lived contract other tooling must
+    * recompute — with the key as tie-break so duplicate hashes cannot
+    * make ranks partition-dependent.
+    *
+    * Boundaries run in PURE INTEGER math: cumulative weights quantize to
+    * [[upperBounds]]'s fixed-point bucket space and the cut is
+    * ceil(upper·n / Buckets) via integer ceil-division — float cums
+    * would put 0.8+0.1 at 0.9000000000000001 and shift a boundary by one
+    * row exactly when 0.9·n is an integer (the worst kind of
+    * cross-engine off-by-one: silent, data-dependent, only at round
+    * stratum sizes).
+    *
+    * The trade vs splitByHash, stated: adding CORPUS rows to a stratum
+    * re-cuts that stratum's boundaries, so membership is stable only for
+    * a frozen corpus version (pin to a [[graft.sources.VersionedTable]]
+    * snapshot); splitByHash is stable under growth but only approximate
+    * per stratum.
+    *
+    * Scale shape: ONE shuffle (the stratum-keyed window); strata are
+    * assumed many and individually skew-bounded relative to executors —
+    * a corpus that is 99% one language runs that stratum on one
+    * partition's worth of window work, the documented limit.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      folds: Seq[(String, Double)]): DataFrame = {
+    val uppers = upperBounds(folds) // validates weights; last == Buckets
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    val rn = row_number().over(w.orderBy(md5(col(keyCol).cast("string")), col(keyCol)))
+    val n = count(lit(1)).over(w)
+    val withRank = df.withColumn("_rn", rn).withColumn("_n", n)
+    // fold = first boundary the rank fits under; ceil(u*n/B) as integer
+    // ceil-division (u*n + B−1) div B; the last upper IS Buckets, so the
+    // final boundary is exactly n and no row is ever unassigned
+    val fold = folds.map(_._1).zip(uppers).init
+      .foldRight(lit(folds.last._1): Column) { case ((name, u), els) =>
+        when(
+          col("_rn") <= expr(s"(${u}L * _n + ${Buckets - 1}L) div ${Buckets}L"),
+          name).otherwise(els)
+      }
+    withRank.withColumn("fold", fold).drop("_rn", "_n")
+  }
+
   // -------------------------------------------------------------------
   // Training shards: a deterministic global shuffle of the corpus into
   // fixed fan-out shards, the layout a pretraining data loader consumes.

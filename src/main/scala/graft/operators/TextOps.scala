@@ -1653,4 +1653,26 @@ object TextOps {
     val counts = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_maybe_shared"))
     sharedCountReport(docs, counts, "n_maybe_shared", "maybe_contaminated", minShared)
   }
+
+  /** Per-document regex pattern counts — the rule-based feature/PII
+    * scrubbing signal every curation pipeline runs before release (count
+    * emails, URLs, phone shapes, boilerplate markers; route docs above a
+    * threshold to redaction). `patterns` maps output column name →
+    * pattern. Pure projection over one corpus scan, no shuffle; counts
+    * use the standard leftmost non-overlapping match rule, so they are
+    * engine-portable as long as patterns stay in the RE2 ∩ java.util
+    * .regex dialect (char classes, bounded/unbounded repetition,
+    * alternation, `\b`, `(?:…)` — NO backreferences or lookaround, which
+    * RE2 rejects by design).
+    */
+  def patternCounts(docs: DataFrame, patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      s"duplicate output columns: ${patterns.map(_._1)}")
+    docs.select(
+      col("doc_id") +:
+        patterns.map { case (name, p) =>
+          regexp_count(col("text"), lit(p)).cast("long").as(name)
+        }: _*)
+  }
 }

@@ -297,4 +297,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(42L).getLong(4) === 41L && got(42L).getLong(7) === 40L)
     assert(got.size === 5)
   }
+
+  test("pathNgrams: hand-counted trigrams, per-user boundaries, short streams drop") {
+    // user 1: view click buy view click (3 trigrams)
+    // user 2: view click (too short for n=3 — contributes nothing)
+    // user 3: view click buy (1 trigram, same as user 1's first)
+    val events = Seq(
+      (1L, 10L, "view", "2024-01-01 10:00:00"),
+      (1L, 11L, "click", "2024-01-01 10:01:00"),
+      (1L, 12L, "buy", "2024-01-01 10:02:00"),
+      (1L, 13L, "view", "2024-01-01 10:03:00"),
+      (1L, 14L, "click", "2024-01-01 10:04:00"),
+      (2L, 20L, "view", "2024-01-01 11:00:00"),
+      (2L, 21L, "click", "2024-01-01 11:01:00"),
+      (3L, 30L, "view", "2024-01-01 12:00:00"),
+      (3L, 31L, "click", "2024-01-01 12:01:00"),
+      (3L, 32L, "buy", "2024-01-01 12:02:00"))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventAnalytics.pathNgrams(events, n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got(("view", "click", "buy")) === 2L)
+    assert(got(("click", "buy", "view")) === 1L)
+    assert(got(("buy", "view", "click")) === 1L)
+    assert(got.size === 3) // user 2's short stream contributed nothing
+    // equal-ts ordering falls to event_id: swap times to force the tie
+    val tied = Seq(
+      (1L, 2L, "b", "2024-01-01 10:00:00"),
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 3L, "c", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val t = EventAnalytics.pathNgrams(tied, n = 3).collect()
+    assert(t.length === 1 &&
+      (t.head.getString(0), t.head.getString(1), t.head.getString(2)) === (("a", "b", "c")))
+  }
 }

@@ -134,4 +134,50 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(gn(("x", "y")) - 1.0) < 1e-12)
     assert(math.abs(gn(("x", "w")) - expXW) < 1e-12) // the null row never entered
   }
+
+  test("correlations: decimal overflow throws loudly instead of silently shrinking n") {
+    // 1e17 exceeds DECIMAL(18,2) (16 integral digits max) → the non-ANSI
+    // cast nulls it; the old na.drop silently dropped the row — now the
+    // fold counts it and the query must THROW naming the column
+    val df = Seq((1.0, 2.0), (1.0e17, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Profile.correlations(df, Seq("x", "y")).collect()
+    }
+    assert(e.getMessage.contains("DECIMAL(18,2)") || Option(e.getCause)
+      .exists(_.getMessage.contains("DECIMAL(18,2)")), s"got: ${e.getMessage}")
+  }
+
+  test("embeddingDimProfile: hand-computed per-dim moments; exact min/max; nulls never crash") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(2.0f, 20.0f)),
+      (3L, Seq(3.0f, 30.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Profile.embeddingDimProfile(df)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // dim 0: values 1,2,3 → mean 2, var = (1+4+9)/3 − 4 = 2/3
+    assert(got(0L)._1 === 3L)
+    assert(got(0L)._2 === 1.0 && got(0L)._3 === 3.0)
+    assert(got(0L)._4 === 2.0)
+    assert(math.abs(got(0L)._5 - 2.0 / 3.0) < 1e-6)
+    // dim 1: ×10 → mean 20, var = 200/3
+    assert(got(1L)._4 === 20.0)
+    assert(math.abs(got(1L)._5 - 200.0 / 3.0) < 1e-4)
+    // partitioning invariance (the ra collapse's whole point)
+    val wide = Profile.embeddingDimProfile(df.repartition(7)).orderBy("dim").collect().toSeq
+    val one = Profile.embeddingDimProfile(df.coalesce(1)).orderBy("dim").collect().toSeq
+    assert(wide === one)
+  }
+
+  test("correlations: a zero-variance column yields NULL, not NaN/Inf") {
+    val df = Seq((1.0, 5.0, 1.0), (2.0, 5.0, 2.0), (3.0, 5.0, 4.0))
+      .toDF("x", "c", "y")
+    val got = Profile.correlations(df, Seq("x", "c", "y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(got(("x", "c")) === None) // undefined, stated as null
+    assert(got(("c", "y")) === None)
+    assert(got(("x", "y")).exists(v => math.abs(v.asInstanceOf[Double]) <= 1.0))
+  }
 }

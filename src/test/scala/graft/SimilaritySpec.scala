@@ -531,4 +531,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Double]("recall_at_k"), r.getAs[Double]("mrr")))
     assert(perfect.forall(_ == ((1.0, 1.0))))
   }
+
+  test("clusterProfile: hand-computed sizes and cohesion; empty cells absent; width-stable") {
+    import spark.implicits._
+    // centroids along +x and +y; vectors cluster around them
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // exactly centroid 0 → sim 1.0
+      (2L, Seq(1.0f, 1.0f)),   // ties cos=0.7071 both → tie-break to cell 0
+      (3L, Seq(0.0f, 2.0f)),   // centroid 1 → sim 1.0
+      (4L, Seq(-0.1f, 1.0f)))  // nearer +y
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterProfile(emb, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(0L)._1 === 2L) // vecs 1 and 2
+    assert(got(0L)._2 === 0.7071) // worst member: the tie vector, r4
+    assert(got(1L)._1 === 2L) // vecs 3 and 4
+    assert(got(1L)._3 > 0.99) // both nearly aligned with +y
+    assert(got.size === 2)
+    // a centroid nothing chose is absent
+    val lonely = Similarity.clusterProfile(
+      Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .collect()
+    assert(lonely.length === 1 && lonely.head.getLong(0) === 0L)
+    // partitioning invariance (the ra collapse + deterministic fold)
+    val one = Similarity.clusterProfile(emb.coalesce(1), cents).orderBy("cell").collect().toSeq
+    val many = Similarity.clusterProfile(emb.repartition(7), cents).orderBy("cell").collect().toSeq
+    assert(one === many)
+  }
 }

@@ -224,4 +224,53 @@ class SplitsSpec extends AnyFunSuite {
     val all = Splits.tokenBudgetDraw(corpus, budgetTokens = 10000L, alpha = 0.5)
     assert(all.count() === 80L)
   }
+
+  test("stratifiedSplit: every stratum hits its fold counts EXACTLY (ceil boundaries)") {
+    import spark.implicits._
+    // strata of deliberately awkward sizes: 10 (clean multiples),
+    // 7 (nothing divides), 1 (everything lands in the first fold)
+    val df = ((1L to 10L).map(i => (i, "a")) ++ (11L to 17L).map(i => (i, "b")) ++
+      Seq((18L, "c"))).toDF("id", "stratum")
+    val folds = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Splits.stratifiedSplit(df, "id", "stratum", folds)
+      .groupBy("stratum", "fold").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // n=10: ceil(.8*10)=8, ceil(.9*10)=9 → 8/1/1
+    assert(got(("a", "train")) === 8L)
+    assert(got(("a", "val")) === 1L)
+    assert(got(("a", "test")) === 1L)
+    // n=7: ceil(5.6)=6, ceil(6.3)=7 → 6/1/0 (test absent)
+    assert(got(("b", "train")) === 6L)
+    assert(got(("b", "val")) === 1L)
+    assert(!got.contains(("b", "test")))
+    // n=1: ceil(.8)=1 → the single row is train
+    assert(got(("c", "train")) === 1L)
+    // every row assigned exactly once
+    assert(got.values.sum === 18L)
+  }
+
+  test("stratifiedSplit: assignment is a pure function of (key, stratum) — stable under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "x" else "y")).toDF("id", "stratum")
+    val folds = Seq("train" -> 0.8, "val" -> 0.2)
+    def assign(d: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      Splits.stratifiedSplit(d, "id", "stratum", folds)
+        .select("id", "fold").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(assign(df.coalesce(1)) === assign(df.repartition(13)))
+  }
+
+  test("stratifiedSplit: a 0.9-boundary at an exact multiple stays integer-exact") {
+    import spark.implicits._
+    // n=500 in one stratum: float cums would put the val boundary at
+    // ceil(0.9000000000000001 * 500) = 451; the fixed-point integer cut
+    // must give exactly 450 — the cross-engine off-by-one this operator's
+    // boundary math exists to prevent
+    val df = (1L to 500L).map(i => (i, "s")).toDF("id", "stratum")
+    val got = Splits.stratifiedSplit(
+      df, "id", "stratum", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("fold").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("train" -> 400L, "val" -> 50L, "test" -> 50L))
+  }
 }

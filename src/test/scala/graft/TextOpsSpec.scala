@@ -808,4 +808,23 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
     } finally spark.sql("DROP TABLE IF EXISTS bm25_spec_empty")
   }
+
+  test("patternCounts: hand-counted matches, non-overlap semantics, null text, bad inputs refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com or x@y.org today"),
+      (2L, "aaaa"), // non-overlap: [aa] counts 2, not 3
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.patternCounts(docs, Seq(
+      "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "n_aa" -> "aa"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) === ((Some(2L), Some(0L))))
+    assert(got(2L) === ((Some(0L), Some(2L)))) // leftmost non-overlapping
+    assert(got(3L) === ((None, None))) // null text → null counts, no crash
+    intercept[IllegalArgumentException](TextOps.patternCounts(docs, Nil))
+    intercept[IllegalArgumentException](
+      TextOps.patternCounts(docs, Seq("a" -> "x", "a" -> "y")))
+  }
 }
