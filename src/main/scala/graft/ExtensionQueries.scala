@@ -686,6 +686,23 @@ object ExtensionQueries {
         .orderBy(col("n_paths").desc, col("step_0"), col("step_1"), col("step_2"))
         .limit(25)),
 
+    // Binary-quantized ANN (x125): sign-bit embeddings packed into
+    // 32-bit limbs, Hamming pre-rank (XOR+popcount over the 32×-smaller
+    // bit table), exact cosine rerank of the per-probe pool — the
+    // two-stage shape binary-embedding deployments run. Fully
+    // closed-form, so the oracle replays packing, Hamming, pool cut and
+    // rerank bit-for-bit.
+    "x125_binary_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.binaryTopK(probes, emb, k = 5, rerank = 50)
+        .select(
+          col("q_id"), col("rank"), col("vec_id"), col("hamming"),
+          r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Cluster-quality profile (x124): size balance + cohesion per IVF
     // cell against the SAME ModelStore-committed centroids x14 serves —
     // the pre-flight report before trusting an ANN index or a SemDeDup
@@ -4219,6 +4236,7 @@ object ExtensionQueries {
     "x72_orc_source" -> documentsRoundTripSql,
     "x119_avro_source" -> documentsRoundTripSql,
     "x120_pattern_counts" -> x120PatternCountsSql,
+    "x125_binary_ann" -> x125BinaryAnnSql,
     "x121_stratified_split" -> x121StratifiedSplitSql,
     "x122_embedding_profile" -> x122EmbeddingProfileSql,
     "x123_event_paths" -> x123EventPathsSql,
@@ -5087,6 +5105,45 @@ object ExtensionQueries {
        |  FROM scored)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** x125: the binary-ANN chain replayed closed-form — sign-bit packing
+    * into 32-bit limbs (i=63 never shifts: limbs cap at bit 31, exactly
+    * why the engine packs 32-wide — DuckDB refuses 1::BIGINT << 63),
+    * XOR+popcount Hamming, the (hamming, vec_id)-ordered pool cut, then
+    * the exact-cosine rerank under the x14 ordering convention.
+    */
+  private val x125BinaryAnnSql: String =
+    s"""WITH pc AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+       |      l -> CAST(list_sum(list_transform(generate_series(0, 31),
+       |            i -> CASE WHEN l * 32 + i < len(embedding)
+       |                       AND embedding[l * 32 + i + 1] >= 0
+       |                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)) AS bits
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, bits AS q_bits
+       |      FROM pc WHERE vec_id < 10),
+       |h AS (
+       |  SELECT p.q_id, p.q_emb, c.vec_id, c.embedding,
+       |    CAST(list_sum(list_transform(generate_series(1, len(p.q_bits)),
+       |      j -> CAST(bit_count(xor(p.q_bits[j], c.bits[j])) AS BIGINT))) AS BIGINT) AS hamming
+       |  FROM p CROSS JOIN pc c WHERE p.q_id <> c.vec_id),
+       |pool AS (
+       |  SELECT q_id, q_emb, vec_id, embedding, hamming,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY hamming, vec_id) AS pool_rn
+       |  FROM h),
+       |scored AS (
+       |  SELECT q_id, vec_id, hamming, ${cosSql("q_emb", "embedding")} AS sim
+       |  FROM pool WHERE pool_rn <= 50),
+       |r AS (
+       |  SELECT q_id, vec_id, hamming, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming,
+       |       round(sim, 4) + 0.0 AS sim
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** x124: the x14 assignment argmax replayed against the same centroid
     * literals, then the per-cell statistics — min over bit-deterministic

@@ -233,6 +233,10 @@ object PlanAudit {
     // class (b): the cluster profile's corpus × broadcast(centroids)
     // exhaustive assignment argmax (the x14 class)
     "x124_cluster_profile" -> 1,
+    // class (b): the binary-ANN Hamming scan — packed corpus ×
+    // broadcast(packed probes); the packed side being 32× smaller than
+    // the float corpus is the operator's point
+    "x125_binary_ann" -> 1,
     // class (b): hard-negative mining's exhaustive anchors baseline
     "x73_hard_negatives" -> 1,
     // class (b) twice: x107 evaluates BOTH retrieval paths (exact +
@@ -304,7 +308,11 @@ object PlanAudit {
     // hard-negative mining's per-anchor rank cap
     "x73_hard_negatives",
     // the A-ES per-group sample boundary (Splits.weightedSample)
-    "x83_weighted_sample")
+    "x83_weighted_sample",
+    // binary ANN: both cuts (Hamming pool, cosine rerank) are
+    // filter-over-row_number — losing the rewrite re-sorts every
+    // corpus row per probe
+    "x125_binary_ann")
   // NOT pinned: x101's vocabulary rank cap. Its window is GLOBAL (no
   // partition key), and for that shape the optimizer fires a strictly
   // better rewrite than WindowGroupLimit: LimitPushDown turns the

@@ -889,6 +889,84 @@ object Similarity {
       .select(col("centroid_id").as("cell"), col("vec_id"), col("embedding"))
   }
 
+  /** Sign-bit binary quantization of an embedding column: dimension i
+    * contributes bit (i mod 32) of limb ⌊i/32⌋ when the component is
+    * ≥ 0 — 32 dims per long (limb width 32, not 64, is deliberate: the
+    * oracle engine refuses 1<<63, and 32-bit limbs generalize past 64
+    * dims with no sign-bit edge cases). 32× smaller than float32 and
+    * distance becomes XOR+popcount — the memory/bandwidth trade modern
+    * vector stores ship as "binary embeddings".
+    */
+  def signBits(embCol: String): Column = {
+    // a SQL-string expression, not the Column DSL: the per-bit shift
+    // amount is itself a column (the lambda variable i), and the
+    // functions API types shiftleft's shift as a plain Int
+    require(embCol.matches("[A-Za-z_][A-Za-z0-9_]*"), s"plain column name required: $embCol")
+    expr(
+      s"""transform(
+         |  sequence(0, CAST(ceil(size($embCol) / 32.0) AS INT) - 1),
+         |  l -> aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |    (acc, i) -> CASE
+         |      WHEN l * 32 + i < size($embCol)
+         |           AND element_at($embCol, l * 32 + i + 1) >= CAST(0.0 AS FLOAT)
+         |      THEN acc + shiftleft(CAST(1 AS BIGINT), i)
+         |      ELSE acc END))""".stripMargin)
+  }
+
+  /** Hamming distance between two limb arrays from [[signBits]]. */
+  def hammingLimbs(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Binary-quantized ANN: Hamming pre-ranking over [[signBits]] packs,
+    * exact cosine rerank of the per-probe pool — the two-stage shape
+    * binary-embedding deployments run (scan the 32×-smaller bit index
+    * with XOR+popcount, touch float vectors only for the top `rerank`
+    * candidates). Returns (q_id, rank, vec_id, hamming, sim), top `k`
+    * per probe by exact cosine.
+    *
+    * Scale shape: probes broadcast against the packed corpus (the
+    * documented exhaustive class-(b) cross — at 100 TB the packed side
+    * is the 32×-reduced bit table, which is the point), Hamming pool
+    * bounded per probe by `rerank` through a WindowGroupLimit-pinned
+    * row_number, exact cosine only on pool×probe rows. Recall contract:
+    * a true top-k neighbor outside the Hamming top-`rerank` is missed —
+    * raise `rerank` to trade scan cost for recall.
+    *
+    * Determinism: Hamming is integral (ties to the smaller vec_id);
+    * rerank order keys on the 6-dp-rounded cosine then vec_id — the
+    * x14 convention.
+    */
+  def binaryTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerank: Int = 50): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: k=$k rerank=$rerank")
+    val packedCorpus = corpus.select(
+      col("vec_id"), col("embedding"), signBits("embedding").as("bits"))
+    val packedProbes = probes.select(
+      col("q_id"), col("q_emb"), signBits("q_emb").as("q_bits"))
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
+    packedCorpus
+      .crossJoin(broadcast(packedProbes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", hammingLimbs(col("q_bits"), col("bits")))
+      .withColumn("pool_rn", row_number().over(wPool))
+      .filter(col("pool_rn") <= rerank)
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("hamming"), col("sim"))
+  }
+
   /** Per-cell clustering-quality profile against COMMITTED centroids —
     * the report an IVF/SemDeDup deployment reads before trusting its
     * cells: size balance (one mega-cell = a degenerate fit and a

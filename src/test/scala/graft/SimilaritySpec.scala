@@ -532,6 +532,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perfect.forall(_ == ((1.0, 1.0))))
   }
 
+  test("signBits/hammingLimbs: hand-computed packing; binaryTopK with full pool equals brute cosine") {
+    import spark.implicits._
+    // packing: bit i set iff component i >= 0 (zero counts as positive);
+    // 34 dims → two limbs, second limb holds bits 32..33
+    val v = (0 until 34).map(i => if (i % 3 == 0) -1.0f else 1.0f)
+    val packed = Seq(Tuple1(v)).toDF("embedding")
+      .select(Similarity.signBits("embedding").as("bits"))
+      .head().getAs[scala.collection.Seq[Long]]("bits")
+    val expected0 = (0 until 32).filter(_ % 3 != 0).map(1L << _).sum
+    val expected1 = Seq(32, 33).filter(_ % 3 != 0).map(i => 1L << (i - 32)).sum
+    assert(packed.toSeq === Seq(expected0, expected1))
+    // hamming counts differing sign bits
+    val hd = Seq((Seq(5L, 1L), Seq(6L, 1L))).toDF("a", "b")
+      .select(Similarity.hammingLimbs(col("a"), col("b")).as("h"))
+      .head().getLong(0)
+    assert(hd === 2L) // 5 xor 6 = 3 → two bits
+    // with a rerank pool covering the whole corpus, binaryTopK must equal
+    // the exact brute-force cosine top-k (the pool cut is the ONLY
+    // approximation)
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 40L).map(id =>
+      (id, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") <= 3L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fast = Similarity.binaryTopK(probes, emb, k = 4, rerank = 100)
+      .select("q_id", "rank", "vec_id").orderBy("q_id", "rank")
+      .collect().toSeq
+    val brute = Similarity.bruteForceTopK(probes, emb, k = 4)
+      .select("q_id", "rank", "vec_id").orderBy("q_id", "rank")
+      .collect().toSeq
+    assert(fast === brute)
+    // and the pool cut genuinely bounds candidates: tiny pool still
+    // returns k rows per probe
+    val small = Similarity.binaryTopK(probes, emb, k = 2, rerank = 2)
+    assert(small.groupBy("q_id").count().collect().forall(_.getLong(1) === 2L))
+    intercept[IllegalArgumentException](Similarity.binaryTopK(probes, emb, 5, rerank = 3))
+  }
+
   test("clusterProfile: hand-computed sizes and cohesion; empty cells absent; width-stable") {
     import spark.implicits._
     // centroids along +x and +y; vectors cluster around them
