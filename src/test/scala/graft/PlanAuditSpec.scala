@@ -68,6 +68,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.violations("x53/gates", ok, 2, 0, requireWgl = false).isEmpty)
   }
 
+  test("global-window gate: unbounded single-partition windows flag; aggregate-bounded pass") {
+    import org.apache.spark.sql.expressions.Window
+    // a global window directly over corpus rows — the regression the
+    // round-11 gate exists for (corpus-cardinality rows on ONE partition)
+    val wAll = Window.partitionBy().orderBy("doc_id")
+    val bad = docs.withColumn("rn", row_number().over(wAll))
+    val cBad = PlanAudit.auditExecuted(bad)
+    assert(cBad.unboundedGlobalWindows >= 1, s"unbounded global window not flagged: $cBad")
+    assert(PlanAudit.violations("q", cBad, 0, 0, requireWgl = false)
+      .exists(_.contains("single-partition window")))
+    // the legal shape: the same window ABOVE an aggregation boundary
+    // (group-space input — Vocab.rankVocab / Sketches.histQuantiles class)
+    val ok = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.partitionBy().orderBy("lang")))
+    val cOk = PlanAudit.auditExecuted(ok)
+    assert(cOk.unboundedGlobalWindows === 0, s"aggregate-bounded window wrongly flagged: $cOk")
+    // ... including through a REUSED single-partition exchange (x97's
+    // two stacked global windows share one exchange; the boundary search
+    // must follow ReusedExchange to the original subtree)
+    val two = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("n")).over(Window.partitionBy().orderBy("lang")))
+    val cTwo = PlanAudit.auditExecuted(two)
+    assert(cTwo.unboundedGlobalWindows === 0, s"reused-exchange window wrongly flagged: $cTwo")
+  }
+
   test("curation stage audit: every lineage-cut stage sits inside its pinned allowances") {
     val stages = graft.operators.Curation.auditStages(
       docs, banned = docs.filter(col("doc_id") < 50))
