@@ -686,6 +686,30 @@ object ExtensionQueries {
         .orderBy(col("n_paths").desc, col("step_0"), col("step_1"), col("step_2"))
         .limit(25)),
 
+    // Near-dup rate by source (x126): the triage report a curation run
+    // reads FIRST — which source is most internally duplicated (a
+    // boilerplate-heavy crawl slice shows up here before any pair is
+    // inspected). Pure composition: x24's gated pair generator → the
+    // distinct paired-doc set → one source rollup with an exact-integer
+    // rate. At 100 TB both sides of the membership join are
+    // doc-cardinality (the x67 SMJ class).
+    "x126_neardup_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDups(
+        docs, threshold = 0.5, minShared = 2, maxShingleDf = 100)
+      val paired = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      docs.join(paired, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_duped"))
+        .withColumn("dup_rate", r4(col("n_duped").cast("double") / col("n_docs")))
+        .orderBy("source")
+    }),
+
     // Binary-quantized ANN (x125): sign-bit embeddings packed into
     // 32-bit limbs, Hamming pre-rank (XOR+popcount over the 32×-smaller
     // bit table), exact cosine rerank of the per-probe pool — the
@@ -2504,6 +2528,31 @@ object ExtensionQueries {
       |JOIN n nb ON nb.doc_id = i.doc_b
       |WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
       |ORDER BY 1, 2""".stripMargin
+
+  /** x126 oracle: the x24 pair chain (same shared CTE prefix), collapsed
+    * to the per-source duplication-rate rollup — distinct paired docs
+    * LEFT-joined back to the corpus, exact integer counts, one
+    * deterministic division.
+    */
+  private val NearDupRateSql: String =
+    s"""WITH $PairIntersectionCtes,
+      |pairs AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM inter i
+      |  JOIN n na ON na.doc_id = i.doc_a
+      |  JOIN n nb ON nb.doc_id = i.doc_b
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5),
+      |paired AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM pairs
+      |    UNION ALL SELECT doc_b AS doc_id FROM pairs))
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_duped,
+      |       round(CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS dup_rate
+      |FROM documents d LEFT JOIN paired p USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val ContainmentNearDupsSql: String =
     s"""WITH $PairIntersectionCtes
@@ -4362,6 +4411,7 @@ object ExtensionQueries {
         |FROM ls LEFT JOIN tp ON tp.doc_id = ls.doc_id
         |ORDER BY 1""".stripMargin,
     "x24_jaccard_neardups" -> JaccardNearDupsSql,
+    "x126_neardup_rate" -> NearDupRateSql,
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,

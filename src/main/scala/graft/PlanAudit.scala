@@ -208,7 +208,11 @@ object PlanAudit {
     // candidate-docs semi-join feeding the (now candidate-bounded)
     // verify joins — every corpus-scale side is the x24 class; AQE may
     // demote some to broadcast at fixture scale (ceiling)
-    "x106_ppjoin_neardups" -> 4)
+    "x106_ppjoin_neardups" -> 4,
+    // x24's pair shape (2) + the docs × paired-docs membership join —
+    // both sides doc-cardinality at 100 TB, the x67 class (ceiling;
+    // AQE may broadcast the paired set at fixture scale)
+    "x126_neardup_rate" -> 3)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:
