@@ -12,7 +12,8 @@ object Bench {
     */
   private final case class Timing(
       warm: Double, cold: Double, warmSlow: Double, cores: Double,
-      gc: Double, reps: Int, warmSuite: Double, tail: Double)
+      gc: Double, reps: Int, warmSuite: Double, tail: Double,
+      coldCores: Double, coldGc: Double)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,20 +26,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two EXPECTED warning classes are silenced so real errors stay
-    // visible in the log tail (the round-10 artifact-noise finding):
+    // Two EXPECTED warning classes are silenced BY MESSAGE PATTERN — not
+    // by package level, so a genuinely NEW window- or RDD-layer warning
+    // in a future query stays visible in the bench log (round-11 ADVICE;
+    // the earlier package-wide ERROR level suppressed everything):
     // (1) WindowExec's "No Partition Defined" — fired by the two audited
     //     bounded global windows (Vocab.rankVocab over the Heaps-bounded
     //     vocab, Sketches.histQuantiles over nBins cells); PlanAudit's
     //     global-window gate pins that those windows sit above an
     //     aggregation/top-k boundary, so the warning carries no signal
     //     here — a REAL unbounded global window would fail the audit.
-    // (2) the RDD-layer notices from the iterative loops' two-frame
-    //     localCheckpoint discipline (unpersisting a superseded
-    //     locally-checkpointed generation is deliberate).
-    Seq("org.apache.spark.sql.execution.window", "org.apache.spark.rdd")
-      .foreach(l => org.apache.logging.log4j.core.config.Configurator
-        .setLevel(l, org.apache.logging.log4j.Level.ERROR))
+    // (2) the RDD-layer locally-checkpointed-unpersist notice from the
+    //     iterative loops' two-frame localCheckpoint discipline
+    //     (unpersisting a superseded generation is deliberate).
+    try {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      Seq(
+        "org.apache.spark.sql.execution.window" ->
+          ".*No Partition Defined for Window operation.*",
+        "org.apache.spark.rdd" ->
+          ".*was locally checkpointed.*").foreach { case (logger, pattern) =>
+        val lc = new LoggerConfig(logger, org.apache.logging.log4j.Level.WARN, true)
+        lc.addFilter(RegexFilter.createFilter(
+          pattern, null, java.lang.Boolean.FALSE,
+          Filter.Result.DENY, Filter.Result.NEUTRAL))
+        cfg.addLogger(logger, lc)
+      }
+      ctx.updateLoggers()
+    } catch {
+      // filter construction is best-effort: losing it costs log noise,
+      // never correctness — fall back to the old package-level silence
+      case e: Exception =>
+        System.err.println(s"[bench] log filter setup failed ($e); package-level fallback")
+        Seq("org.apache.spark.sql.execution.window", "org.apache.spark.rdd")
+          .foreach(l => org.apache.logging.log4j.core.config.Configurator
+            .setLevel(l, org.apache.logging.log4j.Level.ERROR))
+    }
     // Warm the session (JVM JIT, codegen, parquet footer cache) with one
     // tiny untimed job so the alphabetically-first query doesn't absorb
     // startup cost and distort per-query numbers.
@@ -118,7 +146,11 @@ object Bench {
       // the query that was running when it fired
       System.err.println(s"[bench] running $name")
       try {
-        val (cold, _, _) = once(fn)
+        // the cold rep's own sentinels ride along: cold CANNOT be
+        // re-measured in-process (a re-run of a warm JVM isn't cold), so
+        // the defense for cold is per-rep evidence — effective cores and
+        // GC fraction — plus a run-level disclaimer (see cold_unadjudicated)
+        val (cold, coldCores, coldGc) = once(fn)
         dropCached()
         val w1 = once(fn)
         dropCached()
@@ -166,12 +198,13 @@ object Bench {
         // as the per-query sentinels (the SLOWER reps' values would mix
         // the contention we're defending against into the number)
         val (warm, cores, gc) = reps.minBy(_._1)
-        name -> Timing(warm, cold, reps.map(_._1).max, cores, gc, reps.length, warm, -1.0)
+        name -> Timing(warm, cold, reps.map(_._1).max, cores, gc, reps.length,
+          warm, -1.0, coldCores, coldGc)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
-          name -> Timing(-1.0, -1.0, -1.0, 0.0, 0.0, 0, -1.0, -1.0)
+          name -> Timing(-1.0, -1.0, -1.0, 0.0, 0.0, 0, -1.0, -1.0, 0.0, 0.0)
       } finally dropCached() // ALSO on failure: a query that dies after
       // materializing checkpoints would otherwise leak its RDDs into
       // every subsequent query's timings — the interference this
@@ -287,14 +320,30 @@ object Bench {
       t.warm > 0.2 &&
         ((medianCores > 0 && t.cores < 0.5 * medianCores) || t.gc > 0.25)
     val suspects = results.collect { case (k, t) if isSuspect(t) => k }
+    // Cold-side defense (round-11 verdict ask #3: cold_total shipped 2.1x
+    // inflated with nothing in the artifact flagging it, while the warm
+    // headline self-corrected via the tail pass). A true cold re-measure
+    // is impossible in-process — re-running in a warm JVM isn't cold — so
+    // the cold figure gets the same per-rep evidence the warm reps carry
+    // (effective cores + GC fraction of THAT rep) plus an explicit
+    // run-level disclaimer: when external load was material or a
+    // non-trivial share of cold reps were CPU-starved/GC-bound,
+    // cold_unadjudicated=true says "treat cold_total as an upper bound;
+    // only an exclusive run can adjudicate it".
+    def isColdSuspect(t: Timing): Boolean =
+      t.cold > 0.2 &&
+        ((medianCores > 0 && t.coldCores < 0.5 * medianCores) || t.coldGc > 0.25)
+    val coldSuspects = results.collect { case (k, t) if isColdSuspect(t) => k }
+    val coldUnadjudicated =
+      external > 0.5 || coldSuspects.length > math.max(2, results.length / 20)
     val detail = results
       .map { case (k, t) =>
         val tailStr = if (t.tail >= 0) ms(t.tail) else "null"
-        s"""    "$k": {"warm": ${ms(t.warm)}, "cold": ${ms(t.cold)}, "warm_slow": ${ms(t.warmSlow)}, "warm_suite": ${ms(t.warmSuite)}, "tail": $tailStr, "cores": ${ms(t.cores)}, "gc": ${ms(t.gc)}, "reps": ${t.reps}, "suspect": ${isSuspect(t)}}"""
+        s"""    "$k": {"warm": ${ms(t.warm)}, "cold": ${ms(t.cold)}, "warm_slow": ${ms(t.warmSlow)}, "warm_suite": ${ms(t.warmSuite)}, "tail": $tailStr, "cores": ${ms(t.cores)}, "gc": ${ms(t.gc)}, "cold_cores": ${ms(t.coldCores)}, "cold_gc": ${ms(t.coldGc)}, "reps": ${t.reps}, "suspect": ${isSuspect(t)}, "cold_suspect": ${isColdSuspect(t)}}"""
       }
       .mkString(
         s"""{\n  "sf": "$sfDir",\n  "total_warm": ${ms(total)},\n  "total_cold": ${ms(coldTotal)},\n  "n": ${results.length},\n  "failed": $errs,\n""" +
-          s"""  "cpu": {"our_cores": ${ms(ourCores)}, "sysload": ${ms(loadAvg)}, "external": ${ms(external)}, "contended": $contended, "median_cores": ${ms(medianCores)}, "tail_n": ${tailSet.size}, "tail_shaved_sec": ${ms(tailShaved)}, "suspect_queries": ${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")}},\n""" +
+          s"""  "cpu": {"our_cores": ${ms(ourCores)}, "sysload": ${ms(loadAvg)}, "external": ${ms(external)}, "contended": $contended, "median_cores": ${ms(medianCores)}, "tail_n": ${tailSet.size}, "tail_shaved_sec": ${ms(tailShaved)}, "suspect_queries": ${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")}, "cold_unadjudicated": $coldUnadjudicated, "cold_suspect_queries": ${coldSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")}},\n""" +
           s"""  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")
@@ -313,7 +362,7 @@ object Bench {
     val qs = slowest.map { case (k, t) => s"\"" + k + "\":" + cs(t.warm) }
       .mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"queries":$qs,"queries_note":"min of warm reps + quiesced tail; slowest 15 of ${results.length}; all in $detailPath","cold_total":${ms(coldTotal)},"cpu":{"our_cores":${cs(ourCores)},"sysload":${cs(loadAvg)},"external":${cs(external)},"contended":$contended,"tail_shaved":${cs(tailShaved)},"suspect_n":${suspects.length}},"failed":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"queries":$qs,"queries_note":"min of warm reps + quiesced tail; slowest 15 of ${results.length}; all in $detailPath","cold_total":${ms(coldTotal)},"cold_unadjudicated":$coldUnadjudicated,"cpu":{"our_cores":${cs(ourCores)},"sysload":${cs(loadAvg)},"external":${cs(external)},"contended":$contended,"tail_shaved":${cs(tailShaved)},"suspect_n":${suspects.length},"cold_suspect_n":${coldSuspects.length}},"failed":$errs,"sf":"$sfDir"}"""
     // keep the loud guard: if fixed fields ever balloon past the tail
     // window the parse fails SILENTLY (rounds 4 and 5 shipped null)
     if (headline.length > 1700)

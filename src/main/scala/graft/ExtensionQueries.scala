@@ -203,6 +203,109 @@ object ExtensionQueries {
   private val X61CorpusTables =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sources.VersionedTable]()
 
+  /** s06s/s07s (round-11 verdict ask #5): the ACTUAL streaming executions
+    * of the interval joins, graded under the SAME oracles as their batch
+    * restatements. Two MemoryStreams are fed the fixture's view/purchase
+    * events in EVENT-TIME ORDER across several micro-batches (sorted feed
+    * = no row ever arrives behind the global watermark, so nothing is
+    * late-dropped and stream output must equal batch exactly); watermarks
+    * bound the join state per the published contract; the sink is
+    * committed to parquet once per (JVM, sf dir) and the graded frame
+    * reads it. The left_outer run appends a closing sentinel round
+    * (user_id < 0, +3 h past max event time, mutually unjoinable) so the
+    * watermark provably passes every view's horizon and the null-extended
+    * abandonment rows FLUSH — the outer-join eviction semantics are what
+    * this surface grades. The driver-side feed is the grading HARNESS,
+    * not the operator: collecting fixture events to the driver says
+    * nothing about the operator's scale shape (one shuffle per stream on
+    * user_id, state bounded by the watermark+lag horizon).
+    */
+  private val StreamedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamedPairsFor(
+      s: SparkSession, dir: String, joinType: String): org.apache.spark.sql.DataFrame = {
+    val path = StreamedPairs.computeIfAbsent(s"$dir#$joinType", _ => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables.events(s, dir)
+      // feed rows carry epoch MICROS (events.ts is TIMESTAMP_NTZ, which
+      // collects as LocalDateTime — longs round-trip the driver hop
+      // exactly; the stream frame rebuilds the event-time column via
+      // timestamp_micros, bit-identical under the UTC session)
+      def feed(t: String): Array[(Long, Long, Long, Double)] = ev
+        .filter(col("event_type") === t)
+        .select(
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("user_id"), col("value"))
+        .orderBy("ts_us", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val views = feed("view")
+      val purchases = feed("purchase")
+      val maxUs = (views.iterator ++ purchases.iterator).map(_._2).max
+      val memV = MemoryStream[(Long, Long, Long)]
+      val memP = MemoryStream[(Long, Long, Long, Double)]
+      def withTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val out = graft.streaming.Ingest.intervalPairs(
+        withTs(memV.toDF().toDF("event_id", "ts_us", "user_id")),
+        withTs(memP.toDF().toDF("event_id", "ts_us", "user_id", "value")),
+        maxLag = "1 hour", joinType = joinType)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$dir#$joinType".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sink = "graft_spairs_" + digest.take(8).map(b => f"${b & 0xFF}%02x").mkString
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val rounds = 4
+        def chunks[T](a: Array[T]): Seq[Seq[T]] =
+          a.grouped(math.max(1, (a.length + rounds - 1) / rounds)).map(_.toSeq).toSeq
+        val vc = chunks(views)
+        val pc = chunks(purchases)
+        (0 until math.max(vc.length, pc.length)).foreach { i =>
+          if (i < vc.length) memV.addData(vc(i).map(t => (t._1, t._2, t._3)): _*)
+          if (i < pc.length) memP.addData(pc(i): _*)
+          q.processAllAvailable()
+        }
+        if (joinType == "left_outer") {
+          val sentinelUs = maxUs + 3L * 3600 * 1000000
+          memV.addData((-1L, sentinelUs, -1L))
+          memP.addData((-2L, sentinelUs, -2L, 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val p = java.nio.file.Files.createTempDirectory("graft_spairs_").toString + "/t"
+      s.table(sink).filter(col("user_id") >= 0L).write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** x125b's committed binary-ANN serving index: (vec_id, bits,
+    * embedding) published once per (JVM, sf dir) as a VersionedTable
+    * snapshot in TWO steps — vec_id < 250 committed, the rest APPENDED —
+    * so Similarity.appendBinaryIndex's O(batch) ingest path is exercised
+    * inside the driver's hash gate, not just by BinaryIndexSpec (the x77
+    * build+append convention).
+    */
+  private val BinaryIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.VersionedTable]()
+
+  private def binaryIndexFor(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val vt = BinaryIndexTables.computeIfAbsent(dir, _ => {
+      val t = graft.sources.VersionedTable(
+        java.nio.file.Files.createTempDirectory("graft_x125b_").toString + "/idx")
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.buildBinaryIndex(emb.filter(col("vec_id") < 250), t)
+      Similarity.appendBinaryIndex(emb.filter(col("vec_id") >= 250), t)
+      t
+    })
+    vt.read(s)
+  }
+
   private def x61CorpusAssigned(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val vt = X61CorpusTables.computeIfAbsent(dir, _ => {
@@ -727,6 +830,25 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Binary ANN served from the COMMITTED bit index (x125b): the same
+    // two-stage retrieval as x125, but the Hamming scan reads the STORED
+    // (vec_id, bits) columns of the serving snapshot — the 32× at-rest
+    // advantage that is the operator's 100 TB rationale — and float
+    // vectors are fetched only for the pool-bounded rerank join. The
+    // snapshot is committed in TWO steps (build + append), so the
+    // O(batch) ingest path sits inside the hash gate. Same oracle as
+    // x125: two layouts, one result (the x29/x29b convention).
+    "x125b_binary_ann_indexed" -> ((s, dir) => {
+      val probes = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.binaryTopKIndexed(probes, binaryIndexFor(s, dir), k = 5, rerank = 50)
+        .select(
+          col("q_id"), col("rank"), col("vec_id"), col("hamming"),
+          r4z(col("sim")).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Cluster-quality profile (x124): size balance + cohesion per IVF
     // cell against the SAME ModelStore-committed centroids x14 serves —
     // the pre-flight report before trusting an ANN index or a SemDeDup
@@ -1116,6 +1238,20 @@ object ExtensionQueries {
         .orderBy("user_id", "view_event_id", "purchase_event_id")
     }),
 
+    // s06s: the SAME interval join as an ACTUAL watermarked streaming
+    // execution (MemoryStream micro-batches, event-time-ordered feed,
+    // parquet sink) — hash-green under the SAME oracle as s06, promoting
+    // IngestSpec's stream-equals-batch pin into the graded surface.
+    "s06s_stream_join_streamed" -> ((s, dir) =>
+      streamedPairsFor(s, dir, "inner")
+        .select(
+          col("user_id"),
+          col("l_event_id").as("view_event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("lag_s"),
+          r4(col("r_value")).as("value"))
+        .orderBy("user_id", "view_event_id", "purchase_event_id")),
+
     // Left-outer stream-stream join, batch restatement (s07): the
     // abandonment report — every view, null-extended when no same-user
     // purchase lands inside the hour. The OTHER streaming join state
@@ -1138,6 +1274,21 @@ object ExtensionQueries {
           col("r_event_id").isNull.as("abandoned"))
         .orderBy("user_id", "view_event_id", "purchase_event_id")
     }),
+
+    // s07s: the streamed left-outer execution — the null-extended
+    // abandonment rows exist in the sink ONLY because the closing
+    // watermark advance flushed them (the outer-join eviction contract),
+    // and the SAME s07 oracle hash-gates them.
+    "s07s_stream_left_join_streamed" -> ((s, dir) =>
+      streamedPairsFor(s, dir, "left_outer")
+        .select(
+          col("user_id"),
+          col("l_event_id").as("view_event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("lag_s"),
+          r4(col("r_value")).as("value"),
+          col("r_event_id").isNull.as("abandoned"))
+        .orderBy("user_id", "view_event_id", "purchase_event_id")),
 
     // Snapshot-store CDC (x100): the diffVersions change feed between
     // the base snapshot (v0) and the append+delete head (v2) — inserts
@@ -2416,9 +2567,9 @@ object ExtensionQueries {
       |  FROM pos)
       |SELECT dim, CAST(count(*) AS BIGINT) AS n,
       |       min(v) AS min_v, max(v) AS max_v,
-      |       round(round(sum(v) / count(*), 10), 6) AS mean,
+      |       round(round(sum(v) / count(*), 10), 6) + 0.0 AS mean,
       |       round(round(sum(v * v) / count(*)
-      |         - (sum(v) / count(*)) * (sum(v) / count(*)), 10), 6) AS variance
+      |         - (sum(v) / count(*)) * (sum(v) / count(*)), 10), 6) + 0.0 AS variance
       |FROM v GROUP BY dim ORDER BY dim""".stripMargin
 
   /** x123 oracle: the path-trigram restatement — two lead()s over the
@@ -3606,28 +3757,18 @@ object ExtensionQueries {
     // s06: the stream-stream interval join restated as a plain
     // key+range join; lag_s is exact integer arithmetic on epoch micros
     // (both engines floor the non-negative difference)
-    "s06_stream_join" ->
-      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
-        |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
-        |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
-        |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
-        |       round(p.value, 4) AS value
-        |FROM v JOIN p ON v.user_id = p.user_id
-        |            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin,
+    "s06_stream_join" -> s06IntervalJoinSql,
+    // s06s runs the SAME oracle against an ACTUAL watermarked streaming
+    // execution's sink — one semantics, two execution modes (the
+    // layout-invariance convention applied to batch/stream duality)
+    "s06s_stream_join_streamed" -> s06IntervalJoinSql,
     // s07: the left-outer variant — unmatched views null-extend;
     // ordering puts the null purchase_event_id first (both engines sort
     // NULLS FIRST ascending by default)
-    "s07_stream_left_join" ->
-      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
-        |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
-        |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
-        |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
-        |       round(p.value, 4) AS value,
-        |       p.event_id IS NULL AS abandoned
-        |FROM v LEFT JOIN p ON v.user_id = p.user_id
-        |                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-        |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin,
+    "s07_stream_left_join" -> s07LeftJoinSql,
+    // s07s: the streamed left-outer execution — outer rows flushed by a
+    // closing watermark advance — against the SAME oracle
+    "s07s_stream_left_join_streamed" -> s07LeftJoinSql,
     // x100: the snapshot chain's change feed in closed form — the
     // commit history (base < 300, append [300, 400), delete doc_id%7=0)
     // is deterministic, so inserts/deletes restate from `documents`
@@ -4286,6 +4427,9 @@ object ExtensionQueries {
     "x119_avro_source" -> documentsRoundTripSql,
     "x120_pattern_counts" -> x120PatternCountsSql,
     "x125_binary_ann" -> x125BinaryAnnSql,
+    // x125b runs the SAME retrieval from the committed bit-index layout —
+    // one oracle, two physical layouts (the x29/x29b convention)
+    "x125b_binary_ann_indexed" -> x125BinaryAnnSql,
     "x121_stratified_split" -> x121StratifiedSplitSql,
     "x122_embedding_profile" -> x122EmbeddingProfileSql,
     "x123_event_paths" -> x123EventPathsSql,
@@ -5155,6 +5299,32 @@ object ExtensionQueries {
        |  FROM scored)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 4) + 0.0 AS sim
        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** s06/s06s: the stream-stream interval join restated as a plain
+    * key+range join — ONE oracle for both the batch restatement and the
+    * actual watermarked streaming execution's sink.
+    */
+  private val s06IntervalJoinSql: String =
+    """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+      |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
+      |       round(p.value, 4) AS value
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** s07/s07s: the left-outer variant — unmatched views null-extend. */
+  private val s07LeftJoinSql: String =
+    """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+      |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s,
+      |       round(p.value, 4) AS value,
+      |       p.event_id IS NULL AS abandoned
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
 
   /** x125: the binary-ANN chain replayed closed-form — sign-bit packing
     * into 32-bit limbs (i=63 never shifts: limbs cap at bit 31, exactly

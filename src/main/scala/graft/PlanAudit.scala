@@ -48,12 +48,20 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * post-materialization RDD scan. A QueryExecutionListener registered
   * for the audit run now captures EVERY Dataset action's QueryExecution
   * (eager checkpoints, collects, writes; lazy `localCheckpoint(false)`
-  * barriers also fire the listener at plan-compile time, so their
-  * internal shapes — x106's prefix self-join, x24's shingle window — are
-  * audited from the INITIAL pre-AQE plan). All gates run per captured
-  * execution with their own allowance maps, and PLANS.md carries an
-  * inner-executions sub-table. The listener bus is drained after each
-  * query (GraftBusBridge) so attribution cannot bleed across queries.
+  * barriers also fire the listener at RDD-build time). Round-11's
+  * suspected pre-AQE gap — lazy barriers audited from initial plans —
+  * was probed directly in round 12 and REFUTED: localCheckpoint(false)
+  * builds its RDD via toRdd, and AdaptiveSparkPlanExec finalizes every
+  * query stage inside doExecute, so the captured QueryExecution is
+  * already isFinalPlan=true at listener time (PlanAuditSpec pins this
+  * with a static-SMJ/AQE-broadcast divergence). The audit of each
+  * captured execution is additionally DEFERRED to after the owning
+  * query's main plan has executed — belt-and-braces so any event that
+  * ever IS captured pre-finalization still gets walked in its final
+  * adaptive form. All gates run per captured execution with their own
+  * allowance maps, and PLANS.md carries an inner-executions sub-table.
+  * The listener bus is drained after each query (GraftBusBridge) so
+  * attribution cannot bleed across queries.
   *
   * Usage: sbt "runMain graft.PlanAudit [sfDir]"
   */
@@ -241,6 +249,10 @@ object PlanAudit {
     // broadcast(packed probes); the packed side being 32× smaller than
     // the float corpus is the operator's point
     "x125_binary_ann" -> 1,
+    // class (b) from the committed bit index: stored (vec_id, bits)
+    // projection × broadcast(packed probes) — the 32×-reduced scan IS
+    // the layout's point; rerank fetches are broadcast equi-joins
+    "x125b_binary_ann_indexed" -> 1,
     // class (b): hard-negative mining's exhaustive anchors baseline
     "x73_hard_negatives" -> 1,
     // class (b) twice: x107 evaluates BOTH retrieval paths (exact +
@@ -315,8 +327,8 @@ object PlanAudit {
     "x83_weighted_sample",
     // binary ANN: both cuts (Hamming pool, cosine rerank) are
     // filter-over-row_number — losing the rewrite re-sorts every
-    // corpus row per probe
-    "x125_binary_ann")
+    // corpus row per probe; same for the committed-index layout
+    "x125_binary_ann", "x125b_binary_ann_indexed")
   // NOT pinned: x101's vocabulary rank cap. Its window is GLOBAL (no
   // partition key), and for that shape the optimizer fires a strictly
   // better rewrite than WindowGroupLimit: LimitPushDown turns the
@@ -383,10 +395,12 @@ object PlanAudit {
     * the ceiling applies PER captured execution (each barrier generation
     * / commit / collect is gated separately, so one iteration cannot
     * hide a regression inside another's allowance). Values pinned from
-    * the executed shapes, with the scale rationale per entry. NOTE:
-    * lazy-barrier captures audit the pre-AQE initial plan, so these
-    * ceilings describe the STATIC join choice (broadcast demotions AQE
-    * would make at fixture scale don't reduce them).
+    * the executed shapes, with the scale rationale per entry. Lazy-
+    * barrier captures carry FINAL adaptive plans (finalization happens
+    * inside toRdd — probed round 12; the audit additionally defers its
+    * walk to post-query as belt-and-braces), so the ceilings describe
+    * the runtime join choice: AQE demotions at fixture scale can only
+    * bring counts UNDER a ceiling, never add a shape the gate misses.
     */
   private[graft] val InnerAllowedSmj: Map[String, Int] = Map.empty
   private[graft] val InnerAllowedBnlj: Map[String, Int] = Map(
@@ -413,27 +427,50 @@ object PlanAudit {
     // action fired during query construction lands here, attributed to
     // the query under audit; the bus drain after each query makes the
     // attribution exact.
-    val inner = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Counts)]()
+    //
+    // DEFERRED audit (round-11 verdict ask #2): the listener captures the
+    // QueryExecution itself and the walk runs after the owning query's
+    // main plan has executed. Probing showed the suspected pre-AQE gap
+    // does not actually exist — lazy localCheckpoint(false) finalizes its
+    // AQE stages inside toRdd, so events arrive isFinalPlan=true (see the
+    // class doc + PlanAuditSpec pin) — but deferring costs nothing and
+    // guards any capture that ever does arrive pre-finalization
+    // (AdaptiveSparkPlanExec.executedPlan reflects finalized stages on
+    // re-read). A barrier the query path never materializes still audits
+    // as its initial plan — same coverage as before, never less.
+    val pending =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, org.apache.spark.sql.execution.QueryExecution)]()
+    val inner = scala.collection.mutable.ListBuffer.empty[(String, String, Counts)]
     @volatile var current = "(setup)"
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
-        try inner.add((current, funcName, audit(qe.executedPlan)))
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[plan-audit] inner-audit error on $current/$funcName: $e")
-        }
+        pending.add((current, funcName, qe))
       override def onFailure(
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    def drain(): Unit =
+    def drain(): Unit = {
       try org.apache.spark.GraftBusBridge.drain(spark.sparkContext)
       catch { case e: Exception => System.err.println(s"[plan-audit] bus drain: $e") }
+      // audit the captured executions NOW (post-materialization, final
+      // adaptive plans) and release the QE references — holding 160
+      // queries' worth of QueryExecutions would pin their plans in memory
+      var next = pending.poll()
+      while (next != null) {
+        val (q, act, qe) = next
+        try inner += ((q, act, audit(qe.executedPlan)))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[plan-audit] inner-audit error on $q/$act: $e")
+        }
+        next = pending.poll()
+      }
+    }
 
     println("| query | parquet scans | broadcast joins | sort-merge joins | cartesian | HOF-in-filter | BNLJ | window group limits | unbounded global windows |")
     println("|---|---|---|---|---|---|---|---|---|")
@@ -478,8 +515,7 @@ object PlanAudit {
     // ---- inner-executions sub-table + gates. One row per (query,
     // action-kind) with execution count and PER-EXECUTION MAX of each
     // counter — the loop shapes the main table structurally cannot see.
-    import scala.jdk.CollectionConverters._
-    val byQuery = inner.asScala.toList.groupBy(t => (t._1, t._2)).toSeq.sortBy(q => (q._1._1, q._1._2))
+    val byQuery = inner.toList.groupBy(t => (t._1, t._2)).toSeq.sortBy(q => (q._1._1, q._1._2))
     println()
     println("| inner executions (query / action) | execs | max scans | max bcast | max smj | max cartesian | max HOF | max BNLJ | max unbounded global windows |")
     println("|---|---|---|---|---|---|---|---|---|")
@@ -489,7 +525,7 @@ object PlanAudit {
         s"${cs.map(_.smj).max} | ${cs.map(_.cartesian).max} | ${cs.map(_.hofFilters).max} | " +
         s"${cs.map(_.bnlj).max} | ${cs.map(_.unboundedGlobalWindows).max} |")
     }
-    inner.asScala.foreach { case (q, act, c) =>
+    inner.foreach { case (q, act, c) =>
       val tag = s"$q[inner:$act]"
       if (c.cartesian > 0) bad ::= s"$tag: cartesian product in an internal execution"
       if (c.hofFilters > 0)

@@ -402,6 +402,21 @@ object Dedup {
     // recomputed: 4.1 s — block serialization of a corpus-scale frame
     // is the expensive part, the x24 shingle frame notwithstanding,
     // whose window annotation is what its checkpoint actually buys).
+    //
+    // FLIP CONDITION (round-11 verdict ask #6 — when to reverse this):
+    // the trade is 2×(scan + shuffled df-join + per-doc window) against
+    // 1× that lineage + serialize/deserialize of the prefix rows. It
+    // flips to CHECKPOINT when one recomputation costs more than the
+    // round-trip — concretely when the base scan is remote/columnar-
+    // expensive (object store, cold cache: re-reading the corpus twice
+    // dominates), or when the df-join + window shuffle is the bottleneck
+    // (very long docs → shingle blowup). It stays RECOMPUTE when the
+    // scan is local/page-cached and the lineage is codegen-bound (this
+    // fixture: block serialization of ~corpus-scale rows costs more than
+    // the second pass). Rule of thumb: compare bytes(prefix frame) ×
+    // 2 (write+read) against bytes(scanned input) at the storage tier's
+    // throughput — do not "fix" this in either direction without that
+    // measurement at the target tier.
     val prefix = ranked
       .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")).cast("long") + 1)
       .select(col("shingle"), col("doc_id"), col("len"), col("pos"))

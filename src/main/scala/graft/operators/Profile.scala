@@ -242,9 +242,15 @@ object Profile {
       val varB = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
       val r = (n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
         (sqrt(varA) * sqrt(varB))
-      // zero variance → r undefined: NULL, not engine-dependent NaN/Inf
+      // zero variance → r undefined: NULL, not engine-dependent NaN/Inf.
+      // The overflow guard rides OUTSIDE the when/otherwise so it
+      // evaluates even when every pair lands in the zero-variance branch
+      // (possible precisely when overflow-nulled rows shrank the sample —
+      // the case the guard exists for); NULL + 0.0 stays NULL, and the
+      // when-branch is a non-literal child so NullPropagation cannot
+      // fold the Add away.
       val rSafe = when(varA <= 0 || varB <= 0, lit(null).cast("double"))
-        .otherwise(r + guard)
+        .otherwise(r) + guard
       struct(lit(a).as("col_a"), lit(b).as("col_b"), rSafe.as("corr"))
     }
     agg
@@ -285,9 +291,13 @@ object Profile {
         sum(col("v") * col("v")).as("_ss"))
       .select(
         col("dim"), col("n"), col("min_v"), col("max_v"),
-        CrossRound.ra(col("_s") / col("n"), collapseScale).as("mean"),
-        CrossRound.ra(
+        // + 0.0 normalizes a rounded-to-zero result's IEEE sign: Spark's
+        // BigDecimal round yields +0.0 where DuckDB preserves -0.0 for a
+        // mean in (-5e-7, 0) or a near-dead dim whose Σv²/n − mean²
+        // cancels to a tiny negative (the r4z trap; x124 convention)
+        (CrossRound.ra(col("_s") / col("n"), collapseScale) + lit(0.0)).as("mean"),
+        (CrossRound.ra(
           col("_ss") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")),
-          collapseScale).as("variance"))
+          collapseScale) + lit(0.0)).as("variance"))
   }
 }

@@ -967,6 +967,81 @@ object Similarity {
         col("hamming"), col("sim"))
   }
 
+  /** Commit the binary-ANN SERVING index — (vec_id, bits, embedding) as a
+    * VersionedTable snapshot. [[binaryTopK]] derives the sign-bit limbs
+    * from the float embeddings inside every run, which confines the 32×
+    * scan advantage to a single query's lifetime; at 100 TB the entire
+    * point of binary quantization is that the packed limbs are the
+    * AT-REST layout (the x63/x29b serve-from-committed-artifact
+    * convention — the same move PQ/IVF make via ModelStore for their
+    * fits). The float vector rides in the SAME table purely for the
+    * rerank fetch: parquet is columnar, so the corpus-scale Hamming scan's
+    * (vec_id, bits) projection never reads the float column (pinned by
+    * BinaryIndexSpec's ReadSchema check), while rerank stays one
+    * pool-bounded equi-join away without a second table. Returns the
+    * committed version. Packing is a projection — no shuffle; the commit
+    * is the only job.
+    */
+  def buildBinaryIndex(corpus: DataFrame, sink: graft.sources.VersionedTable): Long =
+    sink.commit(corpus.select(
+      col("vec_id"), signBits("embedding").as("bits"), col("embedding")))
+
+  /** Append a batch to a committed binary index — O(batch): packing is a
+    * projection over the new rows only, and
+    * [[graft.sources.VersionedTable.appendCommit]] writes just the
+    * batch's files, carrying the prior manifest untouched. The committed
+    * corpus is never re-packed or re-read.
+    */
+  def appendBinaryIndex(batch: DataFrame, sink: graft.sources.VersionedTable): Long =
+    sink.appendCommit(batch.select(
+      col("vec_id"), signBits("embedding").as("bits"), col("embedding")))
+
+  /** [[binaryTopK]] served from a COMMITTED [[buildBinaryIndex]] snapshot:
+    * Hamming pre-rank scans the STORED (vec_id, bits) columns — the
+    * 32×-smaller projection that is the operator's 100 TB rationale —
+    * and float vectors are fetched only for the pool-bounded rerank
+    * (≤ |probes|·rerank rows) via a broadcast equi-join back to the same
+    * table's (vec_id, embedding) projection. Bit-for-bit the same result
+    * as [[binaryTopK]] over the index's source corpus (floats round-trip
+    * parquet exactly; Hamming/pool/rerank orderings are identical), so
+    * the SAME oracle gates both layouts — the x29/x29b convention.
+    */
+  def binaryTopKIndexed(
+      probes: DataFrame,
+      index: DataFrame,
+      k: Int,
+      rerank: Int = 50): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: k=$k rerank=$rerank")
+    val packedProbes = probes.select(
+      col("q_id"), col("q_emb"), signBits("q_emb").as("q_bits"))
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
+    // stage 1: XOR+popcount over the stored bit table; the projection is
+    // (vec_id, bits) ONLY, so parquet column pruning never touches the
+    // float column on the corpus-scale path
+    val pool = index.select("vec_id", "bits")
+      .crossJoin(broadcast(packedProbes.select(col("q_id"), col("q_bits"))))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", hammingLimbs(col("q_bits"), col("bits")))
+      .withColumn("pool_rn", row_number().over(wPool))
+      .filter(col("pool_rn") <= rerank)
+      .select("q_id", "vec_id", "hamming")
+    // stage 2: exact-cosine rerank — floats touched only for pool rows
+    // (broadcast the bounded pool at the float projection, never the
+    // reverse)
+    index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(packedProbes.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("hamming"), col("sim"))
+  }
+
   /** Per-cell clustering-quality profile against COMMITTED centroids —
     * the report an IVF/SemDeDup deployment reads before trusting its
     * cells: size balance (one mega-cell = a degenerate fit and a

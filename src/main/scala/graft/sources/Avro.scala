@@ -6,10 +6,11 @@ import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro container-file interchange — the row-oriented peer of the
   * Formats JSONL/CSV/ORC trio and the fourth leg of the format-invariance
@@ -96,13 +97,17 @@ object Avro {
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     val n = df.rdd.getNumPartitions
+    // ship the DRIVER's Hadoop conf to the tasks: a bare new Configuration()
+    // on the executor resolves only classpath site files and drops any
+    // runtime settings (object-store credentials/endpoints set on
+    // sparkContext.hadoopConfiguration) — which would contradict the class
+    // doc's hdfs://-and-connector-stores claim. SerializableConfiguration
+    // is Spark's own wrapper for exactly this.
+    val bcConf = df.sparkSession.sparkContext.broadcast(new SerializableConfiguration(conf))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val avro = new Schema.Parser().parse(avroJson)
       val out = new HPath(s"$path/part-${"%05d".format(pid)}.avro")
-      // fresh Configuration on the executor: hadoopConfiguration is not
-      // serializable; defaults + classpath site files are what a cluster
-      // executor would resolve anyway
-      val fsx = out.getFileSystem(new Configuration())
+      val fsx = out.getFileSystem(bcConf.value.value)
       val stream = fsx.create(out, true)
       val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -153,20 +158,31 @@ object Avro {
     // file never wrote reads as null (the jsonl PERMISSIVE analogue of
     // the explicit-schema contract)
     val fields = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(conf)) // driver conf, not classpath defaults
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { f =>
-        val in = new FsInput(new HPath(f), new Configuration())
+        val in = new FsInput(new HPath(f), bcConf.value.value)
         val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        // a task that stops consuming early (limit/take/downstream failure)
+        // never drains the iterator — the completion/failure listeners keep
+        // the file handle + FsInput from leaking until GC in that case;
+        // drain-time close stays the fast path
+        Option(TaskContext.get()).foreach { tc =>
+          tc.addTaskCompletionListener[Unit](_ => closeOnce())
+          tc.addTaskFailureListener((_, _) => closeOnce())
+        }
         val hasField: Map[String, Boolean] = fields.map { case (n, _) =>
           n -> (reader.getSchema.getField(n) != null)
         }.toMap
         // iterator is consumed lazily per task; wrap so close() runs at end
         new Iterator[Row] {
-          private var closed = false
           def hasNext: Boolean = {
             val h = !closed && reader.hasNext
-            if (!h && !closed) { reader.close(); closed = true }
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

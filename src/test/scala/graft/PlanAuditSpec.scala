@@ -94,6 +94,66 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cTwo.unboundedGlobalWindows === 0, s"reused-exchange window wrongly flagged: $cTwo")
   }
 
+  test("inner audit walks the FINAL adaptive plan of a lazy barrier (the suspected pre-AQE gap)") {
+    // The round-11 verdict suspected lazy localCheckpoint(false) barriers
+    // were audited from PRE-AQE initial plans. Probed directly (round 12):
+    // the gap does not exist in Spark 4.1 — Dataset.localCheckpoint(false)
+    // builds its RDD via toRdd, and AdaptiveSparkPlanExec finalizes ALL
+    // query stages inside doExecute, so the captured QueryExecution is
+    // already isFinalPlan=true when the listener fires. This test pins
+    // the refutation: static planning (broadcast disabled) puts an SMJ in
+    // the INITIAL plan, AQE's runtime threshold demotes it to broadcast,
+    // and the audit must count the BROADCAST (runtime truth), not the
+    // initial SMJ — plus the deferred re-walk PlanAudit.main now does
+    // (belt-and-braces for any event captured before finalization) must
+    // agree with the capture-time walk.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    @volatile var captured: org.apache.spark.sql.execution.QueryExecution = null
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "localCheckpoint") captured = qe
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val big = docs.select(col("doc_id"))
+      val small = docs.filter(col("doc_id") < 20).select(col("doc_id"))
+      val cp = big.join(small, Seq("doc_id")).localCheckpoint(false)
+      org.apache.spark.GraftBusBridge.drain(spark.sparkContext)
+      assert(captured != null, "lazy localCheckpoint did not fire the listener")
+      val planStr = captured.executedPlan.toString
+      assert(planStr.contains("isFinalPlan=true"),
+        "lazy localCheckpoint no longer finalizes AQE at capture time — " +
+          "the deferred walk in PlanAudit.main is now load-bearing: " +
+          planStr.take(400))
+      assert(planStr.split("== Initial Plan ==").last.contains("SortMergeJoin"),
+        s"the STATIC plan should be an SMJ (broadcast disabled): ${planStr.take(1200)}")
+      val pre = PlanAudit.audit(captured.executedPlan)
+      assert(pre.smj === 0 && pre.bcastJoins === 1,
+        s"audit must count the AQE-final broadcast, not the initial SMJ: $pre")
+      cp.count() // materialize the barrier's deferred final stage
+      val post = PlanAudit.audit(captured.executedPlan)
+      assert(post === pre,
+        s"deferred re-walk (PlanAudit.main) must agree with capture time: $post vs $pre")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("curation stage audit: every lineage-cut stage sits inside its pinned allowances") {
     val stages = graft.operators.Curation.auditStages(
       docs, banned = docs.filter(col("doc_id") < 50))
