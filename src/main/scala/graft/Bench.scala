@@ -248,6 +248,33 @@ object Bench {
         }
       case kv => kv
     }
+    // ---- x106 per-stage decomposition (round-11 verdict ask #4: the
+    // 3.4–4.8 s run-to-run spread was ATTRIBUTED to IO/shuffle variance
+    // but never MEASURED at the stage level in a committed artifact).
+    // Two quiesced reps of the operator's real checkpoint-bounded frames
+    // (Dedup.ppjoinStageTimings — the production lineage, not a replica)
+    // ship in the detail sidecar, so the spread decomposes into
+    // candidates / array_frame / verify / score_filter per round and a
+    // variance claim can point at the stage that moved.
+    val x106Stages: Option[String] =
+      if (!fnOf.contains("x106_ppjoin_neardups")) None
+      else try {
+        val reps = (1 to 2).map { _ =>
+          System.gc(); Thread.sleep(200)
+          dropCached()
+          val stages = graft.operators.Dedup.ppjoinStageTimings(
+            graft.sources.Tables.documents(spark, sfDir), threshold = 0.5)
+          dropCached()
+          stages.map { case (stage, sec, rows) =>
+            s""""$stage": {"sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}, "rows": $rows}"""
+          }.mkString("{", ", ", "}")
+        }
+        Some(reps.mkString("[", ", ", "]"))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] x106 stage timing failed: ${e.getMessage}")
+          None
+      }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. Full-precision doubles for 60+ queries
     // push the line past the buffer and the parse silently fails (rounds
@@ -344,6 +371,7 @@ object Bench {
       .mkString(
         s"""{\n  "sf": "$sfDir",\n  "total_warm": ${ms(total)},\n  "total_cold": ${ms(coldTotal)},\n  "n": ${results.length},\n  "failed": $errs,\n""" +
           s"""  "cpu": {"our_cores": ${ms(ourCores)}, "sysload": ${ms(loadAvg)}, "external": ${ms(external)}, "contended": $contended, "median_cores": ${ms(medianCores)}, "tail_n": ${tailSet.size}, "tail_shaved_sec": ${ms(tailShaved)}, "suspect_queries": ${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")}, "cold_unadjudicated": $coldUnadjudicated, "cold_suspect_queries": ${coldSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")}},\n""" +
+          x106Stages.map(s => s"""  "x106_stages": $s,\n""").getOrElse("") +
           s"""  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")

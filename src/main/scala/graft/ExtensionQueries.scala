@@ -813,6 +813,45 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // Fuzzy benchmark decontamination (x127): flags corpus docs whose
+    // shingle-set Jaccard against ANY benchmark doc clears the threshold
+    // — the paraphrase/light-edit leak class that x22/x35's EXACT n-gram
+    // hit misses and x50's embedding match only sees through the encoder.
+    // Pure composition over the gated x29 machinery
+    // (Dedup.jaccardNearDupsAgainst: corpus probed against the
+    // benchmark's df-capped inverted index — the benchmark postings are
+    // the SMALL side, built once, never the corpus shuffled), closed by
+    // a per-doc rollup: match count + strongest similarity, the triage
+    // columns a decontam report acts on. Benchmark = doc_id % 10 (a
+    // stand-in eval suite); at 100 TB the benchmark side is tiny by
+    // definition and the corpus side streams through the probe join.
+    "x127_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        threshold = 0.5, minShared = 2, maxShingleDf = 100)
+        .groupBy(col("batch_id").as("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bench_matches"),
+          r4(max(col("jaccard"))).as("max_jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // Pattern redaction (x128): hash-gates the rule-bank transform
+    // mechanism redactPii runs in production (PiiSpec covers planted
+    // PII; the fixture corpus has none, so the GATE uses live
+    // token-shape rules to prove the transform rewrites real text) —
+    // every RedactionBank rule masks ALL matches to its class token, in
+    // bank order, and the n_<rule> columns audit how much each rule
+    // masked (counts on the ORIGINAL text). Both the projection and the
+    // oracle are GENERATED from the same bank constant, the x120
+    // convention, so the two engines' regex dialect can never drift
+    // rule-by-rule. One corpus scan, no shuffle.
+    "x128_redact_text" -> ((s, dir) =>
+      TextOps.redactText(Tables.documents(s, dir), RedactionBank)
+        .orderBy("doc_id")),
+
     // Binary-quantized ANN (x125): sign-bit embeddings packed into
     // 32-bit limbs, Hamming pre-rank (XOR+popcount over the 32×-smaller
     // bit table), exact cosine rerank of the per-probe pool — the
@@ -2180,6 +2219,22 @@ object ExtensionQueries {
     "n_double_vowels" -> "[aeiou]{2}",
     "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
 
+  /** x128's redaction bank (rule → pattern → class token), shared
+    * verbatim by TextOps.redactText and the generated oracle — the x120
+    * one-source-of-truth convention, same dialect contract
+    * (RE2 ∩ java.util.regex; replacements free of `$`/`\`). Order
+    * matters and is part of the contract: the PII shape masks FIRST so
+    * no token-shape rule can split a sensitive span before it is
+    * masked. The email rule is the canonical PII use (dead on the
+    * synthetic corpus, live in production); the two token-shape rules
+    * are LIVE here so the gate proves the transform actually rewrites
+    * text, not just echoes it.
+    */
+  private val RedactionBank: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("s_word", "\\bs[a-z]+", "<S>"),
+    ("article", "\\b(?:the|a)\\b", "<ART>"))
+
   /** One committed CDC snapshot chain per (JVM, sf dir) for x100:
     * v0 = base commit (doc_id < 300), v1 = appendCommit([300, 400)),
     * v2 = deleteWhere(doc_id % 7 = 0) — the full commit/append/delete
@@ -2527,6 +2582,61 @@ object ExtensionQueries {
     }
     s"SELECT doc_id, ${cols.mkString(", ")} FROM documents ORDER BY doc_id"
   }
+
+  /** x128 oracle, GENERATED from [[RedactionBank]] (one source of truth,
+    * the x120 convention): counts mirror x120's regexp_extract_all/len,
+    * the redacted text nests regexp_replace in BANK ORDER with the 'g'
+    * flag (DuckDB replaces only the first match by default — Spark's
+    * regexp_replace is always global). Patterns and replacements pass
+    * through verbatim: single-quoted SQL literals process no backslash
+    * escapes, and the bank bans `$`/`\` in replacements.
+    */
+  private def x128RedactTextSql: String = {
+    val counts = RedactionBank.map { case (name, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$name"
+    }
+    val redacted = RedactionBank.foldLeft("text") { case (e, (_, p, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    s"SELECT doc_id, ${counts.mkString(", ")}, $redacted AS text_redacted " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  /** x127 oracle: the x29 inverted-index restatement (df-capped
+    * candidacy, same minShared/df-cap caveats as the engine) over the
+    * %10 benchmark split, closed by the same per-doc rollup.
+    */
+  private val x127FuzzyDecontamSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+      |b AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+      |c AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |dfc AS (SELECT shingle, COUNT(*) AS df FROM c GROUP BY 1),
+      |idxc AS (SELECT c.* FROM c JOIN dfc USING (shingle) WHERE df <= 100),
+      |cand AS (
+      |  SELECT b.doc_id AS batch_id, idxc.doc_id AS bench_id
+      |  FROM b JOIN idxc USING (shingle)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |inter AS (
+      |  SELECT cand.batch_id, cand.bench_id, COUNT(*) AS n_inter
+      |  FROM cand JOIN b ON b.doc_id = cand.batch_id
+      |  JOIN c ON c.doc_id = cand.bench_id AND c.shingle = b.shingle
+      |  GROUP BY 1, 2),
+      |nb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+      |nc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1),
+      |j AS (
+      |  SELECT i.batch_id, CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) AS jac
+      |  FROM inter i
+      |  JOIN nb ON nb.doc_id = i.batch_id
+      |  JOIN nc ON nc.doc_id = i.bench_id
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (nb.n + nc.n - i.n_inter) >= 0.5)
+      |SELECT batch_id AS doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+      |       round(MAX(jac), 4) AS max_jaccard
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x121 oracle: the stratified split re-derived — md5-of-decimal-string
     * rank within each language (doc_id tie-break), boundaries via the
@@ -4556,6 +4666,8 @@ object ExtensionQueries {
         |ORDER BY 1""".stripMargin,
     "x24_jaccard_neardups" -> JaccardNearDupsSql,
     "x126_neardup_rate" -> NearDupRateSql,
+    "x127_fuzzy_decontam" -> x127FuzzyDecontamSql,
+    "x128_redact_text" -> x128RedactTextSql,
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,

@@ -220,7 +220,11 @@ object PlanAudit {
     // x24's pair shape (2) + the docs × paired-docs membership join —
     // both sides doc-cardinality at 100 TB, the x67 class (ceiling;
     // AQE may broadcast the paired set at fixture scale)
-    "x126_neardup_rate" -> 3)
+    "x126_neardup_rate" -> 3,
+    // the x29 batch-vs-corpus shape over the %10 benchmark split (the
+    // corpus side is never bounded; the benchmark postings may
+    // broadcast at fixture scale — ceiling)
+    "x127_fuzzy_decontam" -> 2)
 
   /** BroadcastNestedLoopJoins that are INTENTIONAL, pinned at their
     * audited counts. Two legitimate classes only:

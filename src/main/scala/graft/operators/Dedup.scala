@@ -387,6 +387,50 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       n: Int = 3): DataFrame = {
+    val (_, _, scored) = ppjoinFrames(docs, threshold, n)
+    scored
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The three checkpoint-bounded frames of [[ppjoinNearDups]] —
+    * (candidate pairs, candidate-doc shingle arrays, scored pairs) — the
+    * REAL operator internals, exposed as PER-STAGE builders so the
+    * timing harness ([[ppjoinStageTimings]], Bench's x106_stages
+    * artifact) measures the production frames instead of a hand-kept
+    * replica that drifts.
+    *
+    * Why builders and not one function returning three frames: each
+    * frame ends in `localCheckpoint(false)`, and under AQE even a LAZY
+    * checkpoint executes its plan's intermediate query stages EAGERLY
+    * inside the construction call (AdaptiveSparkPlanExec materializes
+    * every exchange to re-plan; only the result stage defers) — so the
+    * expensive work of all three barriers lands at construction time,
+    * and a harness that times only the downstream forcing actions
+    * measures final-stage scraps (observed: stage walls summing to
+    * 1.5 s against a 4.3 s operator). Timing each BUILDER call plus its
+    * force together attributes the AQE-eager work to its own stage.
+    */
+  private[graft] def ppjoinFrames(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cand = ppjoinCand(docs, threshold, n)
+    val arrs = ppjoinArrs(docs, cand, n)
+    (cand, arrs, ppjoinScored(cand, arrs))
+  }
+
+  /** Stage 1 of [[ppjoinNearDups]]: shingle + df + prefix + positional/
+    * i-prefix self-join + pair groupBy → the pair-bounded candidate
+    * barrier. See the scaladoc comments inline.
+    */
+  private[graft] def ppjoinCand(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = TextOps.shingles(docs, n).filter(col("shingle").isNotNull)
     val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -497,35 +541,83 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .localCheckpoint(false)
-    // exact |A∩B|: the pair-bounded frame rejoins each side's shingle
-    // array (a per-row projection of the source — no grouped state) and
-    // intersects once per pair; the checkpoint makes the jaccard filter
-    // below a plain-attribute predicate (HOF-in-Filter gate).
-    // The array frame is cut to CANDIDATE docs first (semi-join — a set
-    // bounded by the pair frame, far below corpus cardinality) and
-    // checkpointed, so the corpus array-build runs ONCE and the two
-    // verify joins read a small materialized frame — the unshared form
-    // rebuilt shingleFrame per join side, two extra corpus scans.
+    cand
+  }
+
+  /** Stage 2 of [[ppjoinNearDups]]: the candidate-doc shingle-array
+    * frame. The array frame is cut to CANDIDATE docs first (semi-join —
+    * a set bounded by the pair frame, far below corpus cardinality) and
+    * checkpointed, so the corpus array-build runs ONCE and the two
+    * verify joins read a small materialized frame — the unshared form
+    * rebuilt shingleFrame per join side, two extra corpus scans.
+    */
+  private[graft] def ppjoinArrs(
+      docs: DataFrame,
+      cand: DataFrame,
+      n: Int): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    val arrs = TextOps.shingleFrame(docs, n)
+    TextOps.shingleFrame(docs, n)
       .join(candDocs, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"), col("shingle_arr"))
       .localCheckpoint(false)
-    val scored = cand
+  }
+
+  /** Stage 3 of [[ppjoinNearDups]]: exact |A∩B| — the pair-bounded frame
+    * rejoins each side's shingle array (a per-row projection of the
+    * source — no grouped state) and intersects once per pair; the
+    * checkpoint makes the jaccard filter downstream a plain-attribute
+    * predicate (HOF-in-Filter gate).
+    */
+  private[graft] def ppjoinScored(cand: DataFrame, arrs: DataFrame): DataFrame =
+    cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingle_arr").as("arr_a")), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingle_arr").as("arr_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_inter"))
       .localCheckpoint(false)
-    scored
+
+  /** Per-stage wall decomposition of [[ppjoinNearDups]] (the round-11
+    * verdict ask: the 3.4–4.8 s run-to-run spread on x106 was attributed
+    * to IO/shuffle variance by assertion, not measurement — this turns
+    * the attribution into a per-round committed artifact via Bench's
+    * x106_stages block). Each stage wall covers the BUILDER call plus
+    * the forcing count — under AQE the lazy checkpoint runs its
+    * exchanges eagerly inside the builder (see [[ppjoinFrames]]), so
+    * timing only the force would misattribute the work. Returns
+    * (stage, wall seconds, rows):
+    *   - `candidates`  — shingle + df + prefix + positional/i-prefix
+    *     self-join + pair groupBy (the corpus-scale half);
+    *   - `array_frame` — corpus semi-join down to candidate docs +
+    *     shingle-array build (reads the checkpointed cand);
+    *   - `verify`      — two pair-bounded array joins + array_intersect;
+    *   - `score_filter`— jaccard arithmetic + threshold filter (cheap;
+    *     nonzero only as a sanity floor).
+    * The stage frames are the SAME lazy localCheckpoints the operator
+    * ships, so the sum of the walls tracks the whole-operator wall to
+    * within the count() actions' overhead.
+    */
+  def ppjoinStageTimings(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3): Seq[(String, Double, Long)] = {
+    def staged(name: String, build: () => DataFrame): (String, Double, Long, DataFrame) = {
+      val t0 = System.nanoTime()
+      val df = build()
+      val rows = df.count()
+      (name, (System.nanoTime() - t0) / 1e9, rows, df)
+    }
+    val s1 = staged("candidates", () => ppjoinCand(docs, threshold, n))
+    val s2 = staged("array_frame", () => ppjoinArrs(docs, s1._4, n))
+    val s3 = staged("verify", () => ppjoinScored(s1._4, s2._4))
+    val s4 = staged("score_filter", () => s3._4
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .filter(col("jaccard") >= threshold))
+    Seq(s1, s2, s3, s4).map(s => (s._1, s._2, s._3))
   }
 
   /** Containment near-dups: pairs where the SMALLER document's shingle

@@ -1523,13 +1523,11 @@ object TextOps {
     * projection — codegen'd regexp_replace, no shuffle.
     */
   def redactPii(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), UrlRe, "[URL]"),
-          EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]").as("clean"))
+    redactText(docs, Seq(
+      ("url", UrlRe, "[URL]"),
+      ("email", EmailRe, "[EMAIL]"),
+      ("phone", PhoneRe, "[PHONE]")))
+      .select(col("doc_id"), col("text_redacted").as("clean"))
 
   // -------------------------------------------------------------------
   // Benchmark-contamination check: flag documents sharing n-gram shingles
@@ -1674,5 +1672,41 @@ object TextOps {
         patterns.map { case (name, p) =>
           regexp_count(col("text"), lit(p)).cast("long").as(name)
         }: _*)
+  }
+
+  /** Generic pattern redaction — the rule-bank mechanism [[redactPii]]
+    * is the canonical instance of and [[patternCounts]] the detection
+    * half of: every rule `(name, pattern, replacement)` rewrites ALL
+    * matches of `pattern` to the class token `replacement` (the
+    * `[EMAIL]`/`[PHONE]` masking a release pipeline applies to PII
+    * before training). Rules apply IN ORDER over the running text
+    * (sensitive shapes first, so no later rule can split a span before
+    * it is masked); the emitted `n_<name>` counts are matches in the
+    * ORIGINAL text — the audit number a redaction report wants ("how
+    * much did we mask"), independent of rule interaction.
+    *
+    * Pure projection over one corpus scan, no shuffle — the same scale
+    * shape as patternCounts. The same dialect contract applies: patterns
+    * in RE2 ∩ java.util.regex, and REPLACEMENTS must avoid `$` and `\`
+    * (group-reference syntax differs between Java's Matcher and RE2 —
+    * plain class tokens like `<EMAIL>` behave identically everywhere).
+    */
+  def redactText(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one redaction rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1)}")
+    rules.foreach { case (name, _, repl) =>
+      require(!repl.contains("$") && !repl.contains("\\"),
+        s"rule $name: replacement must not contain $$ or \\ " +
+          "(group-reference syntax is engine-specific)")
+    }
+    val redacted = rules.foldLeft(col("text")) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    docs.select(
+      (col("doc_id") +:
+        rules.map { case (name, p, _) =>
+          regexp_count(col("text"), lit(p)).cast("long").as(s"n_$name")
+        }) :+ redacted.as("text_redacted"): _*)
   }
 }

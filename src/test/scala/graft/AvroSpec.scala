@@ -67,6 +67,47 @@ class AvroSpec extends AnyFunSuite {
       Seq(("a", 1L, None), ("b", 2L, None)))
   }
 
+  test("split reads: sync-bounded ranges read every block exactly once") {
+    val dir = tmp("splits")
+    // ONE container file, many blocks: a tiny sync interval forces a
+    // block boundary every ~256 uncompressed bytes, so the single file
+    // carries dozens of sync markers for the ranges to land between
+    val df = spark.range(2000)
+      .select(col("id"), concat(lit("text-"), col("id"), lit("-" + "x" * 40)).as("text"))
+      .coalesce(1)
+    Avro.writeAvro(df, dir, syncInterval = 256)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1)
+    val fileLen = files.head.length()
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+    // force many ranges over the one file
+    val splitBytes = math.max(1L, fileLen / 8)
+    val split = Avro.avro(spark, dir, schema, maxSplitBytes = splitBytes)
+    assert(split.rdd.getNumPartitions >= 8, "one file must fan out to multiple tasks")
+    // exactly-once: total count AND per-key uniqueness AND full parity
+    // with the whole-file read (and the source frame)
+    assert(split.count() === 2000)
+    assert(split.select("id").distinct().count() === 2000)
+    val whole = Avro.avro(spark, dir, schema, maxSplitBytes = Long.MaxValue)
+    assert(whole.rdd.getNumPartitions === 1)
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+    assert(split.exceptAll(df).isEmpty && df.exceptAll(split).isEmpty)
+    // rows actually distribute across ranges — no single range slurped
+    // the file while the rest read nothing (the sync/pastSync contract)
+    val perPart = split.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) >= 4, s"rows concentrated: ${perPart.mkString(",")}")
+  }
+
+  test("an empty range past the last sync marker reads zero rows, not an error") {
+    val dir = tmp("tail")
+    Avro.writeAvro(Seq((1L, "a")).toDF("id", "text"), dir)
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+    // 1-byte splits: nearly all ranges hold no leading sync marker and
+    // must come back empty; the union must still be exactly the file
+    val got = Avro.avro(spark, dir, schema, maxSplitBytes = 64)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+  }
+
   test("unsupported types refuse loudly at write time") {
     val df = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "d")
     val e = intercept[IllegalArgumentException](Avro.avroSchema(df.schema))

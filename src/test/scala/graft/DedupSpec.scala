@@ -112,6 +112,22 @@ class DedupSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("ppjoinStageTimings decomposes the operator: stage rows consistent, result preserved") {
+    val c = corpus()
+    val stages = Dedup.ppjoinStageTimings(c, 0.5)
+    assert(stages.map(_._1) === Seq("candidates", "array_frame", "verify", "score_filter"))
+    val byName = stages.map(s => s._1 -> s._3).toMap
+    // verify scores every candidate pair; the filter can only shrink it
+    assert(byName("verify") === byName("candidates"))
+    assert(byName("score_filter") <= byName("verify"))
+    // the array frame holds one row per DISTINCT candidate doc — bounded
+    // by twice the pair count and at least one doc per surviving pair
+    assert(byName("array_frame") <= 2 * byName("candidates"))
+    // the staged path measures the SAME operator: final stage cardinality
+    // equals the shipped query's result
+    assert(byName("score_filter") === Dedup.ppjoinNearDups(c, 0.5).count())
+  }
+
   test("containmentNearDups: an embedded excerpt scores 1.0 where jaccard waves it through") {
     // doc 2 = a 6-token excerpt of doc 1's 60 tokens: every excerpt
     // shingle is in the big doc, so containment = 1.0 while jaccard

@@ -39,6 +39,37 @@ class PiiSpec extends AnyFunSuite {
     assert(m(4L) === "two mails [EMAIL] [EMAIL] and [URL]")
   }
 
+  test("redactText: rules apply in bank order, counts reflect the ORIGINAL text") {
+    val docs = Seq(
+      (1L, "send stuff to sam at sam.smith@corp.io the same day"),
+      (2L, "a plain short row"))
+      .toDF("doc_id", "text")
+    val rules = Seq(
+      ("email", TextOps.EmailRe, "<EMAIL>"),
+      ("s_word", "\\bs[a-z.@]+", "<S>"))
+    val out = TextOps.redactText(docs, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // email masks FIRST: the s_word rule would otherwise eat "sam.smith@..."
+    // from its first letter and split the address before masking
+    assert(out(1L)._3 === "<S> <S> to <S> at <EMAIL> the <S> day")
+    assert(out(1L)._1 === 1L) // n_email on the original text
+    // n_s_word counts the ORIGINAL text — 5 matches including the raw
+    // email itself (send, stuff, sam, sam.smith@corp.io, same), while
+    // the redacted text only ever masked 4: the audit contract
+    assert(out(1L)._2 === 5L)
+    assert(out(2L) === ((0L, 1L, "a plain <S> row")))
+  }
+
+  test("redactText refuses replacements with engine-specific group syntax") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.redactText(docs, Seq(("bad", "x", "$1"))).collect())
+    assert(e.getMessage.contains("replacement must not contain"))
+    val e2 = intercept[IllegalArgumentException](
+      TextOps.redactText(docs, Seq(("bad", "x", "\\1"))).collect())
+    assert(e2.getMessage.contains("replacement must not contain"))
+  }
+
   test("contamination flags docs sharing shingles with the banned set") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over dogs"), // banned
