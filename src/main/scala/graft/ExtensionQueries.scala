@@ -155,6 +155,8 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
   private val FittedIvfPq = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
+  private val FittedPca =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
   private def cachedOne[T](m: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] =
     OracleSqlUtil.cachedOne(m)
@@ -851,6 +853,44 @@ object ExtensionQueries {
     "x128_redact_text" -> ((s, dir) =>
       TextOps.redactText(Tables.documents(s, dir), RedactionBank)
         .orderBy("doc_id")),
+
+    // PCA projection (x129): the dimensionality-reduction step an
+    // embedding pipeline keeps next to its ANN index — mean + top-4
+    // principal components fitted driver-side over the bounded
+    // hash-ordered sample (deterministic cyclic Jacobi, ModelStore-
+    // persisted like every other fit), the corpus projected as ONE pure
+    // scan against the fitted literals: pc_c = x·v_c − mean·v_c, no
+    // join, no shuffle at any scale. Oracle: the components interpolate
+    // as FLOAT[] literals and the centering constants as exact double
+    // literals (the x14/x124 convention), the projection restated with
+    // dotSql's sequential fold.
+    "x129_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val model = FittedPca.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "pca_4", dir, graft.sources.ModelStore.FloatMatrix)(
+          Similarity.pcaFit(emb, k = 4)))
+      Similarity.pcaProject(emb, model).orderBy("vec_id")
+    }),
+
+    // Cluster label-purity (x130): the external-validation companion of
+    // x124 — per cell of the SAME committed IVF centroids, the majority
+    // label (ties to the smaller label), member count, and the
+    // exact-integer-ratio purity; the "do the cells mean anything"
+    // pre-flight before label-stratified semantic dedup or cell-routed
+    // classification trusts the geometry. Assignment replays x124's
+    // gated argmax bit-for-bit; everything after is |cells|×|labels|
+    // bounded.
+    "x130_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
+      val cents = FittedIvf.computeIfAbsent(dir, _ =>
+        graft.sources.ModelStore.loadOrFit(
+          s, "ivf_sample16", dir, graft.sources.ModelStore.FloatMatrix)(
+          Similarity.trainingSample(
+            Tables.embeddings(s, dir).select("vec_id", "embedding"), 16)))
+      Similarity.clusterPurity(emb, cents)
+        .orderBy("cell")
+    }),
 
     // Binary-quantized ANN (x125): sign-bit embeddings packed into
     // 32-bit limbs, Hamming pre-rank (XOR+popcount over the 32×-smaller
@@ -5156,7 +5196,10 @@ object ExtensionQueries {
       "x61_incremental_semdedup" -> x61IncrementalSemDedupSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedIvf).map(c => Map(
       "x14_ivf_topk" -> x14IvfTopKSql(c),
-      "x124_cluster_profile" -> x124ClusterProfileSql(c))).getOrElse(Map.empty) ++
+      "x124_cluster_profile" -> x124ClusterProfileSql(c),
+      "x130_cluster_purity" -> x130ClusterPuritySql(c))).getOrElse(Map.empty) ++
+    cachedOne(FittedPca).map(m => Map(
+      "x129_pca_project" -> x129PcaProjectSql(m))).getOrElse(Map.empty) ++
     cachedOne(FittedPq).map(c => Map("x38_pq_topk" -> x38PqTopKSql(c))).getOrElse(Map.empty) ++
     cachedOne(FittedIvfPq).map { case (c, b) => Map("x41_ivfpq_topk" -> x41IvfPqSql(c, b)) }.getOrElse(Map.empty)
 
@@ -5494,6 +5537,51 @@ object ExtensionQueries {
        |       round(min(csim), 4) + 0.0 AS min_sim,
        |       round(round(sum(csim) / count(*), 10), 6) + 0.0 AS mean_sim
        |FROM assigned WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** x129: the centered projection restated — each component's x·v_c via
+    * dotSql's sequential double fold against the FLOAT[] literal, minus
+    * the mean·v_c constant computed ONCE by Similarity.pcaMeanDots (the
+    * same Scala fold both engines subtract), rounded through the ra(4)
+    * DOUBLE-round collapse (`round(round(x, 8), 4)`) with the
+    * signed-zero guard — plain round(x, 4) lost one sf0.1 value to a
+    * 4th-decimal half-boundary ulp where the two engines' round
+    * implementations decide differently (see pcaProject's scaladoc).
+    */
+  private def x129PcaProjectSql(model: Array[Array[Float]]): String = {
+    val muDots = graft.operators.Similarity.pcaMeanDots(model)
+    val cols = model.drop(1).zipWithIndex.map { case (v, i) =>
+      s"round(round(${dotSql("e.embedding", fArrLit(v))} - ${dlit(muDots(i))}, 8), 4) + 0.0 AS pc${i + 1}"
+    }
+    s"""SELECT vec_id, ${cols.mkString(", ")}
+       |FROM embeddings e ORDER BY vec_id""".stripMargin
+  }
+
+  /** x130: the x124 assignment argmax replayed against the same centroid
+    * literals, then per-cell label counts, the (n desc, label asc)
+    * majority pick, and the exact-integer-ratio purity. SUMs over counts
+    * are cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT — the
+    * OracleSqlCastSpec class).
+    */
+  private def x130ClusterPuritySql(cents: Array[Array[Float]]): String =
+    s"""WITH cents(centroid_id, centroid) AS ${centsValues(cents)},
+       |assigned AS (
+       |  SELECT e.vec_id, e.label, c.centroid_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |counts AS (
+       |  SELECT centroid_id AS cell, label, COUNT(*) AS n
+       |  FROM assigned WHERE rn = 1 GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs FROM counts GROUP BY 1),
+       |top AS (
+       |  SELECT cell, label, n,
+       |         row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+       |  FROM counts)
+       |SELECT CAST(t.cell AS BIGINT) AS cell, tot.n_vecs,
+       |       t.label AS top_label, t.n AS top_n,
+       |       round(CAST(t.n AS DOUBLE) / tot.n_vecs, 4) + 0.0 AS purity
+       |FROM top t JOIN tot ON tot.cell = t.cell
+       |WHERE t.rn = 1 ORDER BY cell""".stripMargin
 
   /** (s, c, arr FLOAT[], cn2 DOUBLE) VALUES relation for a PQ codebook —
     * cn2 precomputed with norm2Lit's fold so encode scores and norm

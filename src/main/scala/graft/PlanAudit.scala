@@ -249,6 +249,10 @@ object PlanAudit {
     // class (b): the cluster profile's corpus × broadcast(centroids)
     // exhaustive assignment argmax (the x14 class)
     "x124_cluster_profile" -> 1,
+    // class (b): the purity report replays the SAME assignment argmax
+    // against the same committed centroids; everything downstream is
+    // |cells|×|labels| bounded
+    "x130_cluster_purity" -> 1,
     // class (b): the binary-ANN Hamming scan — packed corpus ×
     // broadcast(packed probes); the packed side being 32× smaller than
     // the float corpus is the operator's point

@@ -1077,6 +1077,222 @@ object Similarity {
           .as("mean_sim"))
   }
 
+  /** Per-cell label-purity report against COMMITTED centroids — the
+    * external-validation companion of [[clusterProfile]]: where the
+    * profile measures geometry (size balance, cohesion), purity measures
+    * AGREEMENT with a labeled column — the standard clustering-eval
+    * number ("do the cells mean anything"), and in a curation pipeline
+    * the pre-flight for label-stratified semantic dedup or cell-routed
+    * classification. Returns (cell, n_vecs, top_label, top_n, purity):
+    * the cell's majority label (ties to the SMALLER label — the
+    * deterministic pick), its member count, and the exact-integer-ratio
+    * purity. Cells that attracted no member are absent.
+    *
+    * Shape: the same [[ivfAssign]]-style broadcast argmax cross
+    * (class (b), the x124 allowance) and then TWO bounded aggregations —
+    * everything past the assignment operates on ≤ |cells|×|labels| rows,
+    * so the windows below are cell-keyed and tiny, never corpus-keyed.
+    */
+  def clusterPurity(
+      corpus: DataFrame,
+      cents: Array[Array[Float]]): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val counts = corpus
+      .crossJoin(broadcast(centroidsDF(corpus.sparkSession, cents)))
+      .withColumn("csim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("centroid_id").as("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("cell")).orderBy(col("n").desc, col("label"))
+    val wCell = Window.partitionBy(col("cell"))
+    counts
+      .withColumn("top_rn", row_number().over(wTop))
+      .withColumn("n_vecs", sum(col("n")).over(wCell))
+      .filter(col("top_rn") === 1)
+      .select(
+        col("cell"), col("n_vecs"),
+        col("label").as("top_label"), col("n").as("top_n"),
+        (CrossRound.r(col("n").cast("double") / col("n_vecs"), 4) + lit(0.0)).as("purity"))
+  }
+
+  /** PCA fit over the bounded deterministic [[trainingSample]] — the
+    * dimensionality-reduction model every embedding pipeline keeps next
+    * to its ANN index (project-then-index, drift dashboards, whitening).
+    * Standard published method (Pearson 1901; Jolliffe, "Principal
+    * Component Analysis"); the eigensolve is textbook cyclic Jacobi
+    * (Golub & Van Loan, "Matrix Computations" §8.5).
+    * Returns a (k+1) × dim float matrix in the [[ModelStore.FloatMatrix]]
+    * layout: row 0 = the sample mean, rows 1..k = the top-k principal
+    * components (unit eigenvectors of the sample covariance).
+    *
+    * Determinism contract (what the cross-engine gate needs): the sample
+    * is hash-ordered and bounded; mean/covariance accumulate in FIXED
+    * sample order in doubles on the driver; the eigensolve is cyclic
+    * Jacobi (fixed (p,q) sweep order, fixed convergence threshold — no
+    * randomness); components order by (eigenvalue desc, index asc) and
+    * take a sign convention (the largest-|entry| coordinate positive,
+    * first index on ties) so the fit is a pure function of the sample.
+    * The FAISS-posture scale argument of [[trainingSample]] applies
+    * verbatim: fitting reads one bounded sample regardless of corpus
+    * size; the projection is then a per-row expression over literals —
+    * one scan, zero joins, zero shuffles at ANY scale.
+    */
+  def pcaFit(
+      corpus: DataFrame,
+      k: Int,
+      maxTrain: Int = DefaultTrainSample): Array[Array[Float]] = {
+    val sample = trainingSample(corpus, maxTrain)
+    require(sample.nonEmpty, "pcaFit: empty corpus")
+    val dim = sample(0).length
+    require(k >= 1 && k <= dim, s"pcaFit: k=$k outside [1, $dim]")
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { x =>
+      var j = 0
+      while (j < dim) { mean(j) += x(j).toDouble; j += 1 }
+    }
+    var j = 0
+    while (j < dim) { mean(j) /= n; j += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    val d = new Array[Double](dim)
+    sample.foreach { x =>
+      var a = 0
+      while (a < dim) { d(a) = x(a).toDouble - mean(a); a += 1 }
+      a = 0
+      while (a < dim) {
+        var b = a
+        while (b < dim) { cov(a)(b) += d(a) * d(b); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        cov(a)(b) /= n
+        cov(b)(a) = cov(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i)).take(k)
+    val comps = order.map { i =>
+      val v = Array.tabulate(dim)(r => eigVecs(r)(i))
+      // sign convention: the largest-|entry| coordinate positive
+      var best = 0
+      var bi = 1
+      while (bi < dim) { if (math.abs(v(bi)) > math.abs(v(best))) best = bi; bi += 1 }
+      if (v(best) < 0) { var m = 0; while (m < dim) { v(m) = -v(m); m += 1 } }
+      v.map(_.toFloat)
+    }
+    (mean.map(_.toFloat) +: comps).toArray
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * upper-triangle sweep order, deterministic rotations, converges when
+    * the off-diagonal Frobenius mass drops below 1e-12 (or 50 sweeps).
+    * Returns (eigenvalues, eigenvector matrix with vectors in COLUMNS).
+    * Pure driver arithmetic: dim ≤ a few hundred by the pcaFit contract
+    * (the engine's embedding dim is 64), so this is millisecond work.
+    */
+  private def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val dim = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 50) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < dim) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(dim)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** The per-component centering constants mean·v_c, folded in the SAME
+    * sequential double order [[dot]] (and the oracle's dotSql) use —
+    * shared by [[pcaProject]] and the generated oracle so the two
+    * engines subtract the identical double.
+    */
+  def pcaMeanDots(model: Array[Array[Float]]): Array[Double] = {
+    val mean = model(0)
+    model.drop(1).map { v =>
+      var acc = 0.0
+      var i = 0
+      while (i < mean.length) { acc += mean(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+  }
+
+  /** Project embeddings onto the fitted components: pc_c(x) = x·v_c −
+    * mean·v_c (the centered projection, expanded so the per-row work is
+    * ONE [[dot]] against a literal array plus an exact IEEE subtraction
+    * of the precomputed constant — no per-row mean subtraction loop, no
+    * join). One corpus scan, pure projection. Rounding is the ra(4)
+    * DOUBLE-round collapse + signed-zero guard, NOT plain r(4): the
+    * projections are arbitrary doubles (unlike the small-integer ratios
+    * the per-row r4 convention grew up on), and at sf0.1 one of 20k
+    * values landed within an ulp of a 4th-decimal half boundary where
+    * Spark's round(x·10⁴)/10⁴ and the oracle's exact-value round
+    * disagree — the round-to-8-first collapse makes both engines decide
+    * the boundary on the SAME double. (Signed zero: centering guarantees
+    * both signs exist, so −0.0 is reachable.)
+    */
+  def pcaProject(corpus: DataFrame, model: Array[Array[Float]]): DataFrame = {
+    require(model.length >= 2, "pcaProject: model must carry mean + >=1 component")
+    val muDots = pcaMeanDots(model)
+    val cols = model.drop(1).zipWithIndex.map { case (v, i) =>
+      (CrossRound.ra(dot(col("embedding"), lit(v)) - lit(muDots(i)), 4) + lit(0.0))
+        .as(s"pc${i + 1}")
+    }
+    corpus.select(col("vec_id") +: cols.toSeq: _*)
+  }
+
   /** IVF approximate top-k: probes are scored only against the vectors in
     * their nprobe nearest cells. Recall/latency trades on (c, nprobe);
     * candidates per probe ~ nprobe x |corpus| / c. `refineIters` > 0 runs

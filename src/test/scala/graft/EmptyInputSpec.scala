@@ -122,4 +122,27 @@ class EmptyInputSpec extends AnyFunSuite {
       TextOps.bpeSegments(Seq((1L, "ab")).toDF("doc_id", "text"), Seq.empty)
         .head().getSeq[String](3) === Seq("a", "b"))
   }
+
+  test("round-12 operators handle empty inputs") {
+    // redaction of an empty corpus: empty out, schema intact
+    val red = TextOps.redactText(emptyDocs, Seq(("s_word", "\\bs[a-z]+", "<S>")))
+    assert(red.count() === 0)
+    assert(red.columns.toSeq === Seq("doc_id", "n_s_word", "text_redacted"))
+    // fuzzy decontam with an empty benchmark: nothing flags
+    assert(Dedup.jaccardNearDupsAgainst(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), emptyDocs).count() === 0)
+    // cluster purity of an empty embedding corpus: empty report
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Similarity.clusterPurity(
+      emptyEmb, Array(Array(1.0f, 0.0f))).count() === 0)
+    // PCA refuses an empty corpus loudly (a fit over nothing is a bug
+    // upstream, not a model) — and pcaProject refuses a mean-only model
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.pcaFit(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), k = 2))
+    assert(e1.getMessage.contains("empty corpus"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.pcaProject(emptyEmb, Array(Array(0.0f, 0.0f))))
+    assert(e2.getMessage.contains("mean + >=1 component"))
+  }
 }

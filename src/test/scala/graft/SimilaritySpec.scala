@@ -599,4 +599,67 @@ class SimilaritySpec extends AnyFunSuite {
     val many = Similarity.clusterProfile(emb.repartition(7), cents).orderBy("cell").collect().toSeq
     assert(one === many)
   }
+
+  test("clusterPurity: hand-computed majorities, smaller-label ties, exact ratios") {
+    import spark.implicits._
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // cell 0, label 0
+      (2L, Seq(1.0f, 0.1f), 0),   // cell 0, label 0
+      (3L, Seq(1.0f, -0.1f), 1),  // cell 0, label 1 → majority 0, purity 2/3
+      (4L, Seq(0.0f, 1.0f), 7),   // cell 1, label 7
+      (5L, Seq(0.1f, 1.0f), 9))   // cell 1, label 9 → 1-vs-1 tie → smaller label 7
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterPurity(emb, cents)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(0L) === ((3L, 0, 2L, 0.6667)))
+    assert(got(1L) === ((2L, 7, 1L, 0.5)))
+    assert(got.size === 2)
+  }
+
+  test("pcaFit recovers a planted dominant direction; projection matches the hand fold") {
+    import spark.implicits._
+    // variance concentrated on axis 2 (sigma 10), noise on the others
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 200).map { i =>
+      val v = Array.fill(8)(0.1f * rnd.nextGaussian().toFloat)
+      v(2) = (10.0 * rnd.nextGaussian()).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(emb, k = 2, maxTrain = 1024)
+    assert(model.length === 3) // mean + 2 components
+    val pc1 = model(1)
+    // dominant component is ±e2; the sign convention makes it +e2
+    assert(math.abs(pc1(2)) > 0.99f)
+    assert(pc1(2) > 0, "sign convention: largest-|entry| coordinate positive")
+    // unit norm
+    val n1 = math.sqrt(pc1.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(n1 - 1.0) < 1e-5)
+    // projection = x·v − mean·v with the sequential double fold
+    val muDot = Similarity.pcaMeanDots(model)(0)
+    val x0 = emb.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val want = BigDecimal({
+      var acc = 0.0; var i = 0
+      while (i < x0.length) { acc += x0(i).toDouble * pc1(i).toDouble; i += 1 }
+      acc - muDot
+    }).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val gotPc1 = Similarity.pcaProject(emb, model).orderBy("vec_id").head().getDouble(1)
+    assert(math.abs(gotPc1 - want) < 2e-4, s"$gotPc1 vs $want")
+    // fit is a pure function of the sample: partition-width invariant
+    val m2 = Similarity.pcaFit(emb.repartition(7), k = 2, maxTrain = 1024)
+    assert(model.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+  }
+
+  test("pcaFit: a planted exact eigenbasis is recovered within fp tolerance") {
+    import spark.implicits._
+    // two clusters along +x / −x in 3D: top component must be ±e1 → +e1
+    val emb = ((0 until 50).map(i => (i.toLong, Seq(5.0f, 0.01f * i, 0.0f))) ++
+      (50 until 100).map(i => (i.toLong, Seq(-5.0f, 0.01f * (i - 50), 0.0f))))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(emb, k = 1, maxTrain = 1024)
+    val v = model(1)
+    assert(v(0) > 0.999f && math.abs(v(2)) < 1e-4f)
+  }
 }
