@@ -873,6 +873,23 @@ object ExtensionQueries {
       Similarity.pcaProject(emb, model).orderBy("vec_id")
     }),
 
+    // Stats-pruned range read (x131): file-level data skipping through
+    // the snapshot manifest — per-file column min/max harvested from the
+    // parquet FOOTERS at commit time (no data scan), a range read drops
+    // files whose [min, max] provably excludes the predicate, and the
+    // exact filter still applies to the survivors. The Delta/Iceberg
+    // min/max skipping move, completing the pruning ladder: partitions
+    // (hive dirs) → FILES (this) → row groups (x64 z-order). The fixture
+    // commits range-partitioned files (disjoint doc_id spans → stats
+    // actually prune) plus an appendCommit batch, so stats carry across
+    // version directories inside the hash gate; VersionedTableSpec pins
+    // that files were genuinely skipped — the oracle pins that skipping
+    // never changed a row.
+    "x131_stats_pruned_read" -> ((s, dir) =>
+      statsTableFor(s, dir)
+        .readBetween(s, "doc_id", 100, 449)
+        .orderBy("doc_id")),
+
     // Cluster label-purity (x130): the external-validation companion of
     // x124 — per cell of the SAME committed IVF centroids, the majority
     // label (ties to the smaller label), member count, and the
@@ -2284,6 +2301,33 @@ object ExtensionQueries {
     */
   private val CdcTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One stats-committed snapshot chain per (JVM, sf dir) for x131:
+    * base commit = doc_id < 400 range-partitioned into 8 files (disjoint
+    * doc_id spans — the layout under which min/max skipping bites), then
+    * appendCommit(doc_id >= 400) in 2 more files — so the pruned read
+    * exercises stats carried across version directories. Same dir-keyed
+    * build-once pattern as the x100 CDC chain.
+    */
+  private val StatsTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def statsTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = StatsTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x131_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      vt.commit(
+        docs.filter(col("doc_id") < 400).repartitionByRange(8, col("doc_id")),
+        statsColumns = Seq("doc_id", "n_chars"))
+      vt.appendCommit(
+        docs.filter(col("doc_id") >= 400).repartitionByRange(2, col("doc_id")),
+        statsColumns = Seq("doc_id", "n_chars"))
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
 
   private def cdcTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
     val root = CdcTables.computeIfAbsent(dir, _ => {
@@ -4708,6 +4752,11 @@ object ExtensionQueries {
     "x126_neardup_rate" -> NearDupRateSql,
     "x127_fuzzy_decontam" -> x127FuzzyDecontamSql,
     "x128_redact_text" -> x128RedactTextSql,
+    // x131: the pruned read must equal the plain filtered read — file
+    // skipping is an optimization, never semantics
+    "x131_stats_pruned_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 449 ORDER BY doc_id""".stripMargin,
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,

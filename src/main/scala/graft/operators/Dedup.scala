@@ -434,10 +434,22 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = TextOps.shingles(docs, n).filter(col("shingle").isNotNull)
     val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // ONE window spec for both functions: `len` rides the ORDERED spec
+    // with an unbounded frame (whole-partition count is order-invariant)
+    // so Spark plans a single WindowExec over a single sort — the naive
+    // unordered-count + ordered-rank pair planned TWO WindowExec nodes
+    // with TWO full sorts of the corpus-scale shingle frame (found by the
+    // round-12 x106_stages decomposition: the candidate stage is the
+    // operator's floor, and one of its two sorts was pure waste)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val ranked = sh.join(dfTab, Seq("shingle"))
-      .withColumn("len", count(lit(1)).over(wDoc))
-      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn(
+        "len",
+        count(lit(1)).over(wDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(wDoc))
     // NOT materialized, measured deliberately (round 11): the candidate
     // self-join reads this frame on both sides, and the multi-consumer
     // rule suggests a checkpoint — but eagerly storing the corpus-scale

@@ -100,9 +100,17 @@ object Splits {
       stratumCol: String,
       folds: Seq[(String, Double)]): DataFrame = {
     val uppers = upperBounds(folds) // validates weights; last == Buckets
+    // one spec for rank AND stratum size: the count takes the ordered
+    // spec with an unbounded frame (order-invariant over the whole
+    // partition), so both functions share a single WindowExec/sort —
+    // the unordered-count variant planned a second full sort (the x106
+    // candidate-stage finding, same class)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
-    val rn = row_number().over(w.orderBy(md5(col(keyCol).cast("string")), col(keyCol)))
-    val n = count(lit(1)).over(w)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val rn = row_number().over(w)
+    val n = count(lit(1)).over(w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing))
     val withRank = df.withColumn("_rn", rn).withColumn("_n", n)
     // fold = first boundary the rank fits under; ceil(u*n/B) as integer
     // ceil-division (u*n + B−1) div B; the last upper IS Buckets, so the

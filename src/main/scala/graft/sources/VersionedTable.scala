@@ -81,7 +81,11 @@ final class VersionedTable(val root: String) {
     * published version. `partitionBy` columns keep partition pruning inside
     * the snapshot directory.
     */
-  def commit(df: DataFrame, partitionBy: Seq[String] = Nil, tag: Option[String] = None): Long = {
+  def commit(
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      tag: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Long = {
     // next version from ALL directories on disk, not just the published
     // pointer: a crash between write and publish leaves an orphan v=N dir,
     // and computing next from the pointer alone would collide with it on
@@ -91,6 +95,8 @@ final class VersionedTable(val root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(next).toString)
     writeManifest(next)
+    if (statsColumns.nonEmpty)
+      writeStats(next, harvestStats(manifest(next).get, statsColumns.toSet))
     tag.foreach(t =>
       Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
     // publish: temp file + atomic rename — the one-instruction commit
@@ -127,8 +133,12 @@ final class VersionedTable(val root: String) {
     *             commit with its batch id and skips when the published
     *             tag already matches.
     */
-  def appendCommit(df: DataFrame, tag: Option[String] = None): Long = {
-    val prev = latestVersion().map(v =>
+  def appendCommit(
+      df: DataFrame,
+      tag: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Long = {
+    val prevVersion = latestVersion()
+    val prev = prevVersion.map(v =>
       manifest(v).getOrElse(throw new IllegalStateException(
         s"appendCommit needs a manifest-bearing previous snapshot under $root " +
           "(pre-manifest snapshots predate the append path — rewrite once with commit())")))
@@ -139,6 +149,16 @@ final class VersionedTable(val root: String) {
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     df.write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
+    if (statsColumns.nonEmpty) {
+      // O(batch) stats work, like the data write itself: new files'
+      // footers are harvested, carried files' rows COPY from the
+      // previous _stats (keys are root-relative, so they stay valid
+      // across version directories; a carried file with no previous
+      // stats row simply stays unprunable — never silently skipped)
+      val ownFiles = manifest(next).get.filterNot(prev.toSet)
+      val carriedStats = prevVersion.map(readStatsLines).getOrElse(Nil)
+      writeStats(next, carriedStats ++ harvestStats(ownFiles, statsColumns.toSet))
+    }
     tag.foreach(t =>
       Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
     publish(next)
@@ -445,6 +465,124 @@ final class VersionedTable(val root: String) {
             rootPath.resolve(rootRel.stripPrefix("~/")).toString
           case rel => versionDir(v).resolve(rel).toString
         })
+
+  // -------------------------------------------------------------------
+  // File-level data skipping: per-file column min/max harvested from the
+  // parquet FOOTERS at commit time (no data scan — the footer already
+  // carries per-row-group statistics; this folds them per file) and
+  // stored in a `_stats` sidecar next to the manifest. A range read then
+  // drops whole files whose [min, max] cannot intersect the predicate —
+  // the scan lever that matters most at 100 TB: partition pruning cuts
+  // directories, z-order cuts row groups INSIDE a file (x64), this cuts
+  // FILES through the snapshot manifest, exactly Delta/Iceberg's
+  // min/max data skipping. Pruning is an OPTIMIZATION, never semantics:
+  // the exact filter always applies to the surviving files, a file with
+  // no stats row is always kept, and a range predicate never matches
+  // NULL — so all-null chunks (which carry no min/max) cannot cause a
+  // wrong skip. Stats rows are keyed ROOT-relative, so appendCommit
+  // carries them across version directories at O(batch) cost; the
+  // maintenance paths (deleteWhere/compactFiles) do not propagate stats
+  // — their snapshots simply read unpruned until the next stats commit.
+  // -------------------------------------------------------------------
+
+  private def statsPath(v: Long): Path = versionDir(v).resolve("_stats")
+
+  /** One stats row per (file, column): root-relative path, column name,
+    * type tag (l = integral, d = floating, compared exactly / in double),
+    * URL-encoded min and max. Columns whose parquet type has no ordered
+    * stats (or files that never wrote a non-null value) emit no row.
+    */
+  private def harvestStats(files: Seq[String], cols: Set[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    files.flatMap { abs =>
+      val rel = rootPath.relativize(Paths.get(abs)).toString
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.toSeq.sorted.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala)
+            .filter(ch => ch.getPath.toDotString == c)
+          val stats = chunks.map(_.getStatistics)
+          if (chunks.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
+          else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+            case INT32 | INT64 =>
+              val mn = stats.map(_.genericGetMin.asInstanceOf[java.lang.Number].longValue()).min
+              val mx = stats.map(_.genericGetMax.asInstanceOf[java.lang.Number].longValue()).max
+              Some(s"$rel\t$c\tl\t${enc(mn.toString)}\t${enc(mx.toString)}")
+            case FLOAT | DOUBLE =>
+              val mn = stats.map(_.genericGetMin.asInstanceOf[java.lang.Number].doubleValue()).min
+              val mx = stats.map(_.genericGetMax.asInstanceOf[java.lang.Number].doubleValue()).max
+              Some(s"$rel\t$c\td\t${enc(mn.toString)}\t${enc(mx.toString)}")
+            case _ => None // string/binary ranges: kept unprunable in v1
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
+  private def writeStats(v: Long, lines: Seq[String]): Unit =
+    Files.write(statsPath(v), lines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def readStatsLines(v: Long): Seq[String] =
+    if (!Files.exists(statsPath(v))) Nil
+    else new String(Files.readAllBytes(statsPath(v)), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** The manifest files of snapshot `v` that can hold a row with
+    * `column` in [lo, hi], per the `_stats` sidecar — plus the total
+    * file count, so callers (and the spec) can SEE the pruning rate. A
+    * file without a stats row for `column` is always kept.
+    */
+  def pruneFiles(v: Long, column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val files = manifest(v).getOrElse(
+      throw new IllegalStateException(s"pruneFiles needs a manifest-bearing snapshot under $root"))
+    def dec(s: String): String = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    val byFile: Map[String, (String, String, String)] = readStatsLines(v).flatMap { line =>
+      line.split("\t") match {
+        case Array(rel, c, tag, mn, mx) if c == column =>
+          Some(rootPath.resolve(rel).toString -> ((tag, dec(mn), dec(mx))))
+        case _ => None
+      }
+    }.toMap
+    val kept = files.filter { f =>
+      byFile.get(f) match {
+        case Some(("l", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
+        case Some(("d", mn, mx)) => mx.toDouble >= lo && mn.toDouble <= hi
+        case _ => true // no stats (or unknown tag from a future writer): never skip
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Range read with file-level data skipping: resolve the published
+    * snapshot, drop manifest files whose stats exclude
+    * `column BETWEEN lo AND hi` (inclusive), and apply the EXACT filter
+    * to the survivors — identical results to an unpruned filtered read,
+    * minus the IO for files that provably hold no match.
+    */
+  def readBetween(spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion()
+      .getOrElse(throw new IllegalStateException(s"no published version under $root"))
+    import org.apache.spark.sql.functions.{col, lit}
+    val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val (kept, _) = pruneFiles(v, column, lo, hi)
+    if (kept.isEmpty) readVersion(spark, v).filter(cond).limit(0)
+    else readFiles(spark, v, kept).filter(cond)
+  }
+
+  private def readFiles(spark: SparkSession, v: Long, files: Seq[String]): DataFrame = {
+    val own = versionDir(v).toString + java.io.File.separator
+    if (files.forall(_.startsWith(own)))
+      spark.read.option("basePath", versionDir(v).toString).parquet(files: _*)
+    else spark.read.parquet(files: _*)
+  }
 
   /** Read the published snapshot (errors on a never-committed table, like
     * reading a missing path).

@@ -412,4 +412,65 @@ class VersionedTableSpec extends AnyFunSuite {
     val c = cur.committedTags()
     assert(c.contains("batch-0") && c.contains("batch-3"))
   }
+
+  test("stats skipping: files genuinely prune, the pruned read never changes a row") {
+    val t = freshTable()
+    import spark.implicits._
+    // disjoint id spans per file: range partitioning makes min/max bite
+    val df = (0L until 800L).map(i => (i, s"s$i", i * 2)).toDF("id", "s", "v")
+    val v0 = t.commit(df.repartitionByRange(8, col("id")), statsColumns = Seq("id", "v"))
+    val (kept, total) = t.pruneFiles(v0, "id", 100, 199)
+    assert(total === 8)
+    assert(kept.length < total, s"no file pruned: $kept")
+    val pruned = t.readBetween(spark, "id", 100, 199)
+    assert(pruned.count() === 100)
+    val full = t.read(spark).filter(col("id") >= 100 && col("id") <= 199)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // bounds are INCLUSIVE on both the stats compare and the filter: a
+    // range that starts exactly at a file's max keeps that file
+    val idsAt = t.readBetween(spark, "id", 0, 0).collect()
+    assert(idsAt.length === 1 && idsAt.head.getLong(0) === 0L)
+    // the second stats column prunes independently
+    val (keptV, _) = t.pruneFiles(v0, "v", 0, 50)
+    assert(keptV.length < total)
+    // an empty range past every max: zero rows, correct schema, no error
+    assert(t.readBetween(spark, "id", 5000, 6000).count() === 0)
+  }
+
+  test("stats skipping: appendCommit carries previous stats at O(batch)") {
+    val t = freshTable()
+    import spark.implicits._
+    val base = (0L until 400L).map(i => (i, i * 2)).toDF("id", "v")
+    t.commit(base.repartitionByRange(4, col("id")), statsColumns = Seq("id"))
+    val batch = (400L until 600L).map(i => (i, i * 2)).toDF("id", "v")
+    val v1 = t.appendCommit(batch.repartitionByRange(2, col("id")), statsColumns = Seq("id"))
+    // a range entirely inside the APPENDED span prunes every base file
+    val (kept, total) = t.pruneFiles(v1, "id", 450, 499)
+    assert(total === 6)
+    assert(kept.length === 1, s"expected only one appended file kept: $kept")
+    assert(t.readBetween(spark, "id", 450, 499).count() === 50)
+    // a range inside the BASE span still prunes via the carried rows
+    val (keptBase, _) = t.pruneFiles(v1, "id", 0, 99)
+    assert(keptBase.length === 1)
+    // whole-table read unaffected
+    assert(t.read(spark).count() === 600)
+  }
+
+  test("stats skipping: unstatted columns and stats-less snapshots read unpruned, never wrong") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
+    val v0 = t.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("id"))
+    // a column with no stats rows (string — v1 leaves binary unprunable):
+    // everything kept, result exact
+    val (keptS, totalS) = t.pruneFiles(v0, "s", 0, 10)
+    assert(keptS.length === totalS)
+    // a maintenance snapshot does not propagate stats: pruning degrades
+    // to keep-all, the read stays exact
+    val v1 = t.deleteWhere(spark, col("id") === 99L)
+    val (kept1, total1) = t.pruneFiles(v1, "id", 0, 10)
+    assert(kept1.length === total1)
+    assert(t.readBetween(spark, "id", 0, 10).count() === 11)
+    assert(t.readBetween(spark, "id", 90, 99).count() === 9) // 99 deleted
+  }
 }
