@@ -456,6 +456,46 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 600)
   }
 
+  test("stats skipping: a hive-partitioned commit stats its data files under the partition dirs") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"p${i % 2}", i * 3)).toDF("id", "p", "v")
+    val v0 = t.commit(
+      df.repartitionByRange(4, col("id")), partitionBy = Seq("p"),
+      statsColumns = Seq("id"))
+    // files live under p=… subdirectories; stats rows key them root-
+    // relatively through the hive path, and pruning still bites
+    val (kept, total) = t.pruneFiles(v0, "id", 0, 20)
+    assert(total > 2 && kept.length < total, s"kept $kept of $total")
+    val got = t.readBetween(spark, "id", 0, 20)
+    assert(got.count() === 21)
+    // the hive partition column itself has no footprint in the files —
+    // no stats rows, keep-all, still correct through the exact filter
+    assert(t.pruneFiles(v0, "p", 0, 1)._1.length === total)
+  }
+
+  test("stats skipping composes with z-order: BOTH interleaved dimensions prune files") {
+    val t = freshTable()
+    import spark.implicits._
+    // a 32x32 grid, z-order-sorted then range-split: each file holds a
+    // z-contiguous block, so its x AND y min/max are both tight — the
+    // file-level analogue of x64's row-group pruning claim
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val zed = graft.operators.Layout.zOrderKey(grid, Seq("x", "y"), bits = 5)
+      .repartitionByRange(16, col("zval"))
+      .sortWithinPartitions("zval")
+      .select("x", "y")
+    val v0 = t.commit(zed, statsColumns = Seq("x", "y"))
+    val (keptX, total) = t.pruneFiles(v0, "x", 0, 3)
+    val (keptY, _) = t.pruneFiles(v0, "y", 0, 3)
+    assert(total === 16)
+    assert(keptX.length < total, s"x did not prune: ${keptX.length}/$total")
+    assert(keptY.length < total, s"y did not prune: ${keptY.length}/$total")
+    assert(t.readBetween(spark, "x", 0, 3).count() === 4 * 32)
+    assert(t.readBetween(spark, "y", 0, 3).count() === 4 * 32)
+  }
+
   test("stats skipping: unstatted columns and stats-less snapshots read unpruned, never wrong") {
     val t = freshTable()
     import spark.implicits._
