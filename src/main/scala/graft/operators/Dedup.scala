@@ -371,11 +371,15 @@ object Dedup {
     * collect_list form paid a corpus-scale checkpoint plus three
     * consumers of the grouped frame.)
     *
-    * Shapes: one shuffle on shingle for the df join, one doc-keyed
-    * window pass for the per-doc (df, shingle) rank, the prefix-postings
-    * self-join (corpus-scale both sides — the x24 SMJ allowance class),
-    * one corpus×candidates semi-join to cut the array frame, then two
-    * candidate-bounded array joins. The three checkpoints are all
+    * Shapes: ONE shuffle on shingle for the df window (round 12 — the
+    * earlier groupBy+join form shuffled the same corpus-scale rows twice
+    * on the same key), one doc-keyed window pass computing BOTH the
+    * per-doc (df, shingle) rank and the doc length in a single
+    * WindowExec (the len count rides the ordered spec with an unbounded
+    * frame — the unordered-count variant planned a second full sort),
+    * the prefix-postings self-join (corpus-scale both sides — the x24
+    * SMJ allowance class), one corpus×candidates semi-join to cut the
+    * array frame, then two candidate-bounded array joins. The three checkpoints are all
     * PAIR-bounded: the candidate frame (so the self-join runs once),
     * the candidate-doc array frame (so the corpus semi-join runs once,
     * not once per verify side), and the scored frame (so the jaccard
@@ -433,7 +437,13 @@ object Dedup {
       n: Int): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = TextOps.shingles(docs, n).filter(col("shingle").isNotNull)
-    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // df annotated by ONE window over shingle (the jaccardNearDups move):
+    // the groupBy+join form shuffles the corpus-scale shingle rows TWICE
+    // on the same key (partial agg, then the join probe); the window
+    // shuffles them once and counts in place — measured 1.9 → 1.6 s on
+    // the candidate stage at sf0.1, and one corpus shuffle fewer at any
+    // scale
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     // ONE window spec for both functions: `len` rides the ORDERED spec
     // with an unbounded frame (whole-partition count is order-invariant)
     // so Spark plans a single WindowExec over a single sort — the naive
@@ -443,7 +453,7 @@ object Dedup {
     // operator's floor, and one of its two sorts was pure waste)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val ranked = sh.join(dfTab, Seq("shingle"))
+    val ranked = sh.withColumn("df", count(lit(1)).over(wSh))
       .withColumn(
         "len",
         count(lit(1)).over(wDoc.rowsBetween(
@@ -506,11 +516,16 @@ object Dedup {
     // p×p join, no positional filter: 310k pairs, 4.6 s isolated;
     // + positional filter: 125k pairs, ~4.1 s; + i-prefix: 125k pairs
     // (subsumption above), join input −35%, wall flat — the remaining
-    // floor is the window/df machinery (~2 s) + 125k array intersects
+    // floor was the window/df machinery (~2 s) + 125k array intersects
     // (~1.5 s). This was the round-10 "cut x106" ask; sharing the
     // shingle-array build (the first attempt) saved only a 0.4 s scan
-    // because the real cost is pair-count × intersect. Remaining lever
-    // if ever needed: the suffix filter (§4.2). Rejected: checkpointing
+    // because the real cost is pair-count × intersect. Round 12 cut the
+    // machinery floor itself: the df window replacing the groupBy+join
+    // (one corpus shuffle fewer) and the fused len/rank window (one
+    // corpus sort fewer) took the candidate stage 2.1 → ~1.55 s and the
+    // whole operator to ~3.0–3.4 s (BENCH_DETAIL's x106_stages tracks
+    // this per round). Remaining lever if ever needed: the suffix
+    // filter (§4.2). Rejected: checkpointing
     // `prefix` for its two consumers — storing the corpus-scale frame
     // measured SLOWER (6.6 s) than recomputing the codegen'd lineage
     // twice.
