@@ -497,6 +497,13 @@ final class VersionedTable(val root: String) {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // a bare Configuration is DELIBERATE here, unlike the Avro source's
+    // broadcast-driver-conf fix: this class is java.nio/POSIX-scoped end
+    // to end (see the class doc's object-store caveat — the pointer swap
+    // itself needs a catalog CAS off POSIX), footer reads run on the
+    // DRIVER, and the paths are the table's own local files; when the
+    // table grows an object-store backend, the conf plumbing moves with
+    // the rest of the IO layer, not before
     val conf = new org.apache.hadoop.conf.Configuration()
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
