@@ -746,6 +746,10 @@ object Dedup {
     * the window df (persist it via `materialize` across daily runs — it
     * only grows by each day's accepted batch); the batch frame is small
     * by definition and is localCheckpoint'ed for its three consumers.
+    * That checkpoint is this primitive's CONTRACT: callers whose probe
+    * side is corpus-scale (benchmark decontamination probes ~the whole
+    * corpus against a tiny suite) must use [[jaccardDecontam]] instead,
+    * which keeps the same semantics with the barrier on the small side.
     * Output: (batch_id, corpus_id, jaccard) for pairs >= threshold.
     */
   def jaccardNearDupsAgainst(
@@ -762,6 +766,102 @@ object Dedup {
       materialize)
     jaccardAgainstCore(
       TextOps.shingles(batch, n).localCheckpoint(), shC, threshold, minShared, maxShingleDf)
+  }
+
+  /** Fuzzy decontamination: every PROBE document scored for shingle-set
+    * Jaccard against a small BENCHMARK suite — [[jaccardNearDupsAgainst]]
+    * with the roles flipped to the decontam shape, where the probe side
+    * is the 100 TB corpus and must never hit a corpus-scale barrier.
+    * (`jaccardNearDupsAgainst` is built for incremental ingest: its
+    * `batch` is small and checkpointing it for its consumers is right.
+    * Decontam passes ~the whole corpus as the probe, and reusing that
+    * primitive would materialize corpus-scale shingle rows to
+    * executor-local storage — the exact trade [[ppjoinCand]]'s
+    * flip-condition calculus measured as the losing side for
+    * local/page-cached scans, plus localCheckpoint's fault-fragility:
+    * one lost executor kills the lineage.)
+    *
+    * Same candidate semantics and same arithmetic as
+    * [[jaccardNearDupsAgainst]] (df cap over BENCHMARK frequencies,
+    * rare-shared counted by the candidate join, hot remainder by one
+    * bounded pass, exact Jaccard from the decomposed intersection) — so
+    * the same oracle grades both. What changes is purely the physical
+    * posture:
+    *
+    *   - the BENCHMARK postings (tiny by definition: eval suites are
+    *     thousands of documents against a corpus of billions) are the
+    *     only checkpointed frame, and both benchmark-side join inputs
+    *     carry explicit broadcast hints — every probe-side pass is a
+    *     broadcast hash join the corpus STREAMS through;
+    *   - the PROBE side has no barrier at all: its three consumers each
+    *     recompute the codegen'd scan+tokenize lineage (the measured-
+    *     cheaper side of the flip condition at this tier), and the only
+    *     corpus-scale shuffle in the whole plan is the candidate pair
+    *     groupBy — map-side combined, output pair-bounded;
+    *   - per-probe-doc set sizes come from [[TextOps.shingleStats]] — a
+    *     pure per-row projection (array size, no explode) — joined
+    *     against the broadcast pair-bounded result, where
+    *     `jaccardAgainstCore` shuffles the exploded batch shingles for a
+    *     groupBy count.
+    *
+    * Output: (batch_id = probe doc, corpus_id = benchmark doc, jaccard)
+    * for pairs >= threshold — column-compatible with
+    * [[jaccardNearDupsAgainst]] so callers and oracles swap freely.
+    */
+  def jaccardDecontam(
+      probe: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.5,
+      minShared: Int = 2,
+      maxShingleDf: Int = 100,
+      n: Int = 3): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // benchmark side: small — df-annotated once, checkpointed for its
+    // three consumers (rare index, hot postings, per-doc counts)
+    val shBench = TextOps.shingles(benchmark, n)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .localCheckpoint()
+    val idxBench = shBench.filter(col("df") <= maxShingleDf)
+    val hotBench = shBench.filter(col("df") > maxShingleDf)
+    // probe side: corpus-scale — `def`, not `val`: every use site builds
+    // its own lineage, nothing is shared, nothing is materialized
+    def shProbe = TextOps.shingles(probe, n)
+    val cands = shProbe.select(col("doc_id").as("batch_id"), col("shingle"))
+      .join(
+        broadcast(idxBench.select(col("shingle"), col("doc_id").as("corpus_id"))),
+        Seq("shingle"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minShared)
+      .localCheckpoint() // pair-bounded: decontam HITS are rare by design
+    // second probe pass, cut to candidate docs FIRST (broadcast semi
+    // shape) so the hot-shingle expansion runs over a pair-bounded frame
+    val candProbeSh = shProbe.select(col("doc_id").as("batch_id"), col("shingle"))
+      .join(broadcast(cands.select("batch_id").distinct()), Seq("batch_id"))
+    val hotInter = candProbeSh
+      .join(
+        broadcast(hotBench.select(col("doc_id").as("corpus_id"), col("shingle"))),
+        Seq("shingle"))
+      .join(cands.select("batch_id", "corpus_id"), Seq("batch_id", "corpus_id"), "leftsemi")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n_hot_shared"))
+    val nBench = shBench.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val assembled = cands
+      .join(hotInter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0, Seq("n_hot_shared"))
+      .withColumn("n_inter", col("n_rare_shared") + col("n_hot_shared"))
+      .join(nBench.select(col("doc_id").as("corpus_id"), col("n").as("n_c")), Seq("corpus_id"))
+    // third probe pass: per-doc distinct-shingle counts as a projection —
+    // the corpus streams through ONE broadcast join against the
+    // pair-bounded assembly; no corpus frame is ever stored or shuffled
+    TextOps.shingleStats(probe, n)
+      .select(col("doc_id").as("batch_id"), col("n_shingles").as("n_b"))
+      .join(broadcast(assembled), Seq("batch_id"))
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_b") + col("n_c") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 
   /** [[jaccardNearDupsAgainst]] over PREBUILT corpus postings (doc_id,

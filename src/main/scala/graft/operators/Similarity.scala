@@ -1042,6 +1042,101 @@ object Similarity {
         col("hamming"), col("sim"))
   }
 
+  /** Commit the IVF-ROUTED binary serving index: (cell, vec_id, bits,
+    * embedding), each vector under its [[ivfAssign]] cell, laid out
+    * range-partitioned on cell with per-file cell min/max in the
+    * snapshot's `_stats` sidecar. This closes the one exhaustive class
+    * the binary-ANN family had left: [[binaryTopKIndexed]] still scans
+    * EVERY stored bit row per query (the documented class-(b)
+    * allowance); with the committed centroids the repo already owns
+    * routing the probes, [[ivfBinaryTopKIndexed]] reads only the probed
+    * cells' FILES — file-level data skipping composed with the bit
+    * table's 32× column advantage, so query IO scales with
+    * nprobe/|cells| of 1/32nd of the corpus. Same recall contract as
+    * classical IVF (x14): candidates are the probed cells' members, an
+    * approximation the caller states, NOT a silent result change —
+    * nprobe = |cells| reproduces the exhaustive scan row for row.
+    */
+  def buildBinaryIvfIndex(
+      corpus: DataFrame,
+      cents: Array[Array[Float]],
+      sink: graft.sources.VersionedTable): Long = {
+    val assigned = ivfAssign(corpus, centroidsDF(corpus.sparkSession, cents))
+      .select(col("cell"), col("vec_id"), signBits("embedding").as("bits"), col("embedding"))
+    // one file per cell-range: repartitionByRange gives each output file
+    // a tight [min,max] on cell, which is exactly what pruneFilesIn eats
+    sink.commit(
+      assigned.repartitionByRange(cents.length, col("cell"), col("vec_id")),
+      statsColumns = Seq("cell"))
+  }
+
+  /** Binary ANN served from a [[buildBinaryIvfIndex]] snapshot with IVF
+    * cell routing: each probe's nprobe nearest cells (same cosine +
+    * tie-break as [[ivfTopKWith]]) bound BOTH the file set read — the
+    * probed-cell union prunes the manifest through the `_stats` sidecar
+    * before any task launches — and the per-probe candidate set (an
+    * equi-join on cell replaces [[binaryTopKIndexed]]'s exhaustive
+    * cross). Hamming pre-rank then exact-cosine rerank are unchanged, so
+    * with nprobe = |cells| the result is row-identical to the exhaustive
+    * serve (IvfBinaryIndexSpec pins it).
+    *
+    * The probe→cell routing is COLLECTED (|probes| × nprobe pairs): file
+    * pruning needs the probed-cell set on the driver at plan time, and
+    * the probe side of a serving query is bounded by the same contract
+    * that lets every binary/IVF variant broadcast it.
+    */
+  def ivfBinaryTopKIndexed(
+      probes: DataFrame,
+      table: graft.sources.VersionedTable,
+      cents: Array[Array[Float]],
+      k: Int,
+      rerank: Int = 50,
+      nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: k=$k rerank=$rerank")
+    require(nprobe >= 1, s"need nprobe >= 1: $nprobe")
+    val spark = probes.sparkSession
+    val packedProbes = probes.select(
+      col("q_id"), col("q_emb"), signBits("q_emb").as("q_bits"))
+    val routing = nearestCells(
+        probes.select(col("q_id"), col("q_emb")), centroidsDF(spark, cents), nprobe)
+      .select(col("q_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cellSet = routing.map(_._2).distinct.sorted.toSeq
+    import spark.implicits._
+    val routed = routing.toSeq.toDF("q_id", "cell")
+    // pruned read: only files whose cell range meets a probed cell are
+    // opened; the exact IN filter re-applies on the survivors
+    val idx = table.readIn(spark, "cell", cellSet)
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(CrossRound.r(col("sim"), 6).desc, col("vec_id"))
+    // stage 1: Hamming over the probed cells' stored bits — projection
+    // is (cell, vec_id, bits), the float column stays untouched on the
+    // corpus-scale path (IvfBinaryIndexSpec's ReadSchema pin)
+    val pool = idx.select("cell", "vec_id", "bits")
+      .join(
+        broadcast(routed.join(packedProbes.select("q_id", "q_bits"), Seq("q_id"))),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", hammingLimbs(col("q_bits"), col("bits")))
+      .withColumn("pool_rn", row_number().over(wPool))
+      .filter(col("pool_rn") <= rerank)
+      .select("q_id", "vec_id", "hamming")
+    // stage 2: floats fetched only for the pool-bounded rerank, from the
+    // same pruned file set (pool members live in probed cells by
+    // construction)
+    idx.select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(packedProbes.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("hamming"), col("sim"))
+  }
+
   /** Per-cell clustering-quality profile against COMMITTED centroids —
     * the report an IVF/SemDeDup deployment reads before trusting its
     * cells: size balance (one mega-cell = a degenerate fit and a

@@ -205,6 +205,7 @@ final class VersionedTable(val root: String) {
       .filter(not(coalesce(cond, lit(false))))
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry)
+    propagateStats(next, v, carry)
     publish(next)
     next
   }
@@ -271,8 +272,38 @@ final class VersionedTable(val root: String) {
       .coalesce(bins)
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry.map(_._1))
+    propagateStats(next, v, carry.map(_._1))
     publish(next)
     next
+  }
+
+  /** Stats continuity for the maintenance commits: a snapshot produced
+    * by [[deleteWhere]]/[[compactFiles]] keeps data skipping ON instead
+    * of silently reverting to full scans until the next stats-bearing
+    * full commit (the round-12 "maintenance-blind" gap: compaction — the
+    * operation run to HELP reads — used to turn pruning off). Carried
+    * files keep their previous `_stats` rows verbatim (root-relative
+    * keys stay valid across version directories); rewritten output files
+    * are re-harvested from their fresh footers over the SAME column set
+    * the previous sidecar tracked — the sidecar itself is the durable
+    * record of which columns the table's committer opted into. A
+    * previous snapshot with no sidecar propagates nothing (stats were
+    * never requested). O(rewritten files) footer reads, in keeping with
+    * the maintenance paths' file-granular economics.
+    */
+  private def propagateStats(next: Long, prevV: Long, carriedAbs: Seq[String]): Unit = {
+    val prevLines = readStatsLines(prevV)
+    if (prevLines.nonEmpty) {
+      val cols = prevLines.flatMap(_.split("\t") match {
+        case Array(_, c, _, _, _) => Some(c)
+        case _ => None
+      }).toSet
+      val carriedRel = carriedAbs
+        .map(a => rootPath.relativize(Paths.get(a)).toString).toSet
+      val carriedLines = prevLines.filter(l => l.split("\t").headOption.exists(carriedRel))
+      val own = manifest(next).get.filterNot(carriedAbs.toSet)
+      writeStats(next, carriedLines ++ harvestStats(own, cols))
+    }
   }
 
   /** Row-level change feed between two committed snapshots — the CDC
@@ -480,9 +511,12 @@ final class VersionedTable(val root: String) {
   // no stats row is always kept, and a range predicate never matches
   // NULL — so all-null chunks (which carry no min/max) cannot cause a
   // wrong skip. Stats rows are keyed ROOT-relative, so appendCommit
-  // carries them across version directories at O(batch) cost; the
-  // maintenance paths (deleteWhere/compactFiles) do not propagate stats
-  // — their snapshots simply read unpruned until the next stats commit.
+  // carries them across version directories at O(batch) cost, and the
+  // maintenance commits (deleteWhere/compactFiles) stay stats-bearing:
+  // carried files keep their rows, rewritten files re-harvest
+  // (propagateStats). Covered types: integral `l` (incl. DATE = INT32
+  // days and TIMESTAMP = INT64 micros), floating `d` (NaN-guarded),
+  // string `s` (unsigned UTF-8 order, whole-value bounds only).
   // -------------------------------------------------------------------
 
   private def statsPath(v: Long): Path = versionDir(v).resolve("_stats")
@@ -526,13 +560,69 @@ final class VersionedTable(val root: String) {
             case FLOAT | DOUBLE =>
               val mn = stats.map(_.genericGetMin.asInstanceOf[java.lang.Number].doubleValue()).min
               val mx = stats.map(_.genericGetMax.asInstanceOf[java.lang.Number].doubleValue()).max
-              Some(s"$rel\t$c\td\t${enc(mn.toString)}\t${enc(mx.toString)}")
-            case _ => None // string/binary ranges: kept unprunable in v1
+              // NaN guard (Iceberg's nan_value_counts hazard): parquet-mr's
+              // double comparator orders NaN greatest, so a chunk containing
+              // NaN can surface min or max of NaN — and pruneFiles would then
+              // evaluate `NaN >= lo` as false and WRONGLY skip a file whose
+              // non-NaN rows are in range. A NaN bound means the footer
+              // cannot bound the file: emit no row, keep it unprunable.
+              // Signed zero needs no such guard: the stored bounds are
+              // compared with IEEE >=/<= in pruneFiles, where -0.0 == +0.0,
+              // so a file whose max harvested as -0.0 still survives a
+              // lo = 0 predicate.
+              if (mn.isNaN || mx.isNaN) None
+              else Some(s"$rel\t$c\td\t${enc(mn.toString)}\t${enc(mx.toString)}")
+            case BINARY =>
+              // String columns (tag `s`) — the most common real-world
+              // predicate class (categories, ids, ISO dates-as-strings).
+              // Ordering discipline: these stats come from files THIS
+              // table wrote (Spark/parquet-mr), whose string sort order
+              // is UNSIGNED byte-wise over UTF-8 — identical to Spark's
+              // UTF8String comparison — so footer bounds and the engine's
+              // own `>=`/`<=` agree and a skip can never drop a matching
+              // row. Truncation discipline: parquet-mr chunk statistics
+              // are whole values or ABSENT (dropped above the 4 KB stats
+              // cap), never silently truncated, so a present bound is the
+              // true bound; belt-and-braces, bounds longer than 192 bytes
+              // (or not UTF-8-round-trippable) emit no row — the file
+              // just stays unprunable, and the sidecar stays small.
+              val mnB = stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary])
+                .min(binaryOrd).getBytes
+              val mxB = stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary])
+                .max(binaryOrd).getBytes
+              def utf8Whole(b: Array[Byte]): Option[String] = {
+                val s = new String(b, StandardCharsets.UTF_8)
+                if (b.length <= 192 && java.util.Arrays.equals(s.getBytes(StandardCharsets.UTF_8), b))
+                  Some(s)
+                else None
+              }
+              for { mn <- utf8Whole(mnB); mx <- utf8Whole(mxB) }
+                yield s"$rel\t$c\ts\t${enc(mn)}\t${enc(mx)}"
+            case _ => None // int96/fixed/boolean ranges: kept unprunable
           }
         }
       } finally reader.close()
     }
   }
+
+  /** Unsigned byte-wise UTF-8 comparison — the ONE ordering shared by
+    * parquet's string statistics and Spark's UTF8String comparisons, so
+    * footer bounds and the engine's exact filter can never disagree.
+    * (Java's String.compareTo orders UTF-16 code units, which diverges
+    * from UTF-8 byte order for supplementary characters — using it here
+    * would make pruning silently lossy exactly on emoji/CJK-extension
+    * content.)
+    */
+  private def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** Unsigned lexicographic order over raw parquet Binary stats values
+    * (Binary.compareTo's own ordering went through signed-byte eras in
+    * parquet-mr's history — depend on the bytes, not the class).
+    */
+  private val binaryOrd: Ordering[org.apache.parquet.io.api.Binary] =
+    (x, y) => java.util.Arrays.compareUnsigned(x.getBytes, y.getBytes)
 
   private def writeStats(v: Long, lines: Seq[String]): Unit =
     Files.write(statsPath(v), lines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -547,22 +637,77 @@ final class VersionedTable(val root: String) {
     * file count, so callers (and the spec) can SEE the pruning rate. A
     * file without a stats row for `column` is always kept.
     */
-  def pruneFiles(v: Long, column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+  def pruneFiles(v: Long, column: String, lo: Long, hi: Long): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("l", mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+      case ("d", mn, mx) => mx.toDouble >= lo && mn.toDouble <= hi
+      case _ => true // string-tagged stats can't serve a numeric range
+    }
+
+  /** String-range variant of [[pruneFiles]]: keeps the files that can
+    * hold `column BETWEEN lo AND hi` under unsigned UTF-8 byte order —
+    * the ordering Spark's own string comparison uses, see [[cmpUtf8]].
+    */
+  def pruneFilesString(v: Long, column: String, lo: String, hi: String): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("s", mn, mx) => cmpUtf8(mx, lo) >= 0 && cmpUtf8(mn, hi) <= 0
+      case _ => true // numeric-tagged stats can't serve a string range
+    }
+
+  /** Point-set variant of [[pruneFiles]]: keeps the files whose [min,
+    * max] admits AT LEAST ONE of `values` — the routing shape (IVF cell
+    * probes, shard picks) where the predicate is `column IN (…)` rather
+    * than a range. With the table laid out range-partitioned on
+    * `column`, a handful of probed values keeps a handful of files.
+    */
+  def pruneFilesIn(v: Long, column: String, values: Seq[Long]): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("l", mn, mx) =>
+        val (lo, hi) = (mn.toLong, mx.toLong); values.exists(x => x >= lo && x <= hi)
+      case ("d", mn, mx) =>
+        val (lo, hi) = (mn.toDouble, mx.toDouble)
+        values.exists(x => x.toDouble >= lo && x.toDouble <= hi)
+      case _ => true
+    }
+
+  /** [[readBetween]]'s point-set sibling: prune via [[pruneFilesIn]],
+    * then apply the exact `column IN (values)` filter to the survivors.
+    */
+  def readIn(spark: SparkSession, column: String, values: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readPruned(spark, col(column).isin(values: _*))(pruneFilesIn(_, column, values))
+  }
+
+  /** Shared prune walk: `permits(tag, min, max)` decides survival per
+    * stats row. Degradation discipline ("pruning is an optimization,
+    * never semantics"): a file with no stats row for `column` is kept;
+    * an UNKNOWN tag (future writer) is kept via the permits default; and
+    * a stats row whose min/max fail to PARSE (corrupt sidecar line) is
+    * kept too — a malformed optimization hint must degrade to an
+    * unpruned read, not fail it with a NumberFormatException.
+    */
+  private def pruneBy(v: Long, column: String)(
+      permits: (String, String, String) => Boolean): (Seq[String], Int) = {
     val files = manifest(v).getOrElse(
       throw new IllegalStateException(s"pruneFiles needs a manifest-bearing snapshot under $root"))
     def dec(s: String): String = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    // line-level Try: a malformed sidecar line (bad %-escape, wrong field
+    // count) contributes no entry, so its file is KEPT — same degradation
+    // contract as the comparison below
     val byFile: Map[String, (String, String, String)] = readStatsLines(v).flatMap { line =>
-      line.split("\t") match {
-        case Array(rel, c, tag, mn, mx) if c == column =>
-          Some(rootPath.resolve(rel).toString -> ((tag, dec(mn), dec(mx))))
-        case _ => None
-      }
+      scala.util.Try {
+        line.split("\t") match {
+          case Array(rel, c, tag, mn, mx) if c == column =>
+            Some(rootPath.resolve(rel).toString -> ((tag, dec(mn), dec(mx))))
+          case _ => None
+        }
+      }.toOption.flatten
     }.toMap
     val kept = files.filter { f =>
       byFile.get(f) match {
-        case Some(("l", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
-        case Some(("d", mn, mx)) => mx.toDouble >= lo && mn.toDouble <= hi
-        case _ => true // no stats (or unknown tag from a future writer): never skip
+        case Some((tag, mn, mx)) =>
+          scala.util.Try(permits(tag, mn, mx)).getOrElse(true)
+        case None => true // no stats: never skip
       }
     }
     (kept, files.size)
@@ -575,11 +720,66 @@ final class VersionedTable(val root: String) {
     * minus the IO for files that provably hold no match.
     */
   def readBetween(spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readPruned(spark, col(column) >= lit(lo) && col(column) <= lit(hi))(
+      pruneFiles(_, column, lo, hi))
+  }
+
+  /** [[readBetween]] for string ranges — prunes on the `s` stats rows
+    * under unsigned UTF-8 order, then applies the exact string filter.
+    */
+  def readBetweenStrings(
+      spark: SparkSession, column: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readPruned(spark, col(column) >= lit(lo) && col(column) <= lit(hi))(
+      pruneFilesString(_, column, lo, hi))
+  }
+
+  /** [[readBetween]] for DATE columns. No new stats machinery: parquet
+    * stores dates as INT32 days-since-epoch, so a date column already
+    * harvests as an ordinary `l` row — this entry point just speaks
+    * LocalDate at the API and prunes on epoch days.
+    */
+  def readBetweenDates(
+      spark: SparkSession,
+      column: String,
+      lo: java.time.LocalDate,
+      hi: java.time.LocalDate): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readPruned(
+      spark,
+      col(column) >= lit(java.sql.Date.valueOf(lo)) &&
+        col(column) <= lit(java.sql.Date.valueOf(hi)))(
+      pruneFiles(_, column, lo.toEpochDay, hi.toEpochDay))
+  }
+
+  /** [[readBetween]] for TIMESTAMP columns — INT64 micros-since-epoch in
+    * parquet (Spark's TIMESTAMP_MICROS default), pruned via the `l` rows.
+    */
+  def readBetweenTimestamps(
+      spark: SparkSession,
+      column: String,
+      lo: java.time.Instant,
+      hi: java.time.Instant): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def micros(t: java.time.Instant): Long =
+      math.multiplyExact(t.getEpochSecond, 1000000L) + t.getNano / 1000L
+    readPruned(
+      spark,
+      col(column) >= lit(java.sql.Timestamp.from(lo)) &&
+        col(column) <= lit(java.sql.Timestamp.from(hi)))(
+      pruneFiles(_, column, micros(lo), micros(hi)))
+  }
+
+  /** Shared tail of every pruned read: resolve the published snapshot,
+    * prune its manifest, apply the EXACT predicate to the survivors —
+    * identical results to an unpruned filtered read by construction.
+    */
+  private def readPruned(spark: SparkSession, cond: org.apache.spark.sql.Column)(
+      prune: Long => (Seq[String], Int)): DataFrame = {
     val v = latestVersion()
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
-    import org.apache.spark.sql.functions.{col, lit}
-    val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
-    val (kept, _) = pruneFiles(v, column, lo, hi)
+    val (kept, _) = prune(v)
     if (kept.isEmpty) readVersion(spark, v).filter(cond).limit(0)
     else readFiles(spark, v, kept).filter(cond)
   }

@@ -169,6 +169,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out((1L, 200L)) === exact)
   }
 
+  test("jaccardDecontam: row-identical to jaccardNearDupsAgainst on the same split") {
+    // the decontam-facing restatement changes ONLY the physical posture
+    // (barrier on the benchmark side, probe side streamed) — same
+    // candidate semantics, same arithmetic, so the two must agree pair
+    // for pair and score for score on any input, including pairs that
+    // need the hot-shingle complement (df cap forced low here so capped
+    // shingles actually occur)
+    val docs = corpus()
+    val probe = docs.filter(col("doc_id") % 3 =!= 0)
+    val bench = docs.filter(col("doc_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = rows(Dedup.jaccardNearDupsAgainst(
+      probe, bench, threshold = 0.3, minShared = 2, maxShingleDf = 5))
+    val decontam = rows(Dedup.jaccardDecontam(
+      probe, bench, threshold = 0.3, minShared = 2, maxShingleDf = 5))
+    assert(decontam === incremental)
+    assert(decontam.nonEmpty, "fixture produced no cross pairs — test is vacuous")
+  }
+
   test("jaccardNearDups: VersionedTable path is row-identical to the checkpoint path") {
     // the 100 TB materialization hook must not change a single row — the
     // same contract the x24/x24t oracle pair pins at fixture scale

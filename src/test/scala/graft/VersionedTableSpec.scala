@@ -496,21 +496,135 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readBetween(spark, "y", 0, 3).count() === 4 * 32)
   }
 
-  test("stats skipping: unstatted columns and stats-less snapshots read unpruned, never wrong") {
+  test("stats skipping: unstatted columns and cross-type ranges read unpruned, never wrong") {
     val t = freshTable()
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
     val v0 = t.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("id"))
-    // a column with no stats rows (string — v1 leaves binary unprunable):
-    // everything kept, result exact
+    // a column the committer never opted into: no stats rows, keep-all
     val (keptS, totalS) = t.pruneFiles(v0, "s", 0, 10)
     assert(keptS.length === totalS)
-    // a maintenance snapshot does not propagate stats: pruning degrades
-    // to keep-all, the read stays exact
-    val v1 = t.deleteWhere(spark, col("id") === 99L)
-    val (kept1, total1) = t.pruneFiles(v1, "id", 0, 10)
-    assert(kept1.length === total1)
+    // and a NUMERIC range against a string-tagged column keeps all too
+    val t2 = freshTable()
+    val v2 = t2.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("s"))
+    assert(t2.pruneFiles(v2, "s", 0, 10)._1.length === 4)
+  }
+
+  test("stats skipping: string columns prune under unsigned UTF-8 order") {
+    val t = freshTable()
+    import spark.implicits._
+    // keys sort like categories; multi-byte rows prove the UTF-8-byte
+    // (not UTF-16) comparison — 'é' (0xC3A9) sorts after every ASCII key
+    val df = ((0 until 200).map(i => (f"k$i%03d", i.toLong)) :+ (("éxtra", 999L)))
+      .toDF("k", "v")
+    val v0 = t.commit(df.repartitionByRange(8, col("k")), statsColumns = Seq("k"))
+    val (kept, total) = t.pruneFilesString(v0, "k", "k010", "k029")
+    assert(total === 8 && kept.length < total, s"kept ${kept.length}/$total")
+    val pruned = t.readBetweenStrings(spark, "k", "k010", "k029")
+    val full = t.read(spark).filter(col("k") >= "k010" && col("k") <= "k029")
+    assert(pruned.count() === 20)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // the multi-byte key is reachable and bounds are inclusive
+    assert(t.readBetweenStrings(spark, "k", "é", "éz").count() === 1)
+    // a string range against a numeric-tagged column keeps all
+    val tNum = freshTable()
+    val vN = tNum.commit(df.repartitionByRange(4, col("v")), statsColumns = Seq("v"))
+    assert(tNum.pruneFilesString(vN, "v", "a", "z")._1.length === 4)
+  }
+
+  test("stats skipping: DATE columns prune through the INT32-days rows") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i.toLong))
+      .toDF("d", "v")
+    val v0 = t.commit(df.repartitionByRange(8, col("d")), statsColumns = Seq("d"))
+    val (kept, total) = t.pruneFiles(
+      v0, "d",
+      java.time.LocalDate.of(2024, 2, 1).toEpochDay,
+      java.time.LocalDate.of(2024, 2, 10).toEpochDay)
+    assert(total === 8 && kept.length < total)
+    val pruned = t.readBetweenDates(
+      spark, "d", java.time.LocalDate.of(2024, 2, 1), java.time.LocalDate.of(2024, 2, 10))
+    assert(pruned.count() === 10)
+    val full = t.read(spark)
+      .filter(col("d").between(lit("2024-02-01").cast("date"), lit("2024-02-10").cast("date")))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("stats skipping survives maintenance: deleteWhere and compactFiles stay stats-bearing") {
+    val t = freshTable()
+    import spark.implicits._
+    val base = (0L until 400L).map(i => (i, i * 2)).toDF("id", "v")
+    t.commit(base.repartitionByRange(4, col("id")), statsColumns = Seq("id", "v"))
+    // delete rewrites ONE file; carried files keep their rows, the
+    // rewritten file re-harvests — pruning still bites afterwards
+    val v1 = t.deleteWhere(spark, col("id") === 399L)
+    val (kept1, total1) = t.pruneFiles(v1, "id", 0, 50)
+    assert(kept1.length < total1, s"post-delete pruning dead: ${kept1.length}/$total1")
+    assert(t.readBetween(spark, "id", 0, 50).count() === 51)
+    assert(t.readBetween(spark, "id", 390, 399).count() === 9) // 399 deleted
+    // the SECOND stats column survives maintenance too
+    assert(t.pruneFiles(v1, "v", 0, 100)._1.length < total1)
+    // compaction (everything under the threshold merges to one file):
+    // the new file re-harvests, pruning on the result is exact
+    val v2 = t.compactFiles(spark, smallBytes = 1L << 30, targetBytes = 1L << 30)
+    assert(v2 > v1)
+    val (kept2, total2) = t.pruneFiles(v2, "id", 0, 50)
+    assert(kept2.length === 1 && total2 === 1)
+    assert(t.readBetween(spark, "id", 0, 50).count() === 51)
+    // and a compaction that merges only SOME files keeps carried rows:
+    // append small files, compact, then both spans still prune
+    val t3 = freshTable()
+    t3.commit(base.repartitionByRange(1, col("id")), statsColumns = Seq("id"))
+    t3.appendCommit((400L until 500L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), statsColumns = Seq("id"))
+    val bigBytes = new java.io.File(
+      t3.manifest(t3.latestVersion().get).get.head.stripPrefix("file:")).length()
+    // threshold between the small appended files and the big base file
+    val v3 = t3.compactFiles(spark, smallBytes = bigBytes, targetBytes = 1L << 30)
+    val (kept3, total3) = t3.pruneFiles(v3, "id", 450, 460)
+    assert(kept3.length < total3)
+    assert(t3.readBetween(spark, "id", 450, 460).count() === 11)
+  }
+
+  test("stats skipping: NaN bounds emit no row — the file is kept, never wrongly skipped") {
+    val t = freshTable()
+    import spark.implicits._
+    // file A: clean doubles 0..9; file B: 1000..1009 plus a NaN row.
+    // parquet's comparator surfaces NaN as B's max — without the guard
+    // the sidecar would claim B ⊆ [1000, NaN] and `NaN >= lo` would skip
+    // B for EVERY range; with it, B has no row and is always kept
+    val a = (0 until 10).map(i => (i.toLong, i.toDouble))
+    val b = (0 until 10).map(i => (100L + i, 1000.0 + i)) :+ ((999L, Double.NaN))
+    t.commit(a.toDF("id", "x").coalesce(1), statsColumns = Seq("x"))
+    val v0 = t.appendCommit(b.toDF("id", "x").coalesce(1), statsColumns = Seq("x"))
+    val (kept, total) = t.pruneFiles(v0, "x", 1000, 1010)
+    assert(total === 2)
+    // A prunes (clean stats exclude it); B is kept despite having no row
+    assert(kept.length === 1)
+    assert(t.readBetween(spark, "x", 1000, 1010).count() === 10)
+    // a range matching only A keeps BOTH (B unprunable without stats)
+    assert(t.pruneFiles(v0, "x", 0, 9)._1.length === 2)
+  }
+
+  test("stats skipping: a corrupt sidecar line degrades to keep, not an exception") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+    val v0 = t.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("id"))
+    // vandalize the sidecar: numeric garbage on one line, a truncated line
+    val statsFile = java.nio.file.Paths.get(t.root, s"v=$v0", "_stats")
+    val lines = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8").split("\n")
+    val mangled = lines.zipWithIndex.map {
+      case (l, 0) => l.split("\t").patch(3, Seq("not-a-number"), 1).mkString("\t")
+      case (l, 1) => l.split("\t").take(2).mkString("\t")
+      case (l, _) => l
+    }
+    java.nio.file.Files.write(statsFile, mangled.mkString("\n").getBytes("UTF-8"))
+    // pruning still runs: corrupt rows' files are kept, clean rows prune
+    val (kept, total) = t.pruneFiles(v0, "id", 0, 10)
+    assert(kept.length < total && kept.nonEmpty)
     assert(t.readBetween(spark, "id", 0, 10).count() === 11)
-    assert(t.readBetween(spark, "id", 90, 99).count() === 9) // 99 deleted
   }
 }
