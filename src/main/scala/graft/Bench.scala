@@ -275,6 +275,42 @@ object Bench {
           System.err.println(s"[bench] x106 stage timing failed: ${e.getMessage}")
           None
       }
+    // ---- x53/x57 per-stage decomposition (round-12 verdict ask #5: the
+    // curation rows are the bench ceiling and their 1.6x run-to-run
+    // spread on UNCHANGED code was unattributed). Two quiesced reps per
+    // variant of the serving pipeline's own persist-boundary frames
+    // (Curation.pipelineStageTimings — incremental walls over the real
+    // caches, not a lineage-cut replica), shipped in the detail sidecar
+    // so a spread claim can point at the stage that moved.
+    def stageReps(q: String, run: () => Seq[(String, Double, Long)]): Option[String] =
+      if (!fnOf.contains(q)) None
+      else try {
+        val reps = (1 to 2).map { _ =>
+          System.gc(); Thread.sleep(200)
+          dropCached()
+          val stages = run()
+          dropCached()
+          stages.map { case (stage, sec, rows) =>
+            s""""$stage": {"sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}, "rows": $rows}"""
+          }.mkString("{", ", ", "}")
+        }
+        Some(reps.mkString("[", ", ", "]"))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] $q stage timing failed: ${e.getMessage}")
+          None
+      }
+    val x53Stages = stageReps("x53_curation_pipeline", () => {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.Curation.pipelineStageTimings(
+        docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50))
+    })
+    val x57Stages = stageReps("x57_curation_classified", () => {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.Curation.pipelineStageTimings(
+        docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50),
+        classifier = Some((ExtensionQueries.qualityModelFor(spark, sfDir), 0.5)))
+    })
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. Full-precision doubles for 60+ queries
     // push the line past the buffer and the parse silently fails (rounds
@@ -372,6 +408,8 @@ object Bench {
         s"""{\n  "sf": "$sfDir",\n  "total_warm": ${ms(total)},\n  "total_cold": ${ms(coldTotal)},\n  "n": ${results.length},\n  "failed": $errs,\n""" +
           s"""  "cpu": {"our_cores": ${ms(ourCores)}, "sysload": ${ms(loadAvg)}, "external": ${ms(external)}, "contended": $contended, "median_cores": ${ms(medianCores)}, "tail_n": ${tailSet.size}, "tail_shaved_sec": ${ms(tailShaved)}, "suspect_queries": ${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")}, "cold_unadjudicated": $coldUnadjudicated, "cold_suspect_queries": ${coldSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")}},\n""" +
           x106Stages.map(s => s"""  "x106_stages": $s,\n""").getOrElse("") +
+          x53Stages.map(s => s"""  "x53_stages": $s,\n""").getOrElse("") +
+          x57Stages.map(s => s"""  "x57_stages": $s,\n""").getOrElse("") +
           s"""  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")

@@ -66,7 +66,7 @@ object ExtensionQueries {
   /** Fit-once-per-dir: the x56 weak-label recipe (heuristic quality gate
     * at 0.65 distilled into the logistic model).
     */
-  private def qualityModelFor(s: SparkSession, dir: String): graft.operators.QualityModel.LogReg =
+  private[graft] def qualityModelFor(s: SparkSession, dir: String): graft.operators.QualityModel.LogReg =
     FittedQualityModels.computeIfAbsent(dir, _ =>
       graft.sources.ModelStore.loadOrFit(
         s, "quality_lr", dir, graft.sources.ModelStore.LogRegCodec) {
@@ -993,6 +993,23 @@ object ExtensionQueries {
     "x131_stats_pruned_read" -> ((s, dir) =>
       statsTableFor(s, dir)
         .readBetween(s, "doc_id", 100, 449)
+        .orderBy("doc_id")),
+
+    // String-stats pruned read THROUGH maintenance (x132): the file-
+    // skipping ladder's round-13 rungs under the hash gate — per-file
+    // `source` min/max harvested as whole-value bounds in unsigned
+    // UTF-8 order (the ordering Spark's own string compare uses, so a
+    // skip can never drop a matching row), the snapshot then rewritten
+    // by deleteWhere (carried files keep their stats rows, rewritten
+    // files re-harvest — the round-12 "maintenance turns pruning off"
+    // gap), and the graded read served from that maintenance snapshot.
+    // Oracle: the plain filtered read restated over the base table —
+    // pruning is an optimization, never semantics. VersionedTableSpec
+    // pins that files are GENUINELY skipped on both the string range
+    // and the post-maintenance snapshot.
+    "x132_stats_pruned_strings" -> ((s, dir) =>
+      stringStatsTableFor(s, dir)
+        .readBetweenStrings(s, "source", "src10", "src15")
         .orderBy("doc_id")),
 
     // Cluster label-purity (x130): the external-validation companion of
@@ -2558,6 +2575,31 @@ object ExtensionQueries {
       vt.appendCommit(
         docs.filter(col("doc_id") >= 400).repartitionByRange(2, col("doc_id")),
         statsColumns = Seq("doc_id", "n_chars"))
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
+  /** x132's snapshot: string-stats committed (range-partitioned on
+    * `source` so per-file source min/max are tight), then a deleteWhere
+    * pass — the read is therefore served from a MAINTENANCE snapshot,
+    * gating both round-13 stats extensions at once: the string tag and
+    * the propagation of stats through a delete (carried files keep
+    * their rows, rewritten files re-harvest).
+    */
+  private val StringStatsTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stringStatsTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = StringStatsTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x132_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      vt.commit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("source"), col("doc_id")),
+        statsColumns = Seq("source"))
+      vt.deleteWhere(s, col("doc_id") % 11 === 3)
       r
     })
     graft.sources.VersionedTable(root)
@@ -4992,6 +5034,14 @@ object ExtensionQueries {
     "x131_stats_pruned_read" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 449 ORDER BY doc_id""".stripMargin,
+    // x132: the string-stats pruned read through a deleteWhere snapshot
+    // — the oracle restates the surviving rows (delete predicate
+    // complemented) with the plain string range; ASCII literals compare
+    // identically under both engines' byte-wise string order
+    "x132_stats_pruned_strings" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source BETWEEN 'src10' AND 'src15' AND doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,

@@ -335,8 +335,9 @@ object PlanAudit {
     "x83_weighted_sample",
     // binary ANN: both cuts (Hamming pool, cosine rerank) are
     // filter-over-row_number — losing the rewrite re-sorts every
-    // corpus row per probe; same for the committed-index layout
-    "x125_binary_ann", "x125b_binary_ann_indexed")
+    // corpus row per probe; same for the committed-index layouts
+    // (exhaustive and IVF-routed)
+    "x125_binary_ann", "x125b_binary_ann_indexed", "x125c_binary_ann_ivf")
   // NOT pinned: x101's vocabulary rank cap. Its window is GLOBAL (no
   // partition key), and for that shape the optimizer fires a strictly
   // better rewrite than WindowGroupLimit: LimitPushDown turns the
@@ -410,7 +411,13 @@ object PlanAudit {
     * the runtime join choice: AQE demotions at fixture scale can only
     * bring counts UNDER a ceiling, never add a shape the gate misses.
     */
-  private[graft] val InnerAllowedSmj: Map[String, Int] = Map.empty
+  private[graft] val InnerAllowedSmj: Map[String, Int] = Map(
+    // the streamed corpus cycle's foreachBatch runs the x29
+    // batch-vs-corpus inverted-index shape behind its in-batch
+    // localCheckpoint barriers — corpus-scale sides, the same class the
+    // main table allows s03 (AQE may demote to broadcast at fixture
+    // scale; the pin is a ceiling per captured execution)
+    "s03s_stream_corpus_cycle_streamed" -> 2)
   private[graft] val InnerAllowedBnlj: Map[String, Int] = Map(
     // semdedup's materialized cell assignment: ivfAssign's
     // corpus × broadcast(centroids) exhaustive argmax (class (b), the
@@ -424,7 +431,15 @@ object PlanAudit {
     // the stage-rebuild pass materializes every curation stage
     // lineage-cut; the resample stage's one-row mixWeights normalizer
     // (class (a)) rides its barrier
-    "x53/stages" -> 1)
+    "x53/stages" -> 1,
+    // x125c's two bounded class-(b) crosses both execute as INNER
+    // plans: the probe→cell routing collect (|probes| × |cells|
+    // centroid argmax, the x14 shape) and the index-build commit
+    // (ivfAssign's corpus × broadcast(centroids) argmax, the x61
+    // command shape); the SERVED plan itself has no cross — the cell
+    // equi-join replacing x125b's exhaustive BNLJ is the operator's
+    // point
+    "x125c_binary_ann_ivf" -> 1)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

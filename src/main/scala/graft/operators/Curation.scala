@@ -343,6 +343,34 @@ object Curation {
       })
   }
 
+  /** Per-stage wall/row attribution of the SERVING pipeline — the
+    * x106-stage-harness treatment applied to x53/x57 (round-12 verdict
+    * ask #5: the curation rows are the bench ceiling and their
+    * run-to-run spread on unchanged code was unattributed). Runs
+    * [[pipelineRun]] and materializes its frames in lineage order, so
+    * each wall is the INCREMENTAL cost of that stage over its
+    * predecessors' already-filled caches — exactly the barriers the
+    * shipped query pays, not a rebuilt replica (the auditStages chain
+    * is deliberately different: lineage-cut copies for plan isolation).
+    * `near_dup_retention`'s wall therefore contains the pair machinery
+    * (nd is unpersisted by design — the round-9 job-count cut) and
+    * `output` contains the resample+pack tail plus nd's cheap anti-join
+    * re-run. A timing/CI tool, not the serving path.
+    */
+  def pipelineStageTimings(
+      docs: DataFrame,
+      banned: DataFrame,
+      classifier: Option[(QualityModel.LogReg, Double)] = None): Seq[(String, Double, Long)] = {
+    val run = pipelineRun(docs, banned, classifier = classifier)
+    try {
+      (run.stages :+ ("output" -> run.output)).map { case (name, df) =>
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        (name, (System.nanoTime() - t0) / 1e9, rows)
+      }
+    } finally run.cleanup()
+  }
+
   /** Stage-isolated frames for per-stage plan auditing (closes the x53
     * blind spot PlanAudit documents: the composed pipeline's persist
     * boundaries hide every stage behind an InMemoryTableScan, so a

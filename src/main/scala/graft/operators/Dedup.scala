@@ -793,16 +793,16 @@ object Dedup {
     *     only checkpointed frame, and both benchmark-side join inputs
     *     carry explicit broadcast hints — every probe-side pass is a
     *     broadcast hash join the corpus STREAMS through;
-    *   - the PROBE side has no barrier at all: its three consumers each
-    *     recompute the codegen'd scan+tokenize lineage (the measured-
-    *     cheaper side of the flip condition at this tier), and the only
-    *     corpus-scale shuffle in the whole plan is the candidate pair
-    *     groupBy — map-side combined, output pair-bounded;
-    *   - per-probe-doc set sizes come from [[TextOps.shingleStats]] — a
-    *     pure per-row projection (array size, no explode) — joined
-    *     against the broadcast pair-bounded result, where
-    *     `jaccardAgainstCore` shuffles the exploded batch shingles for a
-    *     groupBy count.
+    *   - the PROBE side has no corpus-scale barrier: the corpus is
+    *     tokenized ONCE (the candidate pass) and scanned once more (a
+    *     broadcast semi-join cutting it to candidate docs — the only
+    *     frames checkpointed on this side are pair-bounded), and the
+    *     only corpus-scale shuffle in the whole plan is the candidate
+    *     pair groupBy — map-side combined, output pair-bounded;
+    *   - the hot-shingle complement and the per-doc set sizes are
+    *     computed over the CANDIDATE docs only (set sizes as a pure
+    *     array-size projection), where `jaccardAgainstCore` shuffles
+    *     the exploded batch shingles for a groupBy count.
     *
     * Output: (batch_id = probe doc, corpus_id = benchmark doc, jaccard)
     * for pairs >= threshold — column-compatible with
@@ -823,24 +823,78 @@ object Dedup {
       .localCheckpoint()
     val idxBench = shBench.filter(col("df") <= maxShingleDf)
     val hotBench = shBench.filter(col("df") > maxShingleDf)
-    // probe side: corpus-scale — `def`, not `val`: every use site builds
-    // its own lineage, nothing is shared, nothing is materialized
-    def shProbe = TextOps.shingles(probe, n)
-    val cands = shProbe.select(col("doc_id").as("batch_id"), col("shingle"))
+    // probe pass 1 — the ONLY corpus-scale tokenize: exploded probe
+    // shingles meet the rare benchmark postings WITHOUT a join-strategy
+    // hint, deliberately: a production benchmark (thousands of docs
+    // against billions) sits far under the broadcast threshold and
+    // auto-broadcasts — the corpus then streams map-side — while a
+    // benchmark too big to broadcast falls back to a parallel shuffled
+    // hash join, which is the RIGHT plan for that regime (forcing
+    // broadcast there serializes the whole query behind a driver-side
+    // hash build of the postings — measured 5x slower than the shuffle
+    // at the fixture's deliberately-oversized 10% benchmark split).
+    // Neither regime materializes a probe-side barrier; the pair
+    // groupBy below stays map-side combined and pair-bounded.
+    val cands = TextOps.shingles(probe, n)
+      .select(col("doc_id").as("batch_id"), col("shingle"))
       .join(
-        broadcast(idxBench.select(col("shingle"), col("doc_id").as("corpus_id"))),
+        idxBench.select(col("shingle"), col("doc_id").as("corpus_id")),
         Seq("shingle"))
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= minShared)
       .localCheckpoint() // pair-bounded: decontam HITS are rare by design
-    // second probe pass, cut to candidate docs FIRST (broadcast semi
-    // shape) so the hot-shingle expansion runs over a pair-bounded frame
-    val candProbeSh = shProbe.select(col("doc_id").as("batch_id"), col("shingle"))
-      .join(broadcast(cands.select("batch_id").distinct()), Seq("batch_id"))
-    val hotInter = candProbeSh
+    // probe pass 2 — a pure SCAN, no tokenize: everything downstream
+    // (hot-shingle complement, per-doc set sizes) concerns CANDIDATE
+    // docs only, so the corpus streams through one broadcast semi-join
+    // on doc_id and only the surviving pair-bounded documents are ever
+    // re-tokenized. (The first cut of this operator rebuilt the full
+    // corpus shingle frame per consumer — three corpus tokenizes; the
+    // bench caught it at 4.7x the x29-shaped baseline. One tokenize +
+    // one scan is also the strictly better 100 TB shape.) Checkpointed:
+    // candidate-bounded, two consumers.
+    // n_b (per-doc distinct-shingle count) is computed HERE, inside the
+    // checkpointed frame, for two reasons. (1) Inlining: left as a lazy
+    // projection, CollapseProject folds the whole tokenize+gram+distinct
+    // expression into every downstream reference — the final pair join
+    // then re-evaluated it PER JOINED ROW instead of per doc (measured:
+    // 7.8 s vs 0.6 s for the closing join at sf0.1). (2) Nullability:
+    // tokens over coalesce(text, '') makes n_b NON-NULLABLE, so the
+    // final jaccard filter's inferred isnotnull constraint is statically
+    // true and InferFiltersFromConstraints does not push a Filter with
+    // the re-inlined array expression down the lineage (the plan
+    // audit's HOF-in-filter rule caught exactly that in the first cut).
+    // Short/null-text docs get n_b = 0 instead of being filtered out:
+    // they produce no shingle rows, so they are never candidates and
+    // the output is row-identical (DedupSpec pins it against the
+    // incremental primitive).
+    val candDocs = probe
       .join(
-        broadcast(hotBench.select(col("doc_id").as("corpus_id"), col("shingle"))),
+        broadcast(cands.select(col("batch_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      // token array as a NAMED COLUMN first, the shingleFrame rule:
+      // handing tokens(…) to the gram lambda as an inline expression
+      // re-evaluates the split inside EVERY element_at of the
+      // interpreted HOF — O(tokens²) per doc, measured 6.5 s on the
+      // fixture's 4k candidate docs vs 0.2 s for this two-step form
+      // (CollapseProject keeps the steps apart because __toks is
+      // referenced more than once)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(coalesce(col("text"), lit(""))).as("__toks"))
+      .select(
+        col("doc_id"), col("text"),
+        size(TextOps.shingleArrayFromTokens(col("__toks"), n, distinct = true))
+          .cast("long").as("n_b"))
+      .localCheckpoint()
+    val candSh = TextOps.shingles(candDocs, n)
+      .select(col("doc_id").as("batch_id"), col("shingle"))
+    // no hint here either: candSh is pair-bounded and hotBench scales
+    // with the benchmark's boilerplate — whichever is smaller should
+    // build, and the planner sees both sizes (candSh sits on a
+    // checkpointed parent)
+    val hotInter = candSh
+      .join(
+        hotBench.select(col("doc_id").as("corpus_id"), col("shingle")),
         Seq("shingle"))
       .join(cands.select("batch_id", "corpus_id"), Seq("batch_id", "corpus_id"), "leftsemi")
       .groupBy("batch_id", "corpus_id")
@@ -851,11 +905,11 @@ object Dedup {
       .na.fill(0, Seq("n_hot_shared"))
       .withColumn("n_inter", col("n_rare_shared") + col("n_hot_shared"))
       .join(nBench.select(col("doc_id").as("corpus_id"), col("n").as("n_c")), Seq("corpus_id"))
-    // third probe pass: per-doc distinct-shingle counts as a projection —
-    // the corpus streams through ONE broadcast join against the
-    // pair-bounded assembly; no corpus frame is ever stored or shuffled
-    TextOps.shingleStats(probe, n)
-      .select(col("doc_id").as("batch_id"), col("n_shingles").as("n_b"))
+    // closing join over MATERIALIZED per-doc counts (see candDocs):
+    // pair-bounded × pair-bounded, every referenced column a plain
+    // attribute of a checkpointed frame
+    candDocs
+      .select(col("doc_id").as("batch_id"), col("n_b"))
       .join(broadcast(assembled), Seq("batch_id"))
       .withColumn(
         "jaccard",

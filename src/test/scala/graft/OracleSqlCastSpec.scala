@@ -61,6 +61,9 @@ class OracleSqlCastSpec extends AnyFunSuite {
     "o33_distinct_move_types" -> 1, "o35_count" -> 3,
     "o36_forecast_summary" -> 3, "o42_forecast_daily" -> 3,
     "o43_comments" -> 3, "s01_daily_counts" -> 1, "s02_sessions" -> 1,
+    // the streamed rows share their batch restatements' SQL verbatim
+    // (the round-13 alias map), so they inherit the same reviewed sums
+    "s01s_daily_counts_streamed" -> 1, "s02s_sessions_streamed" -> 1,
     "x02_token_stats" -> 1, "x102_pivot_events" -> 5,
     "x104_oov_by_lang" -> 2, "x113_vocab_coverage" -> 2,
     // x122: the four sums are over `v`, an alias of CAST(… AS DOUBLE) —
