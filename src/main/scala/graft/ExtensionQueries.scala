@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventAnalytics, Graph, Layout, Media, Profile, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
+import graft.operators.{Curation, Dedup, EventAnalytics, Graph, Importance, Layout, Media, Profile, Similarity, Sketches, Splits, TemporalJoins, TextOps, Vocab}
 import graft.sources.Tables
 import graft.streaming.Ingest
 
@@ -1011,6 +1011,52 @@ object ExtensionQueries {
       stringStatsTableFor(s, dir)
         .readBetweenStrings(s, "source", "src10", "src15")
         .orderBy("doc_id")),
+
+    // Bloom-pruned point read (x135): the file-skipping rung min/max
+    // CANNOT supply — the snapshot is hash-clustered by SOURCE, so every
+    // file's doc_id [min, max] spans ~the whole domain and the range
+    // rung keeps all files; the per-file Bloom rows (tag `b`, same
+    // `_stats` sidecar, same degrade-to-keep discipline) answer the
+    // point predicate anyway. The fixture commits + appendCommits so
+    // bloom rows both harvest and CARRY across version directories
+    // inside the hash gate; VersionedTableSpec pins that files are
+    // genuinely skipped and that min/max alone would not have pruned.
+    // Oracle: the plain IN-filtered read — pruning is an optimization,
+    // never semantics.
+    "x135_bloom_pruned_read" -> ((s, dir) =>
+      bloomTableFor(s, dir)
+        .readIn(s, "doc_id", Seq(7L, 123L, 250L, 377L, 444L))
+        .orderBy("doc_id")),
+
+    // DSIR importance weights (x133): the published data-selection
+    // recipe (Xie et al. 2023) — hashed unigram+bigram bag distributions
+    // fitted over target (the English slice) and raw (the whole corpus),
+    // every raw doc scored with its add-one-smoothed log importance
+    // weight. One corpus scan per distribution + one scoring pass whose
+    // only join is broadcast against the ≤|buckets| log-ratio table —
+    // no corpus×corpus anywhere. The md5-bucket hash is the x36 trick,
+    // so the oracle replays the full fit+score bit-for-bit; weights are
+    // 8-then-4 double-rounded (the x39 sum-order convention).
+    "x133_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Importance.importanceWeights(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "en").select("doc_id", "text"),
+        numBuckets = 256)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR top-k selection (x134): the resampling step over x133's
+    // weights — the k most target-like docs by (rounded logw desc,
+    // doc_id), rank attached, source/lang rejoined by broadcasting the
+    // k-row survivor frame. The global rank is the WindowGroupLimit
+    // top-k shape (x101/x125c family).
+    "x134_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Importance.selectTopK(
+        docs, docs.filter(col("lang") === "en"), numBuckets = 256, k = 100)
+        .orderBy("rank")
+    }),
 
     // Cluster label-purity (x130): the external-validation companion of
     // x124 — per cell of the SAME committed IVF centroids, the majority
@@ -2590,6 +2636,32 @@ object ExtensionQueries {
   private val StringStatsTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** x135's snapshot: documents hash-clustered by SOURCE so every file's
+    * doc_id range overlaps ~the whole domain (the layout that defeats
+    * min/max and motivates bloom), committed with BOTH `l` and `b` rows
+    * on doc_id (pruneBy intersects them), plus an appendCommit batch so
+    * bloom rows carry across version directories at O(batch).
+    */
+  private val BloomTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bloomTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = BloomTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x135_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      vt.commit(
+        docs.filter(col("doc_id") < 400).repartition(8, col("source")),
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+      vt.appendCommit(
+        docs.filter(col("doc_id") >= 400).repartition(2, col("source")),
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
   private def stringStatsTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
     val root = StringStatsTables.computeIfAbsent(dir, _ => {
       val r = java.nio.file.Files.createTempDirectory("graft_x132_").toString + "/t"
@@ -3139,6 +3211,38 @@ object ExtensionQueries {
       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared DSIR fit CTEs (x133/x134): hashed unigram+bigram features
+    * (the x25 gram construction over the RAW token array, empty unigrams
+    * dropped), md5-hex buckets mod 256 (the x36 positional parse — exact:
+    * the 8-digit value is an integer < 2^32, representable in a double),
+    * per-doc and corpus-level counts, the English slice as target, and
+    * the add-one-smoothed log-ratio table over the raw-observed bucket
+    * domain with the ln terms in the engine's exact order.
+    */
+  private val DsirCtes: String =
+    """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |uni AS (SELECT doc_id, unnest(toks) AS feat FROM tk),
+      |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1])) AS feat
+      |       FROM tk WHERE len(toks) >= 2),
+      |f AS (SELECT doc_id, feat FROM uni WHERE len(feat) > 0
+      |      UNION ALL SELECT doc_id, feat FROM bi),
+      |fb AS (SELECT doc_id,
+      |              CAST(list_sum(list_transform(range(1, 9),
+      |                i -> (strpos('0123456789abcdef', substr(md5(feat), CAST(i AS INT), 1)) - 1)
+      |                     * 16 ** (8 - i))) AS BIGINT) % 256 AS bucket
+      |       FROM f),
+      |dc AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM fb GROUP BY 1, 2),
+      |rc AS (SELECT bucket, SUM(cnt) AS r_cnt FROM dc GROUP BY 1),
+      |tc AS (SELECT bucket, COUNT(*) AS t_cnt
+      |       FROM fb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(r_cnt) FROM rc) AS r_tot,
+      |               (SELECT COALESCE(SUM(t_cnt), 0) FROM tc) AS t_tot),
+      |ratio AS (SELECT rc.bucket,
+      |                 ln(COALESCE(tc.t_cnt, 0) + 1.0) - ln(t_tot + 256.0)
+      |                 - ln(rc.r_cnt + 1.0) + ln(r_tot + 256.0) AS lr
+      |          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot)""".stripMargin
 
   private val JaccardNearDupsSql: String =
     s"""WITH $PairIntersectionCtes
@@ -5042,6 +5146,33 @@ object ExtensionQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source BETWEEN 'src10' AND 'src15' AND doc_id % 11 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // x135: the bloom-pruned point read must equal the plain IN-filtered
+    // read — file skipping is an optimization, never semantics
+    "x135_bloom_pruned_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 250, 377, 444) ORDER BY doc_id""".stripMargin,
+    // x133/x134: the full DSIR fit + score replayed relationally — the
+    // md5-hex bucket parse is x36's positional trick, the four ln terms
+    // are stated in the engine's exact order, and the weight crosses
+    // engines 8-then-4 double-rounded (the x39 convention)
+    "x133_dsir_weights" ->
+      s"""$DsirCtes
+         |SELECT dc.doc_id, CAST(SUM(dc.cnt) AS BIGINT) AS n_feats,
+         |       round(round(SUM(dc.cnt * ratio.lr), 8), 4) + 0.0 AS logw
+         |FROM dc JOIN ratio USING (bucket)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x134_dsir_select" ->
+      s"""$DsirCtes,
+         |w AS (SELECT dc.doc_id, CAST(SUM(dc.cnt) AS BIGINT) AS n_feats,
+         |             round(round(SUM(dc.cnt * ratio.lr), 8), 4) + 0.0 AS logw
+         |      FROM dc JOIN ratio USING (bucket) GROUP BY 1),
+         |rk AS (SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank,
+         |              doc_id, n_feats, logw
+         |       FROM w)
+         |SELECT rk.rank, rk.doc_id, d.source, d.lang, rk.n_feats, rk.logw
+         |FROM rk JOIN documents d USING (doc_id)
+         |WHERE rk.rank <= 100
+         |ORDER BY rk.rank""".stripMargin,
     // the table-backed variant computes the IDENTICAL result, so it gates
     // against the same oracle
     "x24t_jaccard_table" -> JaccardNearDupsSql,

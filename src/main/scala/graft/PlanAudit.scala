@@ -305,6 +305,12 @@ object PlanAudit {
     "x97_hist_quantiles" -> 1,
     // class (a): the quota derivation's one-row weight-total crossJoin
     "x99_token_budget" -> 1,
+    // class (a) twice: DSIR's totals frame is itself a 1-row crossJoin
+    // of the two distributions' sums, and the log-ratio table crossJoins
+    // it — both broadcast-one-row, the mixWeights class; the scoring
+    // join and the top-k rejoin are broadcast equi-joins
+    "x133_dsir_weights" -> 2,
+    "x134_dsir_select" -> 2,
     // class (a) again: the resample stage's mixWeights normalizer — the
     // only BNLJ the composed curation chain's FINAL plan may contain
     // (upstream stages sit behind persist boundaries and are audited via

@@ -524,8 +524,26 @@ object Dedup {
     // (one corpus shuffle fewer) and the fused len/rank window (one
     // corpus sort fewer) took the candidate stage 2.1 → ~1.55 s and the
     // whole operator to ~3.0–3.4 s (BENCH_DETAIL's x106_stages tracks
-    // this per round). Remaining lever if ever needed: the suffix
-    // filter (§4.2). Rejected: checkpointing
+    // this per round).
+    //
+    // SUFFIX FILTER (Xiao §4.2) — measured and REJECTED (round 13): the
+    // round-12 verdict conditioned it on the verify stage still leading
+    // after the window fusions; the round-13 stage data says it does not
+    // (candidates 1.57–2.33 s vs verify 1.38–1.53 s per rep). And the
+    // DataFrame restatement is structurally self-defeating: the suffix
+    // filter's probe needs each candidate pair's TOKEN SUFFIXES, which
+    // here means joining the pair frame to the per-doc arrays — exactly
+    // the two joins the verify stage already pays, after which
+    // size(array_intersect) per pair costs no more than the binary
+    // descent it would replace. (In Xiao's record-at-a-time index the
+    // arrays are already in hand when a candidate surfaces — the filter
+    // is free to consult; across a shuffle boundary it is not.) A
+    // cheaper pair-level tightening (accumulating shared-prefix counts
+    // in the pair groupBy) is NOT lossless here because the i-prefix
+    // asymmetry undercounts shared tokens — an undercounted overlap
+    // upper bound prunes true pairs. Revisit only if the verify stage's
+    // pair volume grows past the candidate stage at a real corpus.
+    // Rejected: checkpointing
     // `prefix` for its two consumers — storing the corpus-scale frame
     // measured SLOWER (6.6 s) than recomputing the codegen'd lineage
     // twice.

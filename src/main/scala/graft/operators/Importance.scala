@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling") —
+  * the published recipe for picking the slice of a raw web corpus that
+  * most resembles a target domain (wiki/books/a benchmark's style)
+  * WITHOUT running a model over 100 TB: fit two bag-of-hashed-n-grams
+  * distributions (target and raw), score every raw document with its
+  * log importance weight Σ_b c_b·(ln p̂_target[b] − ln p̂_raw[b]), and
+  * keep the top slice. It is the standard pre-filter between "crawl
+  * everything" and "pay GPU time per document" — the reference has
+  * nothing like it (extension surface, same family as the Curation
+  * pipeline's stages).
+  *
+  * Feature map (the paper's §3): unigrams plus adjacent-token bigrams,
+  * hashed into `numBuckets` buckets. The hash here is the md5-hex
+  * uniform trick the resampler (x36) established — first 8 hex digits
+  * parsed as an integer, mod the bucket count — because it is exactly
+  * reproducible in the DuckDB oracle dialect; any uniform hash serves
+  * the method. Smoothing is add-one over the bucket domain
+  * (p̂[b] = (cnt[b]+1)/(total+numBuckets)), so buckets unseen in the
+  * target still score finitely.
+  *
+  * Scale shapes:
+  *  - [[hashedFeatures]] is ONE corpus scan → per-(doc, bucket) counts:
+  *    a projection + explode + groupBy bounded by corpus token volume —
+  *    the same substrate cost as tokenization itself.
+  *  - The two fitted distributions are ≤ `numBuckets` rows each —
+  *    broadcastable by construction (the paper uses 10^4–10^5 buckets).
+  *    The fit side is LINEAR in its input (bucket counts fold by sum,
+  *    the x84/x92 convention), so at 100 TB the raw-side distribution
+  *    can come from a sample or a maintained count table without
+  *    changing the scoring join.
+  *  - [[importanceWeights]] scores docs with one broadcast join of the
+  *    per-doc bucket counts against the bounded log-ratio table and one
+  *    doc-grain groupBy — no corpus×corpus join anywhere.
+  *  - [[selectTopK]] ranks by (rounded weight desc, doc_id) under a
+  *    global window with a `rank <= k` filter — the Vocab.rankVocab
+  *    shape, which the optimizer executes as per-partition top-k below
+  *    a k-row single-partition merge (WindowGroupLimit; PLANS.md pins
+  *    it for the x101/x125c family), then rejoins the k surviving ids
+  *    to the corpus by broadcast.
+  *
+  * Determinism across engines: weights are double sums whose addend
+  * ORDER differs between engines, so the gate compares (and the
+  * selection ranks) the 8-then-4 double-rounded value — the x39 LM
+  * convention; ties in the rounded weight break on doc_id.
+  */
+object Importance {
+
+  /** Hash bucket of a feature string: first 8 md5 hex digits (a uniform
+    * 32-bit integer, the x36 trick) mod `numBuckets` — exactly
+    * reproducible in the oracle dialect via positional hex parsing.
+    */
+  def bucket(feature: Column, numBuckets: Int): Column =
+    conv(substring(md5(feature), 1, 8), 16, 10).cast("long") % numBuckets
+
+  /** Per-document hashed feature counts: (doc_id, bucket, cnt) over
+    * unigrams (empty tokens dropped) and adjacent-token bigrams (the
+    * x25 gram construction — concat_ws over the RAW token array). ONE
+    * corpus scan and ONE Generate: both feature classes concat into a
+    * single array per doc before the explode — a two-arm union scanned
+    * the corpus twice per distribution, pure waste at 100 TB (the
+    * bucket counts are order-invariant, so fusing the arms is free).
+    * The token array is materialized as an attribute before any lambda
+    * references it (the HOF-inlining discipline), and explode_outer
+    * dodges the inferred-generate-filter trap (the TextOps.shingles
+    * note); shingleArrayFromTokens returns [] below 2 tokens, so no
+    * length guard is needed.
+    */
+  def hashedFeatures(docs: DataFrame, numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        explode_outer(concat(
+          filter(col("__toks"), t => length(t) > 0),
+          TextOps.shingleArrayFromTokens(col("__toks"), 2, distinct = false))).as("feat"))
+      .filter(col("feat").isNotNull)
+      .select(col("doc_id"), bucket(col("feat"), numBuckets).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Corpus-level bucket totals: (bucket, cnt) — the sufficient
+    * statistic of a bag-of-hashed-n-grams distribution. ≤ numBuckets
+    * rows; linear in its input (fold two corpora's tables by summed
+    * bucket), so the fit side maintains incrementally.
+    */
+  def bucketCounts(docs: DataFrame, numBuckets: Int): DataFrame =
+    hashedFeatures(docs, numBuckets).groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Per-document DSIR log importance weights of `raw` against the
+    * `target` corpus: (doc_id, n_feats, logw) for every raw doc with at
+    * least one feature, logw 8-then-4 double-rounded (the cross-engine
+    * sum-order convention). The log-ratio table is built over the
+    * RAW-observed bucket domain (a raw doc cannot touch a bucket absent
+    * from the raw counts) with add-one smoothing on both sides, kept to
+    * ≤ numBuckets rows and broadcast into the scoring join.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, numBuckets: Int): DataFrame = {
+    val rawFeats = hashedFeatures(raw, numBuckets)
+    // the raw distribution re-derives rawFeats rather than checkpointing
+    // it: the frame is corpus-token-scale, and the ppjoinCand measurement
+    // (storing ~corpus-scale rows costs more than recomputing a codegen'd
+    // scan+explode+groupBy lineage) applies unchanged; at 100 TB the fit
+    // side would come from a maintained count table or a sample anyway
+    // (bucketCounts is linear), leaving scoring as the only corpus pass.
+    val rawCounts = bucketCounts(raw, numBuckets)
+      .select(col("bucket"), col("cnt").as("r_cnt"))
+    val targetCounts = bucketCounts(target, numBuckets)
+      .select(col("bucket"), col("cnt").as("t_cnt"))
+    val totals = rawCounts
+      .agg(sum(col("r_cnt")).as("r_tot"))
+      .crossJoin(targetCounts.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot")))
+    // ln((t+1)/(T+m)) − ln((r+1)/(R+m)), expanded to the SAME four-term
+    // form the oracle states so both engines evaluate identical ln calls
+    val ratio = rawCounts
+      .join(targetCounts, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(
+        col("bucket"),
+        (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))
+          - log(col("t_tot") + lit(numBuckets.toDouble))
+          - log(col("r_cnt") + lit(1.0))
+          + log(col("r_tot") + lit(numBuckets.toDouble))).as("lr"))
+    rawFeats
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_feats"),
+        // ra, not plain round: the weight is an aggregated double (sum
+        // order differs per engine/parallelism) and Spark's round is
+        // repr-half-up vs DuckDB's binary-half-away — CrossRound.ra is
+        // the multiply-form + pre-round that agrees with the oracle's
+        // round(round(x, 8), 4) everywhere. + 0.0: weights can be
+        // negative, and a near-zero negative rounds to -0.0 on DuckDB
+        // but never on Spark (the r4z signed-zero guard, both engines).
+        (CrossRound.ra(sum(col("cnt") * col("lr")), 4) + lit(0.0)).as("logw"))
+  }
+
+  /** The selection step: the `k` most target-like raw documents by
+    * (logw desc, doc_id asc), rank attached, source/lang rejoined from
+    * the corpus via a broadcast of the k-row survivor frame. Global
+    * window + `rank <= k` filter = the WindowGroupLimit top-k shape.
+    */
+  def selectTopK(raw: DataFrame, target: DataFrame, numBuckets: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = importanceWeights(raw, target, numBuckets)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("logw").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+    raw
+      .join(broadcast(w), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"), col("n_feats"), col("logw"))
+  }
+}

@@ -52,6 +52,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hide a freshly-committed file and stray files are never silently read.
   */
 final class VersionedTable(val root: String) {
+  import VersionedTable.DefaultBloomBits
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_latest")
@@ -85,7 +86,9 @@ final class VersionedTable(val root: String) {
       df: DataFrame,
       partitionBy: Seq[String] = Nil,
       tag: Option[String] = None,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Long = {
     // next version from ALL directories on disk, not just the published
     // pointer: a crash between write and publish leaves an orphan v=N dir,
     // and computing next from the pointer alone would collide with it on
@@ -95,8 +98,11 @@ final class VersionedTable(val root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(next).toString)
     writeManifest(next)
-    if (statsColumns.nonEmpty)
-      writeStats(next, harvestStats(manifest(next).get, statsColumns.toSet))
+    if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+      writeStats(
+        next,
+        harvestStats(manifest(next).get, statsColumns.toSet) ++
+          harvestBloom(df.sparkSession, manifest(next).get, bloomColumns.toSet, bloomBits))
     tag.foreach(t =>
       Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
     // publish: temp file + atomic rename — the one-instruction commit
@@ -136,7 +142,9 @@ final class VersionedTable(val root: String) {
   def appendCommit(
       df: DataFrame,
       tag: Option[String] = None,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Long = {
     val prevVersion = latestVersion()
     val prev = prevVersion.map(v =>
       manifest(v).getOrElse(throw new IllegalStateException(
@@ -149,7 +157,7 @@ final class VersionedTable(val root: String) {
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     df.write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
-    if (statsColumns.nonEmpty) {
+    if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
       // O(batch) stats work, like the data write itself: new files'
       // footers are harvested, carried files' rows COPY from the
       // previous _stats (keys are root-relative, so they stay valid
@@ -157,7 +165,10 @@ final class VersionedTable(val root: String) {
       // stats row simply stays unprunable — never silently skipped)
       val ownFiles = manifest(next).get.filterNot(prev.toSet)
       val carriedStats = prevVersion.map(readStatsLines).getOrElse(Nil)
-      writeStats(next, carriedStats ++ harvestStats(ownFiles, statsColumns.toSet))
+      writeStats(
+        next,
+        carriedStats ++ harvestStats(ownFiles, statsColumns.toSet) ++
+          harvestBloom(df.sparkSession, ownFiles, bloomColumns.toSet, bloomBits))
     }
     tag.foreach(t =>
       Files.write(versionDir(next).resolve("_tag"), t.getBytes(StandardCharsets.UTF_8)))
@@ -205,7 +216,7 @@ final class VersionedTable(val root: String) {
       .filter(not(coalesce(cond, lit(false))))
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry)
-    propagateStats(next, v, carry)
+    propagateStats(spark, next, v, carry)
     publish(next)
     next
   }
@@ -272,7 +283,7 @@ final class VersionedTable(val root: String) {
       .coalesce(bins)
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry.map(_._1))
-    propagateStats(next, v, carry.map(_._1))
+    propagateStats(spark, next, v, carry.map(_._1))
     publish(next)
     next
   }
@@ -291,18 +302,30 @@ final class VersionedTable(val root: String) {
     * never requested). O(rewritten files) footer reads, in keeping with
     * the maintenance paths' file-granular economics.
     */
-  private def propagateStats(next: Long, prevV: Long, carriedAbs: Seq[String]): Unit = {
+  private def propagateStats(
+      spark: SparkSession, next: Long, prevV: Long, carriedAbs: Seq[String]): Unit = {
     val prevLines = readStatsLines(prevV)
     if (prevLines.nonEmpty) {
-      val cols = prevLines.flatMap(_.split("\t") match {
-        case Array(_, c, _, _, _) => Some(c)
+      // split the column opt-ins by row KIND: min/max rows (l/d/s) re-harvest
+      // from footers, bloom rows (b) re-harvest with the previous rows' own
+      // bit width — the sidecar is the durable record of both choices
+      val tagged = prevLines.flatMap(_.split("\t") match {
+        case Array(_, c, t, _, mx) => Some((c, t, mx))
         case _ => None
-      }).toSet
+      })
+      val minmaxCols = tagged.collect { case (c, t, _) if t != "b" => c }.toSet
+      val bloomCols = tagged.collect { case (c, "b", _) => c }.toSet
+      val bloomWidth = tagged.collectFirst { case (_, "b", mx) =>
+        scala.util.Try(mx.split(":")(0).toInt).getOrElse(DefaultBloomBits)
+      }.getOrElse(DefaultBloomBits)
       val carriedRel = carriedAbs
         .map(a => rootPath.relativize(Paths.get(a)).toString).toSet
       val carriedLines = prevLines.filter(l => l.split("\t").headOption.exists(carriedRel))
       val own = manifest(next).get.filterNot(carriedAbs.toSet)
-      writeStats(next, carriedLines ++ harvestStats(own, cols))
+      writeStats(
+        next,
+        carriedLines ++ harvestStats(own, minmaxCols) ++
+          harvestBloom(spark, own, bloomCols, bloomWidth))
     }
   }
 
@@ -516,7 +539,8 @@ final class VersionedTable(val root: String) {
   // carried files keep their rows, rewritten files re-harvest
   // (propagateStats). Covered types: integral `l` (incl. DATE = INT32
   // days and TIMESTAMP = INT64 micros), floating `d` (NaN-guarded),
-  // string `s` (unsigned UTF-8 order, whole-value bounds only).
+  // string `s` (unsigned UTF-8 order, whole-value bounds only), and the
+  // opt-in per-file Bloom rows `b` for point predicates (below).
   // -------------------------------------------------------------------
 
   private def statsPath(v: Long): Path = versionDir(v).resolve("_stats")
@@ -624,6 +648,137 @@ final class VersionedTable(val root: String) {
   private val binaryOrd: Ordering[org.apache.parquet.io.api.Binary] =
     (x, y) => java.util.Arrays.compareUnsigned(x.getBytes, y.getBytes)
 
+  // -------------------------------------------------------------------
+  // File-level BLOOM skipping (tag `b`) — the pruning rung min/max
+  // cannot supply: a point lookup (`column IN (…)`) on a column the
+  // table is NOT laid out by finds every file's [min, max] spanning the
+  // whole domain, so the range rung keeps everything. A per-file Bloom
+  // filter answers "can this file contain value x?" regardless of
+  // layout — Delta's bloom-filter index / Iceberg's puffin blobs,
+  // restated through the same `_stats` sidecar. One row per (file,
+  // column): base64 bitset in the min field, "bits:k" params in the max
+  // field, so the existing parse/degrade discipline applies verbatim
+  // (corrupt payload → keep the file; unknown tag in an old reader →
+  // keep). False positives cost only IO (file read, exact filter still
+  // applies); false negatives are impossible by construction — every
+  // value written sets its k bits, and both sides compute positions
+  // with the SAME hash (Spark's XXH64, seed 42, LONG input) and the
+  // same mod-first arithmetic, so executor harvest and driver probe
+  // cannot disagree (mod-first also keeps every +/× far below overflow,
+  // which matters under ANSI arithmetic).
+  //
+  // Harvest cost is one column-pruned distributed scan of the NEW files
+  // per commit — deliberately more than the footer-only min/max harvest
+  // (a bloom needs the values), which is why it is a separate opt-in.
+  // v1 covers integral columns (hashed as longs); the per-file bitset
+  // is bits/8 bytes (default 8 KiB), bounded driver state like the
+  // manifest itself.
+  // -------------------------------------------------------------------
+
+  /** Bloom probe count. With the default 2^16 bits, k=7 holds the
+    * false-positive rate under 1% up to ~6.5k distinct values per file
+    * and degrades gracefully past it (worse pruning, never wrong).
+    */
+  private val BloomK = 7
+
+  /** One `b` stats row per (new file, column): the distributed harvest
+    * job reads ONLY `cols` (column-pruned scan), computes the k
+    * Kirsch–Mitzenmacher positions pos_i = (h1 + i·h2) mod bits per
+    * value with h1/h2 pre-reduced mod bits, and folds per-file position
+    * sets map-side (collect_set) — driver state is |files| × bits/8
+    * bytes. Integral columns hash as longs (kind tag `l` in the params),
+    * string columns as their UTF-8 bytes (kind `s`); other or absent
+    * column types emit no row (unprunable, never wrong); all-null files
+    * likewise. The kind tag makes a wrong-typed probe degrade to keep
+    * instead of pruning on a meaningless hash.
+    */
+  private def harvestBloom(
+      spark: SparkSession, files: Seq[String], cols: Set[String], bits: Int): Seq[String] = {
+    require(bits > 0 && bits <= (1 << 28), s"bloomBits out of range: $bits")
+    if (files.isEmpty || cols.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val schema = spark.read.parquet(files: _*).schema
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    cols.toSeq.sorted.flatMap { c =>
+      val kind = schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(t) if integral.contains(t) => Some("l")
+        case Some(org.apache.spark.sql.types.StringType) => Some("s")
+        case _ => None
+      }
+      kind.toSeq.flatMap { k =>
+        val m = lit(bits.toLong)
+        val v0 = spark.read.parquet(files: _*)
+          .select(
+            input_file_name().as("__f"),
+            (if (k == "l") col(c).cast("long") else col(c)).as("__v"))
+          .filter(col("__v").isNotNull)
+        v0.select(
+            col("__f"),
+            pmod(xxhash64(col("__v")), m).as("__h1"),
+            pmod(xxhash64(lit(1L), col("__v")), m).as("__h2"))
+          .select(col("__f"), explode(transform(
+            sequence(lit(0L), lit((BloomK - 1).toLong)),
+            i => pmod(col("__h1") + i * col("__h2"), m))).as("__p"))
+          .groupBy("__f")
+          .agg(collect_set(col("__p")).as("__ps"))
+          .collect().toSeq
+          .map { r =>
+            val abs = try Paths.get(new java.net.URI(r.getString(0))).toString
+              catch { case _: Exception => r.getString(0) }
+            val rel = rootPath.relativize(Paths.get(abs)).toString
+            val bs = new java.util.BitSet(bits)
+            r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+            val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+            s"$rel\t$c\tb\t${enc(b64)}\t${enc(s"$bits:$BloomK:$k")}"
+          }
+      }
+    }
+  }
+
+  /** Driver-side mirror of the harvest job's bit positions — the SAME
+    * hash (Spark's XXH64Function, seed 42; h2 seeded by hashing the
+    * literal 1L first, exactly the two-child xxhash64 column) and the
+    * same mod-first arithmetic, so probe and harvest agree bit for bit.
+    * Long values hash as LongType, strings as their UTF8String bytes —
+    * matching what the executor-side xxhash64 saw for each column kind.
+    */
+  private def bloomPositions(value: Either[Long, String], bits: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def h(seed: Long): Long = value match {
+      case Left(l) => XxHash64Function.hash(l, LongType, seed)
+      case Right(s) => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, seed)
+    }
+    val h1 = Math.floorMod(h(42L), bits.toLong)
+    val h2 = Math.floorMod(
+      h(XxHash64Function.hash(1L, LongType, 42L)), bits.toLong)
+    Array.tabulate(BloomK)(i => Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt)
+  }
+
+  /** Bloom membership for the prune walk: true (keep) unless the row
+    * parses cleanly, its hash KIND matches the probe's, AND every probed
+    * value misses. Any parse/shape/kind problem degrades to keep — the
+    * standing "pruning is an optimization, never semantics" contract.
+    */
+  private def bloomAdmits(
+      payload: String, params: String, values: Seq[Either[Long, String]]): Boolean =
+    (for {
+      parts <- scala.util.Try(params.split(":")).toOption
+      bits <- scala.util.Try(parts(0).toInt).toOption
+      if bits > 0
+      kind <- parts.lift(2)
+      if values.forall(v => (kind == "l") == v.isLeft)
+      bytes <- scala.util.Try(java.util.Base64.getDecoder.decode(payload)).toOption
+    } yield {
+      val bs = java.util.BitSet.valueOf(bytes)
+      values.exists(x => bloomPositions(x, bits).forall(bs.get))
+    }).getOrElse(true)
+
   private def writeStats(v: Long, lines: Seq[String]): Unit =
     Files.write(statsPath(v), lines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
@@ -667,8 +822,33 @@ final class VersionedTable(val root: String) {
       case ("d", mn, mx) =>
         val (lo, hi) = (mn.toDouble, mx.toDouble)
         values.exists(x => x.toDouble >= lo && x.toDouble <= hi)
+      // bloom rows serve point predicates directly: a file is kept iff at
+      // least one probed value hits all k bits. When BOTH an `l` and a `b`
+      // row exist for the column, pruneBy's forall intersects them — the
+      // range rung and the bloom rung compose.
+      case ("b", payload, params) => bloomAdmits(payload, params, values.map(Left(_)))
       case _ => true
     }
+
+  /** String-point-set variant of [[pruneFilesIn]]: `s` min/max rows
+    * bound membership under unsigned UTF-8 order, string-kind bloom
+    * rows probe directly; numeric hints keep (cannot serve strings).
+    */
+  def pruneFilesInStrings(v: Long, column: String, values: Seq[String]): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("s", mn, mx) =>
+        values.exists(x => cmpUtf8(x, mn) >= 0 && cmpUtf8(x, mx) <= 0)
+      case ("b", payload, params) => bloomAdmits(payload, params, values.map(Right(_)))
+      case _ => true
+    }
+
+  /** [[readIn]] for string point sets — min/max and bloom hints
+    * intersect, the exact IN filter applies to the survivors.
+    */
+  def readInStrings(spark: SparkSession, column: String, values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readPruned(spark, col(column).isin(values: _*))(pruneFilesInStrings(_, column, values))
+  }
 
   /** [[readBetween]]'s point-set sibling: prune via [[pruneFilesIn]],
     * then apply the exact `column IN (values)` filter to the survivors.
@@ -694,7 +874,10 @@ final class VersionedTable(val root: String) {
     // line-level Try: a malformed sidecar line (bad %-escape, wrong field
     // count) contributes no entry, so its file is KEPT — same degradation
     // contract as the comparison below
-    val byFile: Map[String, (String, String, String)] = readStatsLines(v).flatMap { line =>
+    // a file may carry SEVERAL hint rows for one column (min/max `l` plus
+    // bloom `b`) — it survives only if EVERY row permits it: each hint is
+    // an independent proof of absence, so the prunable set is their union
+    val byFile: Map[String, Seq[(String, String, String)]] = readStatsLines(v).flatMap { line =>
       scala.util.Try {
         line.split("\t") match {
           case Array(rel, c, tag, mn, mx) if c == column =>
@@ -702,13 +885,11 @@ final class VersionedTable(val root: String) {
           case _ => None
         }
       }.toOption.flatten
-    }.toMap
+    }.groupMap(_._1)(_._2)
     val kept = files.filter { f =>
-      byFile.get(f) match {
-        case Some((tag, mn, mx)) =>
-          scala.util.Try(permits(tag, mn, mx)).getOrElse(true)
-        case None => true // no stats: never skip
-      }
+      byFile.getOrElse(f, Nil).forall { case (tag, mn, mx) =>
+        scala.util.Try(permits(tag, mn, mx)).getOrElse(true)
+      } // no stats rows: never skip
     }
     (kept, files.size)
   }
@@ -850,6 +1031,13 @@ final class VersionedTable(val root: String) {
 
 object VersionedTable {
   def apply(root: String): VersionedTable = new VersionedTable(root)
+
+  /** Default per-file Bloom width: 2^16 bits = 8 KiB per (file, column)
+    * row — at 7 probes that keeps the false-positive rate under 1% to
+    * ~6.5k distinct values per file, and a miss only costs the IO the
+    * prune would have saved.
+    */
+  val DefaultBloomBits: Int = 1 << 16
 
   /** Materialize a corpus-scale intermediate frame once for its multiple
     * consumers: into `sink` as a committed snapshot when given — the

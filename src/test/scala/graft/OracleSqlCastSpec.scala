@@ -70,6 +70,11 @@ class OracleSqlCastSpec extends AnyFunSuite {
     // double-typed, so DuckDB sums to DOUBLE; the bare-name heuristic
     // just can't see through the alias (reviewed round 11, hash-green)
     "x122_embedding_profile" -> 4,
+    // x133/x134: the three interior sums (rc's bucket counts and the two
+    // scalar totals) feed ln() as doubles and never reach the output —
+    // the output sums are CAST(… AS BIGINT) / a double sum (reviewed
+    // round 13, hash-green in the selfcheck sweep)
+    "x133_dsir_weights" -> 3, "x134_dsir_select" -> 3,
     "x17_rollup_totals" -> 2, "x18_rolling_7day" -> 1,
     "x25_repetition" -> 1, "x27_source_mix" -> 1, "x32_mix_weights" -> 2,
     "x36_resampled_corpus" -> 2, "x39_unigram_logprob" -> 2,

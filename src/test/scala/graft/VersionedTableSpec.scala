@@ -627,4 +627,106 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(kept.length < total && kept.nonEmpty)
     assert(t.readBetween(spark, "id", 0, 10).count() === 11)
   }
+
+  test("bloom skipping: point reads prune where min/max cannot, and never drop a match") {
+    val t = freshTable()
+    import spark.implicits._
+    // hash-clustered layout: every file's id [min, max] spans ~the whole
+    // domain, so the range rung is useless for id points — bloom's case
+    val df = (0L until 800L).map(i => (i, s"k${i % 13}", i * 2)).toDF("id", "s", "v")
+    val v0 = t.commit(
+      df.repartition(8, col("s")), statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val probes = Seq(3L, 411L, 777L)
+    // min/max alone keeps everything (overlapping spans)...
+    val keptRange = probes.map(p => t.pruneFiles(v0, "id", p, p)._1.toSet).reduce(_ union _)
+    assert(keptRange.size === 8, "fixture broken: ranges were supposed to overlap")
+    // ...bloom prunes the same point set
+    val (kept, total) = t.pruneFilesIn(v0, "id", probes)
+    assert(total === 8)
+    assert(kept.length < total, s"bloom pruned nothing: $kept")
+    // no false negative: every file that ACTUALLY holds a probed id survives
+    val holding = t.read(spark).filter(col("id").isin(probes: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString).toSet
+    assert(holding.subsetOf(kept.toSet), "bloom dropped a file holding a probed value")
+    // the pruned read is row-identical to the plain filtered read
+    val pruned = t.readIn(spark, "id", probes)
+    val full = t.read(spark).filter(col("id").isin(probes: _*))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // a probe set matching nothing: zero rows, no error
+    assert(t.readIn(spark, "id", Seq(100000L)).count() === 0)
+  }
+
+  test("bloom skipping: rows carry through appendCommit and re-harvest through compaction") {
+    val t = freshTable()
+    import spark.implicits._
+    val base = (0L until 400L).map(i => (i, s"k${i % 7}")).toDF("id", "s")
+    t.commit(base.repartition(6, col("s")), statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val batch = (400L until 500L).map(i => (i, s"k${i % 7}")).toDF("id", "s")
+    val v1 = t.appendCommit(
+      batch.repartition(2, col("s")), statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    // carried base rows AND fresh batch rows both serve the point prune
+    val (kept1, total1) = t.pruneFilesIn(v1, "id", Seq(5L, 450L))
+    assert(kept1.length < total1)
+    assert(t.readIn(spark, "id", Seq(5L, 450L)).count() === 2)
+    // compaction rewrites the small files — propagateStats must re-harvest
+    // bloom rows for the rewritten output, not silently drop the rung
+    val v2 = t.compactFiles(spark)
+    assert(v2 > v1, "fixture files were supposed to be small enough to compact")
+    val probes2 = Seq(17L, 471L)
+    val (kept2, total2) = t.pruneFilesIn(v2, "id", probes2)
+    assert(total2 > 0)
+    val pruned2 = t.readIn(spark, "id", probes2)
+    val full2 = t.read(spark).filter(col("id").isin(probes2: _*))
+    assert(pruned2.exceptAll(full2).isEmpty && full2.exceptAll(pruned2).isEmpty)
+    assert(pruned2.count() === 2)
+    // the rewritten snapshot still carries `b` rows (the rung stayed ON)
+    val statsFile = java.nio.file.Paths.get(t.root, s"v=$v2", "_stats")
+    val lines = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8").split("\n")
+    assert(lines.exists(_.split("\t").lift(2).contains("b")), "compaction dropped bloom rows")
+  }
+
+  test("bloom skipping: string columns probe via UTF-8 hashing; wrong-typed probes keep all") {
+    val t = freshTable()
+    import spark.implicits._
+    // id-clustered layout: each file holds a contiguous id span but a
+    // near-arbitrary set of category strings — the string-point case
+    val df = (0L until 800L).map(i => (i, s"cat${(i * 7919) % 397}")).toDF("id", "s")
+    val v0 = t.commit(
+      df.repartitionByRange(8, col("id")), bloomColumns = Seq("s"))
+    val probes = Seq("cat5", "cat41")
+    val (kept, total) = t.pruneFilesInStrings(v0, "s", probes)
+    assert(total === 8)
+    assert(kept.length < total, s"string bloom pruned nothing: $kept")
+    val pruned = t.readInStrings(spark, "s", probes)
+    val full = t.read(spark).filter(col("s").isin(probes: _*))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() === full.count() && full.count() > 0)
+    // a NUMERIC point probe against the string-kind bloom row must keep
+    // every file (kind mismatch degrades, never prunes on a wrong hash)
+    val (keptNum, _) = t.pruneFilesIn(v0, "s", Seq(5L))
+    assert(keptNum.length === total)
+  }
+
+  test("bloom skipping: a corrupt bloom payload degrades to keep, and range prunes ignore b rows") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"k${i % 5}")).toDF("id", "s")
+    val v0 = t.commit(
+      df.repartition(4, col("s")), statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    // vandalize every bloom payload: not valid base64
+    val statsFile = java.nio.file.Paths.get(t.root, s"v=$v0", "_stats")
+    val lines = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8").split("\n")
+    val mangled = lines.map { l =>
+      val p = l.split("\t")
+      if (p.lift(2).contains("b")) p.patch(3, Seq("%%%not-base64%%%"), 1).mkString("\t") else l
+    }
+    java.nio.file.Files.write(statsFile, mangled.mkString("\n").getBytes("UTF-8"))
+    // corrupt bloom rows keep their files — the read stays correct
+    val (kept, total) = t.pruneFilesIn(v0, "id", Seq(42L))
+    assert(kept.length === total)
+    assert(t.readIn(spark, "id", Seq(42L)).count() === 1)
+    // and a RANGE read over the same column never consults b rows at all
+    assert(t.readBetween(spark, "id", 40, 44).count() === 5)
+  }
 }
