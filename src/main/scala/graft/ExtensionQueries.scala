@@ -1028,6 +1028,21 @@ object ExtensionQueries {
         .readIn(s, "doc_id", Seq(7L, 123L, 250L, 377L, 444L))
         .orderBy("doc_id")),
 
+    // Schema-evolution read (x136): the snapshot store's widened-append
+    // contract under the hash gate — a base commit without `n_chars`,
+    // then an opted-in appendCommit that ADDS it; the published snapshot
+    // records its unified schema in a `_schema` sidecar and every read
+    // goes through it, so pre-evolution files fill the added column with
+    // NULL deterministically (a schema-less multi-file read would seed
+    // from an arbitrary file and silently drop or misplace the column —
+    // the silent-corruption class the appendCommit contract refuses).
+    // Oracle: the two eras restated as a UNION ALL with an explicit NULL.
+    "x136_schema_evolution_read" -> ((s, dir) =>
+      evolutionTableFor(s, dir)
+        .read(s)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // DSIR importance weights (x133): the published data-selection
     // recipe (Xie et al. 2023) — hashed unigram+bigram bag distributions
     // fitted over target (the English slice) and raw (the whole corpus),
@@ -2657,6 +2672,27 @@ object ExtensionQueries {
       vt.appendCommit(
         docs.filter(col("doc_id") >= 400).repartition(2, col("source")),
         statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
+  /** x136's snapshot: a two-era chain — base rows committed WITHOUT
+    * `n_chars`, the later batch appended WITH it under the explicit
+    * evolution opt-in — so the graded read crosses the schema boundary.
+    */
+  private val EvolutionTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evolutionTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = EvolutionTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x136_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+      vt.commit(docs.filter(col("doc_id") < 400).select(col("doc_id"), col("source")))
+      vt.appendCommit(
+        docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("source"), col("n_chars")),
+        allowEvolution = true)
       r
     })
     graft.sources.VersionedTable(root)
@@ -5151,6 +5187,14 @@ object ExtensionQueries {
     "x135_bloom_pruned_read" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 250, 377, 444) ORDER BY doc_id""".stripMargin,
+    // x136: the unified read across the evolution boundary — pre-
+    // evolution rows carry an explicit typed NULL in the added column
+    "x136_schema_evolution_read" ->
+      """SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 400
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM documents WHERE doc_id >= 400
+        |ORDER BY doc_id""".stripMargin,
     // x133/x134: the full DSIR fit + score replayed relationally — the
     // md5-hex bucket parse is x36's positional trick, the four ln terms
     // are stated in the engine's exact order, and the weight crosses

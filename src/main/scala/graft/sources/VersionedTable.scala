@@ -144,7 +144,8 @@ final class VersionedTable(val root: String) {
       tag: Option[String] = None,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Long = {
+      bloomBits: Int = DefaultBloomBits,
+      allowEvolution: Boolean = false): Long = {
     val prevVersion = latestVersion()
     val prev = prevVersion.map(v =>
       manifest(v).getOrElse(throw new IllegalStateException(
@@ -154,9 +155,57 @@ final class VersionedTable(val root: String) {
     // fail fast on a PARTITIONED previous snapshot (see
     // requireUnpartitioned for why carried reads can't cross hive dirs)
     requireUnpartitioned(prev)
+    // SCHEMA CONTRACT (fail fast, never publish a snapshot that reads
+    // wrong): without this check a batch whose schema drifted — a lost
+    // column, a retyped column, a silently-added one — would commit
+    // fine, and the plain parquet read would then seed its schema from
+    // whichever file it lists first: the other files' extra columns
+    // VANISH or read as nulls depending on list order. That is silent
+    // corruption, the worst failure class a table format can have.
+    // Shared columns must keep their exact type; dropping a previous
+    // column is always refused (appended files would hole the history);
+    // ADDING columns is the one legal evolution and requires the
+    // explicit opt-in — the evolved snapshot then records its unified
+    // schema in a `_schema` sidecar, and every read of a schema-bearing
+    // snapshot goes through spark.read.schema(...), which fills the
+    // column with NULL for pre-evolution files deterministically.
+    val evolved: Option[org.apache.spark.sql.types.StructType] =
+      prevVersion.flatMap { pv =>
+        val prevSchema = schemaOf(df.sparkSession, pv)
+        // a fileless previous snapshot (empty commit) contracts nothing
+        if (prevSchema.fields.isEmpty) None
+        else {
+        // catalogString, not DataType equality: nullability (top-level
+        // and NESTED — ArrayType.containsNull, struct field nullability)
+        // flips freely across parquet round-trips and query lineages,
+        // and is not a type change; catalogString renders the type
+        // without any nullability, which is exactly the contract here
+        val prevByName = prevSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        val batchByName = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        val missing = prevByName.keySet -- batchByName.keySet
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"appendCommit batch is missing previous snapshot column(s) " +
+            s"${missing.toSeq.sorted.mkString(", ")} under $root — an append may " +
+            "ADD columns (allowEvolution=true), never drop them")
+        val retyped = prevByName.keySet.intersect(batchByName.keySet)
+          .filter(c => prevByName(c) != batchByName(c))
+        if (retyped.nonEmpty) throw new IllegalArgumentException(
+          s"appendCommit batch retypes column(s) " +
+            retyped.toSeq.sorted.map(c => s"$c: ${prevByName(c)} -> ${batchByName(c)}")
+              .mkString(", ") + s" under $root — types are immutable across appends")
+        val added = batchByName.keySet -- prevByName.keySet
+        if (added.nonEmpty && !allowEvolution) throw new IllegalArgumentException(
+          s"appendCommit batch adds column(s) ${added.toSeq.sorted.mkString(", ")} " +
+            s"under $root — pass allowEvolution=true to widen the table schema")
+        // carry a _schema forward once the chain has ever evolved, so
+        // every later snapshot keeps reading through the unified schema
+        if (added.nonEmpty || Files.exists(schemaPath(pv))) Some(df.schema) else None
+        }
+      }
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
     df.write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
+    evolved.foreach(s => writeSchema(next, s))
     if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
       // O(batch) stats work, like the data write itself: new files'
       // footers are harvested, carried files' rows COPY from the
@@ -205,17 +254,24 @@ final class VersionedTable(val root: String) {
     requireUnpartitioned(files)
     def canon(p: String): String =
       try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
-    val hit = spark.read.parquet(files: _*)
+    // schema-aware reads (readFiles): on an EVOLVED snapshot a plain
+    // multi-file read seeds its schema from an arbitrary file — the
+    // delete predicate could then reference a vanished column, and the
+    // rewrite would silently write files missing it; the unified-schema
+    // read fills pre-evolution files' added columns with NULL and the
+    // rewrite re-materializes them, keeping the chain homogeneous-izing
+    val hit = readFiles(spark, v, files)
       .filter(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => canon(r.getString(0))).toSet // bounded by |files|
     if (hit.isEmpty) return v
     val (rewrite, carry) = files.partition(f => hit.contains(canon(f)))
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
-    spark.read.parquet(rewrite: _*)
+    readFiles(spark, v, rewrite)
       .filter(not(coalesce(cond, lit(false))))
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry)
+    readSchema(v).foreach(s => writeSchema(next, s)) // evolution carries forward
     propagateStats(spark, next, v, carry)
     publish(next)
     next
@@ -279,10 +335,11 @@ final class VersionedTable(val root: String) {
     // an exchange, so each output file is a pure byte-merge of inputs
     val bins = math.max(1L,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toLong).toInt
-    spark.read.parquet(small.map(_._1): _*)
+    readFiles(spark, v, small.map(_._1)) // schema-aware: see deleteWhere
       .coalesce(bins)
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     writeManifest(next, carried = carry.map(_._1))
+    readSchema(v).foreach(s => writeSchema(next, s)) // evolution carries forward
     propagateStats(spark, next, v, carry.map(_._1))
     publish(next)
     next
@@ -365,16 +422,27 @@ final class VersionedTable(val root: String) {
     // equal — wrong CDC with no error. Own-dir manifests get a basePath
     // (partition columns restored); cross-dir (appended) chains are
     // unpartitioned by the appendCommit contract, enforced loudly here.
+    // Across an evolution boundary BOTH sides read through the newer
+    // side's unified schema (falling back to the older side's): a
+    // pre-evolution row then carries NULL in the added column on both
+    // sides, so rows equal in their original columns produce no
+    // spurious deltas, and genuinely-new rows diff with the column
+    // attached. Without this the two sides' column sets differ and the
+    // exceptAll is a hard error. (_schema only exists on unpartitioned
+    // chains — the appendCommit contract — so the explicit schema never
+    // fights hive partition inference.)
+    val unified = readSchema(v2).orElse(readSchema(v1))
+    def reader = unified.map(spark.read.schema).getOrElse(spark.read)
     def readSide(v: Long, fs: Seq[String]): Option[DataFrame] = {
       val dir = versionDir(v).toString
       val own = dir + java.io.File.separator
       if (fs.isEmpty) None
-      else if (fs == Seq(dir)) Some(spark.read.parquet(dir))
+      else if (fs == Seq(dir)) Some(reader.parquet(dir))
       else if (fs.forall(_.startsWith(own)))
-        Some(spark.read.option("basePath", dir).parquet(fs: _*))
+        Some(reader.option("basePath", dir).parquet(fs: _*))
       else {
         requireUnpartitioned(fs)
-        Some(spark.read.parquet(fs: _*))
+        Some(reader.parquet(fs: _*))
       }
     }
     (readSide(v2, only2), readSide(v1, only1)) match {
@@ -463,13 +531,103 @@ final class VersionedTable(val root: String) {
 
   /** Atomic pointer swap publishing version `v`. */
   private def publish(v: Long): Unit = {
+    // publish wall time recorded INSIDE the version directory before the
+    // pointer swap (the _tag ordering discipline), so timestamp time
+    // travel ([[readAsOf]]) never observes a version without its clock.
+    // An explicit file, not directory mtime: mtimes do not survive
+    // copies/restores and some filesystems coarsen them.
+    Files.write(
+      versionDir(v).resolve("_commit_ts"),
+      System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
     val tmp = rootPath.resolve(s"_latest.tmp.$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Publish wall time of snapshot `v` (epoch millis), when recorded —
+    * snapshots published before the `_commit_ts` sidecar existed have
+    * none and are excluded from timestamp time travel.
+    */
+  def commitTimestamp(v: Long): Option[Long] = {
+    val p = versionDir(v).resolve("_commit_ts")
+    if (!Files.exists(p)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  /** Timestamp time travel: read the newest snapshot published at or
+    * before `ts` — "the table as the 03:00 report saw it", Delta's
+    * `timestampAsOf` / Iceberg's `as-of-timestamp`. Resolution is the
+    * publish wall clock (single-writer contract, so publish order and
+    * version order agree); errors when no snapshot is that old, like
+    * reading a never-committed table.
+    */
+  def readAsOf(spark: SparkSession, ts: java.time.Instant): DataFrame = {
+    val cutoff = ts.toEpochMilli
+    val candidates = versions()
+      .flatMap(v => commitTimestamp(v).filter(_ <= cutoff).map(_ => v))
+    if (candidates.isEmpty) throw new IllegalStateException(
+      s"no snapshot published at or before $ts under $root")
+    readVersion(spark, candidates.max)
+  }
+
   private def manifestPath(v: Long): Path = versionDir(v).resolve("_manifest")
+
+  // -------------------------------------------------------------------
+  // Schema sidecar (evolution support): a snapshot whose manifest mixes
+  // pre- and post-evolution files records its UNIFIED schema in a
+  // `_schema` file (StructType JSON — lossless round-trip), written
+  // before publish like every other sidecar. Readers of a
+  // schema-bearing snapshot pass it as the explicit read schema:
+  // Spark's parquet source fills columns absent from a file with NULL
+  // deterministically, where a schema-less multi-file read would seed
+  // from an arbitrary file and silently drop the others' extra columns.
+  // Homogeneous snapshots carry no sidecar and read exactly as before.
+  // -------------------------------------------------------------------
+
+  private def schemaPath(v: Long): Path = versionDir(v).resolve("_schema")
+
+  /** Recorded schemas are forced fully NULLABLE (top-level and nested):
+    * pre-evolution files read the added columns as all-NULL, so a
+    * non-null marking inherited from the evolving batch's lineage would
+    * hand the reader a promise the data breaks. Nullability was never
+    * part of the append contract anyway (see the catalogString compare).
+    */
+  private def allNullable(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(allNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(allNullable(m.keyType), allNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def writeSchema(v: Long, s: org.apache.spark.sql.types.StructType): Unit =
+    Files.write(
+      schemaPath(v),
+      allNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+        .json.getBytes(StandardCharsets.UTF_8))
+
+  private def readSchema(v: Long): Option[org.apache.spark.sql.types.StructType] =
+    if (!Files.exists(schemaPath(v))) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(schemaPath(v)), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The schema snapshot `v` serves: its `_schema` sidecar when present,
+    * else the (homogeneous) schema of its first data file's footer.
+    */
+  private def schemaOf(spark: SparkSession, v: Long): org.apache.spark.sql.types.StructType =
+    readSchema(v).getOrElse {
+      val files = manifest(v).getOrElse(Nil)
+      if (files.isEmpty) new org.apache.spark.sql.types.StructType()
+      else spark.read.parquet(files.head).schema
+    }
 
   /** Per-snapshot file manifest, written BEFORE the pointer swap: the
     * exact relative paths of the snapshot's data files, one per line.
@@ -967,9 +1125,16 @@ final class VersionedTable(val root: String) {
 
   private def readFiles(spark: SparkSession, v: Long, files: Seq[String]): DataFrame = {
     val own = versionDir(v).toString + java.io.File.separator
+    // an evolved snapshot reads through its recorded unified schema —
+    // pre-evolution files fill the added columns with NULL; without it a
+    // mixed-schema read seeds from an arbitrary file (see appendCommit)
+    val reader = readSchema(v) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
     if (files.forall(_.startsWith(own)))
-      spark.read.option("basePath", versionDir(v).toString).parquet(files: _*)
-    else spark.read.parquet(files: _*)
+      reader.option("basePath", versionDir(v).toString).parquet(files: _*)
+    else reader.parquet(files: _*)
   }
 
   /** Read the published snapshot (errors on a never-committed table, like
@@ -984,17 +1149,12 @@ final class VersionedTable(val root: String) {
     * explicit file paths); pre-manifest snapshots fall back to listing.
     */
   def readVersion(spark: SparkSession, v: Long): DataFrame = manifest(v) match {
-    case Some(files) =>
-      val own = versionDir(v).toString + java.io.File.separator
-      if (files.forall(_.startsWith(own)))
-        spark.read
-          .option("basePath", versionDir(v).toString)
-          .parquet(files: _*)
-      else
-        // appended snapshot: files span version directories, so no single
-        // basePath exists — fine, append-path tables are unpartitioned by
-        // contract (appendCommit scaladoc)
-        spark.read.parquet(files: _*)
+    // readFiles applies the `_schema` sidecar when the snapshot evolved
+    // (pre-evolution files fill added columns with NULL) and the
+    // basePath when the manifest is own-dir; appended snapshots span
+    // version directories — fine, append-path tables are unpartitioned
+    // by contract (appendCommit scaladoc)
+    case Some(files) => readFiles(spark, v, files)
     case None => spark.read.parquet(versionDir(v).toString)
   }
 

@@ -686,6 +686,96 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(lines.exists(_.split("\t").lift(2).contains("b")), "compaction dropped bloom rows")
   }
 
+  test("readAsOf: timestamp time travel resolves the newest snapshot at or before the cutoff") {
+    val t = freshTable()
+    import spark.implicits._
+    val before = java.time.Instant.now().minusSeconds(60)
+    t.commit(Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(5) // publish clocks are millis; separate the two commits
+    val mid = java.time.Instant.now()
+    Thread.sleep(5)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // between the two commits: the first snapshot serves
+    assert(t.readAsOf(spark, mid).count() === 1)
+    // now: the head serves
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 2)
+    // before any commit: a named error, like reading a never-committed table
+    val e = intercept[IllegalStateException](t.readAsOf(spark, before))
+    assert(e.getMessage.contains("no snapshot published"))
+  }
+
+  test("schema contract: drifted appends are refused by name; the table stays unchanged") {
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v"))
+    // batch missing a previous column: always refused
+    val eMissing = intercept[IllegalArgumentException] {
+      t.appendCommit(Seq((3L, "c")).toDF("id", "s"))
+    }
+    assert(eMissing.getMessage.contains("v") && eMissing.getMessage.contains("missing"))
+    // batch retyping a shared column: always refused
+    val eRetyped = intercept[IllegalArgumentException] {
+      t.appendCommit(Seq((3L, "c", "oops")).toDF("id", "s", "v"))
+    }
+    assert(eRetyped.getMessage.contains("retypes"))
+    // batch adding a column without the opt-in: refused, names the column
+    val eAdded = intercept[IllegalArgumentException] {
+      t.appendCommit(Seq((3L, "c", 30L, 0.5)).toDF("id", "s", "v", "w"))
+    }
+    assert(eAdded.getMessage.contains("w") && eAdded.getMessage.contains("allowEvolution"))
+    // nothing published: the failed appends left no new version
+    assert(t.latestVersion().contains(v0))
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("schema evolution: an opted-in widened append reads unified, old rows NULL-filled") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.appendCommit(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "v"), allowEvolution = true)
+    val r = t.read(spark)
+    assert(r.columns.toSeq === Seq("id", "s", "v"))
+    val rows = r.orderBy("id").collect()
+    assert(rows.length === 4)
+    assert(rows.take(2).forall(_.isNullAt(2)), "pre-evolution rows must read NULL in v")
+    assert(rows(2).getLong(2) === 30L && rows(3).getLong(2) === 40L)
+    // a FURTHER same-schema append needs no opt-in and keeps the unified read
+    t.appendCommit(Seq((5L, "e", 50L)).toDF("id", "s", "v"))
+    assert(t.read(spark).count() === 5)
+    assert(t.read(spark).filter(col("v").isNull).count() === 2)
+  }
+
+  test("schema evolution survives maintenance and diffs without spurious deltas") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "x")).toDF("id", "s"))
+    val v1 = t.appendCommit(
+      Seq((4L, "d", 40L)).toDF("id", "s", "v"), allowEvolution = true)
+    // deleteWhere on a PRE-evolution row: the rewrite re-materializes the
+    // unified schema (a schema-less read would seed from one file and
+    // could drop v from the rewritten output entirely)
+    val v2 = t.deleteWhere(spark, col("s") === "x")
+    assert(v2 > v1)
+    val r = t.read(spark)
+    assert(r.columns.toSeq === Seq("id", "s", "v"))
+    assert(r.count() === 3 && r.filter(col("v").isNull).count() === 2)
+    // compaction keeps the unified schema too
+    val v3 = t.compactFiles(spark)
+    if (v3 > v2) {
+      assert(t.read(spark).columns.toSeq === Seq("id", "s", "v"))
+      assert(t.read(spark).count() === 3)
+    }
+    // CDC across the evolution boundary: pre-evolution rows equal in
+    // their original columns are NOT spurious deltas — only the genuine
+    // insert (and the later delete) surface
+    val d01 = t.diffVersions(spark, 0L, v1).collect()
+    assert(d01.length === 1 && d01.head.getString(d01.head.length - 1) === "insert")
+    val d12 = t.diffVersions(spark, v1, v2)
+      .select(col("s"), col("change")).collect().map(r2 => (r2.getString(0), r2.getString(1)))
+    assert(d12.toSet === Set(("x", "delete")))
+  }
+
   test("bloom skipping: string columns probe via UTF-8 hashing; wrong-typed probes keep all") {
     val t = freshTable()
     import spark.implicits._
