@@ -145,4 +145,27 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.operators.Similarity.pcaProject(emptyEmb, Array(Array(0.0f, 0.0f))))
     assert(e2.getMessage.contains("mean + >=1 component"))
   }
+
+  test("round-13 operators handle empty inputs") {
+    import graft.operators.Importance
+    // DSIR over an empty raw corpus: empty weights/selection, no error
+    // (the NULL totals of an empty aggregate never reach a row — the
+    // scoring join's left side is already empty)
+    assert(Importance.hashedFeatures(emptyDocs, 64).count() === 0)
+    assert(Importance.importanceWeights(emptyDocs, emptyDocs, 64).count() === 0)
+    val docs = Seq((1L, "a b c", "en", "w")).toDF("doc_id", "text", "lang", "source")
+    assert(Importance.selectTopK(
+      docs.filter(col("doc_id") < 0), docs, 64, 5).count() === 0)
+    // an EMPTY TARGET still scores every raw doc (add-one smoothing keeps
+    // the target term finite at t_tot = 0)
+    assert(Importance.importanceWeights(
+      docs.select("doc_id", "text"), emptyDocs, 64).count() === 1)
+    // bloom harvest over an empty commit: no rows, point reads stay total
+    val t = graft.sources.VersionedTable(
+      java.nio.file.Files.createTempDirectory("graft_empty_bloom").toString + "/t")
+    t.commit(
+      Seq.empty[(Long, String)].toDF("id", "s"),
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(t.readIn(spark, "id", Seq(1L)).count() === 0)
+  }
 }
