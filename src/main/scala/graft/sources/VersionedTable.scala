@@ -562,6 +562,13 @@ final class VersionedTable(val root: String) {
     * publish wall clock (single-writer contract, so publish order and
     * version order agree); errors when no snapshot is that old, like
     * reading a never-committed table.
+    *
+    * RETENTION CAVEAT (same as Delta's): the resolution is over RETAINED
+    * snapshots — if [[vacuum]] reclaimed the version that was live at
+    * `ts`, this returns the nearest OLDER retained snapshot, not an
+    * error (the reclaimed directory is gone; there is nothing to detect
+    * it by). Time-travel consumers own the retention window: only
+    * vacuum past the oldest timestamp any report still replays.
     */
   def readAsOf(spark: SparkSession, ts: java.time.Instant): DataFrame = {
     val cutoff = ts.toEpochMilli
