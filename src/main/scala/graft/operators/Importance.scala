@@ -160,4 +160,86 @@ object Importance {
       .join(broadcast(w), Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("source"), col("lang"), col("n_feats"), col("logw"))
   }
+
+  /** Per-stage wall/row attribution for the DSIR pair — the x106/x53
+    * stage-harness treatment applied to x133/x134 (round-13 ask #6: the
+    * pair entered the bench top-5 with its cost attributed to the shared
+    * tokenize substrate by ARGUMENT, not measurement). Materializes the
+    * pipeline's frames in lineage order behind localCheckpoint
+    * boundaries, so each wall is the INCREMENTAL cost of that stage over
+    * its predecessors' materialized state:
+    *
+    *   - `features`: the per-(doc, bucket) substrate over the raw corpus
+    *     — in the shipped query this is the one exchange REUSED between
+    *     fit and score, so its wall is the tokenize+explode+fold cost
+    *     every text query shares;
+    *   - `fit`: both bucket distributions and the ≤`numBuckets`-row
+    *     log-ratio table (the target side pays ITS OWN feature scan
+    *     here, as in the shipped plan);
+    *   - `score`: the broadcast scoring join + doc-grain fold;
+    *   - `select`: the WindowGroupLimit top-k + broadcast corpus rejoin.
+    *
+    * A timing/CI tool, not the serving path (the checkpoint boundaries
+    * exist to make walls attributable; the shipped query keeps its lazy
+    * one-DAG shape). Caller owns cache cleanup between reps — Bench's
+    * dropCached does it.
+    */
+  def dsirStageTimings(
+      raw: DataFrame, target: DataFrame, numBuckets: Int, k: Int): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def timed[T](name: String)(body: => (Long, T)): T = {
+      val t0 = System.nanoTime()
+      val (rows, v) = body
+      out += ((name, (System.nanoTime() - t0) / 1e9, rows))
+      v
+    }
+    val feats = timed("features") {
+      val f = hashedFeatures(raw, numBuckets).localCheckpoint()
+      (f.count(), f)
+    }
+    val ratio = timed("fit") {
+      val rawCounts = feats.groupBy("bucket").agg(sum("cnt").as("cnt"))
+        .select(col("bucket"), col("cnt").as("r_cnt"))
+      val targetCounts = bucketCounts(target, numBuckets)
+        .select(col("bucket"), col("cnt").as("t_cnt"))
+      val totals = rawCounts
+        .agg(sum(col("r_cnt")).as("r_tot"))
+        .crossJoin(targetCounts.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot")))
+      val r = rawCounts
+        .join(targetCounts, Seq("bucket"), "left")
+        .crossJoin(totals)
+        .select(
+          col("bucket"),
+          (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))
+            - log(col("t_tot") + lit(numBuckets.toDouble))
+            - log(col("r_cnt") + lit(1.0))
+            + log(col("r_tot") + lit(numBuckets.toDouble))).as("lr"))
+        .localCheckpoint()
+      (r.count(), r)
+    }
+    val scored = timed("score") {
+      val sc = feats
+        .join(broadcast(ratio), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("cnt")).as("n_feats"),
+          (CrossRound.ra(sum(col("cnt") * col("lr")), 4) + lit(0.0)).as("logw"))
+        .localCheckpoint()
+      (sc.count(), sc)
+    }
+    timed("select") {
+      val w = scored
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("logw").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= k)
+      val sel = raw
+        .join(broadcast(w), Seq("doc_id"))
+        .select(
+          col("rank"), col("doc_id"), col("source"), col("lang"),
+          col("n_feats"), col("logw"))
+      (sel.count(), ())
+    }
+    out.toSeq
+  }
 }

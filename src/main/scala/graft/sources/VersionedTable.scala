@@ -120,11 +120,29 @@ final class VersionedTable(val root: String) {
     * pinned to an old version see exactly what they resolved, and the
     * pointer swap is the same single atomic rename.
     *
-    * Unpartitioned tables only: shared files live in OTHER version
-    * directories, so hive-style partition inference (which needs one
-    * `basePath` above all files) cannot apply — [[readVersion]] reads a
-    * cross-directory manifest without a basePath. Use [[commit]] with
-    * `partitionBy` when partition pruning matters more than append cost.
+    * Hive-partitioned previous snapshots append too (round-13 ask #2 —
+    * partitioning is exactly how a 100 TB table is laid out): the
+    * partition keys are derived from the previous manifest's own paths,
+    * the batch (which must carry the partition columns as data columns,
+    * enforced by the schema contract below) writes under the same
+    * `partitionBy`, and the snapshot records its FULL schema — data AND
+    * partition columns — in the `_schema` sidecar, because no single
+    * hive `basePath` can span version directories: reads re-assemble
+    * the snapshot as one per-directory-basePath read per owning version
+    * directory, unioned under that recorded schema, so partition column
+    * TYPES are pinned by the sidecar instead of re-inferred per read
+    * (the first partitioned append pays one inference of the base
+    * snapshot for the contract check; everything after reads the
+    * sidecar). Partition pruning survives: each branch of the union is
+    * an ordinary hive layout under its own basePath.
+    *
+    * Schema EVOLUTION stays refused on partitioned chains (fail-fast,
+    * even with `allowEvolution=true`): widening interacts with the
+    * derived partition-key set and with per-directory layouts in ways
+    * this store deliberately does not model — rewrite with [[commit]]
+    * to evolve a partitioned table. (The explicit decision round-13
+    * ask #2 requires; evolving a PARTITION column is thereby refused a
+    * fortiori.)
     *
     * Vacuum interaction: an appended snapshot keeps old version
     * directories ALIVE (their files are referenced), so [[vacuum]]
@@ -152,9 +170,10 @@ final class VersionedTable(val root: String) {
         s"appendCommit needs a manifest-bearing previous snapshot under $root " +
           "(pre-manifest snapshots predate the append path — rewrite once with commit())")))
       .getOrElse(Nil)
-    // fail fast on a PARTITIONED previous snapshot (see
-    // requireUnpartitioned for why carried reads can't cross hive dirs)
-    requireUnpartitioned(prev)
+    // hive partition keys derived from the previous manifest's own paths
+    // (empty for unpartitioned chains); the batch writes under the same
+    // keys and the snapshot records its full schema — see the scaladoc
+    val partKeys = partitionKeysOf(prev)
     // SCHEMA CONTRACT (fail fast, never publish a snapshot that reads
     // wrong): without this check a batch whose schema drifted — a lost
     // column, a retyped column, a silently-added one — would commit
@@ -194,16 +213,27 @@ final class VersionedTable(val root: String) {
             retyped.toSeq.sorted.map(c => s"$c: ${prevByName(c)} -> ${batchByName(c)}")
               .mkString(", ") + s" under $root — types are immutable across appends")
         val added = batchByName.keySet -- prevByName.keySet
+        if (added.nonEmpty && partKeys.nonEmpty) throw new IllegalArgumentException(
+          s"appendCommit batch adds column(s) ${added.toSeq.sorted.mkString(", ")} to a " +
+            s"hive-partitioned chain under $root — schema evolution is refused on " +
+            "partitioned chains (rewrite with commit() to evolve); partition columns " +
+            "can therefore never evolve either")
         if (added.nonEmpty && !allowEvolution) throw new IllegalArgumentException(
           s"appendCommit batch adds column(s) ${added.toSeq.sorted.mkString(", ")} " +
             s"under $root — pass allowEvolution=true to widen the table schema")
-        // carry a _schema forward once the chain has ever evolved, so
-        // every later snapshot keeps reading through the unified schema
-        if (added.nonEmpty || Files.exists(schemaPath(pv))) Some(df.schema) else None
+        // carry a _schema forward once the chain has ever evolved — and
+        // ALWAYS on partitioned chains, whose cross-directory reads need
+        // the recorded FULL schema (data + partition columns) to pin
+        // partition column types across per-directory basePath reads
+        if (added.nonEmpty || partKeys.nonEmpty || Files.exists(schemaPath(pv)))
+          Some(df.schema)
+        else None
         }
       }
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
-    df.write.mode("errorifexists").parquet(versionDir(next).toString)
+    val appendWriter = df.write.mode("errorifexists")
+    (if (partKeys.nonEmpty) appendWriter.partitionBy(partKeys: _*) else appendWriter)
+      .parquet(versionDir(next).toString)
     writeManifest(next, carried = prev)
     evolved.foreach(s => writeSchema(next, s))
     if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
@@ -211,7 +241,17 @@ final class VersionedTable(val root: String) {
       // footers are harvested, carried files' rows COPY from the
       // previous _stats (keys are root-relative, so they stay valid
       // across version directories; a carried file with no previous
-      // stats row simply stays unprunable — never silently skipped)
+      // stats row simply stays unprunable — never silently skipped).
+      // EVOLUTION INTERACTION (round-13 ask #4): when the widened
+      // batch's ADDED column is itself in statsColumns/bloomColumns,
+      // only the NEW files get rows for it — pre-evolution files have
+      // none (their footers never saw the column; they read as
+      // all-NULL) and therefore fall under pruneBy's no-stats-row
+      // default: KEPT. A prune on an added column can thus never drop
+      // a pre-evolution file, which is required for correctness — its
+      // rows surface with NULL in that column, and NULL never matches
+      // a range/point predicate, but IS NULL / downstream consumers
+      // still need the rows present (spec-pinned).
       val ownFiles = manifest(next).get.filterNot(prev.toSet)
       val carriedStats = prevVersion.map(readStatsLines).getOrElse(Nil)
       writeStats(
@@ -241,8 +281,12 @@ final class VersionedTable(val root: String) {
     * Rows where `cond` evaluates NULL are KEPT — a delete predicate
     * must be provably true to destroy data. A predicate matching
     * nothing is a no-op: the published version is returned unchanged,
-    * no empty commit. Same unpartitioned-snapshot contract as
-    * [[appendCommit]] (carried files cross version directories).
+    * no empty commit. Hive-partitioned snapshots delete too (round-13
+    * ask #2): the predicate may reference partition columns (restored
+    * by the per-directory reads), hit files rewrite under the SAME
+    * partition keys, and the new snapshot records its full schema so
+    * the cross-directory carried read stays type-stable — the same
+    * contract as a partitioned [[appendCommit]].
     */
   def deleteWhere(spark: SparkSession, cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
@@ -251,7 +295,7 @@ final class VersionedTable(val root: String) {
     val files = manifest(v).getOrElse(throw new IllegalStateException(
       s"deleteWhere needs a manifest-bearing snapshot under $root " +
         "(pre-manifest snapshots predate the targeted-delete path — rewrite once with commit())"))
-    requireUnpartitioned(files)
+    val partKeys = partitionKeysOf(files)
     def canon(p: String): String =
       try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
     // schema-aware reads (readFiles): on an EVOLVED snapshot a plain
@@ -260,18 +304,25 @@ final class VersionedTable(val root: String) {
     // rewrite would silently write files missing it; the unified-schema
     // read fills pre-evolution files' added columns with NULL and the
     // rewrite re-materializes them, keeping the chain homogeneous-izing
-    val hit = readFiles(spark, v, files)
+    val full = readFiles(spark, v, files)
+    val hit = full
       .filter(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => canon(r.getString(0))).toSet // bounded by |files|
     if (hit.isEmpty) return v
     val (rewrite, carry) = files.partition(f => hit.contains(canon(f)))
     val next = (versions() ++ latestVersion()).foldLeft(-1L)(math.max) + 1L
-    readFiles(spark, v, rewrite)
+    val delWriter = readFiles(spark, v, rewrite)
       .filter(not(coalesce(cond, lit(false))))
-      .write.mode("errorifexists").parquet(versionDir(next).toString)
+      .write.mode("errorifexists")
+    (if (partKeys.nonEmpty) delWriter.partitionBy(partKeys: _*) else delWriter)
+      .parquet(versionDir(next).toString)
     writeManifest(next, carried = carry)
-    readSchema(v).foreach(s => writeSchema(next, s)) // evolution carries forward
+    // evolution carries forward; a partitioned chain that never recorded
+    // one (a plain partitioned commit) records its full read schema NOW —
+    // the rewritten snapshot spans version directories from here on
+    readSchema(v).orElse(if (partKeys.nonEmpty) Some(full.schema) else None)
+      .foreach(s => writeSchema(next, s))
     propagateStats(spark, next, v, carry)
     publish(next)
     next
@@ -297,8 +348,12 @@ final class VersionedTable(val root: String) {
     * same no-empty-commit contract as deleteWhere's no-match path).
     * Old snapshots keep referencing the small files (time travel
     * unaffected); [[vacuum]] reclaims them once no retained snapshot
-    * does. Unpartitioned snapshots only — carried files cross version
-    * directories, the [[appendCommit]] contract.
+    * does. Hive-partitioned snapshots compact too (round-13 ask #2):
+    * the rewrite re-bins under the SAME partition keys (still a
+    * coalesce — each output task writes one file per partition value it
+    * holds) and the snapshot records its full schema for the
+    * cross-directory carried read, the partitioned-appendCommit
+    * contract.
     */
   def compactFiles(
       spark: SparkSession,
@@ -310,7 +365,7 @@ final class VersionedTable(val root: String) {
     val files = manifest(v).getOrElse(throw new IllegalStateException(
       s"compactFiles needs a manifest-bearing snapshot under $root " +
         "(pre-manifest snapshots predate the maintenance path — rewrite once with commit())"))
-    requireUnpartitioned(files)
+    val partKeys = partitionKeysOf(files)
     def canon(p: String): String =
       try Paths.get(new java.net.URI(p)).toString catch { case _: Exception => p }
     // File.length() returns 0 for a missing entry, which would silently
@@ -335,11 +390,18 @@ final class VersionedTable(val root: String) {
     // an exchange, so each output file is a pure byte-merge of inputs
     val bins = math.max(1L,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toLong).toInt
-    readFiles(spark, v, small.map(_._1)) // schema-aware: see deleteWhere
-      .coalesce(bins)
-      .write.mode("errorifexists").parquet(versionDir(next).toString)
+    val smallFrame = readFiles(spark, v, small.map(_._1)) // schema-aware: see deleteWhere
+    val cmpWriter = smallFrame.coalesce(bins).write.mode("errorifexists")
+    (if (partKeys.nonEmpty) cmpWriter.partitionBy(partKeys: _*) else cmpWriter)
+      .parquet(versionDir(next).toString)
     writeManifest(next, carried = carry.map(_._1))
-    readSchema(v).foreach(s => writeSchema(next, s)) // evolution carries forward
+    // evolution carries forward; a partitioned chain records its full
+    // read schema from the first maintenance commit on (see deleteWhere)
+    // — the schema of the WHOLE snapshot, not the rewritten subset,
+    // so partition type inference sees every partition value
+    readSchema(v).orElse(
+      if (partKeys.nonEmpty) Some(readFiles(spark, v, files).schema) else None)
+      .foreach(s => writeSchema(next, s))
     propagateStats(spark, next, v, carry.map(_._1))
     publish(next)
     next
@@ -419,31 +481,46 @@ final class VersionedTable(val root: String) {
     // Reading EXPLICIT file paths skips hive partition inference, so a
     // partitioned snapshot compared that way would drop its partition
     // columns and rows differing only in the partition value would compare
-    // equal — wrong CDC with no error. Own-dir manifests get a basePath
-    // (partition columns restored); cross-dir (appended) chains are
-    // unpartitioned by the appendCommit contract, enforced loudly here.
+    // equal — wrong CDC with no error. readSubset restores partition
+    // columns on every layout: own-dir manifests read under one basePath,
+    // partitioned CROSS-directory chains (partitioned appends/maintenance)
+    // read per owning directory under the recorded full schema, unioned.
     // Across an evolution boundary BOTH sides read through the newer
     // side's unified schema (falling back to the older side's): a
     // pre-evolution row then carries NULL in the added column on both
     // sides, so rows equal in their original columns produce no
     // spurious deltas, and genuinely-new rows diff with the column
     // attached. Without this the two sides' column sets differ and the
-    // exceptAll is a hard error. (_schema only exists on unpartitioned
-    // chains — the appendCommit contract — so the explicit schema never
-    // fights hive partition inference.)
-    val unified = readSchema(v2).orElse(readSchema(v1))
-    def reader = unified.map(spark.read.schema).getOrElse(spark.read)
+    // exceptAll is a hard error.
+    // FALLBACK GUARD (round-13 ADVICE): v1's _schema may only stand in
+    // for a schema-less v2 when it COVERS v2's actual file schema — a
+    // LATER full commit over an evolved v1 carries no _schema, and
+    // reading it through the OLDER schema would silently project away
+    // columns that exist only in v2 (rows differing only there would
+    // produce no delta — worse than the loud column-set mismatch this
+    // fallback replaced). Cover check = one footer read of v2's first
+    // file: every v2 field present in v1's schema under the same
+    // catalogString type; anything else reads plain and lets the
+    // mismatch surface in exceptAll.
+    val unified = readSchema(v2).orElse(readSchema(v1).filter { s1 =>
+      f2.headOption.exists { f =>
+        scala.util.Try(spark.read.parquet(f).schema).toOption.exists(_.fields.forall(fld =>
+          s1.fields.exists(g =>
+            g.name == fld.name && g.dataType.catalogString == fld.dataType.catalogString)))
+      }
+    })
+    // each side falls back to its OWN recorded schema when no unified
+    // schema stands: an evolved side must never degrade to a plain
+    // mixed-schema read (the arbitrary-seed corruption class) just
+    // because the OTHER side failed the cover check — the column-set
+    // mismatch then surfaces loudly in exceptAll, which is the point
+    def schemaFor(v: Long) = unified.orElse(readSchema(v))
     def readSide(v: Long, fs: Seq[String]): Option[DataFrame] = {
       val dir = versionDir(v).toString
-      val own = dir + java.io.File.separator
       if (fs.isEmpty) None
-      else if (fs == Seq(dir)) Some(reader.parquet(dir))
-      else if (fs.forall(_.startsWith(own)))
-        Some(reader.option("basePath", dir).parquet(fs: _*))
-      else {
-        requireUnpartitioned(fs)
-        Some(reader.parquet(fs: _*))
-      }
+      else if (fs == Seq(dir))
+        Some(schemaFor(v).map(spark.read.schema).getOrElse(spark.read).parquet(dir))
+      else Some(readSubset(spark, schemaFor(v), fs))
     }
     (readSide(v2, only2), readSide(v1, only1)) match {
       case (None, None) =>
@@ -468,20 +545,35 @@ final class VersionedTable(val root: String) {
     }
   }
 
-  /** The appendCommit/deleteWhere contract check: carried cross-version
-    * reads go through the no-basePath manifest path, where hive
-    * directories are not inferred — a partition column would silently
-    * read as missing/null for every carried row instead of erroring.
+  /** Hive partition keys of a file set, parsed from the path segments
+    * between each file's owning version directory and its file name
+    * (`v=3/lang=en/part-….parquet` → `lang`). Every file must carry the
+    * SAME key sequence (or none): mixed layouts inside one snapshot are
+    * table corruption and are named loudly rather than read wrong.
     */
-  private def requireUnpartitioned(files: Seq[String]): Unit =
-    files.foreach { abs =>
+  private def partitionKeysOf(files: Seq[String]): Seq[String] = {
+    val keySeqs = files.map { abs =>
       val rel = rootPath.relativize(Paths.get(abs)).toString
-      val middle = rel.split('/').drop(1).dropRight(1)
-      require(
-        !middle.exists(_.contains("=")),
-        s"this operation supports unpartitioned snapshots only, but the snapshot " +
-          s"carries hive-partitioned file '$rel' — rewrite with commit() first")
-    }
+      rel.split('/').drop(1).dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0,
+          s"non-hive intermediate directory '$seg' in manifest path '$rel' under $root")
+        seg.take(i)
+      }
+    }.distinct
+    require(
+      keySeqs.size <= 1,
+      s"mixed partition layouts in one snapshot under $root: " +
+        keySeqs.map(_.mkString("/")).mkString(" vs "))
+    keySeqs.headOption.getOrElse(Nil)
+  }
+
+  /** The version directory a manifest file belongs to — its own
+    * snapshot's for fresh files, an older snapshot's for carried ones.
+    */
+  private def owningVersionDir(abs: String): String =
+    rootPath.resolve(
+      rootPath.relativize(Paths.get(abs)).toString.split('/').head).toString
 
   /** The idempotence tag of the published snapshot, if its committer set
     * one — see [[appendCommit]]'s `tag` parameter.
@@ -569,10 +661,20 @@ final class VersionedTable(val root: String) {
     * error (the reclaimed directory is gone; there is nothing to detect
     * it by). Time-travel consumers own the retention window: only
     * vacuum past the oldest timestamp any report still replays.
+    *
+    * ORPHAN GUARD (round-13 ADVICE): `_commit_ts` is written BEFORE the
+    * pointer swap, so a crash between the two leaves an orphan version
+    * directory bearing a commit timestamp that was never published.
+    * Candidates are therefore capped at [[latestVersion]] — publish
+    * order equals version order under the single-writer contract — so
+    * timestamp time travel can only ever serve a snapshot that WAS the
+    * table's published state, like every other read path.
     */
   def readAsOf(spark: SparkSession, ts: java.time.Instant): DataFrame = {
     val cutoff = ts.toEpochMilli
-    val candidates = versions()
+    val published = latestVersion().getOrElse(throw new IllegalStateException(
+      s"no published version under $root"))
+    val candidates = versions().filter(_ <= published)
       .flatMap(v => commitTimestamp(v).filter(_ <= cutoff).map(_ => v))
     if (candidates.isEmpty) throw new IllegalStateException(
       s"no snapshot published at or before $ts under $root")
@@ -627,12 +729,17 @@ final class VersionedTable(val root: String) {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** The schema snapshot `v` serves: its `_schema` sidecar when present,
-    * else the (homogeneous) schema of its first data file's footer.
+    * else the (homogeneous) schema of its first data file's footer —
+    * except hive-partitioned snapshots, whose partition columns live in
+    * paths, not footers: those pay one inferred read (the price of the
+    * FIRST partitioned append's contract check; every later snapshot in
+    * the chain carries `_schema`).
     */
   private def schemaOf(spark: SparkSession, v: Long): org.apache.spark.sql.types.StructType =
     readSchema(v).getOrElse {
       val files = manifest(v).getOrElse(Nil)
       if (files.isEmpty) new org.apache.spark.sql.types.StructType()
+      else if (partitionKeysOf(files).nonEmpty) readVersion(spark, v).schema
       else spark.read.parquet(files.head).schema
     }
 
@@ -840,22 +947,31 @@ final class VersionedTable(val root: String) {
   // manifest itself.
   // -------------------------------------------------------------------
 
-  /** Bloom probe count. With the default 2^16 bits, k=7 holds the
-    * false-positive rate under 1% up to ~6.5k distinct values per file
-    * and degrades gracefully past it (worse pruning, never wrong).
+  /** Bloom probe count for rows THIS writer harvests. With the default
+    * 2^16 bits, k=7 holds the false-positive rate under 1% up to ~6.5k
+    * distinct values per file and degrades gracefully past it (worse
+    * pruning, never wrong). Write-side only: the probe side always uses
+    * the k RECORDED in the row being probed ([[bloomPositions]]), so
+    * rows written under a different k stay correct.
     */
   private val BloomK = 7
 
-  /** One `b` stats row per (new file, column): the distributed harvest
-    * job reads ONLY `cols` (column-pruned scan), computes the k
-    * Kirsch–Mitzenmacher positions pos_i = (h1 + i·h2) mod bits per
-    * value with h1/h2 pre-reduced mod bits, and folds per-file position
-    * sets map-side (collect_set) — driver state is |files| × bits/8
-    * bytes. Integral columns hash as longs (kind tag `l` in the params),
-    * string columns as their UTF-8 bytes (kind `s`); other or absent
-    * column types emit no row (unprunable, never wrong); all-null files
-    * likewise. The kind tag makes a wrong-typed probe degrade to keep
-    * instead of pruning on a meaningless hash.
+  /** One `b` stats row per (new file, column): ONE distributed harvest
+    * job for ALL opted-in columns (round-13 ADVICE: the per-column form
+    * launched one scan per column, multiplying commit-time cost for
+    * multi-column opt-ins). The single column-pruned scan computes, per
+    * column, the k Kirsch–Mitzenmacher positions pos_i = (h1 + i·h2)
+    * mod bits per value with h1/h2 pre-reduced mod bits, TAGS them into
+    * one shared position stream as colIndex·bits + pos (far under Long
+    * range at the 2^28 bits cap), and folds per-file position sets
+    * map-side (collect_set) — driver state is |files| × |cols| × bits/8
+    * bytes, split back per column by tag on the driver. Integral
+    * columns hash as longs (kind tag `l` in the params), string columns
+    * as their UTF-8 bytes (kind `s`); other or absent column types emit
+    * no row (unprunable, never wrong); a file all-null in one column
+    * contributes no positions for that tag, so that (file, column)
+    * emits no row — exactly the per-column scan's behavior, and the
+    * bitsets are bit-identical to it (same hash, same arithmetic).
     */
   private def harvestBloom(
       spark: SparkSession, files: Seq[String], cols: Set[String], bits: Int): Seq[String] = {
@@ -868,40 +984,44 @@ final class VersionedTable(val root: String) {
     val schema = spark.read.parquet(files: _*).schema
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
-    cols.toSeq.sorted.flatMap { c =>
-      val kind = schema.fields.find(_.name == c).map(_.dataType) match {
-        case Some(t) if integral.contains(t) => Some("l")
-        case Some(org.apache.spark.sql.types.StringType) => Some("s")
+    val kinds: Seq[(String, String)] = cols.toSeq.sorted.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(t) if integral.contains(t) => Some(c -> "l")
+        case Some(org.apache.spark.sql.types.StringType) => Some(c -> "s")
         case _ => None
       }
-      kind.toSeq.flatMap { k =>
-        val m = lit(bits.toLong)
-        val v0 = spark.read.parquet(files: _*)
-          .select(
-            input_file_name().as("__f"),
-            (if (k == "l") col(c).cast("long") else col(c)).as("__v"))
-          .filter(col("__v").isNotNull)
-        v0.select(
-            col("__f"),
-            pmod(xxhash64(col("__v")), m).as("__h1"),
-            pmod(xxhash64(lit(1L), col("__v")), m).as("__h2"))
-          .select(col("__f"), explode(transform(
-            sequence(lit(0L), lit((BloomK - 1).toLong)),
-            i => pmod(col("__h1") + i * col("__h2"), m))).as("__p"))
-          .groupBy("__f")
-          .agg(collect_set(col("__p")).as("__ps"))
-          .collect().toSeq
-          .map { r =>
-            val abs = try Paths.get(new java.net.URI(r.getString(0))).toString
-              catch { case _: Exception => r.getString(0) }
-            val rel = rootPath.relativize(Paths.get(abs)).toString
+    }
+    if (kinds.isEmpty) return Nil
+    val m = lit(bits.toLong)
+    val posCols = kinds.zipWithIndex.map { case ((c, k), idx) =>
+      val v = if (k == "l") col(c).cast("long") else col(c)
+      when(v.isNotNull, transform(
+        sequence(lit(0L), lit((BloomK - 1).toLong)),
+        i => pmod(pmod(xxhash64(v), m) + i * pmod(xxhash64(lit(1L), v), m), m)
+          + lit(idx.toLong * bits)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    spark.read.parquet(files: _*)
+      .select(
+        input_file_name().as("__f"),
+        explode(concat(posCols: _*)).as("__p"))
+      .groupBy("__f")
+      .agg(collect_set(col("__p")).as("__ps"))
+      .collect().toSeq
+      .flatMap { r =>
+        val abs = try Paths.get(new java.net.URI(r.getString(0))).toString
+          catch { case _: Exception => r.getString(0) }
+        val rel = rootPath.relativize(Paths.get(abs)).toString
+        val byCol = r.getSeq[Long](1).groupBy(p => (p / bits).toInt)
+        kinds.zipWithIndex.flatMap { case ((c, k), idx) =>
+          byCol.get(idx).map { ps =>
             val bs = new java.util.BitSet(bits)
-            r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+            ps.foreach(p => bs.set((p % bits).toInt))
             val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
             s"$rel\t$c\tb\t${enc(b64)}\t${enc(s"$bits:$BloomK:$k")}"
           }
+        }
       }
-    }
   }
 
   /** Driver-side mirror of the harvest job's bit positions — the SAME
@@ -910,8 +1030,14 @@ final class VersionedTable(val root: String) {
     * same mod-first arithmetic, so probe and harvest agree bit for bit.
     * Long values hash as LongType, strings as their UTF8String bytes —
     * matching what the executor-side xxhash64 saw for each column kind.
+    * `k` is the probe count RECORDED IN THE ROW being probed, never the
+    * writer constant: a row written with a different k (a future or
+    * foreign writer, or a configurable-k era) probed at this writer's
+    * k would test positions its writer never set — a FALSE NEGATIVE,
+    * i.e. a wrongly-pruned file, the exact failure class the
+    * degrade-to-keep contract exists to prevent (round-13 ADVICE).
     */
-  private def bloomPositions(value: Either[Long, String], bits: Int): Array[Int] = {
+  private def bloomPositions(value: Either[Long, String], bits: Int, k: Int): Array[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.{LongType, StringType}
     def h(seed: Long): Long = value match {
@@ -922,13 +1048,15 @@ final class VersionedTable(val root: String) {
     val h1 = Math.floorMod(h(42L), bits.toLong)
     val h2 = Math.floorMod(
       h(XxHash64Function.hash(1L, LongType, 42L)), bits.toLong)
-    Array.tabulate(BloomK)(i => Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt)
+    Array.tabulate(k)(i => Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt)
   }
 
   /** Bloom membership for the prune walk: true (keep) unless the row
-    * parses cleanly, its hash KIND matches the probe's, AND every probed
-    * value misses. Any parse/shape/kind problem degrades to keep — the
-    * standing "pruning is an optimization, never semantics" contract.
+    * parses cleanly — bits AND the row's own probe count k AND its hash
+    * kind — the kind matches the probe's, and every probed value
+    * misses. Any parse/shape/kind problem (absent, nonpositive, or
+    * unparseable k included) degrades to keep — the standing "pruning
+    * is an optimization, never semantics" contract.
     */
   private def bloomAdmits(
       payload: String, params: String, values: Seq[Either[Long, String]]): Boolean =
@@ -936,12 +1064,14 @@ final class VersionedTable(val root: String) {
       parts <- scala.util.Try(params.split(":")).toOption
       bits <- scala.util.Try(parts(0).toInt).toOption
       if bits > 0
+      k <- parts.lift(1).flatMap(s => scala.util.Try(s.toInt).toOption)
+      if k > 0
       kind <- parts.lift(2)
       if values.forall(v => (kind == "l") == v.isLeft)
       bytes <- scala.util.Try(java.util.Base64.getDecoder.decode(payload)).toOption
     } yield {
       val bs = java.util.BitSet.valueOf(bytes)
-      values.exists(x => bloomPositions(x, bits).forall(bs.get))
+      values.exists(x => bloomPositions(x, bits, k).forall(bs.get))
     }).getOrElse(true)
 
   private def writeStats(v: Long, lines: Seq[String]): Unit =
@@ -1130,18 +1260,44 @@ final class VersionedTable(val root: String) {
     else readFiles(spark, v, kept).filter(cond)
   }
 
-  private def readFiles(spark: SparkSession, v: Long, files: Seq[String]): DataFrame = {
-    val own = versionDir(v).toString + java.io.File.separator
-    // an evolved snapshot reads through its recorded unified schema —
-    // pre-evolution files fill the added columns with NULL; without it a
-    // mixed-schema read seeds from an arbitrary file (see appendCommit)
-    val reader = readSchema(v) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
+  // an evolved snapshot reads through its recorded unified schema —
+  // pre-evolution files fill the added columns with NULL; without it a
+  // mixed-schema read seeds from an arbitrary file (see appendCommit)
+  private def readFiles(spark: SparkSession, v: Long, files: Seq[String]): DataFrame =
+    readSubset(spark, readSchema(v), files)
+
+  /** Read an arbitrary manifest-file subset under an optional explicit
+    * schema, restoring hive partition columns whatever version
+    * directories the files live in: a single-owner subset reads under
+    * its owning directory's basePath (ordinary hive inference); an
+    * unpartitioned multi-directory subset reads flat (no partition
+    * columns to restore); a PARTITIONED multi-directory subset — the
+    * partitioned append/maintenance chains of round-13 ask #2 — reads
+    * one per-directory basePath group at a time, unioned under the
+    * snapshot's recorded full schema, which pins partition column types
+    * so per-group inference can never flicker between directories.
+    * Filters on partition columns still prune: each branch of the union
+    * is an ordinary hive layout under its own basePath.
+    */
+  private def readSubset(
+      spark: SparkSession,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String]): DataFrame = {
+    def rd = schemaOpt.map(spark.read.schema).getOrElse(spark.read)
+    val groups = files.groupBy(owningVersionDir).toSeq.sortBy(_._1)
+    if (files.isEmpty) rd.parquet(files: _*) // degenerate: same error shape as before
+    else if (groups.size == 1)
+      rd.option("basePath", groups.head._1).parquet(files: _*)
+    else if (partitionKeysOf(files).isEmpty)
+      rd.parquet(files: _*)
+    else {
+      val s = schemaOpt.getOrElse(throw new IllegalStateException(
+        s"partitioned file subset spans version directories under $root but no full " +
+          "schema is recorded — table corrupt (partitioned appends always write _schema)"))
+      groups.map { case (dir, fs) =>
+        spark.read.schema(s).option("basePath", dir).parquet(fs: _*)
+      }.reduce(_ unionByName _)
     }
-    if (files.forall(_.startsWith(own)))
-      reader.option("basePath", versionDir(v).toString).parquet(files: _*)
-    else reader.parquet(files: _*)
   }
 
   /** Read the published snapshot (errors on a never-committed table, like
@@ -1156,13 +1312,39 @@ final class VersionedTable(val root: String) {
     * explicit file paths); pre-manifest snapshots fall back to listing.
     */
   def readVersion(spark: SparkSession, v: Long): DataFrame = manifest(v) match {
-    // readFiles applies the `_schema` sidecar when the snapshot evolved
-    // (pre-evolution files fill added columns with NULL) and the
-    // basePath when the manifest is own-dir; appended snapshots span
-    // version directories — fine, append-path tables are unpartitioned
-    // by contract (appendCommit scaladoc)
+    // unpartitioned manifest snapshots read through the INTEGRATED
+    // skipping relation (round-13 ask #1): a SnapshotFileIndex under a
+    // stock parquet HadoopFsRelation, so a plain read().filter() prunes
+    // files through the _stats sidecar exactly like the dedicated
+    // readBetween/readIn entry points — without the caller knowing the
+    // API. Evolution still holds: the relation's dataSchema is the
+    // recorded unified schema, so pre-evolution files NULL-fill.
+    case Some(files) if files.nonEmpty && partitionKeysOf(files).isEmpty =>
+      readIndexed(spark, v, files)
+    // partitioned snapshots keep the hive-aware read (partition pruning
+    // comes from Spark's own partitioning layer there): own-dir under
+    // one basePath, partitioned cross-directory chains per owning
+    // directory under the recorded full schema (readSubset)
     case Some(files) => readFiles(spark, v, files)
     case None => spark.read.parquet(versionDir(v).toString)
+  }
+
+  /** The integrated-skipping relation behind [[readVersion]]: a
+    * [[SnapshotFileIndex]] (which receives the query's pushed data
+    * filters and runs the min/max + point-set + Bloom prune walk before
+    * task planning) under a stock parquet HadoopFsRelation — Spark
+    * executes the survivors with its ordinary vectorized/codegen scan.
+    */
+  private def readIndexed(spark: SparkSession, v: Long, files: Seq[String]): DataFrame = {
+    val dataSchema = schemaOf(spark, v)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = new SnapshotFileIndex(this, v, files, dataSchema),
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Drop all but the newest `keep` snapshots (never the published one,

@@ -94,4 +94,52 @@ class ExtensionsSpec extends AnyFunSuite {
       Skew.saltedJoin(df, df, Seq("k"), 4, joinType = "right")
     }
   }
+
+  test("graft_table TVF: SQL snapshot reads with version/timestamp selection and file pruning") {
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf").toString + "/t"
+    val t = graft.sources.VersionedTable(root)
+    val before = java.time.Instant.now().minusSeconds(60)
+    t.commit(
+      (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("id", "s")
+        .repartitionByRange(4, col("id")),
+      statsColumns = Seq("id"))
+    Thread.sleep(5)
+    val mid = java.time.Instant.now()
+    Thread.sleep(5)
+    t.appendCommit((100L until 150L).map(i => (i, s"s${i % 4}")).toDF("id", "s"))
+    // head read
+    assert(spark.sql(s"SELECT * FROM graft_table('$root')").count() === 150)
+    // pinned version
+    assert(spark.sql(s"SELECT * FROM graft_table('$root', 0)").count() === 100)
+    // timestamp time travel resolves the snapshot live at `mid` — the
+    // literal is rendered in UTC because that is the session time zone
+    // (Timestamp.toString would use the JVM default zone instead)
+    def utc(i: java.time.Instant): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    assert(
+      spark.sql(s"SELECT * FROM graft_table('$root', TIMESTAMP '${utc(mid)}')").count() === 100)
+    // the SQL WHERE clause is pushed into the SnapshotFileIndex: the
+    // range prunes the range-partitioned files of the pinned version
+    val pruned = spark.sql(
+      s"SELECT id FROM graft_table('$root', 0) WHERE id BETWEEN 10 AND 30")
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.map(_.metrics("numFiles").value).sum < 4,
+      "SQL-pushed range did not prune files through the TVF relation")
+    assert(pruned.count() === 21)
+    // a timestamp before any publish errors like a never-committed table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$root', TIMESTAMP '${utc(before)}')").collect()
+    }
+    // non-literal path: refused with a named contract
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table(concat('a', 'b'))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") ||
+      e.getMessage.toLowerCase.contains("graft_table"))
+  }
 }

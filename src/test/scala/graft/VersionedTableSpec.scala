@@ -158,18 +158,38 @@ class VersionedTableSpec extends AnyFunSuite {
       Array("a", "b", "c", "d"))
   }
 
-  test("appendCommit refuses a partitioned previous snapshot; tags round-trip") {
+  test("appendCommit on a partitioned snapshot: batch-only write, partition column preserved; tags round-trip") {
     val t = freshTable()
     import spark.implicits._
     t.commit(
       Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "branch", "s"),
       partitionBy = Seq("branch"))
-    // carried cross-version reads skip basePath, so hive columns would
-    // silently read as missing — must fail fast instead
+    val filesBefore = t.manifest(0L).get.toSet
+    val v1 = t.appendCommit(Seq((3L, "z", "c"), (4L, "x", "d")).toDF("id", "branch", "s"))
+    // previous-rows-plus-batch; only the batch's files are new (the base
+    // files carry by manifest reference across version directories)
+    val m1 = t.manifest(v1).get
+    assert(filesBefore.subsetOf(m1.toSet))
+    assert(m1.toSet.diff(filesBefore).forall(_.contains(s"v=$v1")))
+    // the batch's files landed under hive partition dirs of the SAME keys
+    assert(m1.toSet.diff(filesBefore).forall(_.contains("branch=")))
+    val r = t.read(spark)
+    assert(r.count() === 4)
+    // partition column restored for BOTH eras of the cross-directory read
+    assert(r.filter(col("branch") === "x").select("id").as[Long].collect().sorted
+      === Array(1L, 4L))
+    // a filter on the partition column + time travel to the base era
+    assert(t.readVersion(spark, 0L).filter(col("branch") === "x").count() === 1)
+    // a further append keeps the chain readable
+    t.appendCommit(Seq((5L, "y", "e")).toDF("id", "branch", "s"))
+    assert(t.read(spark).filter(col("branch") === "y").count() === 2)
+    // schema EVOLUTION on a partitioned chain: refused fail-fast even
+    // with the opt-in (the explicit round-13 ask #2 decision)
     val e = intercept[IllegalArgumentException] {
-      t.appendCommit(Seq((3L, "z", "c")).toDF("id", "branch", "s"))
+      t.appendCommit(
+        Seq((6L, "z", "f", 1.0)).toDF("id", "branch", "s", "w"), allowEvolution = true)
     }
-    assert(e.getMessage.contains("unpartitioned"))
+    assert(e.getMessage.contains("partitioned") && e.getMessage.contains("w"))
 
     val t2 = freshTable()
     t2.commit(Seq((1L, "a")).toDF("id", "s"))
@@ -274,14 +294,25 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.compactFiles(spark, smallBytes = sizes.min + 1, targetBytes = Long.MaxValue) === v1)
   }
 
-  test("compactFiles: refuses partitioned snapshots; vacuum keeps dirs the head references") {
+  test("compactFiles: partitioned snapshots re-bin under their keys; vacuum keeps dirs the head references") {
     val t = freshTable()
     import spark.implicits._
+    // a fragmented partitioned append chain: every file qualifies as
+    // small, so compaction must rewrite them UNDER the partition keys
+    // and the compacted read must stay bag-identical, partition column
+    // included
     t.commit(
-      Seq((1L, "a"), (2L, "b")).toDF("id", "branch"), partitionBy = Seq("branch"))
-    val e = intercept[IllegalArgumentException](
-      t.compactFiles(spark, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue))
-    assert(e.getMessage.toLowerCase.contains("partition"))
+      (1L to 40L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"),
+      partitionBy = Seq("branch"))
+    t.appendCommit((41L to 80L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"))
+    val vc = t.compactFiles(spark, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(vc === 2L)
+    val compacted = t.manifest(vc).get
+    assert(compacted.forall(_.contains("branch=")), "compaction lost the hive layout")
+    val r = t.read(spark)
+    assert(r.count() === 80)
+    assert(r.filter(col("branch") === "b1").count() === 27)
+    assert(r.groupBy("branch").count().count() === 3)
     // an append chain compacted with the BASE carried: vacuum must keep v=0
     val t2 = freshTable()
     t2.commit((1L to 500L).map(i => (i, s"u$i")).toDF("user_id", "payload").coalesce(1))
@@ -818,5 +849,244 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readIn(spark, "id", Seq(42L)).count() === 1)
     // and a RANGE read over the same column never consults b rows at all
     assert(t.readBetween(spark, "id", 40, 44).count() === 5)
+  }
+
+  /** Spec-side mirror of the harvest/probe position arithmetic — used to
+    * forge a row from a FOREIGN writer with a different probe count k,
+    * which the table's own API can never produce (BloomK is fixed).
+    */
+  private def kmPositions(value: Long, bits: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def h(seed: Long): Long = XxHash64Function.hash(value, LongType, seed)
+    val h1 = Math.floorMod(h(42L), bits.toLong)
+    val h2 = Math.floorMod(h(XxHash64Function.hash(1L, LongType, 42L)), bits.toLong)
+    (0 until k).map(i => Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt)
+  }
+
+  test("bloom skipping: the probe honors the ROW's recorded k; a bad k degrades to keep") {
+    val t = freshTable()
+    import spark.implicits._
+    val v0 = t.commit(Seq((7L, "a"), (8L, "b")).toDF("id", "s").coalesce(1))
+    val rel = java.nio.file.Paths.get(t.root)
+      .relativize(java.nio.file.Paths.get(t.manifest(v0).get.head)).toString
+    val bits = 1 << 16
+    // fixture sanity: a k=3 writer's positions must be a strict prefix of
+    // the k=7 probe's, else this test cannot discriminate the two probes
+    assert(kmPositions(7L, bits, 7).toSet.size > kmPositions(7L, bits, 3).toSet.size)
+    // forge a row written by a k=3 writer: ONLY value 7's first 3
+    // Kirsch–Mitzenmacher positions are set
+    val bs = new java.util.BitSet(bits)
+    kmPositions(7L, bits, 3).foreach(bs.set)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def writeRow(params: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, s"v=$v0", "_stats"),
+      s"$rel\tid\tb\t${enc(b64)}\t${enc(params)}".getBytes("UTF-8"))
+    writeRow(s"$bits:3:l")
+    // probing value 7 with the ROW's k=3 admits the file; a probe that
+    // ignored the recorded k and used the writer constant 7 would test
+    // positions the k=3 writer never set — a FALSE NEGATIVE (file
+    // wrongly pruned, the round-13 ADVICE class)
+    assert(t.pruneFilesIn(v0, "id", Seq(7L))._1.length === 1,
+      "recorded-k probe wrongly pruned the file holding the value")
+    assert(t.readIn(spark, "id", Seq(7L)).count() === 1)
+    // the k=3 bloom still PRUNES genuine misses (it is a working filter)
+    assert(t.pruneFilesIn(v0, "id", Seq(99999L))._1.isEmpty)
+    // absent / zero / negative / unparseable k: degrade to keep, never throw
+    Seq(s"$bits", s"$bits:", s"$bits:0:l", s"$bits:-2:l", s"$bits:x:l").foreach { params =>
+      writeRow(params)
+      assert(t.pruneFilesIn(v0, "id", Seq(99999L))._1.length === 1,
+        s"params '$params' should degrade to keep")
+    }
+  }
+
+  test("readAsOf never serves an orphan (written-but-unpublished) version") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s"))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // simulate a crash between _commit_ts and the pointer swap: v=1 sits
+    // on disk bearing a commit timestamp but the published pointer is v0
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_latest"), "0".getBytes("UTF-8"))
+    assert(t.latestVersion().contains(0L))
+    // timestamp time travel resolves over PUBLISHED versions only — the
+    // orphan's _commit_ts must not leak a never-published snapshot
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 1)
+  }
+
+  test("diffVersions: a later full commit with NEW columns never reads through an older _schema") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s"))
+    val v1 = t.appendCommit(
+      Seq((2L, "b", 20L)).toDF("id", "s", "v"), allowEvolution = true)
+    // a FULL commit (never writes _schema) whose rows match v1 exactly in
+    // (id, s, v) but add column w — pre-guard, the fallback read BOTH
+    // sides through v1's _schema, projected w away, and reported ZERO
+    // deltas for a version that demonstrably changed; the guard reads
+    // each side through its own schema and lets the mismatch surface
+    val v2 = t.commit(
+      Seq((1L, "a", Option.empty[Long], 0.5), (2L, "b", Option(20L), 0.7))
+        .toDF("id", "s", "v", "w"))
+    intercept[Exception](t.diffVersions(spark, v1, v2).collect())
+  }
+
+  test("stats skipping: a prune on an evolution-added column keeps every pre-evolution file") {
+    val t = freshTable()
+    import spark.implicits._
+    val base = (0L until 100L).map(i => (i, s"s${i % 5}")).toDF("id", "s")
+    t.commit(base.repartitionByRange(2, col("id")), statsColumns = Seq("id"))
+    val batch = (100L until 200L).map(i => (i, s"s${i % 5}", i * 3)).toDF("id", "s", "n")
+    val v1 = t.appendCommit(
+      batch.repartitionByRange(2, col("id")),
+      statsColumns = Seq("id", "n"), allowEvolution = true)
+    // pre-evolution files carry NO stats rows for the added column (their
+    // footers never saw it; their rows read as all-NULL) — the no-row
+    // default must KEEP them, else rows vanish from IS NULL consumers
+    val (kept, total) = t.pruneFiles(v1, "n", 300, 400)
+    assert(total === 4)
+    val preEvo = t.manifest(v1).get.filter(_.contains("v=0"))
+    assert(preEvo.nonEmpty && preEvo.forall(kept.contains), "a pre-evolution file was pruned")
+    // ...while the range DOES prune post-evolution files outside it
+    assert(kept.length < total)
+    // NULL never matches the range read; the rows are still in the table
+    assert(t.readBetween(spark, "n", 300, 400).count() === 34)
+    assert(t.read(spark).filter(col("n").isNull).count() === 100)
+  }
+
+  test("bloom skipping: a multi-column opt-in harvests ONE scan's rows for every column") {
+    val t = freshTable()
+    import spark.implicits._
+    // category-clustered: each file holds whole categories (so `s` blooms
+    // prune) and a near-arbitrary id set (so `id` blooms prune)
+    val df = (0L until 600L).map(i => (i, s"cat${(i * 7919) % 211}")).toDF("id", "s")
+    val v0 = t.commit(df.repartition(6, col("s")), bloomColumns = Seq("id", "s"))
+    val statsFile = java.nio.file.Paths.get(t.root, s"v=$v0", "_stats")
+    val lines = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8").split("\n")
+    assert(lines.count(l => l.split("\t").lift(1).contains("id")) === 6)
+    assert(lines.count(l => l.split("\t").lift(1).contains("s")) === 6)
+    val (keptId, totalId) = t.pruneFilesIn(v0, "id", Seq(11L))
+    assert(totalId === 6 && keptId.length < totalId)
+    val (keptS, totalS) = t.pruneFilesInStrings(v0, "s", Seq("cat7"))
+    assert(totalS === 6 && keptS.length < totalS)
+    // both pruned reads are row-identical to the plain filtered reads
+    val idPruned = t.readIn(spark, "id", Seq(11L))
+    val idFull = t.read(spark).filter(col("id") === 11L)
+    assert(idPruned.exceptAll(idFull).isEmpty && idFull.exceptAll(idPruned).isEmpty)
+    val sPruned = t.readInStrings(spark, "s", Seq("cat7"))
+    val sFull = t.read(spark).filter(col("s") === "cat7")
+    assert(sPruned.exceptAll(sFull).isEmpty && sFull.exceptAll(sPruned).isEmpty)
+    assert(sFull.count() > 0)
+  }
+
+  /** numFiles of the (single) parquet scan in an executed plan — the
+    * witness that the SnapshotFileIndex genuinely skipped files on the
+    * PLAIN read path, not just that results matched.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // populate metrics
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("integrated read path: a PLAIN read().filter() prunes files through the FileIndex") {
+    val t = freshTable()
+    import spark.implicits._
+    val df0 = (0L until 800L).map(i => (i, s"s${i % 7}", i * 2)).toDF("id", "s", "v")
+    t.commit(
+      df0.filter(col("id") < 600).repartitionByRange(6, col("id")),
+      statsColumns = Seq("id", "s"))
+    t.appendCommit(
+      df0.filter(col("id") >= 600).repartitionByRange(2, col("id")),
+      statsColumns = Seq("id", "s"))
+    // numeric range: the pushed filter reaches the index and drops files
+    val ranged = t.read(spark).filter(col("id") >= 100L && col("id") <= 249L)
+    assert(scannedFiles(ranged) < 8, "plain range read scanned every file")
+    assert(ranged.collect().map(_.getLong(0)).sorted === (100L to 249L).toArray)
+    // the dedicated API and the plain read agree row-for-row
+    val viaApi = t.readBetween(spark, "id", 100, 249)
+    assert(ranged.exceptAll(viaApi).isEmpty && viaApi.exceptAll(ranged).isEmpty)
+    // point predicate (IN) prunes too, and never drops a match
+    val points = t.read(spark).filter(col("id").isin(5L, 650L))
+    assert(scannedFiles(points) < 8)
+    assert(points.count() === 2)
+    // an UNTRANSLATABLE predicate (arithmetic over the column) keeps
+    // every file — degrade to an unpruned scan, results exact
+    val hard = t.read(spark).filter((col("id") + 1) === 101L)
+    assert(scannedFiles(hard) === 8)
+    assert(hard.count() === 1)
+    // a conjunction composes: the translatable conjunct still prunes
+    val mixed = t.read(spark).filter(col("id") <= 99L && length(col("s")) === 2)
+    assert(scannedFiles(mixed) < 8)
+    assert(mixed.count() === 100)
+  }
+
+  test("integrated read path: bloom + string rungs serve plain filters; evolution reads stay unified") {
+    val t = freshTable()
+    import spark.implicits._
+    // hash-clustered layout (min/max useless for id points) + bloom rows
+    val df = (0L until 800L).map(i => (i, s"k${i % 13}")).toDF("id", "s")
+    t.commit(df.repartition(8, col("s")), statsColumns = Seq("s"), bloomColumns = Seq("id", "s"))
+    val viaBloom = t.read(spark).filter(col("id").isin(3L, 411L, 777L))
+    assert(scannedFiles(viaBloom) < 8, "plain IN read did not engage the bloom rung")
+    assert(viaBloom.count() === 3)
+    // string equality prunes through the string-kind bloom rows (each
+    // file holds whole categories under the hash-clustered layout, so
+    // k5 lives in exactly one file and the others' blooms exclude it)
+    val str = t.read(spark).filter(col("s") === "k5")
+    assert(scannedFiles(str) < 8, "plain string-point read did not engage the bloom rung")
+    assert(str.count() === 62) // ids 5, 18, ..., 798: 62 of 800
+    // evolution: the added column NULL-fills through the INDEXED read,
+    // and pruning on it keeps pre-evolution files (ask #4 through the
+    // integrated path)
+    val t2 = freshTable()
+    t2.commit((0L until 100L).map(i => (i, s"x$i")).toDF("id", "s").coalesce(2),
+      statsColumns = Seq("id"))
+    t2.appendCommit(
+      (100L until 200L).map(i => (i, s"x$i", i * 3)).toDF("id", "s", "n")
+        .repartitionByRange(2, col("id")),
+      statsColumns = Seq("id", "n"), allowEvolution = true)
+    val evolved = t2.read(spark)
+    assert(evolved.columns.toSeq === Seq("id", "s", "n"))
+    assert(evolved.filter(col("n").isNull).count() === 100)
+    val onAdded = t2.read(spark).filter(col("n") >= 300L && col("n") <= 400L)
+    assert(onAdded.count() === 34)
+    // pre-evolution files are kept (no stats rows for n), one post-
+    // evolution file prunes: 2 + 1 scanned of 4
+    assert(scannedFiles(onAdded) === 3)
+  }
+
+  test("deleteWhere on a partitioned append chain: hit files rewrite under the keys, predicate may reference the partition column") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(
+      (1L to 30L).map(i => (i, s"b${i % 3}", s"u$i")).toDF("id", "branch", "s"),
+      partitionBy = Seq("branch"))
+    val v1 = t.appendCommit(
+      (31L to 60L).map(i => (i, s"b${i % 3}", s"u$i")).toDF("id", "branch", "s"))
+    // the predicate references the PARTITION column — restored by the
+    // per-directory reads, it must select exactly the b2 rows everywhere
+    val v2 = t.deleteWhere(spark, col("branch") === "b2" && col("id") <= 40L)
+    assert(v2 > v1)
+    val m2 = t.manifest(v2).get
+    assert(m2.forall(_.contains("branch=")), "the rewrite lost the hive layout")
+    // untouched partitions carried by reference (their files pre-date v2)
+    assert(m2.exists(!_.contains(s"v=$v2")), "nothing carried — file granularity lost")
+    val r = t.read(spark)
+    // ids 1..60 minus {b2 ids <= 40} = 60 - |{2,5,...,38}| = 60 - 13
+    assert(r.count() === 47)
+    assert(r.filter(col("branch") === "b2").select("id").as[Long].collect().min === 41L)
+    // time travel still serves the pre-delete snapshot, partition column intact
+    assert(t.readVersion(spark, v1).filter(col("branch") === "b2").count() === 20)
+    // CDC across the partitioned delete: only b2 victims, change='delete'
+    val d = t.diffVersions(spark, v1, v2)
+    assert(d.filter(col("change") =!= "delete").count() === 0)
+    assert(d.count() === 13)
+    assert(d.select("branch").distinct().collect().map(_.getString(0)).toSeq === Seq("b2"))
   }
 }
