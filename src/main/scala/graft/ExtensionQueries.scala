@@ -1092,6 +1092,40 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // Null-count pruned read (x140): the round-14 `n` stats rung —
+    // per-file (nullCount, rowCount) harvested from the same footers as
+    // min/max, serving IS NULL / IS NOT NULL predicates that ordered
+    // bounds cannot (an all-null file has NO min/max row at all, so it
+    // was maximally unprunable exactly when it provably holds nothing a
+    // non-null predicate wants). The fixture's base era commits the
+    // column as an explicit typed NULL (the backfill-pending shape every
+    // evolving pipeline passes through); the appended era carries real
+    // values; the graded read is the natural read().filter(isNotNull) —
+    // the base era's files drop at PLAN time through the integrated
+    // index (VersionedTableSpec pins the skip), and since Catalyst
+    // infers IsNotNull under every filter, the rung quietly serves
+    // ordinary predicates too. Oracle: the surviving era restated.
+    "x140_null_pruned_read" -> ((s, dir) =>
+      nullStatsTableFor(s, dir)
+        .read(s)
+        .filter(col("n_chars").isNotNull)
+        .orderBy("doc_id")),
+
+    // SQL CDC feed (x141): diffVersions through the
+    // graft_table_changes('path', v1, v2) table-valued function — the
+    // x100 change feed (insert/delete rows between two committed
+    // snapshots, shared manifest files never read) made reachable from
+    // plain spark.sql, over the SAME x100 fixture chain and graded by
+    // the SAME oracle restatement, so a hash match gates that the SQL
+    // face computes the identical feed.
+    "x141_sql_cdc" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val root = cdcTableFor(s, dir).root
+      s.sql(
+        s"SELECT change, doc_id, source, n_chars FROM graft_table_changes('$root', 0, 2) " +
+          "ORDER BY change, doc_id")
+    }),
+
     // DSIR importance weights (x133): the published data-selection
     // recipe (Xie et al. 2023) — hashed unigram+bigram bag distributions
     // fitted over target (the English slice) and raw (the whole corpus),
@@ -2764,6 +2798,31 @@ object ExtensionQueries {
       vt.commit(docs.filter(col("doc_id") < 400), partitionBy = Seq("lang"))
       vt.appendCommit(docs.filter(col("doc_id") >= 400))
       vt.deleteWhere(s, col("doc_id") % 13 === 2)
+      r
+    })
+    graft.sources.VersionedTable(root)
+  }
+
+  /** x140's snapshot: a two-era chain where the BASE era's `n_chars` is
+    * an explicit typed NULL (the backfill-pending shape) and the
+    * appended era carries real values — so the `n` null-count rows can
+    * prove the base files useless to IS NOT NULL readers.
+    */
+  private val NullStatsTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def nullStatsTableFor(s: SparkSession, dir: String): graft.sources.VersionedTable = {
+    val root = NullStatsTables.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_x140_").toString + "/t"
+      val vt = graft.sources.VersionedTable(r)
+      val docs = Tables.documents(s, dir)
+      vt.commit(
+        docs.filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("source"), lit(null).cast("long").as("n_chars")),
+        statsColumns = Seq("doc_id", "n_chars"))
+      vt.appendCommit(
+        docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("source"), col("n_chars")),
+        statsColumns = Seq("doc_id", "n_chars"))
       r
     })
     graft.sources.VersionedTable(root)
@@ -5280,6 +5339,22 @@ object ExtensionQueries {
     "x138_partitioned_maintenance_read" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id % 13 <> 2 ORDER BY doc_id""".stripMargin,
+    // x140: the non-null era restated (the base era's n_chars is an
+    // explicit NULL in the fixture, so IS NOT NULL keeps only the
+    // appended rows — and only genuinely non-null ones of those)
+    "x140_null_pruned_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id >= 400 AND n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // x141: the SQL-TVF change feed over the x100 chain — the same
+    // closed-form restatement as x100 (insert = the appended era minus
+    // the later delete's victims; delete = the base era's victims)
+    "x141_sql_cdc" ->
+      """SELECT 'insert' AS change, doc_id, source, n_chars FROM documents
+        |WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 'delete' AS change, doc_id, source, n_chars FROM documents
+        |WHERE doc_id < 300 AND doc_id % 7 = 0
+        |ORDER BY 1, 2""".stripMargin,
     // x133/x134: the full DSIR fit + score replayed relationally — the
     // md5-hex bucket parse is x36's positional trick, the four ln terms
     // are stated in the engine's exact order, and the weight crosses

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectFunction(GraftExtensions.bpeApplyFunction)
     ext.injectTableFunction(GraftExtensions.graftTableFunction)
+    ext.injectTableFunction(GraftExtensions.graftTableChangesFunction)
   }
 }
 
@@ -167,6 +168,39 @@ object GraftExtensions {
       df.queryExecution.logical
     })
 
+  /** `graft_table_changes('path', v1, v2)` — the snapshot store's CDC
+    * feed in SQL: rows tagged `change` ∈ {'insert','delete'} between two
+    * committed versions ([[graft.sources.VersionedTable.diffVersions]] —
+    * files shared by both manifests are never read, the same
+    * file-granular pruning the Scala API gets). Version arguments must
+    * be INTEGER literals, like graft_table's.
+    */
+  val graftTableChangesFunction: (
+      FunctionIdentifier,
+      ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("graft_table_changes"),
+    new ExpressionInfo(classOf[graft.sources.VersionedTable].getName, "graft_table_changes"),
+    { args =>
+      val spark = SparkSession.getActiveSession.getOrElse(
+        throw new IllegalStateException("graft_table_changes: no active SparkSession"))
+      def long(e: Expression): Long = e match {
+        case Literal(v: Int, types.IntegerType) => v.toLong
+        case Literal(v: Long, types.LongType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_table_changes: version arguments must be INTEGER literals, got $other")
+      }
+      args match {
+        case Seq(Literal(p: org.apache.spark.unsafe.types.UTF8String, types.StringType), a, b) =>
+          graft.sources.VersionedTable(p.toString)
+            .diffVersions(spark, long(a), long(b))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "graft_table_changes expects ('path', fromVersion, toVersion) as literals; " +
+            s"got ${other.size} arg(s)")
+      }
+    })
+
   private def strArray(e: Expression): Array[String] = {
     // check the TYPE before eval: array(1, 2) is foldable too, and the
     // UTF8String extraction below would die with a bare
@@ -202,7 +236,7 @@ object GraftExtensions {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
-    graftTableFunction match {
+    Seq(graftTableFunction, graftTableChangesFunction).foreach {
       case (ident, info, builder) =>
         spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
     }

@@ -30,6 +30,14 @@ object GraftSession {
       // Testdata `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as
       // LongType under this flag and Tables.events converts explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as INT64 micros, not the deprecated INT96 Spark
+      // still defaults to for Hive compat: INT96 chunks carry NO usable
+      // footer statistics, which silently turns the snapshot store's
+      // timestamp file-skipping (readBetweenTimestamps and the
+      // SnapshotFileIndex's TIMESTAMP translation, both built on the
+      // INT64-micros `l` rows) into keep-everything. Micros is what
+      // Delta/Iceberg write and every modern reader (and DuckDB) speaks.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[32]"): SparkSession = {

@@ -36,23 +36,84 @@ import org.apache.spark.sql.types._
   * manifest before task planning (no listing, no footer reads for
   * skipped files), z-order cuts row groups inside the survivors.
   *
-  * Unpartitioned snapshots (the append/maintenance chains): partition
-  * columns live in hive paths, which plain-commit partitioned snapshots
-  * already prune via Spark's own partitioning-aware listing —
-  * [[VersionedTable.readVersion]] routes those through the basePath
-  * read and everything else through here.
+  * HIVE-PARTITIONED snapshots integrate here too: each manifest file's
+  * partition values are parsed from its own path segments at
+  * construction (hive-unescaped, `__HIVE_DEFAULT_PARTITION__` → NULL,
+  * typed by the snapshot's recorded/inferred schema), grouped into one
+  * [[PartitionDirectory]] per value tuple — so ONE relation serves
+  * partition pruning (the pushed partitionFilters evaluate against each
+  * group's values, the PartitioningAwareFileIndex discipline) AND
+  * stats/bloom file skipping (the dataFilters walk), composed — and a
+  * partitioned append/maintenance chain whose files span version
+  * directories reads as a single scan, no per-directory union. A
+  * partition value the parser cannot type (exotic partition column
+  * types) fails construction loudly; [[VersionedTable.readVersion]]
+  * catches and falls back to the per-directory read — integration is an
+  * optimization, never semantics.
   */
 final class SnapshotFileIndex(
     table: VersionedTable,
     version: Long,
     manifestFiles: Seq[String],
-    schema: StructType) extends FileIndex {
+    override val partitionSchema: StructType) extends FileIndex {
 
   private val statuses: Seq[(String, FileStatus)] = manifestFiles.map { abs =>
     val f = new java.io.File(abs)
     abs -> new FileStatus(f.length(), false, 1, 128L << 20, f.lastModified(),
       new Path(f.toURI))
   }
+
+  /** Partition values of one manifest file, parsed from its hive path
+    * segments (`v=3/lang=en/part….parquet` → values for
+    * `partitionSchema` in order). Parsing mirrors Spark's own hive
+    * reading: unescapePathName for %-escapes, DEFAULT_PARTITION_NAME →
+    * NULL; values are typed by the RECORDED schema (never re-inferred,
+    * so a type can't flicker between files). Supported partition types
+    * are the practical hive set — string, the integer family, boolean,
+    * float/double, DATE; anything else throws and the caller falls back
+    * to the non-indexed read.
+    */
+  private def partValuesOf(abs: String): Seq[Any] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val rel = java.nio.file.Paths.get(table.root)
+      .relativize(java.nio.file.Paths.get(abs)).toString
+    val segs = rel.split('/').drop(1).dropRight(1)
+    require(segs.length == partitionSchema.length,
+      s"manifest path '$rel' does not carry the snapshot's ${partitionSchema.length} partition segment(s)")
+    partitionSchema.fields.zip(segs).map { case (field, seg) =>
+      val i = seg.indexOf('=')
+      require(i > 0 && ExternalCatalogUtils.unescapePathName(seg.take(i)) == field.name,
+        s"expected partition key '${field.name}' in '$rel', found '$seg'")
+      val raw = ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else field.dataType match {
+        case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        case ByteType => raw.toByte
+        case ShortType => raw.toShort
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case BooleanType => raw.toBoolean
+        case FloatType => raw.toFloat
+        case DoubleType => raw.toDouble
+        case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other for '${field.name}'")
+      }
+    }.toSeq
+  }
+
+  /** One group per distinct partition-value tuple (a single all-files
+    * group with an empty row for unpartitioned snapshots).
+    */
+  private val groups: Seq[(InternalRow, Seq[(String, FileStatus)])] =
+    if (partitionSchema.isEmpty) Seq(InternalRow.empty -> statuses)
+    else statuses
+      .groupBy { case (abs, _) => partValuesOf(abs) }
+      .toSeq
+      .sortBy(_._2.head._1)
+      .map { case (vals, fs) =>
+        (InternalRow.fromSeq(vals): InternalRow) -> fs
+      }
 
   override def rootPaths: Seq[Path] =
     Seq(new Path(new java.io.File(table.root).toURI))
@@ -64,8 +125,6 @@ final class SnapshotFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
-
-  override def partitionSchema: StructType = new StructType()
 
   /** One prunable constraint per supported conjunct, expressed through
     * the table's existing PUBLIC prune entry points so the FileIndex and
@@ -163,6 +222,14 @@ final class SnapshotFileIndex(
       val dt = a.dataType
       val lits = hset.toSeq.map(Literal(_, dt)).flatMap(longOrString)
       if (lits.length == hset.size) inSet(columnOf(a).get, lits) else None
+    // the null rung: `n` (nullCount:rowCount) rows prove a file all-null
+    // or null-free. IsNotNull matters doubly — Catalyst infers it for
+    // every filtered column, so all-null files (e.g. a pre-evolution
+    // column explicitly committed as NULL) drop out of ordinary filters
+    case IsNotNull(a) if columnOf(a).isDefined =>
+      Some(() => table.pruneFilesNotNull(version, columnOf(a).get)._1)
+    case IsNull(a) if columnOf(a).isDefined =>
+      Some(() => table.pruneFilesNull(version, columnOf(a).get)._1)
     case _ => None
   }
 
@@ -186,17 +253,37 @@ final class SnapshotFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // intersection across conjuncts: each translated conjunct is an
-    // independent proof of absence, so the prunable set is their union
-    // (the pruneBy composition rule, lifted to the filter level). The
-    // sidecar is a small driver-side file re-read per prune call —
-    // listFiles runs once per (re)plan, not per task.
+    // partition pruning first: bind the pushed partition filters BY NAME
+    // to positions in the per-group value row (the
+    // PartitioningAwareFileIndex discipline) and keep the groups that
+    // pass. Any binding/eval surprise degrades to keep-all — pruning is
+    // an optimization, never semantics.
+    val survivingGroups =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
+      else scala.util.Try {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name) // throws if absent
+            BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        groups.filter { case (row, _) => pred.eval(row) }
+      }.getOrElse(groups)
+    // then the stats walk — intersection across conjuncts: each
+    // translated conjunct is an independent proof of absence, so the
+    // prunable set is their union (the pruneBy composition rule, lifted
+    // to the filter level). The sidecar is a small driver-side file
+    // re-read per prune call — listFiles runs once per (re)plan, not
+    // per task.
     val kept = dataFilters.flatMap(conjuncts).flatMap(translate)
       .foldLeft(manifestFiles.toSet) { (acc, prune) =>
         acc.intersect(prune().toSet)
       }
-    Seq(PartitionDirectory(
-      InternalRow.empty,
-      statuses.collect { case (abs, st) if kept.contains(abs) => st }.toArray))
+    survivingGroups
+      .map { case (row, fs) =>
+        PartitionDirectory(row, fs.collect { case (abs, st) if kept.contains(abs) => st }.toArray)
+      }
+      .filter(_.files.nonEmpty)
   }
 }

@@ -739,7 +739,10 @@ final class VersionedTable(val root: String) {
     readSchema(v).getOrElse {
       val files = manifest(v).getOrElse(Nil)
       if (files.isEmpty) new org.apache.spark.sql.types.StructType()
-      else if (partitionKeysOf(files).nonEmpty) readVersion(spark, v).schema
+      // readSubset, NOT readVersion: the indexed read path calls back
+      // into schemaOf for its relation schema — going through
+      // readVersion here would recurse
+      else if (partitionKeysOf(files).nonEmpty) readSubset(spark, None, files).schema
       else spark.read.parquet(files.head).schema
     }
 
@@ -821,6 +824,18 @@ final class VersionedTable(val root: String) {
     * type tag (l = integral, d = floating, compared exactly / in double),
     * URL-encoded min and max. Columns whose parquet type has no ordered
     * stats (or files that never wrote a non-null value) emit no row.
+    *
+    * Plus, independently of the ordered-stats rows, one NULL-COUNT row
+    * (tag `n`: min field = the file's null count for the column, max
+    * field = the file's row count) whenever every chunk's footer has
+    * its null count set — the rung that serves `IS NULL` / `IS NOT
+    * NULL` predicates, which min/max cannot (an all-null file has no
+    * ordered bounds at all, so before this rung it was maximally
+    * UNPRUNABLE exactly when it provably holds nothing a non-null
+    * predicate wants). Catalyst infers IsNotNull for every filtered
+    * column, so this rung also composes silently under ordinary
+    * filters. Same degradation contract: no row (or a corrupt one) →
+    * keep; readers that predate the tag keep via the permits default.
     */
   private def harvestStats(files: Seq[String], cols: Set[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -843,10 +858,18 @@ final class VersionedTable(val root: String) {
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val fileRows = blocks.map(_.getRowCount).sum
         cols.toSeq.sorted.flatMap { c =>
           val chunks = blocks.flatMap(_.getColumns.asScala)
             .filter(ch => ch.getPath.toDotString == c)
           val stats = chunks.map(_.getStatistics)
+          // the null-count row stands on its own: it exists even (and
+          // especially) for all-null files, which carry no ordered bounds
+          val nullRow =
+            if (chunks.isEmpty || stats.exists(s => s == null || !s.isNumNullsSet)) None
+            else Some(
+              s"$rel\t$c\tn\t${enc(stats.map(_.getNumNulls).sum.toString)}\t${enc(fileRows.toString)}")
+          val boundsRow =
           if (chunks.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
           else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
             case INT32 | INT64 =>
@@ -896,6 +919,7 @@ final class VersionedTable(val root: String) {
                 yield s"$rel\t$c\ts\t${enc(mn)}\t${enc(mx)}"
             case _ => None // int96/fixed/boolean ranges: kept unprunable
           }
+          nullRow.toSeq ++ boundsRow.toSeq
         }
       } finally reader.close()
     }
@@ -1137,6 +1161,30 @@ final class VersionedTable(val root: String) {
       case _ => true
     }
 
+  /** Null rung, non-null side: keeps the files that can hold at least
+    * one NON-NULL value of `column` per their `n` (nullCount:rowCount)
+    * stats rows — an all-null file is provably useless to any
+    * `IS NOT NULL` consumer (and, since Catalyst infers IsNotNull for
+    * every filtered column, to most ordinary filters too). A file
+    * without an `n` row is kept, the standing degradation contract.
+    */
+  def pruneFilesNotNull(v: Long, column: String): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("n", nulls, rows) => nulls.toLong < rows.toLong
+      case _ => true
+    }
+
+  /** Null rung, null side: keeps the files whose `n` rows admit at
+    * least one NULL of `column` — serving `IS NULL` audits (the
+    * validation scans every quality pipeline runs) without reading the
+    * files that provably contain none.
+    */
+  def pruneFilesNull(v: Long, column: String): (Seq[String], Int) =
+    pruneBy(v, column) {
+      case ("n", nulls, _) => nulls.toLong > 0
+      case _ => true
+    }
+
   /** [[readIn]] for string point sets — min/max and bloom hints
     * intersect, the exact IN filter applies to the survivors.
     */
@@ -1230,7 +1278,10 @@ final class VersionedTable(val root: String) {
   }
 
   /** [[readBetween]] for TIMESTAMP columns — INT64 micros-since-epoch in
-    * parquet (Spark's TIMESTAMP_MICROS default), pruned via the `l` rows.
+    * parquet (GraftSession sets outputTimestampType=TIMESTAMP_MICROS;
+    * Spark's out-of-the-box INT96 default writes NO usable footer stats,
+    * so tables written under it simply stay unprunable on timestamps —
+    * degrade-to-keep, never wrong), pruned via the `l` rows.
     */
   def readBetweenTimestamps(
       spark: SparkSession,
@@ -1312,39 +1363,54 @@ final class VersionedTable(val root: String) {
     * explicit file paths); pre-manifest snapshots fall back to listing.
     */
   def readVersion(spark: SparkSession, v: Long): DataFrame = manifest(v) match {
-    // unpartitioned manifest snapshots read through the INTEGRATED
-    // skipping relation (round-13 ask #1): a SnapshotFileIndex under a
-    // stock parquet HadoopFsRelation, so a plain read().filter() prunes
-    // files through the _stats sidecar exactly like the dedicated
-    // readBetween/readIn entry points — without the caller knowing the
-    // API. Evolution still holds: the relation's dataSchema is the
-    // recorded unified schema, so pre-evolution files NULL-fill.
-    case Some(files) if files.nonEmpty && partitionKeysOf(files).isEmpty =>
-      readIndexed(spark, v, files)
-    // partitioned snapshots keep the hive-aware read (partition pruning
-    // comes from Spark's own partitioning layer there): own-dir under
-    // one basePath, partitioned cross-directory chains per owning
-    // directory under the recorded full schema (readSubset)
+    // manifest snapshots — partitioned or not — read through the
+    // INTEGRATED skipping relation (round-13 ask #1): a
+    // SnapshotFileIndex under a stock parquet HadoopFsRelation, so a
+    // plain read().filter() prunes files through the _stats sidecar
+    // exactly like the dedicated readBetween/readIn entry points —
+    // without the caller knowing the API — and hive partition pruning
+    // evaluates against per-file path-parsed values in the SAME
+    // listing, composing with the stats walk (one scan even when a
+    // partitioned chain spans version directories). Evolution still
+    // holds: the relation's dataSchema is the recorded unified schema,
+    // so pre-evolution files NULL-fill.
+    case Some(files) if files.nonEmpty => readIndexed(spark, v, files)
     case Some(files) => readFiles(spark, v, files)
     case None => spark.read.parquet(versionDir(v).toString)
   }
 
   /** The integrated-skipping relation behind [[readVersion]]: a
-    * [[SnapshotFileIndex]] (which receives the query's pushed data
-    * filters and runs the min/max + point-set + Bloom prune walk before
-    * task planning) under a stock parquet HadoopFsRelation — Spark
-    * executes the survivors with its ordinary vectorized/codegen scan.
+    * [[SnapshotFileIndex]] (which receives the query's pushed partition
+    * AND data filters and runs partition pruning plus the min/max +
+    * point-set + Bloom prune walk before task planning) under a stock
+    * parquet HadoopFsRelation — Spark executes the survivors with its
+    * ordinary vectorized/codegen scan. A snapshot whose partition
+    * values the index cannot type (exotic partition column types —
+    * see SnapshotFileIndex.partValuesOf) falls back to the
+    * per-directory hive read: integration is an optimization, never
+    * semantics.
     */
   private def readIndexed(spark: SparkSession, v: Long, files: Seq[String]): DataFrame = {
-    val dataSchema = schemaOf(spark, v)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = new SnapshotFileIndex(this, v, files, dataSchema),
-      partitionSchema = new org.apache.spark.sql.types.StructType(),
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-      options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
+    val fullSchema = schemaOf(spark, v)
+    val partKeys = partitionKeysOf(files)
+    val partSchema = org.apache.spark.sql.types.StructType(partKeys.map(k =>
+      fullSchema.fields.find(_.name == k).getOrElse(throw new IllegalStateException(
+        s"partition column '$k' missing from snapshot v=$v's schema under $root"))))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      fullSchema.fields.filterNot(f => partKeys.contains(f.name)))
+    scala.util.Try(new SnapshotFileIndex(this, v, files, partSchema)) match {
+      case scala.util.Success(index) =>
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = index,
+          partitionSchema = partSchema,
+          dataSchema = dataSchema,
+          bucketSpec = None,
+          fileFormat =
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+          options = Map.empty)(spark)
+        spark.baseRelationToDataFrame(relation)
+      case scala.util.Failure(_) => readFiles(spark, v, files)
+    }
   }
 
   /** Drop all but the newest `keep` snapshots (never the published one,
@@ -1356,19 +1422,40 @@ final class VersionedTable(val root: String) {
     * contract: only vacuum past the oldest snapshot an in-flight reader
     * may still hold.
     */
-  def vacuum(keep: Int = 2): Unit = {
+  def vacuum(keep: Int = 2): Unit =
+    reclaim(versions().sorted.reverse.drop(math.max(keep, 1)))
+
+  /** Retention-window vacuum — the enforcement half of [[readAsOf]]'s
+    * caveat ("only vacuum past the oldest timestamp any report still
+    * replays"): drop snapshots PUBLISHED before `cutoff`, always
+    * keeping the newest `keep` regardless of age, never the published
+    * head, and never a directory a retained manifest still references.
+    * Versions without a recorded publish time (pre-`_commit_ts`
+    * snapshots, and orphans) count as older than any cutoff — they
+    * cannot serve timestamp time travel anyway.
+    */
+  def vacuumOlderThan(cutoff: java.time.Instant, keep: Int = 1): Unit = {
+    val ms = cutoff.toEpochMilli
+    reclaim(versions().sorted.reverse.drop(math.max(keep, 1))
+      .filter(v => commitTimestamp(v).forall(_ < ms)))
+  }
+
+  /** Shared vacuum tail: delete the candidate version directories that
+    * are neither published nor referenced by any RETAINED snapshot's
+    * manifest (append chains keep their ancestors' directories alive —
+    * the same walk Delta's VACUUM does over the retained log).
+    */
+  private def reclaim(candidates: Seq[Long]): Unit = {
     val published = latestVersion().toSeq
-    val retained = versions().sorted.reverse.take(math.max(keep, 1)) ++ published
+    val drop0 = candidates.filterNot(published.contains)
+    val retained = versions().filterNot(drop0.contains)
     val referenced: Set[String] = retained.toSet[Long]
       .flatMap(v => manifest(v).getOrElse(Nil))
     def isReferenced(v: Long): Boolean = {
       val prefix = versionDir(v).toString + java.io.File.separator
       referenced.exists(_.startsWith(prefix))
     }
-    val drop = versions().sorted.reverse.drop(math.max(keep, 1))
-      .filterNot(published.contains)
-      .filterNot(isReferenced)
-    drop.foreach { v =>
+    drop0.filterNot(isReferenced).foreach { v =>
       val dir = versionDir(v)
       import scala.jdk.CollectionConverters._
       val all = Files.walk(dir)

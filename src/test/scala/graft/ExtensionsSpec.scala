@@ -142,4 +142,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("literal") ||
       e.getMessage.toLowerCase.contains("graft_table"))
   }
+
+  test("graft_table_changes TVF: the SQL change feed equals the Scala diffVersions") {
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf_cdc").toString + "/t"
+    val t = graft.sources.VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    t.appendCommit(Seq((4L, "d")).toDF("id", "s"))
+    t.deleteWhere(spark, col("id") === 2L)
+    val viaSql = spark.sql(
+      s"SELECT change, id, s FROM graft_table_changes('$root', 0, 2) ORDER BY change, id")
+    val viaScala = t.diffVersions(spark, 0L, 2L)
+      .select(col("change"), col("id"), col("s")).orderBy("change", "id")
+    assert(viaSql.collect().toSeq === viaScala.collect().toSeq)
+    val rows = viaSql.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet === Set(("insert", 4L), ("delete", 2L)))
+    // non-literal versions: refused with a named contract
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$root', 0, 1 + 1)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") ||
+      e.getMessage.toLowerCase.contains("graft_table_changes"))
+  }
 }

@@ -1026,6 +1026,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(mixed.count() === 100)
   }
 
+  test("integrated read path: DATE and TIMESTAMP predicates prune through their l rows") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0 until 200).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(i * 3600L)))
+    }.toDF("id", "d", "ts")
+    t.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("d", "ts"))
+    // DATE range through the plain read: literal days meet the INT32-days rows
+    val byDate = t.read(spark).filter(
+      col("d") >= java.sql.Date.valueOf("2026-01-11") &&
+        col("d") <= java.sql.Date.valueOf("2026-02-09"))
+    assert(scannedFiles(byDate) < 4, "date range pruned nothing")
+    assert(byDate.count() === 30)
+    // TIMESTAMP range: literal micros meet the INT64-micros rows
+    val byTs = t.read(spark).filter(
+      col("ts") < java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T00:00:00Z")))
+    assert(scannedFiles(byTs) < 4, "timestamp range pruned nothing")
+    assert(byTs.count() === 24)
+  }
+
   test("integrated read path: bloom + string rungs serve plain filters; evolution reads stay unified") {
     val t = freshTable()
     import spark.implicits._
@@ -1059,6 +1081,130 @@ class VersionedTableSpec extends AnyFunSuite {
     // pre-evolution files are kept (no stats rows for n), one post-
     // evolution file prunes: 2 + 1 scanned of 4
     assert(scannedFiles(onAdded) === 3)
+  }
+
+  test("integrated read path: partitioned snapshots compose partition pruning AND stats skipping in ONE scan") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"b${i % 3}", s"u$i")).toDF("id", "branch", "s")
+    t.commit(
+      df.filter(col("id") < 200).repartitionByRange(2, col("id")),
+      partitionBy = Seq("branch"), statsColumns = Seq("id"))
+    t.appendCommit(df.filter(col("id") >= 200).repartitionByRange(1, col("id")),
+      statsColumns = Seq("id"))
+    val total = t.manifest(t.latestVersion().get).get.size
+    assert(total >= 9, s"fixture expected >=9 files, got $total") // 2x3 + 1x3 dirs
+    // the cross-directory partitioned chain reads as ONE scan, no union
+    val all = t.read(spark)
+    assert(all.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length === 1, "partitioned chain read is not a single integrated scan")
+    assert(all.count() === 300)
+    // each pruning measurement on a FRESH frame: a FileSourceScanExec's
+    // numFiles metric is populated when its lazy file listing first
+    // resolves and is not re-posted on a re-collect of the same plan
+    // partition pruning through the plain read: only b1's files scan
+    val filesPart = scannedFiles(t.read(spark).filter(col("branch") === "b1"))
+    assert(filesPart < total, "partition filter pruned nothing")
+    assert(t.read(spark).filter(col("branch") === "b1").count() === 100)
+    // stats skipping through the plain read: the id range prunes files
+    val filesStats = scannedFiles(t.read(spark).filter(col("id") <= 49L))
+    assert(filesStats < total, "stats range pruned nothing")
+    assert(t.read(spark).filter(col("id") <= 49L).count() === 50)
+    // and they COMPOSE: both pruning walks apply to one listing
+    val filesBoth =
+      scannedFiles(t.read(spark).filter(col("branch") === "b1" && col("id") <= 49L))
+    assert(filesBoth <= math.min(filesPart, filesStats))
+    assert(t.read(spark)
+      .filter(col("branch") === "b1" && col("id") <= 49L).count() === 17) // ids 1,4,...,49
+    // time travel keeps the same integrated behavior on the pinned era
+    assert(t.readVersion(spark, 0L).filter(col("branch") === "b2").count() === 66)
+  }
+
+  test("vacuumOlderThan: drops snapshots published before the cutoff, keeps the floor and references") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s")) // v0
+    Thread.sleep(5)
+    val mid = java.time.Instant.now()
+    Thread.sleep(5)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v1
+    t.commit(Seq((3L, "c")).toDF("id", "s"))            // v2 (head)
+    // cutoff between v0 and v1: only v0 is old enough to reclaim
+    t.vacuumOlderThan(mid)
+    assert(t.versions() === Seq(1L, 2L))
+    assert(t.read(spark).count() === 1)
+    // a cutoff in the future cannot take the head, and `keep` floors
+    // the newest snapshots regardless of age
+    t.vacuumOlderThan(java.time.Instant.now().plusSeconds(3600), keep = 2)
+    assert(t.versions() === Seq(1L, 2L))
+    t.vacuumOlderThan(java.time.Instant.now().plusSeconds(3600), keep = 1)
+    assert(t.versions() === Seq(2L))
+
+    // referenced ancestors of an append chain survive ANY cutoff while
+    // a retained head still references their files
+    val t2 = freshTable()
+    t2.commit(Seq((1L, "a")).toDF("id", "s"))      // v0
+    t2.appendCommit(Seq((2L, "b")).toDF("id", "s")) // v1 refs v0
+    t2.vacuumOlderThan(java.time.Instant.now().plusSeconds(3600), keep = 1)
+    assert(t2.versions() === Seq(0L, 1L))
+    assert(t2.read(spark).count() === 2)
+  }
+
+  test("null-count rung: IS NOT NULL / IS NULL prune through the plain read; no n row keeps") {
+    val t = freshTable()
+    import spark.implicits._
+    // base era: the column exists but is ALL NULL (backfill pending) —
+    // no ordered bounds possible, so before the n rung these files were
+    // unprunable exactly when provably useless
+    t.commit(
+      (0L until 100L).map(i => (i, s"u$i")).toDF("id", "s")
+        .select(col("id"), col("s"), lit(null).cast("long").as("v"))
+        .coalesce(2),
+      statsColumns = Seq("v"))
+    t.appendCommit(
+      (100L until 200L).map(i => (i, s"u$i", i * 2)).toDF("id", "s", "v").coalesce(2),
+      statsColumns = Seq("v"))
+    val total = t.manifest(t.latestVersion().get).get.size
+    // IS NOT NULL: the all-null era's files drop at plan time
+    val notNull = t.read(spark).filter(col("v").isNotNull)
+    assert(scannedFiles(notNull) <= total - 2, "all-null files were not pruned")
+    assert(notNull.count() === 100)
+    // the inferred-IsNotNull composition: an ordinary range filter on v
+    // also skips the all-null era (Catalyst adds isnotnull(v) for free)
+    val ranged = t.read(spark).filter(col("v") >= 300L)
+    assert(scannedFiles(ranged) <= total - 2)
+    assert(ranged.count() === 50)
+    // IS NULL: the value-bearing era's null-free files drop
+    val isNull = t.read(spark).filter(col("v").isNull)
+    assert(scannedFiles(isNull) <= total - 2, "null-free files were not pruned")
+    assert(isNull.count() === 100)
+    // a column with no n rows (never in statsColumns) keeps everything
+    val (keptS, totalS) = t.pruneFilesNotNull(t.latestVersion().get, "s")
+    assert(keptS.length === totalS)
+    // and the prune APIs agree with the reads
+    assert(t.pruneFilesNotNull(t.latestVersion().get, "v")._1.size <= total - 2)
+    assert(t.pruneFilesNull(t.latestVersion().get, "v")._1.size <= total - 2)
+  }
+
+  test("integrated read path: NULL and escaped partition values round-trip through the index") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a b")), (2L, Option.empty[String]),
+      (3L, Option("x=y")), (4L, Option("plain"))).toDF("id", "cat")
+    t.commit(df, partitionBy = Seq("cat"))
+    val r = t.read(spark)
+    assert(r.count() === 4)
+    // __HIVE_DEFAULT_PARTITION__ reads back as NULL, and IS NULL finds it
+    assert(r.filter(col("cat").isNull).select("id").as[Long].collect() === Array(2L))
+    // %-escaped values (space, '=') unescape to their original strings
+    assert(r.filter(col("cat") === "a b").select("id").as[Long].collect() === Array(1L))
+    assert(r.filter(col("cat") === "x=y").select("id").as[Long].collect() === Array(3L))
+    // equality on the partition column prunes to that partition's files
+    val one = t.read(spark).filter(col("cat") === "plain")
+    assert(scannedFiles(one) < t.manifest(0L).get.size)
+    assert(one.count() === 1)
   }
 
   test("deleteWhere on a partitioned append chain: hit files rewrite under the keys, predicate may reference the partition column") {
