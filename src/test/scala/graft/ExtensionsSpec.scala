@@ -143,6 +143,32 @@ class ExtensionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("graft_table"))
   }
 
+  test("graft_table TVF: partitioned snapshots read through the index with partition pruning") {
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf_part").toString + "/t"
+    val t = graft.sources.VersionedTable(root)
+    t.commit(
+      (0L until 90L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"),
+      partitionBy = Seq("branch"))
+    t.appendCommit((90L until 120L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"))
+    // the SQL face serves the hive-partitioned cross-directory chain,
+    // partition column included
+    val all = spark.sql(s"SELECT * FROM graft_table('$root')")
+    assert(all.count() === 120)
+    assert(all.columns.toSeq.sorted === Seq("branch", "id"))
+    // a WHERE on the partition column prunes at plan time through the
+    // pushed partitionFilters
+    val byPart = spark.sql(
+      s"SELECT id FROM graft_table('$root') WHERE branch = 'b1'")
+    byPart.collect()
+    val total = t.manifest(t.latestVersion().get).get.size
+    val scanned = byPart.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.map(_.metrics("numFiles").value).sum
+    assert(scanned < total, "SQL partition filter pruned nothing")
+    assert(byPart.count() === 40)
+  }
+
   test("graft_table_changes TVF: the SQL change feed equals the Scala diffVersions") {
     GraftExtensions.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_tvf_cdc").toString + "/t"

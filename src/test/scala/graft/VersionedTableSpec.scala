@@ -1024,6 +1024,14 @@ class VersionedTableSpec extends AnyFunSuite {
     val mixed = t.read(spark).filter(col("id") <= 99L && length(col("s")) === 2)
     assert(scannedFiles(mixed) < 8)
     assert(mixed.count() === 100)
+    // a DISJUNCTION is not a conjunct: untranslated, keeps all, rows exact
+    val orred = t.read(spark).filter(col("id") === 5L || col("id") === 790L)
+    assert(orred.count() === 2)
+    // a NULL literal inside an IN list poisons nothing: the list skips
+    // translation entirely (NULL never matches, but pruning must not
+    // assume that) and the read stays correct
+    assert(t.read(spark).filter(col("id").isin(5L)
+      || col("id").isNull).count() === 1)
   }
 
   test("integrated read path: DATE and TIMESTAMP predicates prune through their l rows") {
@@ -1121,6 +1129,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readVersion(spark, 0L).filter(col("branch") === "b2").count() === 66)
   }
 
+  test("partitioned chain: appendCommit continues after deleteWhere/compactFiles maintenance") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(
+      (1L to 30L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"),
+      partitionBy = Seq("branch"))
+    t.appendCommit((31L to 60L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"))
+    t.deleteWhere(spark, col("id") % 10 === 0L)
+    // the chain keeps appending AFTER a maintenance rewrite: keys still
+    // derive, the _schema written by the delete still reads the carried
+    // files, and the new batch lands under the same hive layout
+    val v = t.appendCommit((61L to 70L).map(i => (i, s"b${i % 3}")).toDF("id", "branch"))
+    assert(t.read(spark).count() === 64) // 60 - 6 victims + 10
+    assert(t.read(spark).filter(col("branch") === "b0").count() ===
+      (1L to 70L).count(i => i % 3 == 0 && !(i % 10 == 0 && i <= 60)))
+    val vc = t.compactFiles(spark, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(vc > v)
+    assert(t.read(spark).count() === 64)
+    // still one integrated scan after the whole maintenance history
+    assert(t.read(spark).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length === 1)
+  }
+
   test("vacuumOlderThan: drops snapshots published before the cutoff, keeps the floor and references") {
     val t = freshTable()
     import spark.implicits._
@@ -1149,6 +1181,15 @@ class VersionedTableSpec extends AnyFunSuite {
     t2.vacuumOlderThan(java.time.Instant.now().plusSeconds(3600), keep = 1)
     assert(t2.versions() === Seq(0L, 1L))
     assert(t2.read(spark).count() === 2)
+
+    // a version WITHOUT a recorded publish time (pre-_commit_ts era)
+    // counts as older than any cutoff — reclaimable once unreferenced
+    val t3 = freshTable()
+    t3.commit(Seq((1L, "a")).toDF("id", "s"))
+    t3.commit(Seq((2L, "b")).toDF("id", "s"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t3.root, "v=0", "_commit_ts"))
+    t3.vacuumOlderThan(java.time.Instant.now().minusSeconds(3600), keep = 1)
+    assert(t3.versions() === Seq(1L))
   }
 
   test("null-count rung: IS NOT NULL / IS NULL prune through the plain read; no n row keeps") {
