@@ -52,12 +52,21 @@ object Graph {
     * executor-local blocks, the fast single-job path, but NOT
     * fault-tolerant (a lost executor loses blocks AND the truncated
     * lineage, killing the job). Passing a [[graft.sources.VersionedTable]]
-    * commits each barrier generation as a table snapshot instead: the
-    * 100 TB posture, where an executor loss re-reads the snapshot and a
-    * full job restart can resume from the last committed generation.
+    * commits each rank-generation barrier as a table snapshot instead:
+    * the 100 TB posture, where an executor loss re-reads the snapshot and
+    * a full job restart can resume from the last committed generation.
     * Costs one parquet write+read per barrier; results are bit-identical
-    * (the CrossRound collapse runs before every barrier —
-    * GraphDurableSpec pins equality). Callers own vacuum on the table.
+    * (the CrossRound collapse runs before every barrier — GraphSpec pins
+    * equality). Callers own vacuum on the table. The durable path never
+    * takes the small-graph shortcut (its point is replayable distributed
+    * barriers).
+    *
+    * `smallGraphMaxEdges`: at most this many directed edges takes the
+    * driver-side fast path — one bounded collect, the power method folded
+    * locally with the identical IEEE arithmetic (raD is ra's driver twin),
+    * zero per-iteration shuffle stages (the smallGraphComponents
+    * treatment; GraphSpec pins small == loop on weighted and unweighted
+    * graphs). Larger graphs take the loop path unchanged; 0 disables.
     */
   def pageRank(
       pairs: DataFrame,
@@ -66,7 +75,8 @@ object Graph {
       iterations: Int = 5,
       damping: Double = 0.85,
       weightCol: Option[String] = None,
-      durable: Option[graft.sources.VersionedTable] = None): DataFrame = {
+      durable: Option[graft.sources.VersionedTable] = None,
+      smallGraphMaxEdges: Long = 1L << 18): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // weighted form (TextRank as published: edge weight = co-occurrence
@@ -77,23 +87,96 @@ object Graph {
     val fwd = pairs
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("u"), col(dstCol).as("v"), wExpr.as("w"))
-    val edges = fwd.unionByName(
-      fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
-    val deg = edges.groupBy("u").agg(sum(col("w")).as("d"))
-    // edge × degree joined ONCE, persisted for the loop (every
-    // iteration reads it; re-deriving would re-shuffle per iteration)
-    val withDeg = edges.join(deg, Seq("u")).persist()
-    val n = deg.count() // bounded driver action: one aggregate row count
-    val base = lit((1.0 - damping) / n)
-    // barrier primitive: local blocks by default, snapshot commit when
-    // durable (see scaladoc) — both materialize eagerly so the loop's
-    // lineage and cached footprint stay O(1) in the iteration count
+    // One materialization of the DIRECTED edge list before anything else —
+    // three separate actions traverse it (the small-graph dispatch count /
+    // node count, the rank-init barrier, the first iteration's withDeg
+    // fill), and without it each would re-run the caller's entire upstream
+    // lineage (for the textrank queries: a full corpus tokenize+aggregate
+    // PER ACTION — three corpus passes where one suffices). Local mode
+    // checkpoints it with the edge count riding the checkpoint's own
+    // execution via `observe` (the connectedComponents trick — no extra
+    // job); the durable path persist()s instead — lineage preserved, so
+    // the fault-tolerance contract holds — and keeps its EXACT historical
+    // barrier sequence (rank generations only; GraphSpec pins the version
+    // count), which also means durable never takes the small-graph path.
     def barrier(df: DataFrame): DataFrame = durable match {
       case Some(vt) =>
         val v = vt.commit(df)
         vt.readVersion(df.sparkSession, v)
       case None => df.localCheckpoint(true)
     }
+    val edgesRaw = fwd
+      .unionByName(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val (edges, edgeCount) = durable match {
+      case Some(_) => (edgesRaw.persist(), -1L) // no dispatch on durable
+      case None =>
+        val obs = edgesRaw.observe("pr_edge_count", count(lit(1)).as("n"))
+        val ck = obs.localCheckpoint(true) // bounded by 2|pairs|
+        val cnt = obs.queryExecution.observedMetrics.get("pr_edge_count") match {
+          case Some(r) => r.getLong(0)
+          case _ => ck.count() // future-Spark fallback, never wrong
+        }
+        (ck, cnt)
+    }
+    // Small-graph fast path (the smallGraphComponents treatment applied
+    // to the power method): when the directed edge list is bounded,
+    // solve on the driver over ONE bounded collect instead of paying
+    // iterations/ckptEvery shuffle-stage barriers on a frame this small
+    // — measured ~1.5 s of pure per-stage scheduling on a 465-edge
+    // fixture graph. Bit-identity with the loop path holds by
+    // construction: the driver fold performs the SAME IEEE operations in
+    // the same associativity — c = rank·w/d per directed edge,
+    // raD(base + damping·Σc, 8) per node per iteration — and the Σc
+    // addend order is irrelevant UNDER THE SAME CONTRACT the distributed
+    // sum already relies on (partition order varies run to run; the
+    // ra(·,8) collapse absorbs it — GraphSpec pins small == loop on both
+    // weighted and unweighted graphs). Degrees are IEEE sums of the
+    // SAME addends either way (exact integers for the unit/count weights
+    // every shipped caller uses). The default cap (2^18 directed edges)
+    // keeps the collect in the bounded-model-state class even for
+    // string node ids; larger graphs take the loop path unchanged;
+    // 0 disables the fast path.
+    if (edgeCount <= smallGraphMaxEdges && edgeCount > 0) {
+      val rows = edges.select(col("u"), col("v"), col("w")).collect()
+      // a NULL weight makes SQL sum() skip the addend (and a node whose
+      // contributions are all null gets a null rank) — semantics the
+      // loop path owns; fall through rather than mirror them here (no
+      // shipped caller passes nullable weights)
+      if (!rows.exists(_.isNullAt(2))) {
+        val nodes = rows.map(_.get(0)).distinct
+        val n = nodes.length
+        val d = new java.util.HashMap[Any, Double](n * 2)
+        rows.foreach(r => d.merge(r.get(0), r.getDouble(2), (a, b) => a + b))
+        var rank = new java.util.HashMap[Any, Double](n * 2)
+        nodes.foreach(u => rank.put(u, 1.0 / n))
+        val base = (1.0 - damping) / n
+        for (_ <- 1 to iterations) {
+          val acc = new java.util.HashMap[Any, Double](n * 2)
+          rows.foreach { r =>
+            val u = r.get(0)
+            acc.merge(r.get(1), rank.get(u) * r.getDouble(2) / d.get(u), (a, b) => a + b)
+          }
+          val next = new java.util.HashMap[Any, Double](n * 2)
+          acc.forEach((v, s) => next.put(v, CrossRound.raD(base + damping * s, 8)))
+          rank = next
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+        nodes.foreach(u => out.add(org.apache.spark.sql.Row(u, rank.get(u))))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "node", fwd.schema("u").dataType, nullable = true),
+          org.apache.spark.sql.types.StructField(
+            "rank", org.apache.spark.sql.types.DoubleType, nullable = true)))
+        edges.unpersist()
+        return edges.sparkSession.createDataFrame(out, schema)
+      }
+    }
+    val deg = edges.groupBy("u").agg(sum(col("w")).as("d"))
+    // edge × degree joined ONCE, persisted for the loop (every
+    // iteration reads it; re-deriving would re-shuffle per iteration)
+    val withDeg = edges.join(deg, Seq("u")).persist()
+    val n = deg.count() // bounded driver action over the edge barrier's blocks
+    val base = lit((1.0 - damping) / n)
     var ranks = barrier(
       deg.select(col("u").as("node"), (lit(1.0) / n).as("rank")))
     // checkpoint every few generations, not every one: a handful of
@@ -119,6 +202,7 @@ object Graph {
       ranks = next
     }
     withDeg.unpersist()
+    edges.unpersist()
     ranks
   }
 

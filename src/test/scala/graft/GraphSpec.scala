@@ -63,6 +63,25 @@ class GraphSpec extends AnyFunSuite {
     assert(viaW === plain)
   }
 
+  test("small-graph fast path matches the distributed loop, values and schema") {
+    // the driver-side power method (bounded collect + raD fold) must be
+    // indistinguishable from the loop path: same rows, same schema — the
+    // round-15 fast path's regression gate
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"), ("a", "e"))
+    val small = Graph.pageRank(pairs.toDF("u", "v"), "u", "v", iterations = 5)
+    val loop = Graph.pageRank(
+      pairs.toDF("u", "v"), "u", "v", iterations = 5, smallGraphMaxEdges = 0)
+    assert(small.schema === loop.schema)
+    assert(small.orderBy("node").collect().toSeq === loop.orderBy("node").collect().toSeq)
+    // weighted form too (x115's shape)
+    val wdf = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "d", 2L)).toDF("u", "v", "w")
+    val ws = Graph.pageRank(wdf, "u", "v", iterations = 4, weightCol = Some("w"))
+    val wl = Graph.pageRank(
+      wdf, "u", "v", iterations = 4, weightCol = Some("w"), smallGraphMaxEdges = 0)
+    assert(ws.schema === wl.schema)
+    assert(ws.orderBy("node").collect().toSeq === wl.orderBy("node").collect().toSeq)
+  }
+
   test("invalid parameters are refused") {
     val df = Seq(("a", "b")).toDF("u", "v")
     intercept[IllegalArgumentException](Graph.pageRank(df, "u", "v", iterations = 0))
