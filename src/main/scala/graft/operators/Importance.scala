@@ -83,6 +83,17 @@ object Importance {
           TextOps.shingleArrayFromTokens(col("__toks"), 2, distinct = false))).as("feat"))
       .filter(col("feat").isNotNull)
       .select(col("doc_id"), bucket(col("feat"), numBuckets).as("bucket"))
+      // Explicit non-null bucket (a semantic no-op: md5 of a non-null
+      // feature is non-null, conv of 8 hex digits parses, %numBuckets is
+      // total) so every CONSUMER's subtree carries the identical pushed
+      // Filter conjunct. Without it, only joins ON bucket infer
+      // IsNotNull(bucket) into their input — the scoring join did, the
+      // round-15 full-outer fit join does not — and the two raw-side
+      // feature subtrees stopped canonicalizing equal, which silently
+      // broke AQE exchange reuse and re-ran the corpus tokenize+hash pass
+      // (guide §2.4: the removed shuffle/scan must stay removed; the plan
+      // capture pins one raw FileScan).
+      .filter(col("bucket").isNotNull)
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -115,14 +126,31 @@ object Importance {
       .select(col("bucket"), col("cnt").as("r_cnt"))
     val targetCounts = bucketCounts(target, numBuckets)
       .select(col("bucket"), col("cnt").as("t_cnt"))
-    val totals = rawCounts
-      .agg(sum(col("r_cnt")).as("r_tot"))
-      .crossJoin(targetCounts.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot")))
     // ln((t+1)/(T+m)) − ln((r+1)/(R+m)), expanded to the SAME four-term
-    // form the oracle states so both engines evaluate identical ln calls
+    // form the oracle states so both engines evaluate identical ln calls.
+    //
+    // The corpus totals R and T ride the SAME join lineage as the
+    // per-bucket counts — a FULL outer join (so T still sums the
+    // target-only buckets) with both totals as global window sums over
+    // the joined rows, then a filter back to the raw-observed domain.
+    // The earlier shape — two separate `.agg(sum)` frames crossJoined
+    // in — restated each corpus's bucket-count subtree a SECOND time,
+    // and the planner's exchange reuse did not unify them: the executed
+    // x133 plan ran FOUR corpus tokenize+hash passes (raw ×2, target ×2)
+    // where two suffice (guide §2.4/§1.2 — the round-15 plan capture,
+    // plans/r15/x133_dsir_weights_before.txt). The window is bounded by
+    // ≤ 2·numBuckets rows sitting above both aggregates (the PSI/x44
+    // bounded-global-window class, PlanAudit-gated), and the totals are
+    // the SAME exact long sums — lr is bit-identical.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val ratio = rawCounts
-      .join(targetCounts, Seq("bucket"), "left")
-      .crossJoin(totals)
+      .join(targetCounts, Seq("bucket"), "full")
+      .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
+      .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
+      .filter(col("r_cnt").isNotNull)
       .select(
         col("bucket"),
         (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))
@@ -198,16 +226,21 @@ object Importance {
       (f.count(), f)
     }
     val ratio = timed("fit") {
+      // the shipped full-join + bounded-global-window totals shape (see
+      // importanceWeights), over the checkpointed feature substrate
       val rawCounts = feats.groupBy("bucket").agg(sum("cnt").as("cnt"))
         .select(col("bucket"), col("cnt").as("r_cnt"))
       val targetCounts = bucketCounts(target, numBuckets)
         .select(col("bucket"), col("cnt").as("t_cnt"))
-      val totals = rawCounts
-        .agg(sum(col("r_cnt")).as("r_tot"))
-        .crossJoin(targetCounts.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot")))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       val r = rawCounts
-        .join(targetCounts, Seq("bucket"), "left")
-        .crossJoin(totals)
+        .join(targetCounts, Seq("bucket"), "full")
+        .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
+        .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
+        .filter(col("r_cnt").isNotNull)
         .select(
           col("bucket"),
           (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))

@@ -161,8 +161,18 @@ final class SnapshotFileIndex(
     */
   private def doubleOf(l: Literal): Option[Double] = (l.value, l.dataType) match {
     case (null, _) => None
-    case (v: java.lang.Float, FloatType) => Some(v.doubleValue())
-    case (v: java.lang.Double, DoubleType) => Some(v)
+    // Non-finite literals refuse translation (round-14 ADVICE): NaN
+    // through math.floor/ceil .toLong collapses to 0, so `col = NaN` /
+    // `col >= NaN` would prune on the meaningless range [0,0] — safe
+    // today ONLY because harvestStats drops NaN-bounded d rows, a
+    // non-local coupling that would silently become row loss if that
+    // guard ever changed. Degrade to keep-all instead. (±Infinity
+    // saturates correctly through toLong, but a predicate on an infinite
+    // literal matches no finite stats row either way — refusing all
+    // non-finite values keeps the rule locally obvious.)
+    case (v: java.lang.Float, FloatType) if !v.isNaN && !v.isInfinite =>
+      Some(v.doubleValue())
+    case (v: java.lang.Double, DoubleType) if !v.isNaN && !v.isInfinite => Some(v)
     case _ => None
   }
 

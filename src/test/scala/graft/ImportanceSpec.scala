@@ -117,6 +117,37 @@ class ImportanceSpec extends AnyFunSuite {
     assert(all.length === bruteWeights().size)
   }
 
+  test("t_tot sums the FULL target domain, including buckets absent from raw") {
+    // the round-15 totals restructure rides a FULL outer join (so the
+    // global-window T still sees target-only buckets) with the raw-domain
+    // filter applied ABOVE the window; if the optimizer ever degraded the
+    // join to left-outer (e.g. by pushing the r_cnt filter below the
+    // window), T would silently shrink — this fixture makes the two
+    // disagree: the target carries many buckets the raw corpus never hits
+    import spark.implicits._
+    val raw = Seq((1L, "aaa bbb ccc"), (2L, "ddd eee")).toDF("doc_id", "text")
+    val tgtTexts = Seq("xxx yyy zzz www qqq rrr sss ttt", "aaa bbb")
+    val target = tgtTexts.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val got = Importance.importanceWeights(raw, target, Buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rawDocs = Map(1L -> "aaa bbb ccc", 2L -> "ddd eee")
+    val rawCnt = rawDocs.values.toSeq.flatMap(t => featuresOf(t).map(bucketOf))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtCnt = tgtTexts.flatMap(t => featuresOf(t).map(bucketOf))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rTot = rawCnt.values.sum.toDouble
+    val tTot = tgtCnt.values.sum.toDouble
+    rawDocs.foreach { case (id, text) =>
+      val bs = featuresOf(text).map(bucketOf)
+      val logw = bs.groupBy(identity).map { case (b, occ) =>
+        occ.size * (math.log(tgtCnt.getOrElse(b, 0L) + 1.0) - math.log(tTot + Buckets)
+          - math.log(rawCnt(b) + 1.0) + math.log(rTot + Buckets))
+      }.sum
+      assert(got(id) === CrossRound.raD(logw, 4) + 0.0, s"logw mismatch for doc $id")
+    }
+  }
+
   test("weights are parallelism-invariant (the ra pre-round collapses sum-order drift)") {
     val docs = docsDf
     def run(parts: Int) = Importance.importanceWeights(

@@ -916,6 +916,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readAsOf(spark, java.time.Instant.now()).count() === 1)
   }
 
+  test("readAsOf never serves an orphan sitting BELOW a later published head") {
+    // the round-14 ADVICE medium: a crash between the _commit_ts write and
+    // the pointer swap, FOLLOWED by a later successful commit (which
+    // numbers past the orphan), leaves the timestamped orphan below the
+    // head — the cap-at-latestVersion guard alone no longer excludes it.
+    // Publication is recorded in _history strictly AFTER the swap, so the
+    // orphan (whose swap never happened) must stay invisible to timestamp
+    // time travel while the real versions resolve normally.
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s")) // v0, published
+    Thread.sleep(5)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v1, for now published
+    // rewrite history: strip v1's publication record and point back at v0 —
+    // exactly the on-disk state of a crash after v1's _commit_ts write
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_history"), "0\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_latest"), "0".getBytes("UTF-8"))
+    Thread.sleep(5)
+    // the NEXT commit numbers past the orphan and publishes head v2
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")) // v2
+    assert(t.latestVersion().contains(2L))
+    // now: readAsOf(now) = v2; readAsOf at a cutoff between v1's orphan
+    // timestamp and v2's publish must serve v0, never the orphan v1
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 3)
+    val v1Ts = t.commitTimestamp(1L).get
+    val v2Ts = t.commitTimestamp(2L).get
+    assert(v1Ts < v2Ts, "fixture needs distinct clocks; raise the sleeps")
+    val mid = java.time.Instant.ofEpochMilli(v2Ts - 1)
+    assert(t.readAsOf(spark, mid).count() === 1,
+      "timestamp time travel served the never-published orphan v1")
+  }
+
   test("diffVersions: a later full commit with NEW columns never reads through an older _schema") {
     val t = freshTable()
     import spark.implicits._
@@ -1032,6 +1066,34 @@ class VersionedTableSpec extends AnyFunSuite {
     // assume that) and the read stays correct
     assert(t.read(spark).filter(col("id").isin(5L)
       || col("id").isNull).count() === 1)
+  }
+
+  test("integrated read path: non-finite double literals refuse translation (keep-all)") {
+    // the round-14 ADVICE low: floor(NaN).toLong == 0, so a pushed
+    // `x = NaN` used to prune on the meaningless range [0,0] — masked
+    // only by harvestStats dropping NaN-bounded d rows (the NaN-bearing
+    // file had no stats row and was kept by the missing-row rule, a
+    // non-local coupling). Translation now refuses non-finite literals
+    // outright: EVERY file is kept, locally and obviously.
+    val t = freshTable()
+    import spark.implicits._
+    val df = ((0 until 100).map(i => (i.toLong, i.toDouble)) :+ (100L, Double.NaN))
+      .toDF("id", "x")
+    t.commit(df.repartitionByRange(4, col("id")), statsColumns = Seq("x"))
+    // finite double range still prunes through the widened long range
+    val fin = t.read(spark).filter(col("x") >= 10.0 && col("x") <= 19.0)
+    assert(scannedFiles(fin) < 4, "finite double range pruned nothing")
+    assert(fin.count() === 10)
+    // Spark SQL: NaN = NaN is TRUE — the NaN row must come back, via a
+    // keep-all scan (pre-fix this scanned 2 files: [0,0] plus the
+    // stats-row-less NaN file)
+    val nanEq = t.read(spark).filter(col("x") === Double.NaN)
+    assert(scannedFiles(nanEq) === 4, "NaN literal must degrade to keep-all")
+    assert(nanEq.count() === 1)
+    // NaN sorts greatest: x >= NaN matches only the NaN row — keep-all, exact
+    val nanGe = t.read(spark).filter(col("x") >= Double.NaN)
+    assert(scannedFiles(nanGe) === 4)
+    assert(nanGe.count() === 1)
   }
 
   test("integrated read path: DATE and TIMESTAMP predicates prune through their l rows") {
