@@ -363,7 +363,13 @@ object Bench {
     val loadEnd = sysLoad()
     val loadAvg = ((loadStart max 0.0) + (loadEnd max 0.0)) / 2.0
     val external = math.max(0.0, loadAvg - ourCores)
-    val contended = external > 2.0
+    // threshold 0.5 (was 2.0): round 14's driver run carried a SUSTAINED
+    // 1.09 external cores — per-query warm numbers inflated ~20% against
+    // the exclusive re-run — yet self-reported contended=false. Half a
+    // core of sustained external load is already material at this
+    // sensitivity, so flag it (round-14 verdict hygiene note #2; the flag
+    // is advisory metadata, it changes no measurement).
+    val contended = external > 0.5
     // Suite-phase self-inflation, quantified from the artifact's own
     // numbers: summed suite-warm minus summed headline over the tail-set
     // queries — the seconds the quiesced re-runs shaved off. A large

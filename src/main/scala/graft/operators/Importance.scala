@@ -129,17 +129,24 @@ object Importance {
     // ln((t+1)/(T+m)) − ln((r+1)/(R+m)), expanded to the SAME four-term
     // form the oracle states so both engines evaluate identical ln calls.
     //
-    // The corpus totals R and T ride the SAME join lineage as the
-    // per-bucket counts — a FULL outer join (so T still sums the
-    // target-only buckets) with both totals as global window sums over
-    // the joined rows, then a filter back to the raw-observed domain.
-    // The earlier shape — two separate `.agg(sum)` frames crossJoined
-    // in — restated each corpus's bucket-count subtree a SECOND time,
-    // and the planner's exchange reuse did not unify them: the executed
-    // x133 plan ran FOUR corpus tokenize+hash passes (raw ×2, target ×2)
-    // where two suffice (guide §2.4/§1.2 — the round-15 plan capture,
-    // plans/r15/x133_dsir_weights_before.txt). The window is bounded by
-    // ≤ 2·numBuckets rows sitting above both aggregates (the PSI/x44
+    // The corpus totals R and T ride the SAME lineage as the per-bucket
+    // counts: the two count tables tag-union and fold by bucket — on a
+    // key each side holds UNIQUELY, groupBy-of-union IS the full outer
+    // join (sum of one addend per side; null where a side is absent), so
+    // T still sums the target-only buckets — then both totals are global
+    // window sums over the merged rows, and a filter returns to the
+    // raw-observed domain. The earlier shape — two separate `.agg(sum)`
+    // frames crossJoined in — restated each corpus's bucket-count
+    // subtree a SECOND time, and the planner's exchange reuse did not
+    // unify them: the executed x133 plan ran FOUR corpus
+    // tokenize+hash passes (raw ×2, target ×2) where two suffice (guide
+    // §2.4/§1.2 — the round-15 plan capture,
+    // plans/r15/x133_dsir_weights_before.txt). A full-outer JOIN
+    // restatement was measured first and rejected: full outer cannot
+    // broadcast, so two bounded count tables paid a sort-merge join the
+    // plan audit rightly flags — the union fold is one small exchange
+    // and no join node at all. The window is bounded by ≤ 2·numBuckets
+    // rows sitting above the aggregates (the PSI/x44
     // bounded-global-window class, PlanAudit-gated), and the totals are
     // the SAME exact long sums — lr is bit-identical.
     val wAll = org.apache.spark.sql.expressions.Window
@@ -147,7 +154,11 @@ object Importance {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val ratio = rawCounts
-      .join(targetCounts, Seq("bucket"), "full")
+      .select(col("bucket"), col("r_cnt"), lit(null).cast("long").as("t_cnt"))
+      .unionByName(targetCounts.select(
+        col("bucket"), lit(null).cast("long").as("r_cnt"), col("t_cnt")))
+      .groupBy("bucket")
+      .agg(sum(col("r_cnt")).as("r_cnt"), sum(col("t_cnt")).as("t_cnt"))
       .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
       .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
       .filter(col("r_cnt").isNotNull)
@@ -226,7 +237,7 @@ object Importance {
       (f.count(), f)
     }
     val ratio = timed("fit") {
-      // the shipped full-join + bounded-global-window totals shape (see
+      // the shipped union-fold + bounded-global-window totals shape (see
       // importanceWeights), over the checkpointed feature substrate
       val rawCounts = feats.groupBy("bucket").agg(sum("cnt").as("cnt"))
         .select(col("bucket"), col("cnt").as("r_cnt"))
@@ -237,7 +248,11 @@ object Importance {
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
       val r = rawCounts
-        .join(targetCounts, Seq("bucket"), "full")
+        .select(col("bucket"), col("r_cnt"), lit(null).cast("long").as("t_cnt"))
+        .unionByName(targetCounts.select(
+          col("bucket"), lit(null).cast("long").as("r_cnt"), col("t_cnt")))
+        .groupBy("bucket")
+        .agg(sum(col("r_cnt")).as("r_cnt"), sum(col("t_cnt")).as("t_cnt"))
         .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
         .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
         .filter(col("r_cnt").isNotNull)
