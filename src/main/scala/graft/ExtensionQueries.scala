@@ -1956,8 +1956,15 @@ object ExtensionQueries {
     // others; this is the table that shows it.
     "x104_oov_by_lang" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val enc = Vocab.encodeDocs(docs, Vocab.vocabTable(docs, maxVocab = 20))
-      enc.join(TextOps.langId(docs), Seq("doc_id"))
+      // lang rides the encode pass as a carry column (round 15): the
+      // join-back form paid a THIRD corpus tokenize (langId's own scan)
+      // plus a corpus-scale doc_id exchange — same rows, same oracle,
+      // one less pass and no join (guide §2.4; withLangPred's layered
+      // attributes keep the pick once-per-doc even interpreted)
+      Vocab.encodeDocs(
+        TextOps.withLangPred(docs.select("doc_id", "text")),
+        Vocab.vocabTable(docs, maxVocab = 20),
+        carryCols = Seq("lang_pred"))
         .groupBy("lang_pred")
         .agg(
           count(lit(1)).as("n_docs"),

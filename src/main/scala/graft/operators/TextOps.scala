@@ -538,15 +538,40 @@ object TextOps {
   /** Marker-token language ID with a fixed precedence order on ties and
     * 'und' (undetermined) when no marker hits.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    val counts = LangMarkers.map { case (lang, words) => lang -> countIn(toks, words) }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = counts.foldRight(lit("und")) { case ((lang, c), acc) =>
-      when(c === best && best > 0, lang).otherwise(acc)
+  def langId(docs: DataFrame): DataFrame =
+    withLangPred(docs.select("doc_id", "text")).select("doc_id", "lang_pred")
+
+  /** `docs` with `lang_pred` ATTACHED (all input columns ride through) —
+    * exposed (round 15) so a composed query can take the language pick
+    * from a pass it already pays for instead of a separate corpus scan
+    * plus a corpus-scale doc_id join back (x104 was 3 passes + 1 join;
+    * riding the encode pass makes it 2 passes + 0 — guide §2.4).
+    *
+    * The pick is built through LAYERED NAMED ATTRIBUTES (token array →
+    * five marker counts + their max → CASE over plain attributes), not
+    * one inline expression tree: each alias is non-cheap and referenced
+    * more than once, so CollapseProject keeps the layers apart and every
+    * stage of the pick evaluates ONCE per document EVEN WHERE the
+    * projection runs interpreted — measured on the fused x104: as one
+    * inline tree under a Generate (whose child Project sits outside any
+    * whole-stage-codegen span, so no codegen subexpression elimination)
+    * the split re-evaluated O(markers²) ≈ 25× per doc, +0.6 s at sf0.1.
+    * Same math, same foldRight precedence (en > de > es > fr > zh).
+    */
+  def withLangPred(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.toSeq.map(col)
+    val withToks = docs.select(keep :+ tokens(lower(col("text"))).as("__lt"): _*)
+    val cnts = LangMarkers.zipWithIndex.map { case ((_, words), i) =>
+      countIn(col("__lt"), words).as(s"__lc$i")
     }
-    // foldRight gives earlier entries precedence: en > de > es > fr > zh
-    docs.select(col("doc_id"), pick.as("lang_pred"))
+    val withCnts = withToks.select(keep ++ cnts: _*)
+    val best = LangMarkers.indices.map(i => col(s"__lc$i")).reduce(greatest(_, _))
+    val withBest = withCnts.select(
+      keep ++ LangMarkers.indices.map(i => col(s"__lc$i")) :+ best.as("__lbest"): _*)
+    val pick = LangMarkers.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), acc) =>
+      when(col(s"__lc$i") === col("__lbest") && col("__lbest") > 0, lang).otherwise(acc)
+    }
+    withBest.select(keep :+ pick.as("lang_pred"): _*)
   }
 
   /** Pointwise-mutual-information collocations over ADJACENT token

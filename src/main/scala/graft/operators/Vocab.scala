@@ -92,21 +92,31 @@ object Vocab {
     * aggregate — ONE corpus shuffle on doc_id, the join itself
     * exchange-free.
     */
-  def encodeDocs(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def encodeDocs(
+      docs: DataFrame, vocab: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
+    // `carryCols` (round 15, the packSequences convention): doc-level
+    // columns that ride the explode and come back through first() — a
+    // caller that needs them attached (x104's lang) would otherwise pay
+    // a corpus-scale doc_id join against a THIRD corpus scan. Every row
+    // of a doc carries the same value, so first() is deterministic.
     val occ = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(
+        (col("doc_id") +: carryCols.map(col)) :+
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")): _*)
       .filter(length(col("token")) > 0)
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string")),
+        " ").as("ids")) ++
+      carryCols.map(c => first(col(c)).as(c))
     occ
       .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
       .withColumn("id", coalesce(col("id"), lit(0L)))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("id")))),
-            x => x.getField("id").cast("string")),
-          " ").as("ids"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }
