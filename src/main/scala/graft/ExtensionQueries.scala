@@ -2078,12 +2078,17 @@ object ExtensionQueries {
     // lang pick, oracled by composing their two restatements.
     "x82_tokenizer_fertility" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val perDoc = TextOps.bpeSegments(docs, bpeMergesFor(s, dir))
+      // lang rides the segment pass as a carry column (round 15, the
+      // x104 move): the join-back form paid a second corpus tokenize
+      // (langId's own scan) plus a corpus-scale doc_id exchange
+      TextOps.bpeSegments(
+        TextOps.withLangPred(docs.select("doc_id", "text")),
+        bpeMergesFor(s, dir), carryCols = Seq("lang_pred"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_words"),
-          sum(size(col("subwords"))).cast("long").as("n_subwords"))
-      perDoc.join(TextOps.langId(docs), Seq("doc_id"))
+          sum(size(col("subwords"))).cast("long").as("n_subwords"),
+          first(col("lang_pred")).as("lang_pred"))
         .groupBy("lang_pred")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -1179,13 +1179,20 @@ object TextOps {
     *
     * @return (doc_id, pos, word, subwords)
     */
-  def bpeSegments(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+  def bpeSegments(
+      docs: DataFrame, merges: Seq[BpeMerge], carryCols: Seq[String] = Nil): DataFrame =
+    // carryCols (round 15, the encodeDocs/packSequences convention):
+    // doc-level columns ride the explode so a consumer that needs them
+    // per doc (x82's lang rollup) skips a corpus-scale doc_id join
+    // against a separate corpus pass
     docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .select(
+        (col("doc_id") +: carryCols.map(col)) :+
+          posexplode(tokens(col("text"))).as(Seq("pos", "word")): _*)
       .filter(length(col("word")) > 0)
       .select(
-        col("doc_id"), col("pos"), col("word"),
-        graft.functions.BpeApplyExpr.bpeApply(col("word"), merges).as("subwords"))
+        Seq(col("doc_id"), col("pos"), col("word")) ++ carryCols.map(col) :+
+          graft.functions.BpeApplyExpr.bpeApply(col("word"), merges).as("subwords"): _*)
 
   /** CCNet-style unigram language-model quality signal (Wenzek et al.
     * 2020 score documents with a 5-gram KenLM; the unigram restatement
