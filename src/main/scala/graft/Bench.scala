@@ -325,7 +325,7 @@ object Bench {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       graft.operators.Importance.dsirStageTimings(
         docs,
-        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        org.apache.spark.sql.functions.col("lang") === "en",
         numBuckets = 256, k = 100)
     })
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

@@ -1135,11 +1135,17 @@ object ExtensionQueries {
     // no corpus×corpus anywhere. The md5-bucket hash is the x36 trick,
     // so the oracle replays the full fit+score bit-for-bit; weights are
     // 8-then-4 double-rounded (the x39 sum-order convention).
+    // Round 16: the target here is a PREDICATE over the raw corpus
+    // (lang = 'en'), so the sliced path computes both distributions and
+    // the scoring substrate from ONE tagged feature pass — the two-frame
+    // form paid a second tokenize+hash pass for the target slice (guide
+    // §1.2; ImportanceSpec pins sliced ≡ two-frame, the oracle pins the
+    // values).
     "x133_dsir_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Importance.importanceWeights(
-        docs.select("doc_id", "text"),
-        docs.filter(col("lang") === "en").select("doc_id", "text"),
+      Importance.importanceWeightsSliced(
+        docs.select("doc_id", "text", "lang"),
+        col("lang") === "en",
         numBuckets = 256)
         .orderBy("doc_id")
     }),
@@ -1151,8 +1157,8 @@ object ExtensionQueries {
     // top-k shape (x101/x125c family).
     "x134_dsir_select" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Importance.selectTopK(
-        docs, docs.filter(col("lang") === "en"), numBuckets = 256, k = 100)
+      Importance.selectTopKSliced(
+        docs, col("lang") === "en", numBuckets = 256, k = 100)
         .orderBy("rank")
     }),
 

@@ -119,7 +119,17 @@ object Curation {
           col("doc_id"), col("source"), col("text"),
           TextOps.qualityCol(col("__toks")).as("quality_score"),
           TextOps.dupLineFracCol(col("text")).as("dup_line_frac"),
-          TextOps.topBigramFracCol(col("__bi")).as("top_bigram_frac")) ++
+          TextOps.topBigramFracCol(col("__bi")).as("top_bigram_frac"),
+          // token count from the array this projection already holds
+          // (round 16): rides the chain so the pack stage never
+          // re-tokenizes — at 100 TB the resample explode otherwise
+          // re-splits every COPY of every upsampled doc and ships the
+          // text payload through the explode for nothing (guide §2.3
+          // "shuffle keys and metadata instead of payloads"). NULL for
+          // null text, exactly packSequences' own gate, so the carried
+          // path is bit-identical to the text path.
+          when(col("text").isNotNull, size(col("__toks")).cast("long"))
+            .as("__n_toks")) ++
           feats.map { case (n, c) => c.as(n) }: _*)
   }
 
@@ -138,7 +148,9 @@ object Curation {
           CrossRound.r(col("dup_line_frac"), 6) <= maxDupLineFrac &&
           CrossRound.r(col("top_bigram_frac"), 6) <= maxTopBigramFrac)
       .select(
-        Seq(col("doc_id"), col("source"), col("text"), col("quality_score")) ++
+        Seq(
+          col("doc_id"), col("source"), col("text"), col("quality_score"),
+          col("__n_toks")) ++
           featNames.map(col): _*)
 
   /** Stage 2.5 (opt-in): model sigmoid over the stage-1 feature
@@ -148,7 +160,9 @@ object Curation {
       filt: DataFrame, model: QualityModel.LogReg, threshold: Double): DataFrame =
     filt
       .filter(CrossRound.r(QualityModel.score(model), 6) >= threshold)
-      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+      .select(
+        col("doc_id"), col("source"), col("text"), col("quality_score"),
+        col("__n_toks"))
 
   /** Stage 4a: near-dup candidate pairs over the exact-dedup survivors. */
   private def pairStage(
@@ -166,12 +180,15 @@ object Curation {
       .filter(!col("contaminated"))
       .select("doc_id")
 
-  /** Stage 6: temperature resampling; text and score ride the explode so
-    * packing needs no re-join.
+  /** Stage 6: temperature resampling; the cap stage's token count and
+    * the score ride the explode (round 16 — previously `text` rode here
+    * solely for the pack stage to re-tokenize: every COPY of every
+    * upsampled doc re-split the document and the payload bytes crossed
+    * the explode and the shard exchange's map side for nothing).
     */
   private def resampleStage(clean: DataFrame, alpha: Double): DataFrame =
     TextOps
-      .resampleByTemperature(clean, alpha, carryCols = Seq("text", "quality_score"))
+      .resampleByTemperature(clean, alpha, carryCols = Seq("__n_toks", "quality_score"))
       .withColumn("copy_id", col("copy_id").cast("long"))
 
   /** Stage 7: pack on the doc#copy composite key so replicas spread
@@ -184,7 +201,8 @@ object Curation {
           "pack_key",
           concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string"))),
         seqLen, hexChars, idCol = "pack_key",
-        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"))
+        carryCols = Seq("doc_id", "copy_id", "source", "quality_score"),
+        nTokensCol = Some("__n_toks"))
       .select(
         col("doc_id"), col("copy_id"), col("source"),
         CrossRound.r(col("quality_score"), 4).as("quality_score"),

@@ -141,8 +141,16 @@ object Graph {
       // a NULL weight makes SQL sum() skip the addend (and a node whose
       // contributions are all null gets a null rank) — semantics the
       // loop path owns; fall through rather than mirror them here (no
-      // shipped caller passes nullable weights)
-      if (!rows.exists(_.isNullAt(2))) {
+      // shipped caller passes nullable weights). Likewise a FRACTIONAL
+      // weight (round-15 ADVICE low): the degree sums are IEEE folds
+      // whose collect order here differs from the loop path's partition
+      // order, and only integer-valued addends make that order provably
+      // irrelevant — so the fast path requires every weight to be a
+      // whole double (unit/count weights, which is every shipped
+      // caller); anything else takes the loop path, and results can no
+      // longer flip as a graph crosses the smallGraphMaxEdges cap.
+      if (!rows.exists(_.isNullAt(2)) &&
+          rows.forall(r => { val w = r.getDouble(2); w == math.floor(w) })) {
         val nodes = rows.map(_.get(0)).distinct
         val n = nodes.length
         val d = new java.util.HashMap[Any, Double](n * 2)

@@ -106,6 +106,30 @@ object Importance {
   def bucketCounts(docs: DataFrame, numBuckets: Int): DataFrame =
     hashedFeatures(docs, numBuckets).groupBy("bucket").agg(sum("cnt").as("cnt"))
 
+  /** [[hashedFeatures]] with a per-doc boolean tag riding the fold —
+    * the substrate of the sliced DSIR path ([[importanceWeightsSliced]]):
+    * when the target corpus is a PREDICATE over the raw corpus (the
+    * in-domain-selection shape: "docs like the English slice"), tagging
+    * each doc lets ONE feature pass serve both distributions. The tag
+    * joins the grouping key rather than an agg (it is functionally
+    * dependent on doc_id, so the (doc_id, bucket) grain is unchanged and
+    * no non-deterministic `first` is needed).
+    */
+  private def taggedFeatures(
+      docs: DataFrame, isTarget: Column, numBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), isTarget.as("__tgt"), TextOps.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"), col("__tgt"),
+        explode_outer(concat(
+          filter(col("__toks"), t => length(t) > 0),
+          TextOps.shingleArrayFromTokens(col("__toks"), 2, distinct = false))).as("feat"))
+      .filter(col("feat").isNotNull)
+      .select(col("doc_id"), col("__tgt"), bucket(col("feat"), numBuckets).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("doc_id", "__tgt", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Per-document DSIR log importance weights of `raw` against the
     * `target` corpus: (doc_id, n_feats, logw) for every raw doc with at
     * least one feature, logw 8-then-4 double-rounded (the cross-engine
@@ -149,11 +173,22 @@ object Importance {
     // rows sitting above the aggregates (the PSI/x44
     // bounded-global-window class, PlanAudit-gated), and the totals are
     // the SAME exact long sums — lr is bit-identical.
+    scoreDocs(rawFeats, logRatio(rawCounts, targetCounts, numBuckets))
+  }
+
+  /** The ≤`numBuckets`-row log-ratio table from the two count tables —
+    * the union-fold + bounded-global-window-totals shape (see the
+    * lineage comment in [[importanceWeights]]); shared verbatim by the
+    * two-corpus and sliced paths so their expression trees stay
+    * bit-identical.
+    */
+  private def logRatio(
+      rawCounts: DataFrame, targetCounts: DataFrame, numBuckets: Int): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val ratio = rawCounts
+    rawCounts
       .select(col("bucket"), col("r_cnt"), lit(null).cast("long").as("t_cnt"))
       .unionByName(targetCounts.select(
         col("bucket"), lit(null).cast("long").as("r_cnt"), col("t_cnt")))
@@ -168,7 +203,13 @@ object Importance {
           - log(col("t_tot") + lit(numBuckets.toDouble))
           - log(col("r_cnt") + lit(1.0))
           + log(col("r_tot") + lit(numBuckets.toDouble))).as("lr"))
-    rawFeats
+  }
+
+  /** Per-doc scoring: broadcast the bounded log-ratio table onto the
+    * feature substrate, fold to doc grain. Shared by both paths.
+    */
+  private def scoreDocs(feats: DataFrame, ratio: DataFrame): DataFrame =
+    feats
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy("doc_id")
       .agg(
@@ -181,6 +222,67 @@ object Importance {
         // negative, and a near-zero negative rounds to -0.0 on DuckDB
         // but never on Spark (the r4z signed-zero guard, both engines).
         (CrossRound.ra(sum(col("cnt") * col("lr")), 4) + lit(0.0)).as("logw"))
+
+  /** [[importanceWeights]] for the in-domain-selection shape: the target
+    * corpus is `raw.filter(isTarget)`. Semantically identical to
+    * `importanceWeights(raw, raw.filter(isTarget), numBuckets)` — same
+    * counts, same four-term log expression, same rounding — but ONE
+    * corpus tokenize+hash pass instead of two (guide §1.2/§2.4): the
+    * tagged feature substrate feeds the raw distribution, the target
+    * distribution (a filter on the tag ABOVE the substrate's exchange,
+    * so AQE exchange reuse holds — the round-15 IsNotNull lesson) and
+    * the scoring join. The round-16 plan capture pins one corpus
+    * FileScan where the two-corpus x133 plan had two.
+    */
+  def importanceWeightsSliced(
+      raw: DataFrame, isTarget: Column, numBuckets: Int): DataFrame = {
+    val feats = taggedFeatures(raw, isTarget, numBuckets)
+    // BOTH distributions from ONE bucket-grain aggregate: target ⊆ raw
+    // means every target bucket is a raw bucket, so t_cnt is a
+    // conditional sum inside the raw fold — no union-fold needed (the
+    // two-frame path keeps it because a disjoint target can own buckets
+    // raw lacks), and, critically, no `filter(__tgt)` consumer exists
+    // for PushDownPredicate to push below the aggregate into the scan,
+    // which would re-specialize the subtree and silently break AQE
+    // exchange reuse — the round-15 IsNotNull lesson; a filtered-
+    // targetCounts form of this function was plan-checked and showed
+    // exactly that second corpus pass. sum(when) leaves t_cnt NULL
+    // where no target doc touches the bucket — the same absent-side
+    // NULL the union-fold produced, consumed by the same coalesce.
+    // Totals are the same exact long sums over the same bounded
+    // global window (≤ numBuckets rows, the PlanAudit-gated class).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ratio = feats
+      .groupBy("bucket")
+      .agg(
+        sum(col("cnt")).as("r_cnt"),
+        sum(when(col("__tgt"), col("cnt"))).as("t_cnt"))
+      .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
+      .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
+      .select(
+        col("bucket"),
+        (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))
+          - log(col("t_tot") + lit(numBuckets.toDouble))
+          - log(col("r_cnt") + lit(1.0))
+          + log(col("r_tot") + lit(numBuckets.toDouble))).as("lr"))
+    scoreDocs(feats.select("doc_id", "bucket", "cnt"), ratio)
+  }
+
+  /** [[selectTopK]] over the sliced path — one corpus feature pass. */
+  def selectTopKSliced(
+      raw: DataFrame, isTarget: Column, numBuckets: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = importanceWeightsSliced(raw, isTarget, numBuckets)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("logw").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+    raw
+      .join(broadcast(w), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"), col("n_feats"), col("logw"))
   }
 
   /** The selection step: the `k` most target-like raw documents by
@@ -208,13 +310,15 @@ object Importance {
     * boundaries, so each wall is the INCREMENTAL cost of that stage over
     * its predecessors' materialized state:
     *
-    *   - `features`: the per-(doc, bucket) substrate over the raw corpus
-    *     — in the shipped query this is the one exchange REUSED between
-    *     fit and score, so its wall is the tokenize+explode+fold cost
-    *     every text query shares;
-    *   - `fit`: both bucket distributions and the ≤`numBuckets`-row
-    *     log-ratio table (the target side pays ITS OWN feature scan
-    *     here, as in the shipped plan);
+    *   - `features`: the TAGGED per-(doc, bucket) substrate over the raw
+    *     corpus (the round-16 sliced shape x133/x134 ship) — in the
+    *     shipped query this is the one exchange REUSED between fit and
+    *     score, so its wall is the tokenize+explode+fold cost every text
+    *     query shares;
+    *   - `fit`: the one conditional bucket-grain aggregate producing BOTH
+    *     distributions plus the ≤`numBuckets`-row log-ratio table (the
+    *     round-15 harness paid the target slice's own feature scan here;
+    *     the sliced shape has none);
     *   - `score`: the broadcast scoring join + doc-grain fold;
     *   - `select`: the WindowGroupLimit top-k + broadcast corpus rejoin.
     *
@@ -224,7 +328,7 @@ object Importance {
     * dropCached does it.
     */
   def dsirStageTimings(
-      raw: DataFrame, target: DataFrame, numBuckets: Int, k: Int): Seq[(String, Double, Long)] = {
+      raw: DataFrame, isTarget: Column, numBuckets: Int, k: Int): Seq[(String, Double, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
     def timed[T](name: String)(body: => (Long, T)): T = {
       val t0 = System.nanoTime()
@@ -233,29 +337,24 @@ object Importance {
       v
     }
     val feats = timed("features") {
-      val f = hashedFeatures(raw, numBuckets).localCheckpoint()
+      val f = taggedFeatures(raw, isTarget, numBuckets).localCheckpoint()
       (f.count(), f)
     }
     val ratio = timed("fit") {
-      // the shipped union-fold + bounded-global-window totals shape (see
-      // importanceWeights), over the checkpointed feature substrate
-      val rawCounts = feats.groupBy("bucket").agg(sum("cnt").as("cnt"))
-        .select(col("bucket"), col("cnt").as("r_cnt"))
-      val targetCounts = bucketCounts(target, numBuckets)
-        .select(col("bucket"), col("cnt").as("t_cnt"))
+      // the shipped sliced shape (see importanceWeightsSliced): one
+      // conditional aggregate + bounded-global-window totals, over the
+      // checkpointed tagged substrate
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy().rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      val r = rawCounts
-        .select(col("bucket"), col("r_cnt"), lit(null).cast("long").as("t_cnt"))
-        .unionByName(targetCounts.select(
-          col("bucket"), lit(null).cast("long").as("r_cnt"), col("t_cnt")))
+      val r = feats
         .groupBy("bucket")
-        .agg(sum(col("r_cnt")).as("r_cnt"), sum(col("t_cnt")).as("t_cnt"))
+        .agg(
+          sum(col("cnt")).as("r_cnt"),
+          sum(when(col("__tgt"), col("cnt"))).as("t_cnt"))
         .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
         .withColumn("t_tot", coalesce(sum(col("t_cnt")).over(wAll), lit(0L)))
-        .filter(col("r_cnt").isNotNull)
         .select(
           col("bucket"),
           (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))

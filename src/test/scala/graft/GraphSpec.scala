@@ -80,6 +80,15 @@ class GraphSpec extends AnyFunSuite {
       wdf, "u", "v", iterations = 4, weightCol = Some("w"), smallGraphMaxEdges = 0)
     assert(ws.schema === wl.schema)
     assert(ws.orderBy("node").collect().toSeq === wl.orderBy("node").collect().toSeq)
+    // FRACTIONAL weights refuse the fast path (round-16: the degree
+    // folds' addend order is only provably irrelevant for whole-number
+    // weights) — both calls below run the loop path, so they must agree
+    // exactly regardless of where the edge count sits against the cap
+    val fdf = Seq(("a", "b", 0.5), ("b", "c", 1.5), ("c", "a", 2.0)).toDF("u", "v", "w")
+    val ff = Graph.pageRank(fdf, "u", "v", iterations = 4, weightCol = Some("w"))
+    val fl = Graph.pageRank(
+      fdf, "u", "v", iterations = 4, weightCol = Some("w"), smallGraphMaxEdges = 0)
+    assert(ff.orderBy("node").collect().toSeq === fl.orderBy("node").collect().toSeq)
   }
 
   test("invalid parameters are refused") {

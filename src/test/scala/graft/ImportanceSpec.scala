@@ -148,6 +148,37 @@ class ImportanceSpec extends AnyFunSuite {
     }
   }
 
+  test("sliced path ≡ two-frame path, weights and selection (the round-16 one-pass fusion)") {
+    val docs = docsDf
+    val twoFrame = Importance.importanceWeights(
+      docs.select("doc_id", "text"),
+      docs.filter(col("lang") === "en").select("doc_id", "text"),
+      Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val sliced = Importance.importanceWeightsSliced(
+      docs.select("doc_id", "text", "lang"), col("lang") === "en", Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(sliced === twoFrame)
+    val selTwo = Importance.selectTopK(
+      docs, docs.filter(col("lang") === "en"), Buckets, 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val selSliced = Importance.selectTopKSliced(docs, col("lang") === "en", Buckets, 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(selSliced === selTwo)
+    // a NULL-lang doc is a raw doc but never a target doc on either path
+    val withNull = docs.withColumn(
+      "lang", when(col("doc_id") === 5L, lit(null: String)).otherwise(col("lang")))
+    val twoN = Importance.importanceWeights(
+      withNull.select("doc_id", "text"),
+      withNull.filter(col("lang") === "en").select("doc_id", "text"),
+      Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val slicedN = Importance.importanceWeightsSliced(
+      withNull.select("doc_id", "text", "lang"), col("lang") === "en", Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(slicedN === twoN)
+  }
+
   test("weights are parallelism-invariant (the ra pre-round collapses sum-order drift)") {
     val docs = docsDf
     def run(parts: Int) = Importance.importanceWeights(

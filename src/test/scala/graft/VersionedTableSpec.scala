@@ -950,6 +950,47 @@ class VersionedTableSpec extends AnyFunSuite {
       "timestamp time travel served the never-published orphan v1")
   }
 
+  test("readAsOf never serves a FIRST-commit orphan below the first history record") {
+    // the round-15 ADVICE residual: v0 crashes between its _commit_ts
+    // write and the swap, so _history is empty but _history_base=0; the
+    // next successful commit publishes v1 (history={1}). Inferring the
+    // legacy boundary from h.min would wave orphan v0 through (0 < 1);
+    // the base marker pins history support at 0, so v0 must prove
+    // membership and cannot.
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s")) // v0
+    Thread.sleep(5)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v1
+    // rewrite to the crash state: v0's swap never happened
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_history"), "1\n".getBytes("UTF-8"))
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 2) // v1 fine
+    val v1Ts = t.commitTimestamp(1L).get
+    val mid = java.time.Instant.ofEpochMilli(v1Ts - 1)
+    assert(t.commitTimestamp(0L).get < v1Ts, "fixture needs distinct clocks")
+    intercept[IllegalStateException](t.readAsOf(spark, mid)) // never orphan v0
+  }
+
+  test("readAsOf survives a torn _history line and degrades without one") {
+    val t = freshTable()
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "s"))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // a torn/corrupt trailing line must not turn every readAsOf into a
+    // NumberFormatException (round-15 ADVICE low) — parseable records win
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_history"),
+      "0\n1\n42garbage\n".getBytes("UTF-8"))
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 2)
+    // legacy shape: _history empty AND no base marker proves nothing —
+    // fall back to the cap-at-head guard instead of rejecting everything
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "_history"), Array.emptyByteArray)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t.root, "_history_base"))
+    assert(t.readAsOf(spark, java.time.Instant.now()).count() === 2)
+  }
+
   test("diffVersions: a later full commit with NEW columns never reads through an older _schema") {
     val t = freshTable()
     import spark.implicits._
