@@ -438,6 +438,17 @@ object PlanAudit {
     // lineage-cut; the resample stage's one-row mixWeights normalizer
     // (class (a)) rides its barrier
     "x53/stages" -> 1,
+    // round 16: the serving assembly queries materialize the dense
+    // percentages frame once per query (percentagesCheckpointed), so the
+    // |move types|-row dense cross (class (b) — the same bounded BNLJ
+    // the main table allowed for these queries before the barrier moved
+    // it inside) now executes behind that localCheckpoint
+    "o12_forecast_no_move_type" -> 1,
+    "o24_fallback_chain" -> 1,
+    "o36_forecast_summary" -> 1,
+    "o42_forecast_daily" -> 1,
+    "o43_comments" -> 1,
+    "f02_forecast_serving" -> 1,
     // x125c's two bounded class-(b) crosses both execute as INNER
     // plans: the probe→cell routing collect (|probes| × |cells|
     // centroid argmax, the x14 shape) and the index-build commit

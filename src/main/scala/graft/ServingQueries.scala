@@ -189,7 +189,7 @@ object ServingQueries {
     // O23/O24/O8/O9: the 3-level fallback chain over every branch and every
     // day of the fixture window (main.py:85-121).
     "o24_fallback_chain" -> ((s, dir) => {
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       val req = Forecast
         .explodeWindow(pct.select("branch").distinct(), d(winStart), d(winEnd))
         .withColumn("move_type", lit(MoveType))
@@ -208,7 +208,7 @@ object ServingQueries {
     // O12-O14/O40-O44: the full per-day forecast assembly (main.py:230-288)
     // with the SQL-expressible stand-in model (mean + z80*stddev upper).
     "o42_forecast_daily" -> ((s, dir) => {
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
       Forecast.dailyForecast(model, pct, Some(MoveType), InputDate, Today)
         .select(
@@ -228,7 +228,7 @@ object ServingQueries {
     // fixed comment class, predicted == branch forecast (main.py:239,
     // :243, :283).
     "o12_forecast_no_move_type" -> ((s, dir) => {
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
       Forecast.dailyForecast(model, pct, None, InputDate, Today)
         .select(
@@ -245,7 +245,7 @@ object ServingQueries {
     // percentages (main.py:269-288). Closes the last serving column that
     // was verified only by unit tests.
     "o43_comments" -> ((s, dir) => {
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
       Forecast.dailyForecast(model, pct, Some(MoveType), InputDate, Today)
         .select(col("branch"), fmtDate(col("ds")).as("ds"), col("comment"))
@@ -254,7 +254,7 @@ object ServingQueries {
 
     // O36/O37/O41/O42: per-branch summary (main.py:290-319).
     "o36_forecast_summary" -> ((s, dir) => {
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       val model = Forecast.baselineUpper(Tables.forecastingData(s, dir))
       val daily = Forecast.dailyForecast(model, pct, Some(MoveType), InputDate, Today)
       Forecast.summarize(daily, Some(MoveType))
@@ -318,7 +318,7 @@ object ServingQueries {
       val models = seasonalModelsFor(s, dir)
       val days = Forecast.explodeWindow(models.select("branch"), d(winStart), d(winEnd))
       val perDay = SeasonalModel.predict(models, days, spec).select("branch", "ds", "yhat_upper")
-      val pct = Percentages.percentages(s, dir)
+      val pct = Percentages.percentagesCheckpointed(s, dir)
       Forecast.dailyForecast(perDay, pct, Some(MoveType), InputDate, Today)
         .select(
           col("branch"), fmtDate(col("ds")).as("ds"),

@@ -605,15 +605,24 @@ object Dedup {
       .distinct()
     TextOps.shingleFrame(docs, n)
       .join(candDocs, Seq("doc_id"), "leftsemi")
-      .select(col("doc_id"), col("shingle_arr"))
+      // sorted ONCE per candidate doc (round 16) so the verify stage's
+      // per-pair intersection is an allocation-free merge instead of an
+      // array_intersect hash-set build+materialize per pair — each doc
+      // sits in ~dozens of pairs, so the per-doc sort amortizes across
+      // every pair it joins (SortedIntersectCountExpr's contract)
+      .select(col("doc_id"), sort_array(col("shingle_arr")).as("shingle_arr"))
       .localCheckpoint(false)
   }
 
   /** Stage 3 of [[ppjoinNearDups]]: exact |A∩B| — the pair-bounded frame
     * rejoins each side's shingle array (a per-row projection of the
-    * source — no grouped state) and intersects once per pair; the
-    * checkpoint makes the jaccard filter downstream a plain-attribute
-    * predicate (HOF-in-Filter gate).
+    * source — no grouped state) and merge-counts once per pair (the
+    * arrays arrive sorted+distinct from [[ppjoinArrs]]; the round-16
+    * codegen expression replaces size(array_intersect), which built a
+    * hash set and materialized the intersection array per pair only to
+    * take its length — measured ~1.0 s of the verify stage at sf0.1);
+    * the checkpoint makes the jaccard filter downstream a
+    * plain-attribute predicate (HOF-in-Filter gate).
     */
   private[graft] def ppjoinScored(cand: DataFrame, arrs: DataFrame): DataFrame =
     cand
@@ -621,7 +630,8 @@ object Dedup {
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingle_arr").as("arr_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_inter"))
+        graft.functions.SortedIntersectCountExpr
+          .sortedIntersectCount(col("arr_a"), col("arr_b")).as("n_inter"))
       .localCheckpoint(false)
 
   /** Per-stage wall decomposition of [[ppjoinNearDups]] (the round-11

@@ -140,6 +140,23 @@ object Percentages {
   def percentages(spark: SparkSession, dir: String): DataFrame =
     percentagesSingleScan(Tables.historicalData(spark, dir))
 
+  /** [[percentages]] materialized once per CALL (round 16, guide §1.2):
+    * the serving assembly consumes the dense pct frame through four to
+    * five independent broadcast builds per query (two fallbackPct levels
+    * × two lookups, plus the branch domain), and each build re-executed
+    * the dense-join lineage above [[percentagesSingleScan]]'s mg
+    * checkpoint — ~4 extra jobs per forecast query for a frame that is
+    * BOUNDED at any input scale (|branches| × 366 × |move types|; the
+    * same bounded-model-state class as mg itself). The checkpoint is
+    * per-query-invocation state (each query call builds and drops its
+    * own — never a cross-query cache), exactly the serving posture the
+    * reference's precompute table embodies. Single-consumer callers
+    * (o22's projection, o35's count) keep the lazy form: a barrier buys
+    * them nothing.
+    */
+  def percentagesCheckpointed(spark: SparkSession, dir: String): DataFrame =
+    percentages(spark, dir).localCheckpoint()
+
   /** O31: the monthly average the serving fallback uses
     * (main.py:102-106) — materialized once instead of per-request SQL.
     * Averages over the DENSE percentage rows (zeros included), exactly as

@@ -112,6 +112,27 @@ class DedupSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays (round-16 verify expr)") {
+    import graft.functions.SortedIntersectCountExpr.sortedIntersectCount
+    // randomized sorted-distinct pairs + planted edges: empty sides,
+    // disjoint, identical, subset, null arrays
+    val rnd = new scala.util.Random(7)
+    def arr(): Seq[String] =
+      (0 until rnd.nextInt(20)).map(_ => s"tok${rnd.nextInt(30)}").distinct.sorted
+    val rows = (0 until 200).map(_ => (arr(), arr())) ++ Seq(
+      (Seq.empty[String], Seq("a")), (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")),
+      (Seq("a", "b", "c"), Seq("b")))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      sortedIntersectCount(col("a"), col("b")).as("merged"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(both.filter(col("merged") =!= col("builtin")).count() === 0)
+    // null array -> null, both paths
+    val nulls = Seq((Seq("a"), null.asInstanceOf[Seq[String]])).toDF("a", "b")
+    assert(nulls.select(sortedIntersectCount(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("ppjoinStageTimings decomposes the operator: stage rows consistent, result preserved") {
     val c = corpus()
     val stages = Dedup.ppjoinStageTimings(c, 0.5)
